@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.Relational
+import graft.pipeline.WeatherQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +12,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _)
+    "q1_agg" -> (Relational.q1Agg _),
+    "q_weather_transform" -> (WeatherQueries.qTransform _),
+    "q_weather_idempotent" -> (WeatherQueries.qIdempotent _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +32,5 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ WeatherQueries.oracles
 }

@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** O13 — the reference's idempotent insert (check-then-insert at
+  * /root/reference/airflow/dags/weather_etl.py:156–187) re-expressed as set
+  * semantics.
+  *
+  * The reference's guarantee: after any number of replays, the landed table
+  * has at most one row per (city, utc) (:158–168, skip at :186–187). Its
+  * mechanism is racy (no transaction spans the SELECT at :158 and the INSERT
+  * at :170); ours is a single atomic batch append of `new ∖ existing`.
+  *
+  * Scale: the anti-join shuffles both sides on (city, utc) — at 100 TB the
+  * existing side must be pruned first (partition the landed table by
+  * date(utc) so only the incoming batch's date range is scanned) and the
+  * incoming batch (tiny: 1 row/2 min in the reference) broadcasts, making
+  * the "shuffle" a broadcast-anti-join with zero movement of the big side.
+  * [[graft.streaming.WeatherStream]] is the bounded-state streaming variant.
+  */
+object WeatherDedup {
+
+  /** Drop in-batch duplicates, keeping an arbitrary-but-deterministic winner
+    * per key (the reference processes one row per run, so in-batch dups only
+    * arise in our batched generalization). */
+  def dedupWithinBatch(batch: DataFrame): DataFrame =
+    batch.dropDuplicates(WeatherSchema.key)
+
+  /** `batch ∖ existing` on the logical key — left_anti join, the exact
+    * semantics of the reference's COUNT(*)==0 gate (weather_etl.py:158–168).
+    * For a left_anti hash join Spark builds (and may broadcast) the right
+    * side, so the big landed table must be shrunk BEFORE this join — see
+    * [[idempotentAppend]]'s date pruning. */
+  def newRowsOnly(batch: DataFrame, existing: DataFrame): DataFrame =
+    batch.join(existing.select(WeatherSchema.key.map(col): _*),
+      WeatherSchema.key, "left_anti")
+
+  /** Idempotent append to a parquet table path. Returns rows actually
+    * appended.
+    *
+    * Scale shape: the existing side is reduced to key columns (column
+    * pruning) AND to the batch's own utc-date range (partition pruning when
+    * the table is laid out by date(utc)); the incoming micro-batch is tiny
+    * (1 row / 2 min in the reference), so what remains is a small build side
+    * the anti-join can broadcast — no shuffle of the landed table, ever. */
+  def idempotentAppend(spark: SparkSession, batch: DataFrame,
+                       tablePath: String): Long = {
+    val deduped = dedupWithinBatch(batch)
+    val fresh =
+      if (tableExists(spark, tablePath)) {
+        // Bounded driver-side collect: micro-batches span few distinct dates.
+        val dates = deduped.select(to_date(col("utc")).as("d"))
+          .distinct().collect().map(_.get(0))
+        val existingKeys = spark.read.parquet(tablePath)
+          .filter(to_date(col("utc")).isin(dates: _*))
+          .select(WeatherSchema.key.map(col): _*)
+        deduped.join(existingKeys, WeatherSchema.key, "left_anti")
+      } else deduped
+    // One shot: count+write from a cached plan so the append is consistent
+    // with the reported count even if the source is re-evaluated.
+    val materialized = fresh.cache()
+    try {
+      val n = materialized.count()
+      if (n > 0)
+        materialized.write.mode(SaveMode.Append).parquet(tablePath)
+      n
+    } finally materialized.unpersist()
+  }
+
+  private def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

@@ -1,0 +1,52 @@
+package graft.core
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+class WeatherDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def landed(docs: Seq[String]) =
+    WeatherTransform(docs.toDF("value"))
+
+  test("idempotentAppend: replaying the same batch appends nothing") {
+    val path = tmpDir("weather-landed")
+    val n1 = WeatherDedup.idempotentAppend(spark, landed(WeatherFixtures.all), path)
+    assert(n1 == 3)
+    val n2 = WeatherDedup.idempotentAppend(spark, landed(WeatherFixtures.all), path)
+    assert(n2 == 0)
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("idempotentAppend: partial overlap appends only the new keys") {
+    val path = tmpDir("weather-landed2")
+    WeatherDedup.idempotentAppend(spark,
+      landed(Seq(WeatherFixtures.marseille)), path)
+    val n = WeatherDedup.idempotentAppend(spark, landed(WeatherFixtures.all), path)
+    assert(n == 2)
+    val df = spark.read.parquet(path)
+    assert(df.count() == 3)
+    assert(df.select("city", "utc").distinct().count() == 3)
+  }
+
+  test("property: any replay mix keeps (city, utc) unique (scalacheck)") {
+    val docGen = Gen.someOf(WeatherFixtures.all)
+    val prop = Prop.forAll(docGen, docGen) { (batch1, batch2) =>
+      val path = tmpDir("weather-prop")
+      WeatherDedup.idempotentAppend(spark, landed(batch1.toSeq), path)
+      WeatherDedup.idempotentAppend(spark, landed(batch2.toSeq), path)
+      val expected = (batch1.toSet ++ batch2.toSet).size
+      val got =
+        if (expected == 0) 0L
+        else spark.read.parquet(path).select("city", "utc").distinct().count()
+      val total =
+        if (expected == 0) 0L
+        else spark.read.parquet(path).count()
+      got == expected.toLong && total == expected.toLong
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+}

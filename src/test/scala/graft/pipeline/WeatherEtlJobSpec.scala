@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.WeatherFixtures
+import graft.sources.RestWeatherSource
+
+class WeatherEtlJobSpec extends SparkSpec {
+
+  private object FakeFetcher extends RestWeatherSource.Fetcher {
+    var calls = 0
+    def fetch(url: String): String = { calls += 1; WeatherFixtures.marseille }
+  }
+
+  private val cfg =
+    RestWeatherSource.Config("Marseille", "fr", "metric", "test-key")
+
+  test("end-to-end run is idempotent across scheduled replays (O15–O17)") {
+    val path = tmpDir("etl-table")
+    val r1 = WeatherEtlJob.run(spark, cfg, path, FakeFetcher)
+    assert(r1.appended == 1)
+    val r2 = WeatherEtlJob.run(spark, cfg, path, FakeFetcher) // replay, same doc
+    assert(r2.appended == 0)
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
+  test("missing env config fails fast (weather_etl.py:98–99)") {
+    val ex = intercept[IllegalArgumentException] {
+      RestWeatherSource.configFromEnv(Map("CITY" -> "X"))
+    }
+    assert(ex.getMessage.contains("manquantes"))
+  }
+
+  test("HTTP error propagates as failure (weather_etl.py:104,108–110)") {
+    object Failing extends RestWeatherSource.Fetcher {
+      def fetch(url: String): String =
+        throw new RuntimeException("HTTP 503")
+    }
+    intercept[RuntimeException] {
+      WeatherEtlJob.run(spark, cfg, tmpDir("etl-fail"), Failing)
+    }
+  }
+
+  test("config builds the reference's URL shape (weather_etl.py:103)") {
+    val url = cfg.url
+    assert(url.startsWith("https://api.openweathermap.org/data/2.5/weather?"))
+    assert(url.contains("q=Marseille") && url.contains("lang=fr") &&
+      url.contains("units=metric") && url.contains("appid=test-key"))
+  }
+}
