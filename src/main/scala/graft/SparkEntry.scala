@@ -1,36 +1,28 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.analytics.Relational
+import graft.analytics.{Events, Relational}
 import graft.pipeline.WeatherQueries
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries and oracles are assembled from the per-module maps; each module
+  * keeps its Spark definition and its DuckDB oracle side by side so the
+  * column aliases stay aligned (the driver sorts columns by name before
+  * hashing).
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _),
-    "q_weather_transform" -> (WeatherQueries.qTransform _),
-    "q_weather_idempotent" -> (WeatherQueries.qIdempotent _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.defs ++ Events.defs ++ Map(
+      "q_weather_transform" -> (WeatherQueries.qTransform _),
+      "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) ++ WeatherQueries.oracles
+    * the same parquet tables. Omitted keys → driver's rows-only check. */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ Events.oracles ++ WeatherQueries.oracles
 }

@@ -1,0 +1,58 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Smoke + plan-shape checks for the analytics surface. Value correctness is
+  * the DuckDB oracle's job (tools/oracle_check.py); here we pin the physical
+  * plans we want at scale: broadcasts where a side is small, pushed filters at
+  * the parquet scan, no cartesian products anywhere.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // keep this list in sync as non-SQL-expressible ops land
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("q6_filter pushes its predicates into the parquet scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+           p.contains("IsNotNull(l_shipdate)"), p)
+  }
+
+  test("q3_join broadcasts the filtered customer dimension") {
+    assert(plan("q3_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q5_join broadcasts nation and region") {
+    val p = plan("q5_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_anti_join plans a broadcast anti join, not a shuffle of customer") {
+    val p = plan("q_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("no query plans a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian")
+    }
+  }
+
+  test("driver smoke: entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
