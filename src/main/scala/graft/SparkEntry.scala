@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Events, Relational}
+import graft.ext.{DedupOps, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.WeatherQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,12 +18,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Events.defs ++ Map(
+    Relational.defs ++ Events.defs ++ TextAnalysis.defs ++ DedupOps.defs ++
+      Similarity.defs ++ Multimodal.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ WeatherQueries.oracles
+    Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
+      DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      WeatherQueries.oracles
 }

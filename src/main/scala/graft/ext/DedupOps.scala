@@ -1,0 +1,238 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine_sim
+import graft.sources.Tables
+
+/** Record-deduplication family (north-star ops, SURVEY.md §2): exact,
+  * n-gram-Jaccard, MinHash-LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design — the non-negotiable at 100 TB is NO O(n²): every fuzzy
+  * variant goes through a candidate-generation step that is linear-ish
+  * (inverted shingle index, LSH band buckets, SimHash blocks, hyperplane
+  * buckets) and only verifies candidates pairwise. Exact dedup shuffles a
+  * 16-byte digest, never the document text.
+  */
+object DedupOps {
+
+  // ---- shingling ----
+
+  /** Contiguous k-token shingles (space-joined). Documents shorter than k
+    * tokens produce no shingles — mirrored by the oracle's WHERE len >= k. */
+  def shingles(tokens: Column, k: Int): Column =
+    transform(sequence(lit(0), size(tokens) - k),
+      i => array_join(slice(tokens, i + lit(1), lit(k)), " "))
+
+  /** doc_id → exploded distinct shingle, the inverted-index input. */
+  def shingleIndex(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("t"), k))).as("shingle"))
+
+  // ---- exact dedup ----
+
+  /** q_dedup_exact — keeper assignment per duplicate group. Groups on
+    * md5(text) (16-byte shuffle key), not the text itself: at 100 TB the
+    * shuffle moves digests, and text only rides along as the per-group
+    * min-doc payload. */
+  def qExact(spark: SparkSession, sfDir: String): DataFrame =
+    exactKeepers(Tables.documents(spark, sfDir))
+
+  /** Same, over any (doc_id, text) frame. */
+  def exactKeepers(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("digest"))
+    docs
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("int"))
+      .select(col("doc_id"), col("keeper_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- n-gram Jaccard ----
+
+  /** Exact Jaccard over distinct k-shingle sets for all pairs sharing ≥1
+    * shingle (inverted-index join — pairs that share nothing are never
+    * materialized). `maxDf` drops shingles present in more than that many
+    * documents: stop-shingle skew control at scale (off for oracle runs). */
+  def jaccardPairs(docs: DataFrame, k: Int = 3,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingleIndex(docs, k)
+    val sh = maxDf match {
+      case Some(m) =>
+        val hot = sh0.groupBy("shingle").count().filter(col("count") > m)
+          .select("shingle")
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")), 6))
+  }
+
+  /** q_dedup_ngram — top-20 most-similar pairs by 3-gram Jaccard
+    * (deterministic: rounded score desc, then ids). */
+  def qNgram(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, sfDir), k = 3)
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+
+  // ---- MinHash + LSH ----
+
+  /** MinHash signatures: numHashes mins per doc. The hash family is
+    * xxhash64(shingle, i) — i as a second hashed column gives independent
+    * draws without the a·x+b arithmetic (which ANSI mode rejects on long
+    * overflow). One aggregate pass — numHashes min() columns, all map-side
+    * partial. */
+  def minhashSignatures(docs: DataFrame, k: Int = 3,
+                        numHashes: Int = 64): DataFrame = {
+    val sh = shingleIndex(docs, k)
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"m$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: bands buckets of rows-per-band signature slices; docs
+    * sharing any (band, bucket) become candidate pairs. bands=16 × rows=4
+    * over 64 hashes ≈ 0.5 Jaccard threshold knee. */
+  def minhashCandidates(signatures: DataFrame, bands: Int = 16,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val banded = signatures.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + lit(1),
+          lit(rowsPerBand))))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** q_dedup_minhash — MinHash-LSH candidates verified with exact Jaccard
+    * (verification joins only the candidate pairs, not all pairs). */
+  def qMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cands = minhashCandidates(minhashSignatures(docs))
+    val exact = jaccardPairs(docs, k = 3)
+    cands.join(exact, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per document: majority vote of token-hash bits.
+    * 64 conditional sums in one aggregate pass (map-side partial), then the
+    * bits are packed arithmetically — no UDF anywhere. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Candidate pairs by 16-bit block collision (4 blocks; guarantees all
+    * pairs at hamming ≤ 3, approximates above), verified by bit_count. */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val blocked = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("block", "blockval")))
+    val a = blocked.select(col("block"), col("blockval"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = blocked.select(col("block"), col("blockval"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("block", "blockval")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** q_dedup_simhash — closest pairs by SimHash hamming distance. */
+  def qSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(simhash(Tables.documents(spark, sfDir)), maxHamming = 16)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(20)
+
+  // ---- embedding near-dup ----
+
+  /** q_dedup_embedding — near-duplicate vectors by cosine ≥ threshold, via
+    * random-hyperplane LSH candidates + native cosine_sim verification.
+    * See [[Similarity.hyperplaneBuckets]] for the bucketing. */
+  def qEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bucketed = Similarity.hyperplaneBuckets(emb, nPlanes = 8, seed = 7L)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine_sim(col("e_a"), col("e_b")), 6).as("cosine"))
+      .distinct()
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qExact _),
+    "q_dedup_ngram" -> (qNgram _),
+    "q_dedup_minhash" -> (qMinhash _),
+    "q_dedup_simhash" -> (qSimhash _),
+    "q_dedup_embedding" -> (qEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, keeper_id, CAST(is_dup AS INT) AS is_dup FROM (
+        |  SELECT doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+        |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 3 + 2),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, common,
+        |  ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 20""".stripMargin)
+}

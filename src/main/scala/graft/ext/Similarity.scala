@@ -1,0 +1,161 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosine_sim, dot_product}
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (north-star op,
+  * SURVEY.md §2): brute-force cosine top-k as the correctness baseline, and
+  * random-hyperplane LSH as the scale path.
+  *
+  * Scale shape: brute force is O(|Q|·|C|) — correct only when the query set
+  * is small enough to broadcast (it is here: broadcast(queries) × corpus is
+  * a map-side nested loop with NO shuffle of the corpus). The ANN variant
+  * buckets the corpus once (linear scan, deterministic hyperplanes) and
+  * probes only matching buckets, trading recall for a |C|/2^planes-sized
+  * candidate set per query. Recall is measured against brute force in
+  * SimilaritySpec.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (seeded; same on every
+    * executor since they're driver-side literals). */
+  private[ext] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Sign-bit bucket id from nPlanes hyperplane dot products — one long
+    * column, computed fully map-side by the native dot_product kernel. */
+  def bucketExpr(embedding: Column, nPlanes: Int, dim: Int = 64,
+                 seed: Long = 7L): Column =
+    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
+      when(dot_product(embedding, typedlit(p)) > 0d, shiftleft(lit(1L), j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Corpus with its LSH bucket id. */
+  def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, dim: Int = 64,
+                        seed: Long = 7L): DataFrame =
+    emb.withColumn("bucket", bucketExpr(col("embedding"), nPlanes, dim, seed))
+
+  /** Brute-force top-k: broadcast the query set, nested-loop cosine against
+    * the whole corpus, per-query window rank. Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_sim(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** ANN top-k: classic multi-table hyperplane LSH — nTables independent
+    * tables of bitsPerTable sign bits; a pair is a candidate if it collides
+    * in ANY table. Collision probability for angle θ is
+    * 1-(1-(1-θ/π)^b)^L, so recall is tuned by (L, b) and pruning by b alone
+    * (candidates/query ≈ L·n/2^b). At 100 TB, b grows with log(n) to keep
+    * buckets bounded; the ×L corpus replication is the standard LSH
+    * memory-for-recall trade. Per-table bucketing is one map-side pass (no
+    * shuffle until the candidate join). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nTables: Int = 16, bitsPerTable: Int = 4, dim: Int = 64,
+              seed: Long = 7L): DataFrame = {
+    val ps = planes(nTables * bitsPerTable, dim, seed)
+    def bucketCol(emb: Column, t: Int): Column =
+      (0 until bitsPerTable).map { j =>
+        when(dot_product(emb, typedlit(ps(t * bitsPerTable + j))) > 0d,
+          shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce(_ + _)
+    def tabled(df: DataFrame, idCol: String, embOut: String): DataFrame =
+      df.select(col("vec_id").as(idCol), col("embedding").as(embOut),
+        posexplode(array((0 until nTables).map(t =>
+          bucketCol(col("embedding"), t)): _*)).as(Seq("table", "bucket")))
+    val c = tabled(corpus, "vec_id", "embedding")
+    val q = tabled(queries, "query_id", "q_emb")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    q.join(c, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_sim(col("q_emb"), col("embedding")).as("score"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // ---- driver queries ----
+
+  private def queriesSet(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 10)
+
+  /** q_sim_brute — exact cosine top-5 for the 10 probe vectors. */
+  def qBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    bruteForceTopK(queriesSet(emb), emb, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q_sim_ann — LSH-bucketed approximate top-5 (rows-only oracle; recall
+    * vs brute force is asserted in SimilaritySpec). */
+  def qAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    annTopK(queriesSet(emb), emb, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q_embed_stats — embedding hygiene: dimension and norm accounting per
+    * label (catches truncated or zero vectors at ingest). */
+  def qEmbedStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), size(col("embedding")).as("dim"),
+        sqrt(dot_product(col("embedding"), col("embedding"))).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        round(avg(col("norm")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_brute" -> (qBrute _),
+    "q_sim_ann" -> (qAnn _),
+    "q_embed_stats" -> (qEmbedStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, rank, vec_id, ROUND(score, 6) AS score
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_embed_stats" ->
+      """SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(MIN(len(embedding)) AS INT) AS min_dim,
+        |  CAST(MAX(len(embedding)) AS INT) AS max_dim,
+        |  ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,214 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.rolling_hash
+import graft.sources.Tables
+
+/** Text analysis over the `documents` table (north-star text ops,
+  * SURVEY.md §2): tokenization, quality scoring, language ID, fingerprints.
+  *
+  * Everything except the fingerprint is built from codegen'd `functions._`
+  * (no UDFs), so all of it runs as pure map-side work — no shuffle until the
+  * final per-(lang/source) aggregate, which is partial-agg'd. At 100 TB the
+  * whole module is scan-bound, which is the correct bound.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text — mirrors the oracle's
+    * `string_split_regex(trim(text), '\s+')` exactly. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish sub-word count: tokens plus intra-word splits at
+    * letter/digit and lower→upper boundaries — a cheap proxy for subword
+    * tokenizer output with the same monotonicity (more text → more tokens).
+    * Implemented as boundary-marking replaces (no lookarounds: DuckDB's RE2
+    * oracle can't express them, and plain captures are codegen-cheaper). */
+  def bpeishTokenCount(text: Column): Column = {
+    val marked = regexp_replace(regexp_replace(regexp_replace(trim(text),
+      "([a-z])([A-Z])", "$1 $2"),
+      "([A-Za-z])([0-9])", "$1 $2"),
+      "([0-9])([A-Za-z])", "$1 $2")
+    size(split(marked, "\\s+"))
+  }
+
+  /** Small function-word marker lists per language — the n-gram/stopword
+    * heuristic's profile set. Deliberately tiny and hand-auditable. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von", "mit", "für"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"))
+
+  /** All-language stopword set (for the quality score's stopword ratio). */
+  val stopwords: Seq[String] = markers.values.flatten.toSeq.distinct.sorted
+
+  /** Per-document features: token count, char count, punctuation ratio,
+    * stopword ratio, mean token length — the standard quality-filter
+    * signals. All column arithmetic, oracle-parity-safe. */
+  def withFeatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val nStop = size(filter(toks,
+      t => array_contains(lit(stopwords.toArray), t))).cast("long")
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("punct_ratio",
+        round(nPunct.cast("double") / greatest(length(col("text")), lit(1)), 6))
+      .withColumn("stopword_ratio",
+        round(nStop.cast("double") / greatest(nTok, lit(1L)), 6))
+      .withColumn("mean_token_len",
+        round((length(col("text")) - nTok + 1).cast("double") /
+          greatest(nTok, lit(1L)), 6))
+  }
+
+  /** Composite quality score in [0,1]: length in a sane band, some
+    * stopwords, not punctuation-soup. Thresholds are ordinary lit()s so the
+    * optimizer folds them. */
+  def withQualityScore(featured: DataFrame): DataFrame =
+    featured.withColumn("quality_score", round(
+      (when(col("n_chars").between(50, 2000), 0.4).otherwise(0.0)) +
+      (when(col("stopword_ratio") > 0.01, 0.3).otherwise(0.0)) +
+      (when(col("punct_ratio") < 0.1, 0.3).otherwise(0.0)), 2))
+
+  /** Language ID by marker-token voting: per-language hit count via
+    * array_intersect (map-side only, no shuffle, no UDF); argmax via a
+    * greatest() over (score, lang) structs — ties break to the
+    * lexicographically larger lang, deterministically. */
+  def withLangId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, lit(words.toArray))).as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.withColumn("lang_pred", greatest(scored: _*).getField("lang"))
+  }
+
+  /** Order-sensitive 63-bit fingerprint (native RollingHash expression) plus
+    * its md5 twin for oracle-checkable equality semantics. */
+  def withFingerprints(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint", rolling_hash(col("text")))
+        .withColumn("fingerprint_md5", md5(col("text")))
+
+  // ---- driver queries ----
+
+  /** q_text_stats — corpus stats per (lang, source). */
+  def qStats(spark: SparkSession, sfDir: String): DataFrame =
+    withFeatures(Tables.documents(spark, sfDir))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        round(avg(col("mean_token_len")), 4).as("avg_token_len"))
+      .orderBy(col("lang"), col("source"))
+
+  /** q_text_quality — quality-signal rollup per language. */
+  def qQuality(spark: SparkSession, sfDir: String): DataFrame =
+    withQualityScore(withFeatures(Tables.documents(spark, sfDir)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("punct_ratio")), 6).as("avg_punct_ratio"),
+        round(avg(col("stopword_ratio")), 6).as("avg_stopword_ratio"),
+        sum(when(col("quality_score") >= 0.7, 1L).otherwise(0L)).as("n_good"))
+      .orderBy(col("lang"))
+
+  /** q_text_tokens — token-count accounting per source (whitespace +
+    * BPE-ish), the budget query of a training-data pipeline. */
+  def qTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_ws"),
+        bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpeish")).as("bpeish_tokens"))
+      .orderBy(col("source"))
+
+  /** q_text_langid — confusion counts of predicted vs labeled language
+    * (rows-only oracle: the voting heuristic isn't portable SQL; accuracy is
+    * asserted in TextAnalysisSpec instead). */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame =
+    withLangId(Tables.documents(spark, sfDir))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** q_text_fingerprint — fingerprint uniqueness accounting; md5 twin keeps
+    * it oracle-checkable while the rolling hash is covered by equality with
+    * distinct-text counts. */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    withFingerprints(Tables.documents(spark, sfDir))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(col("fingerprint")).as("n_distinct_fp"),
+        countDistinct(col("fingerprint_md5")).as("n_distinct_md5"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qStats _),
+    "q_text_quality" -> (qQuality _),
+    "q_text_tokens" -> (qTokens _),
+    "q_text_langid" -> (qLangId _),
+    "q_text_fingerprint" -> (qFingerprint _))
+
+  private val stopwordsSqlList =
+    stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  ROUND(AVG(n_tokens), 4) AS avg_tokens,
+         |  ROUND(AVG(mean_token_len), 4) AS avg_token_len
+         |FROM (
+         |  SELECT lang, source, n_chars,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |    ROUND((length(text) - len(string_split_regex(trim(text), '\\s+')) + 1)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+         |      AS mean_token_len
+         |  FROM documents) t
+         |GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH feat AS (
+         |  SELECT lang, n_chars,
+         |    ROUND((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |      / greatest(length(text), 1), 6) AS punct_ratio,
+         |    ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> list_contains($stopwordsSqlList, x)))
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+         |      AS stopword_ratio
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+         |  ROUND(AVG(stopword_ratio), 6) AS avg_stopword_ratio,
+         |  CAST(SUM(CASE WHEN
+         |    ROUND((CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 0.4 ELSE 0.0 END)
+         |    + (CASE WHEN stopword_ratio > 0.01 THEN 0.3 ELSE 0.0 END)
+         |    + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END), 2) >= 0.7
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+         |FROM feat
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(SUM(len(string_split_regex(
+        |    regexp_replace(regexp_replace(regexp_replace(trim(text),
+        |      '([a-z])([A-Z])', '\1 \2', 'g'),
+        |      '([A-Za-z])([0-9])', '\1 \2', 'g'),
+        |      '([0-9])([A-Za-z])', '\1 \2', 'g'), '\s+')))
+        |    AS BIGINT) AS bpeish_tokens
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_distinct_text,
+        |  COUNT(DISTINCT text) AS n_distinct_fp,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, GraftExpressions, RollingHash}
+
+/** Public facade over the native Catalyst kernels in
+  * [[org.apache.spark.sql.graft]] (which must live inside Spark's namespace
+  * for `private[sql]` access). Use these exactly like
+  * `org.apache.spark.sql.functions._`.
+  */
+object VectorFunctions {
+
+  /** cosine_sim(a, b): cosine similarity of two array<float> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftExpressions.column(CosineSimilarity(
+      GraftExpressions.expression(a), GraftExpressions.expression(b)))
+
+  /** dot_product(a, b): dot product of two array<float> columns. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftExpressions.column(DotProduct(
+      GraftExpressions.expression(a), GraftExpressions.expression(b)))
+
+  /** rolling_hash(text): order-sensitive 63-bit document fingerprint. */
+  def rolling_hash(c: Column): Column =
+    GraftExpressions.column(RollingHash(GraftExpressions.expression(c)))
+
+  /** Register cosine_sim / dot_product / rolling_hash for SQL use. */
+  def register(spark: SparkSession): Unit = GraftExpressions.register(spark)
+}

@@ -20,9 +20,13 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
+    // rows-only by design: hash-family / LSH / heuristic internals that no
+    // portable SQL reproduces; each has behavioral assertions in its spec.
+    val rowsOnly = Set("q_text_langid", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_embedding", "q_sim_ann")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep this list in sync as non-SQL-expressible ops land
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    assert(noOracle == rowsOnly, s"unexpected oracle coverage drift: " +
+      s"missing=${noOracle -- rowsOnly} newly-covered=${rowsOnly -- noOracle}")
   }
 
   test("q6_filter pushes its predicates into the parquet scan") {

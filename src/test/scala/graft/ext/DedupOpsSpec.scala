@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two near-duplicate pairs + unrelated docs. ~60 tokens each so MinHash
+  // signatures are stable.
+  private lazy val corpus = {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val otherDup = (100 to 160).map(i => s"v$i").mkString(" ")
+    Seq((0L, base), (1L, nearDup), (2L, other), (3L, otherDup),
+      (4L, (200 to 260).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup: identical texts share a keeper, keeper is min id") {
+    val res = DedupOps.exactKeepers(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(3L) == 2L) // doc 3 is an exact copy of doc 2
+    assert(res(2L) == 2L)
+    assert(res(0L) == 0L && res(1L) == 1L) // near-dup is NOT exact-dup
+  }
+
+  test("ngram jaccard finds the near-dup pair with high score") {
+    val pairs = DedupOps.jaccardPairs(corpus, k = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 1L)) > 0.8, s"got ${pairs.get((0L, 1L))}")
+    assert(pairs((2L, 3L)) == 1.0)
+    assert(!pairs.contains((0L, 2L))) // disjoint docs never materialize
+  }
+
+  test("minhash-LSH candidates contain every pair with jaccard >= 0.8") {
+    val sigs = DedupOps.minhashSignatures(corpus)
+    val cands = DedupOps.minhashCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val highJaccard = DedupOps.jaccardPairs(corpus, k = 3)
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(highJaccard.nonEmpty)
+    assert(highJaccard.subsetOf(cands),
+      s"missed: ${highJaccard -- cands}")
+  }
+
+  test("simhash: near-dups are close in hamming, unrelated docs are far") {
+    val pairs = DedupOps.simhashPairs(DedupOps.simhash(corpus), maxHamming = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs((2L, 3L)) == 0) // identical text → identical simhash
+    assert(pairs.get((0L, 1L)).exists(_ <= 16),
+      s"near-dup too far: ${pairs.get((0L, 1L))}")
+  }
+
+  test("embedding near-dup query returns self-consistent cosine ordering") {
+    val res = DedupOps.qEmbedding(spark, sf).collect()
+    val cosines = res.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-(_: Double))))
+    assert(res.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+}

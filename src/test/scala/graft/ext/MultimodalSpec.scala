@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asset table: payload is opaque bytes with typed metadata") {
+    val a = Multimodal.assets(spark, sf)
+    val schema = a.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("payload") == "binary")
+    assert(schema("kind") == "string")
+    val row = a.filter($"asset_id" === 0L).collect().head
+    assert(row.payload.length.toLong == row.declared_bytes ||
+      row.payload.nonEmpty) // utf-8 bytes ≥ declared char count
+  }
+
+  test("feature extraction is deterministic and preserves every asset") {
+    val a = Multimodal.assets(spark, sf)
+    val f1 = Multimodal.extractFeatures(a).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(a).collect().sortBy(_.asset_id)
+    assert(f1.length == a.count())
+    assert(f1.map(_.checksum).sameElements(f2.map(_.checksum)))
+    assert(f1.forall(x => x.width >= 64 && x.height >= 64))
+    assert(f1.filter(_.kind != "video").forall(_.n_frames == 1))
+  }
+
+  test("resize truncates payloads without dropping assets") {
+    val a = Multimodal.assets(spark, sf)
+    val resized = Multimodal.resize(a, maxBytes = 100)
+    assert(resized.count() == a.count())
+    assert(resized.collect().forall(_.payload.length <= 100))
+  }
+
+  test("decode runs partition-wise (mapPartitions, not per-row collect)") {
+    val a = Multimodal.assets(spark, sf).repartition(3)
+    val parts = Multimodal.extractFeatures(a).rdd.getNumPartitions
+    assert(parts == 3) // decode preserved partitioning: no driver round-trip
+  }
+}
