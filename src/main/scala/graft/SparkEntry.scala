@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.analytics.{Events, Relational}
+import graft.analytics.{Events, Relational, RelationalExtra}
 import graft.ext.{DedupOps, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.WeatherQueries
 
@@ -18,7 +18,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Events.defs ++ TextAnalysis.defs ++ DedupOps.defs ++
+    Relational.defs ++ RelationalExtra.defs ++ Events.defs ++
+      TextAnalysis.defs ++ DedupOps.defs ++
       Similarity.defs ++ Multimodal.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
@@ -26,7 +27,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
+    Relational.oracles ++ RelationalExtra.oracles ++ Events.oracles ++
+      TextAnalysis.oracles ++
       DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       WeatherQueries.oracles
 }

@@ -1,0 +1,126 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second-wave relational surface: cube, pivot, sketches, sampling, and the
+  * SQL-subquery path (Catalyst decorrelation). Same oracle conventions as
+  * [[Relational]].
+  */
+object RelationalExtra {
+
+  /** q_cube — CUBE over (region of customer) × mktsegment: all four
+    * grouping-set combinations in one pass (Spark expands to a single
+    * shuffle with grouping-id, not four scans). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("n_name"), col("c_mktsegment"))
+  }
+
+  /** q_pivot — pivot l_linestatus into columns per returnflag (the
+    * conditional-aggregation surface; Spark's pivot is sum(CASE WHEN) under
+    * the hood, one shuffle). Values are enumerated so the plan is static. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_sample — deterministic systematic sample (key mod 20 == 3): the
+    * oracle-able twin of .sample(); true Bernoulli sampling is exercised in
+    * RelationalExtraSpec (engine-specific RNG can't hash-match DuckDB). */
+  def qSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 20 === 3)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  /** q_exists_subquery — correlated EXISTS through the SQL parser, so
+    * Catalyst's decorrelation rewrites it to the same semi-join qSemiJoin
+    * builds by hand. */
+  def qExistsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** q_scalar_subquery — scalar subquery in a predicate (one extra
+    * broadcast of a 1-row aggregate, no per-row re-evaluation). */
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q_approx_distinct — HLL++ sketch next to the exact count (rows-only:
+    * DuckDB's approx algorithm differs; the ±5% bound is asserted in
+    * RelationalExtraSpec). At 100 TB the sketch is the difference between a
+    * mergeable fixed-size state and a full distinct shuffle. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
+    "q_pivot" -> (qPivot _),
+    "q_sample" -> (qSample _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+        |    AS qty_f,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+        |    AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_sample" ->
+      """SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 20 = 3""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+}
