@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** O3 as a first-class Structured Streaming source — `format("weather-rest")`
+  * — the idiomatic DataSourceV2 form of the reference's periodic REST fetch
+  * (/root/reference/airflow/dags/weather_etl.py:29 + :90–110). One GET per
+  * micro-batch trigger, one row per GET, schema `value: string` (the raw
+  * body), feeding the same [[graft.core.WeatherTransform]] plan as the batch
+  * path:
+  *
+  * {{{
+  * spark.readStream.format("weather-rest")
+  *   .option("url", cfg.url)            // or option("fetcher", testKey)
+  *   .load()                            // → DataFrame["value"]
+  * }}}
+  *
+  * Offsets are a monotone fetch counter: `latestOffset` advances by one per
+  * trigger, so the trigger cadence (the reference's 2 minutes) fully
+  * determines ingest rate, and replaying a (start, end] range re-fetches —
+  * at-least-once, which the downstream key dedup (O13) turns into
+  * effectively-once, exactly the reference's design.
+  */
+class WeatherRestStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "weather-rest"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WeatherRestStreamSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WeatherRestTable(properties.asScala.toMap)
+}
+
+object WeatherRestStreamSource {
+  val schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Test seam: options are strings, so test fetchers register here under a
+    * key passed as `.option("fetcher", key)`. Production uses `url` +
+    * the default HTTP transport. */
+  val fetchers = new ConcurrentHashMap[String, RestWeatherSource.Fetcher]()
+
+  private[sources] def resolveFetch(props: Map[String, String]): () => String = {
+    props.get("fetcher") match {
+      case Some(key) =>
+        val f = fetchers.get(key)
+        require(f != null, s"no test fetcher registered under '$key'")
+        () => f.fetch(props.getOrElse("url", ""))
+      case None =>
+        val url = props.getOrElse("url",
+          throw new IllegalArgumentException(
+            "Les informations de configuration sont manquantes: url"))
+        val http = new RestWeatherSource.HttpFetcher()
+        () => http.fetch(url)
+    }
+  }
+}
+
+private class WeatherRestTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "weather-rest"
+  override def schema(): StructType = WeatherRestStreamSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = WeatherRestStreamSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new WeatherRestMicroBatchStream(props)
+      }
+    }
+}
+
+private case class FetchCountOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private class WeatherRestMicroBatchStream(props: Map[String, String])
+    extends MicroBatchStream {
+  @volatile private var latest = 0L
+  override def initialOffset(): Offset = FetchCountOffset(0L)
+  override def latestOffset(): Offset = { latest += 1; FetchCountOffset(latest) }
+  override def deserializeOffset(json: String): Offset =
+    FetchCountOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val n = end.asInstanceOf[FetchCountOffset].n -
+      start.asInstanceOf[FetchCountOffset].n
+    // One fetch per elapsed trigger; a single partition — the fetch is one
+    // document, there is nothing to parallelize at the source (SURVEY.md §4).
+    Array(WeatherRestInputPartition(n.toInt, props))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val part = p.asInstanceOf[WeatherRestInputPartition]
+        val fetch = WeatherRestStreamSource.resolveFetch(part.props)
+        new PartitionReader[InternalRow] {
+          private var remaining = part.fetches
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (remaining <= 0) false
+            else {
+              current = InternalRow(UTF8String.fromString(fetch()))
+              remaining -= 1
+              true
+            }
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private case class WeatherRestInputPartition(fetches: Int,
+    props: Map[String, String]) extends InputPartition

@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.core.{WeatherFixtures, WeatherTransform}
+
+class WeatherRestStreamSourceSpec extends SparkSpec {
+
+  /** Round-robins the fixture docs, counting calls. */
+  private class RoundRobinFetcher extends RestWeatherSource.Fetcher {
+    val calls = new AtomicInteger(0)
+    def fetch(url: String): String = {
+      val i = calls.getAndIncrement()
+      WeatherFixtures.all(i % WeatherFixtures.all.size)
+    }
+  }
+
+  test("weather-rest: one fetch per trigger through the full transform") {
+    val fetcher = new RoundRobinFetcher
+    WeatherRestStreamSource.fetchers.put("rr", fetcher)
+    val raw = spark.readStream.format("weather-rest")
+      .option("fetcher", "rr").load()
+    assert(raw.isStreaming)
+    val flat = WeatherTransform(raw) // same plan as the batch path
+    val q = flat.writeStream.format("memory").queryName("wrest")
+      .outputMode("append").trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      // wait until at least 3 fetches have landed
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("wrest").count() < 3 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    val landed = spark.table("wrest")
+    assert(landed.count() >= 3)
+    assert(fetcher.calls.get() >= 3)
+    // the flattened schema came through the streaming plan
+    assert(landed.columns.toSeq ==
+      Seq("city", "temperature", "weather", "humidity", "pressure",
+        "wind_speed", "lt", "utc"))
+    val cities = landed.select("city").distinct().collect().map(_.getString(0))
+    assert(cities.toSet.subsetOf(Set("Marseille", "Montreal")))
+  }
+
+  test("weather-rest: missing url fails fast like the reference (O17)") {
+    val raw = spark.readStream.format("weather-rest").load()
+    val q = raw.writeStream.format("memory").queryName("wrest_fail")
+      .outputMode("append").start()
+    val ex = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("manquantes")))
+  }
+}
