@@ -3,6 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Events, Relational, RelationalExtra}
 import graft.ext.{DedupOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Events.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++
-      Similarity.defs ++ Multimodal.defs ++ Map(
+      Similarity.defs ++ Multimodal.defs ++ AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
 
@@ -30,5 +31,5 @@ object SparkEntry {
     Relational.oracles ++ RelationalExtra.oracles ++ Events.oracles ++
       TextAnalysis.oracles ++
       DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      WeatherQueries.oracles
+      AsOf.oracles ++ WeatherQueries.oracles
 }

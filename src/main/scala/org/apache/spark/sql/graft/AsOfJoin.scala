@@ -1,0 +1,173 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, JoinedRow, SortOrder, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join — the time-series operator Spark lacks (SURVEY.md §2 joins
+  * note): for every left row (key, ts), attach the right row with the same
+  * key and the greatest right-ts ≤ left-ts (left-outer semantics; nulls when
+  * no prior right row exists).
+  *
+  * Built as the full custom-operator stack (preference (c) of the build
+  * guide): logical [[AsOfJoinPlan]] → [[AsOfJoinStrategy]] →
+  * [[AsOfJoinExec]], registered per-session via
+  * `spark.experimental.extraStrategies` (see [[AsOfJoin.install]]) or
+  * globally via [[GraftExtensions]].
+  *
+  * Scale shape — this is the entire point versus composing built-ins: the
+  * exec declares ClusteredDistribution on the key for both children and
+  * (key, ts) intra-partition ordering, so Catalyst plans exactly one hash
+  * shuffle per side and one sort, then the join itself is a linear
+  * two-pointer merge per partition: O(n log n) total, zero row
+  * amplification. The window-function equivalent (union + lag + filter)
+  * pays the same shuffle but materializes the union; a join+argmax pays a
+  * many-to-many join explosion before aggregating it back down.
+  *
+  * Constraints (round 1): key columns are integral (getLong), ts columns are
+  * TimestampType/Long (micros as long); ties on right ts resolve to the
+  * last row in (key, ts) sort order — callers wanting determinism under ts
+  * ties should pre-dedup the right side (as q_asof_join does).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: String, leftTs: String,
+                        rightKey: String, rightTs: String)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  /** Key/ts are held by name, not as expressions, so ColumnPruning can't see
+    * them — declare them or the optimizer prunes the join keys away. */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output.filter(a => a.name == leftKey || a.name == leftTs) ++
+      right.output.filter(a => a.name == rightKey || a.name == rightTs))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lts, rk, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: String, leftTs: String,
+                        rightKey: String, rightTs: String)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  private def attr(side: SparkPlan, name: String): Attribute =
+    side.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in [${side.output.map(_.name).mkString(",")}]"))
+
+  /** One hash shuffle per side, co-partitioned on the key. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(attr(left, leftKey) :: Nil) ::
+    ClusteredDistribution(attr(right, rightKey) :: Nil) :: Nil
+
+  /** Intra-partition (key, ts) sort — the merge's only requirement. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(attr(left, leftKey), org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(attr(left, leftTs), org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(attr(right, rightKey), org.apache.spark.sql.catalyst.expressions.Ascending),
+        SortOrder(attr(right, rightTs), org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkOrd = left.output.indexWhere(_.name == leftKey)
+    val ltsOrd = left.output.indexWhere(_.name == leftTs)
+    val rkOrd = right.output.indexWhere(_.name == rightKey)
+    val rtsOrd = right.output.indexWhere(_.name == rightTs)
+    val rightWidth = right.output.size
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      new Iterator[InternalRow] {
+        private val nullRight = new GenericInternalRow(rightWidth)
+        private val joined = new JoinedRow
+        private val rBuf = ri.buffered
+        // last right row consumed with (rKey, rTs) ≤ current left (key, ts);
+        // copied because unsafe rows are reused by the child iterator.
+        private var lastRight: InternalRow = _
+        private var lastRightKey = 0L
+
+        override def hasNext: Boolean = li.hasNext
+        override def next(): InternalRow = {
+          val l = li.next()
+          val lk = l.getLong(lkOrd)
+          val lts = l.getLong(ltsOrd)
+          while (rBuf.hasNext && {
+            val r = rBuf.head
+            val rk = r.getLong(rkOrd)
+            rk < lk || (rk == lk && r.getLong(rtsOrd) <= lts)
+          }) {
+            val r = rBuf.next()
+            lastRight = r.copy()
+            lastRightKey = r.getLong(rkOrd)
+          }
+          if (lastRight != null && lastRightKey == lk &&
+              lastRight.getLong(rtsOrd) <= lts)
+            joined(l, lastRight)
+          else
+            joined(l, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  /** Idempotently add the planner strategy to this session. */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** `asofJoin(left, right)`: every left row gains the latest right row with
+    * the same key and right.ts ≤ left.ts. */
+  def join(left: DataFrame, right: DataFrame,
+           leftKey: String, leftTs: String,
+           rightKey: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      AsOfJoinPlan(left.queryExecution.analyzed, right.queryExecution.analyzed,
+        leftKey, leftTs, rightKey, rightTs))
+  }
+}
+
+/** Global registration (`--conf spark.sql.extensions=
+  * org.apache.spark.sql.graft.GraftExtensions`): planner strategy + the
+  * native function kernels. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hand-built case: latest at-or-before match, nulls when none") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3"), // before any right row for key 2
+      (3L, ts("2024-01-01 09:00:00"), "l4")  // key with no right rows at all
+    ).toDF("k", "t", "ltag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "r1"),
+      (1L, ts("2024-01-01 11:00:00"), "r2"),
+      (1L, ts("2024-01-01 12:00:00"), "r3"), // equal ts → matches (≤)
+      (2L, ts("2024-01-01 10:00:00"), "r4")
+    ).toDF("rk", "rt", "rtag")
+    val got = AsOf.join(left, right, "k", "t", "rk", "rt")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("l1" -> "r1", "l2" -> "r3", "l3" -> null, "l4" -> null))
+  }
+
+  test("matches the window-function reference implementation on events") {
+    val got = AsOf.qAsofJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq.sortBy(_._1)
+
+    // reference: union + last_value over time window (the composed-builtins
+    // equivalent the custom operator replaces)
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", lit(null: java.lang.Long).as("sid"))
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id", $"ts").agg(min($"event_id").as("sig"))
+      .select($"user_id", lit(-1L).as("event_id"), $"ts", $"sig".as("sid"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"sid".asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = purchases.unionByName(signups)
+      .withColumn("latest_sig", last($"sid", ignoreNulls = true).over(w))
+      .filter($"event_id" =!= -1L)
+      .select($"event_id", $"latest_sig")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("survives multi-partition co-partitioning (same result at 1 and 7 partitions)") {
+    val ev = Tables.events(spark, sf)
+    val p1 = AsOf.qAsofJoin(spark, sf).collect().toSeq
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts").repartition(7)
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id".as("s_user_id"), $"ts".as("s_ts"))
+      .agg(min($"event_id").as("signup_event_id")).repartition(3)
+    val p7 = AsOf.join(purchases, signups, "user_id", "ts", "s_user_id", "s_ts")
+      .select($"event_id", $"user_id", $"signup_event_id")
+      .orderBy($"event_id").collect().toSeq
+    assert(p1 == p7)
+  }
+
+  test("plans the custom exec with one shuffle per side, no join explosion") {
+    val plan = AsOf.qAsofJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+  }
+}
