@@ -121,13 +121,34 @@ object DedupOps {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Exact Jaccard for an explicit candidate-pair set: joins each side's
+    * collected shingle set and intersects — O(|candidates|), never touching
+    * non-candidate pairs. This is the verify half of every LSH scheme. */
+  def verifyJaccard(cands: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
+    val sets = shingleIndex(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("sh_set"),
+        count(lit(1)).as("n_sh"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sh_set").as("set_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh_set").as("set_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("set_a"), col("set_b")))
+        .cast("long"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")), 6))
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+  }
+
   /** q_dedup_minhash — MinHash-LSH candidates verified with exact Jaccard
-    * (verification joins only the candidate pairs, not all pairs). */
+    * (verification touches only candidate pairs — the whole point of LSH;
+    * an all-pairs verify would re-pay the O(shared-shingle pairs) join the
+    * banding just avoided). */
   def qMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val cands = minhashCandidates(minhashSignatures(docs))
-    val exact = jaccardPairs(docs, k = 3)
-    cands.join(exact, Seq("id_a", "id_b"))
+    verifyJaccard(cands, docs, k = 3)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)
