@@ -81,13 +81,22 @@ object Similarity {
           bucketCol(col("embedding"), t)): _*)).as(Seq("table", "bucket")))
     val c = tabled(corpus, "vec_id", "embedding")
     val q = tabled(queries, "query_id", "q_emb")
+    // dedup candidate id-pairs BEFORE scoring: a pair colliding in several
+    // tables is scored once, and the distinct runs on two longs, not on
+    // (longs + double + vectors)
+    val candPairs = q.select(col("table"), col("bucket"), col("query_id"))
+      .join(c.select(col("table"), col("bucket"), col("vec_id")),
+        Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    q.join(c, Seq("table", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+    candPairs
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine_sim(col("q_emb"), col("embedding")).as("score"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
