@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Events, Relational, RelationalExtra}
-import graft.ext.{DedupOps, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{DedupOps, Multimodal, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Events.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++
-      Similarity.defs ++ Multimodal.defs ++ AsOf.defs ++ Map(
+      Similarity.defs ++ SimilarityIvf.defs ++ Multimodal.defs ++
+      AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
 

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SimilarityIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val centroids = SimilarityIvf.train(emb, nList = 16, nIters = 2)
+  private lazy val indexed = SimilarityIvf.index(emb, centroids)
+
+  test("index assigns every vector to exactly one inverted list") {
+    assert(indexed.count() == emb.count())
+    assert(indexed.select("vec_id").distinct().count() == emb.count())
+    val nLists = indexed.select("list_id").distinct().count()
+    assert(nLists > 1 && nLists <= 16, s"lists=$nLists")
+  }
+
+  test("probing fewer lists scans fewer candidates (the pruning exists)") {
+    val q = emb.filter($"vec_id" < 5)
+    def candidates(nProbe: Int): Long =
+      SimilarityIvf.topK(q, indexed, centroids, k = 1000000, nProbe = nProbe)
+        .count()
+    val narrow = candidates(2)
+    val wide = candidates(12)
+    assert(narrow < wide, s"narrow=$narrow wide=$wide")
+    assert(wide <= 5L * emb.count())
+  }
+
+  test("recall@5 with wide probe beats narrow probe and is sane") {
+    val q = emb.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    def recall(nProbe: Int): Double = {
+      val got = SimilarityIvf.topK(q, indexed, centroids, 5, nProbe).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val r2 = recall(2); val r12 = recall(12)
+    assert(r12 >= r2, s"recall(12)=$r12 < recall(2)=$r2")
+    // isotropic-noise corpus: full probe (16/16) must recover brute force
+    assert(recall(16) >= 0.99, s"full-probe recall=${recall(16)}")
+  }
+}
