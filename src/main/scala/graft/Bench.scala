@@ -25,20 +25,25 @@ object Bench {
     // Two timed executions per query, keep the min: JIT-compiled codegen and
     // GC pauses put ±2s of noise on individual cold runs; min-of-2 is the
     // steady-state number a resident engine would serve.
+    // A failed run reports -1 for the query (never a bogus fast elapsed) and
+    // is excluded from the total, so breakage reads as breakage.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -45,30 +45,45 @@ object WeatherDedup {
     * (1 row / 2 min in the reference), so what remains is a small build side
     * the anti-join can broadcast — no shuffle of the landed table, ever. */
   def idempotentAppend(spark: SparkSession, batch: DataFrame,
-                       tablePath: String): Long = {
-    val deduped = dedupWithinBatch(batch)
+                       tablePath: String): Long =
+    appendImpl(spark, dedupWithinBatch(batch), tablePath,
+      partitionCol = None)
+
+  /** Shared core for the flat ([[idempotentAppend]]) and partitioned
+    * ([[graft.sinks.LandedTable]]) layouts. `batch` is already
+    * in-batch-deduped; when `partitionCol` is set the batch must carry that
+    * date column, the existing-side read prunes to the batch's dates through
+    * it, and the write partitions by it. */
+  private[graft] def appendImpl(spark: SparkSession, batch: DataFrame,
+                                tablePath: String,
+                                partitionCol: Option[String]): Long = {
+    val dateCol = partitionCol.map(col).getOrElse(to_date(col("utc")))
     val fresh =
       if (tableExists(spark, tablePath)) {
         // Bounded driver-side collect: micro-batches span few distinct dates.
-        val dates = deduped.select(to_date(col("utc")).as("d"))
-          .distinct().collect().map(_.get(0))
+        // Null dates (permissive-mode rows with no utc) can never equal an
+        // existing key, so they skip the prune list rather than NPE it.
+        val dates = batch.select(dateCol.as("d")).filter(col("d").isNotNull)
+          .distinct().collect().map(_.getDate(0).toString)
         val existingKeys = spark.read.parquet(tablePath)
-          .filter(to_date(col("utc")).isin(dates: _*))
+          .filter(dateCol.cast("string").isin(dates: _*))
           .select(WeatherSchema.key.map(col): _*)
-        deduped.join(existingKeys, WeatherSchema.key, "left_anti")
-      } else deduped
+        batch.join(existingKeys, WeatherSchema.key, "left_anti")
+      } else batch
     // One shot: count+write from a cached plan so the append is consistent
     // with the reported count even if the source is re-evaluated.
     val materialized = fresh.cache()
     try {
       val n = materialized.count()
-      if (n > 0)
-        materialized.write.mode(SaveMode.Append).parquet(tablePath)
+      if (n > 0) {
+        val w = materialized.write.mode(SaveMode.Append)
+        partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tablePath)
+      }
       n
     } finally materialized.unpersist()
   }
 
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).nonEmpty

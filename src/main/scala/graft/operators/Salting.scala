@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic row salt in [0, factor): hashes the whole row struct so
-    * replays salt identically (no rand(), which would break retry
-    * idempotence — the reference's core guarantee). */
+  /** Deterministic row salt in [0, factor): hashes the row content PLUS the
+    * row's position (monotonically_increasing_id), so a hot key made of
+    * byte-identical repeated rows — the classic skew shape — still spreads
+    * over all `factor` sub-keys. No rand(): a task retry recomputes the same
+    * partition in the same order, so ids and salts replay identically
+    * (retry idempotence — the reference's core guarantee). */
   def rowSalt(df: DataFrame, factor: Int): Column =
-    pmod(hash(struct(df.columns.map(col): _*)), lit(factor))
+    pmod(hash(struct(df.columns.map(col): _*),
+      monotonically_increasing_id()), lit(factor))
 
   /** Inner equi-join of skewed `big` with `small` on `key`, salted. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,

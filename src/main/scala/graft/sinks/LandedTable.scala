@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.WeatherSchema
@@ -21,28 +21,15 @@ object LandedTable {
   val partitionCol = "utc_date"
 
   /** Idempotent dedup-append into the partitioned layout. Returns rows
-    * actually appended. */
+    * actually appended. Delegates to the shared
+    * [[graft.core.WeatherDedup.appendImpl]] core — one implementation of
+    * dedup → date-prune → anti-join → append, two layouts. */
   def append(spark: SparkSession, flat: DataFrame, path: String): Long = {
     val batch = flat
       .withColumn(partitionCol, to_date(col("utc")))
       .dropDuplicates(WeatherSchema.key)
-    val fresh =
-      if (exists(spark, path)) {
-        val dates = batch.select(col(partitionCol)).distinct()
-          .collect().map(_.getDate(0)) // bounded: micro-batches span few dates
-        val existingKeys = spark.read.parquet(path)
-          .filter(col(partitionCol).isin(dates.map(_.toString): _*))
-          .select(WeatherSchema.key.map(col): _*)
-        batch.join(existingKeys, WeatherSchema.key, "left_anti")
-      } else batch
-    val materialized = fresh.cache()
-    try {
-      val n = materialized.count()
-      if (n > 0)
-        materialized.write.mode(SaveMode.Append)
-          .partitionBy(partitionCol).parquet(path)
-      n
-    } finally materialized.unpersist()
+    graft.core.WeatherDedup.appendImpl(spark, batch, path,
+      partitionCol = Some(partitionCol))
   }
 
   /** Date-ranged read — partition pruning does the work. */
@@ -51,10 +38,4 @@ object LandedTable {
     spark.read.parquet(path)
       .filter(col(partitionCol) >= lit(fromDate) &&
               col(partitionCol) <= lit(toDate))
-
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).nonEmpty
-  }
 }

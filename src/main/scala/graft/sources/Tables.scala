@@ -37,7 +37,10 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          // true floor division: `div` truncates toward zero, which differs
+          // from DuckDB's ns→µs floor for pre-1970 (negative) timestamps
+          org.apache.spark.sql.functions.expr(
+            "ts DIV 1000 - IF(ts < 0 AND ts % 1000 != 0, 1, 0)")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -92,14 +92,21 @@ private class WeatherRestMicroBatchStream(props: Map[String, String])
   @volatile private var latest = 0L
   override def initialOffset(): Offset = FetchCountOffset(0L)
   override def latestOffset(): Offset = { latest += 1; FetchCountOffset(latest) }
-  override def deserializeOffset(json: String): Offset =
-    FetchCountOffset(json.toLong)
+  /** Restart path: the checkpoint feeds committed offsets back through here —
+    * fast-forward the in-memory counter so latestOffset never regresses
+    * below what the log already holds (a regressed offset would plan
+    * negative ranges and silently emit empty batches). */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    if (n > latest) latest = n
+    FetchCountOffset(n)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val n = end.asInstanceOf[FetchCountOffset].n -
-      start.asInstanceOf[FetchCountOffset].n
+    val n = math.max(0L, end.asInstanceOf[FetchCountOffset].n -
+      start.asInstanceOf[FetchCountOffset].n)
     // One fetch per elapsed trigger; a single partition — the fetch is one
     // document, there is nothing to parallelize at the source (SURVEY.md §4).
     Array(WeatherRestInputPartition(n.toInt, props))

@@ -105,16 +105,26 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def hasNext: Boolean = li.hasNext
         override def next(): InternalRow = {
           val l = li.next()
+          // SQL semantics: a NULL key or ts matches nothing. NULLs sort
+          // first (ascending), so null left rows precede every valid key and
+          // emitting without advancing the right side keeps the merge
+          // monotone; null right rows are consumed and never retained.
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltsOrd))
+            return joined(l, nullRight)
           val lk = l.getLong(lkOrd)
           val lts = l.getLong(ltsOrd)
           while (rBuf.hasNext && {
             val r = rBuf.head
-            val rk = r.getLong(rkOrd)
-            rk < lk || (rk == lk && r.getLong(rtsOrd) <= lts)
+            r.isNullAt(rkOrd) || r.isNullAt(rtsOrd) || {
+              val rk = r.getLong(rkOrd)
+              rk < lk || (rk == lk && r.getLong(rtsOrd) <= lts)
+            }
           }) {
             val r = rBuf.next()
-            lastRight = r.copy()
-            lastRightKey = r.getLong(rkOrd)
+            if (!r.isNullAt(rkOrd) && !r.isNullAt(rtsOrd)) {
+              lastRight = r.copy()
+              lastRightKey = r.getLong(rkOrd)
+            }
           }
           if (lastRight != null && lastRightKey == lk &&
               lastRight.getLong(rtsOrd) <= lts)

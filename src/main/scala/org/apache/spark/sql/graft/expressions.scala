@@ -21,18 +21,23 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity of two float vectors, accumulated in double.
   * Zero-norm inputs yield 0.0 (not NaN) so downstream top-k ordering is
-  * total. Mismatched lengths compare the common prefix. */
+  * total. Mismatched lengths yield NULL — a truncated embedding is a data
+  * bug that must surface, not silently score its prefix (and DuckDB's
+  * list_cosine_similarity oracle errors on mismatch, so prefix-scoring
+  * would also diverge from the oracle). */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getFloat(i); val y = b.getFloat(i)
@@ -47,14 +52,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  float x = $a.getFloat($i); float y = $b.getFloat($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    float x = $a.getFloat($i); float y = $b.getFloat($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
        """.stripMargin
     })
 
@@ -64,18 +73,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Dot product of two float vectors (double accumulation) — the kernel for
-  * pre-normalized embeddings, where cosine reduces to a dot. */
+  * pre-normalized embeddings, where cosine reduces to a dot. Mismatched
+  * lengths yield NULL (see [[CosineSimilarity]]). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getFloat(i) * b.getFloat(i); i += 1 }
     dot
@@ -86,12 +98,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getFloat($i) * $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getFloat($i) * $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -26,6 +26,12 @@ class SimilaritySpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("mismatched vector lengths yield NULL, not a prefix score") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(cosine_sim(col("a"), col("b"))).collect().head.isNullAt(0))
+    assert(df.select(dot_product(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("interpreted eval matches codegen for cosine kernel") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .select(col("embedding").as("a"), col("embedding").as("b"))

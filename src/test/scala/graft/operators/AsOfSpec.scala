@@ -32,6 +32,22 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map("l1" -> "r1", "l2" -> "r3", "l3" -> null, "l4" -> null))
   }
 
+  test("NULL keys and timestamps match nothing (SQL semantics)") {
+    val left = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), "valid"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), "null_key"),
+      (Option(1L), Option.empty[java.sql.Timestamp], "null_ts")
+    ).toDF("k", "t", "ltag")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), "r1"),
+      (Option.empty[Long], Option(ts("2024-01-01 09:00:00")), "r_nullkey")
+    ).toDF("rk", "rt", "rtag")
+    val got = AsOf.join(left, right, "k", "t", "rk", "rt")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("valid" -> "r1", "null_key" -> null, "null_ts" -> null))
+  }
+
   test("matches the window-function reference implementation on events") {
     val got = AsOf.qAsofJoin(spark, sf).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
