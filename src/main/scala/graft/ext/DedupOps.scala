@@ -33,6 +33,15 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("t"), k))).as("shingle"))
 
+  /** Same index with shingles reduced to 64-bit hashes: the shuffle moves
+    * 8-byte keys instead of ~20-char strings and set-intersections compare
+    * longs. Collision odds over 10^6 distinct shingles ≈ 2·10⁻⁸ — fine for
+    * candidate generation and Jaccard estimation at scale (q_dedup_ngram
+    * keeps exact strings because its DuckDB oracle recomputes them). */
+  def hashedShingleIndex(docs: DataFrame, k: Int): DataFrame =
+    shingleIndex(docs, k)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   // ---- exact dedup ----
 
   /** q_dedup_exact — keeper assignment per duplicate group. Groups on
@@ -97,7 +106,9 @@ object DedupOps {
     * partial. */
   def minhashSignatures(docs: DataFrame, k: Int = 3,
                         numHashes: Int = 64): DataFrame = {
-    val sh = shingleIndex(docs, k)
+    // hashed index: the 64 per-row hash evaluations each digest 8 bytes
+    // instead of re-hashing the shingle string
+    val sh = hashedShingleIndex(docs, k)
     val mins = (0 until numHashes).map { i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"m$i")
     }
@@ -125,7 +136,7 @@ object DedupOps {
     * collected shingle set and intersects — O(|candidates|), never touching
     * non-candidate pairs. This is the verify half of every LSH scheme. */
   def verifyJaccard(cands: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
-    val sets = shingleIndex(docs, k)
+    val sets = hashedShingleIndex(docs, k)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh_set"),
         count(lit(1)).as("n_sh"))
