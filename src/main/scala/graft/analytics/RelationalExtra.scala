@@ -82,7 +82,19 @@ object RelationalExtra {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** q_percentile — exact interpolated percentiles per group (Spark
+    * `percentile` = DuckDB `quantile_cont`, both linear interpolation).
+    * At 100 TB the approx sketch (percentile_approx) replaces this; exact
+    * percentile is the oracle-checkable baseline. */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .orderBy(col("o_orderpriority"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile" -> (qPercentile _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
     "q_sample" -> (qSample _),
@@ -91,6 +103,13 @@ object RelationalExtra {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_cube" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n,
         |  ROUND(SUM(c_acctbal), 2) AS sum_bal

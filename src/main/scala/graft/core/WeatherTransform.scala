@@ -63,4 +63,15 @@ object WeatherTransform {
   def apply(rawJson: DataFrame, jsonCol: String = "value",
             strict: Boolean = true): DataFrame =
     flatten(decode(rawJson, jsonCol), strict)
+
+  /** Typed core (SURVEY.md §1.4): the landed rows as
+    * `Dataset[WeatherObservation]` — compile-time field checks for callers
+    * that fold/map observations rather than running SQL over them. */
+  def typed(rawJson: DataFrame, jsonCol: String = "value",
+            strict: Boolean = true):
+      org.apache.spark.sql.Dataset[WeatherObservation] = {
+    val spark = rawJson.sparkSession
+    import spark.implicits._
+    apply(rawJson, jsonCol, strict).as[WeatherObservation]
+  }
 }
