@@ -93,7 +93,33 @@ object RelationalExtra {
         round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
       .orderBy(col("o_orderpriority"))
 
+  /** q_string_funcs — the string scalar surface (LIKE, substring, concat,
+    * upper, coalesce): brand prefix stats over filtered part names. */
+  def qStringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%a%"))
+      .select(
+        concat(upper(substring(col("p_brand"), 1, 5)), lit("#"),
+          substring(col("p_type"), 1, 3)).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+      .groupBy(col("brand_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("name_len")), 4).as("avg_name_len"))
+      .orderBy(col("brand_type"))
+
+  /** q_date_parts — the date scalar surface (year/month/quarter extraction)
+    * as a calendar rollup. */
+  def qDateParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("yr"), col("qtr"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_parts" -> (qDateParts _),
     "q_percentile" -> (qPercentile _),
     "q_cube" -> (qCube _),
     "q_pivot" -> (qPivot _),
@@ -103,6 +129,22 @@ object RelationalExtra {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT upper(substring(p_brand, 1, 5)) || '#' ||
+        |    substring(p_type, 1, 3) AS brand_type,
+        |  COUNT(*) AS n,
+        |  ROUND(AVG(length(p_name)), 4) AS avg_name_len
+        |FROM part
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY 1
+        |ORDER BY brand_type""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY yr, qtr""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderpriority,
         |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
