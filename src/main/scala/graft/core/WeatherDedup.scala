@@ -54,9 +54,15 @@ object WeatherDedup {
     * in-batch-deduped; when `partitionCol` is set the batch must carry that
     * date column, the existing-side read prunes to the batch's dates through
     * it, and the write partitions by it. */
-  private[graft] def appendImpl(spark: SparkSession, batch: DataFrame,
+  private[graft] def appendImpl(spark: SparkSession, rawBatch: DataFrame,
                                 tablePath: String,
                                 partitionCol: Option[String]): Long = {
+    // A NULL logical key can never satisfy the at-most-one-row-per-(city,
+    // utc) invariant: the anti-join never matches NULLs, so such a row
+    // would re-append on every replay. Drop them — the reference itself
+    // could never land one (its transform crashes first, weather_etl.py:125).
+    val batch = rawBatch.filter(
+      WeatherSchema.key.map(col(_).isNotNull).reduce(_ && _))
     val dateCol = partitionCol.map(col).getOrElse(to_date(col("utc")))
     val fresh =
       if (tableExists(spark, tablePath)) {

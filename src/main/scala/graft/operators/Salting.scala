@@ -17,20 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic row salt in [0, factor): hashes the row content PLUS the
-    * row's position (monotonically_increasing_id), so a hot key made of
-    * byte-identical repeated rows — the classic skew shape — still spreads
-    * over all `factor` sub-keys. No rand(): a task retry recomputes the same
-    * partition in the same order, so ids and salts replay identically
-    * (retry idempotence — the reference's core guarantee). */
-  def rowSalt(df: DataFrame, factor: Int): Column =
-    pmod(hash(struct(df.columns.map(col): _*),
-      monotonically_increasing_id()), lit(factor))
+  /** Deterministic row salt in [0, factor): hashes the row content, plus
+    * any caller-designated `uniqueCols` (an event id, a line number) that
+    * distinguish otherwise-identical rows so they spread across sub-keys.
+    *
+    * Deliberately NOT monotonically_increasing_id() or rand(): both are
+    * nondeterministic under task recomputation when the input is a shuffle
+    * output, and a salt that changes on retry silently drops/duplicates
+    * rows in the salted join (the SPARK-23207 class of bug). Content-only
+    * hashing is always retry-safe; byte-identical duplicate rows without a
+    * distinguishing column share a salt — if that IS the skew shape,
+    * aggregate the duplicates first (count column), which is the correct
+    * shuffle-reduction anyway. */
+  def rowSalt(df: DataFrame, factor: Int,
+              uniqueCols: Seq[String] = Nil): Column = {
+    val cols = if (uniqueCols.nonEmpty) uniqueCols else df.columns.toSeq
+    pmod(hash(struct(cols.map(col): _*)), lit(factor))
+  }
 
   /** Inner equi-join of skewed `big` with `small` on `key`, salted. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 factor: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt", rowSalt(big, factor))
+                 factor: Int, uniqueCols: Seq[String] = Nil): DataFrame = {
+    val saltedBig = big.withColumn("_salt", rowSalt(big, factor, uniqueCols))
     val saltedSmall = small
       .withColumn("_salt", explode(array((0 until factor).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

@@ -18,6 +18,15 @@ class LandedTableSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("null-key rows are excluded, keeping replays idempotent") {
+    val path = tmpDir("landed-nullkey")
+    // permissive mode on a doc with no dt → null utc
+    val sparse = Seq("""{"name":"NoTime","main":{"temp":1.0}}""")
+    val batch = WeatherTransform(sparse.toDF("value"), strict = false)
+    assert(LandedTable.append(spark, batch, path) == 0)
+    assert(LandedTable.append(spark, batch, path) == 0) // replay: still 0
+  }
+
   test("date-ranged read prunes partitions (PartitionFilters in the scan)") {
     val path = tmpDir("landed-part2")
     LandedTable.append(spark, flat(WeatherFixtures.all), path)
