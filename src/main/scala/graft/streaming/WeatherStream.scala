@@ -49,4 +49,25 @@ object WeatherStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .outputMode("append")
+
+  /** Strongest landing mode: each micro-batch goes through the SAME
+    * anti-join idempotent append as the batch path (foreachBatch →
+    * [[graft.core.WeatherDedup.idempotentAppend]]). Unlike the plain
+    * parquet sink, this dedups against rows ALREADY IN the table — e.g. a
+    * table pre-loaded by the batch pipeline, or a redelivery after the
+    * stream's own dedup state was reset — which is exactly the reference's
+    * check-then-insert contract (weather_etl.py:156–187), made atomic per
+    * micro-batch. */
+  def writerWithMerge(transformed: DataFrame, tablePath: String,
+                      checkpoint: String,
+                      triggerInterval: String = "2 minutes"): DataStreamWriter[Row] =
+    transformed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.WeatherDedup.idempotentAppend(
+          batch.sparkSession, batch, tablePath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .outputMode("append")
 }
