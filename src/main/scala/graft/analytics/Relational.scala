@@ -172,7 +172,36 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q_outer_join — left outer with preserved unmatched rows: every nation,
+    * including those with no high-balance customers (COUNT over the null-
+    * extended side counts matches only). */
+  def qOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables.nation(spark, sfDir)
+    val richCust = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 9000)
+    nation.join(richCust, col("n_nationkey") === col("c_nationkey"),
+        "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_rich"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q_window_running — cumulative frame (rowsBetween unbounded→current):
+    * running revenue per customer in order date order. */
+  def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> (qOuterJoin _),
+    "q_window_running" -> (qWindowRunning _),
     "q1_agg" -> (q1Agg _),
     "q6_filter" -> (q6Filter _),
     "q3_join" -> (q3Join _),
@@ -184,6 +213,22 @@ object Relational {
     "q_rollup" -> (qRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join" ->
+      """SELECT n_name, COUNT(c_custkey) AS n_rich
+        |FROM nation
+        |LEFT OUTER JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |  ON n_nationkey = c_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
