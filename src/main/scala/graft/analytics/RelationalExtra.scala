@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -117,7 +118,42 @@ object RelationalExtra {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("yr"), col("qtr"))
 
+  /** q_setops_all — multiset set ops (UNION ALL / INTERSECT ALL / EXCEPT
+    * ALL keep duplicates): nation-key bags of customers vs suppliers. */
+  def qSetopsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val cn = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey").as("nationkey"))
+    val inter = cn.intersectAll(sn)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val exc = cn.exceptAll(sn)
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    inter.unionByName(exc).orderBy(col("op"), col("nationkey"))
+  }
+
+  /** q_window_funcs — the wider window-function surface: first/last value
+    * in frame, ntile bucketing, rank with gaps — all under one total
+    * deterministic ordering. */
+  def qWindowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("top_price"),
+        ntile(4).over(w).as("quartile"),
+        rank().over(w).as("rnk"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_setops_all" -> (qSetopsAll _),
+    "q_window_funcs" -> (qWindowFuncs _),
     "q_string_funcs" -> (qStringFuncs _),
     "q_date_parts" -> (qDateParts _),
     "q_percentile" -> (qPercentile _),
@@ -129,6 +165,27 @@ object RelationalExtra {
     "q_approx_distinct" -> (qApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_setops_all" ->
+      """WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+        |     sn AS (SELECT s_nationkey AS nationkey FROM supplier),
+        |i AS (SELECT nationkey, COUNT(*) AS n, 'intersect_all' AS op FROM
+        |  (SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn)
+        |  GROUP BY nationkey),
+        |e AS (SELECT nationkey, COUNT(*) AS n, 'except_all' AS op FROM
+        |  (SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn)
+        |  GROUP BY nationkey)
+        |SELECT * FROM i UNION ALL SELECT * FROM e
+        |ORDER BY op, nationkey""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS top_price,
+        |  NTILE(4) OVER w AS quartile,
+        |  RANK() OVER w AS rnk
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
     "q_string_funcs" ->
       """SELECT upper(substring(p_brand, 1, 5)) || '#' ||
         |    substring(p_type, 1, 3) AS brand_type,
