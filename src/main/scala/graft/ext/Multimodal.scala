@@ -73,10 +73,26 @@ object Multimodal {
   }
 
   /** Resize = payload truncation in the stub (keeps the byte-slicing
-    * plumbing honest); frame-sample keeps every nth "frame" byte-block. */
+    * plumbing honest). */
   def resize(assets: Dataset[Asset], maxBytes: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.map(a => a.copy(payload = a.payload.take(maxBytes)))
+  }
+
+  /** Frame sampling: treat the payload as fixed-size frame blocks and keep
+    * every nth block — the video-decimation plumbing (a real impl swaps the
+    * block slicing for keyframe selection; the partition-wise batch shape
+    * is identical). */
+  def frameSample(assets: Dataset[Asset], frameBytes: Int,
+                  everyNth: Int): Dataset[Asset] = {
+    require(frameBytes > 0 && everyNth > 0)
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val kept = a.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (block, i) if i % everyNth == 0 => block }
+        .flatten.toArray
+      a.copy(payload = kept)
+    }
   }
 
   /** q_multimodal — per-kind accounting over the decoded features. The stub

@@ -58,6 +58,20 @@ class DedupOpsSpec extends SparkSpec {
       s"near-dup too far: ${pairs.get((0L, 1L))}")
   }
 
+  test("maxDf cutoff drops stop-shingle-only pairs (skew control)") {
+    // every doc shares the same 5-token prefix → one family of hot shingles
+    val hot = "s1 s2 s3 s4 s5 "
+    val docs = Seq(
+      (0L, hot + (1 to 60).map(i => s"a$i").mkString(" ")),
+      (1L, hot + (100 to 160).map(i => s"b$i").mkString(" ")),
+      (2L, hot + (200 to 260).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val unfiltered = DedupOps.jaccardPairs(docs, k = 3).count()
+    val filtered = DedupOps.jaccardPairs(docs, k = 3, maxDf = Some(2)).count()
+    assert(unfiltered == 3)  // all pairs share the hot prefix shingles
+    assert(filtered == 0)    // cutoff removes shingles present in >2 docs
+  }
+
   test("embedding near-dup query returns self-consistent cosine ordering") {
     val res = DedupOps.qEmbedding(spark, sf).collect()
     val cosines = res.map(_.getAs[Double]("cosine"))

@@ -32,6 +32,17 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.collect().forall(_.payload.length <= 100))
   }
 
+  test("frame sampling keeps every nth fixed-size block") {
+    val a = Multimodal.assets(spark, sf).filter($"asset_id" === 1L)
+    val orig = a.collect().head.payload
+    val sampled = Multimodal.frameSample(a, frameBytes = 10, everyNth = 3)
+      .collect().head.payload
+    val expected = orig.grouped(10).zipWithIndex
+      .collect { case (b, i) if i % 3 == 0 => b }.flatten.toArray
+    assert(sampled.sameElements(expected))
+    assert(sampled.length < orig.length)
+  }
+
   test("decode runs partition-wise (mapPartitions, not per-row collect)") {
     val a = Multimodal.assets(spark, sf).repartition(3)
     val parts = Multimodal.extractFeatures(a).rdd.getNumPartitions
