@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** O13 — the reference's idempotent insert (check-then-insert at
@@ -21,11 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object WeatherDedup {
 
-  /** Drop in-batch duplicates, keeping an arbitrary-but-deterministic winner
-    * per key (the reference processes one row per run, so in-batch dups only
-    * arise in our batched generalization). */
-  def dedupWithinBatch(batch: DataFrame): DataFrame =
-    batch.dropDuplicates(WeatherSchema.key)
+  /** Drop in-batch duplicates, keeping an explicit deterministic winner per
+    * key: the row with the greatest payload in column order (row_number over
+    * a total order on the non-key columns). `dropDuplicates` would keep
+    * whichever row came first in physical order, which can differ across
+    * retries/repartitioning when rows share (city, utc) but differ in
+    * payload — this pick is stable under any physical order. Same single
+    * shuffle on the key as dropDuplicates; the added intra-partition sort is
+    * noise at micro-batch sizes (1 row / 2 min in the reference). */
+  def dedupWithinBatch(batch: DataFrame): DataFrame = {
+    val payload = batch.columns.filterNot(WeatherSchema.key.contains)
+    if (payload.isEmpty) batch.dropDuplicates(WeatherSchema.key)
+    else {
+      val w = Window.partitionBy(WeatherSchema.key.map(col): _*)
+        .orderBy(payload.map(c => col(c).desc_nulls_last): _*)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
 
   /** `batch ∖ existing` on the logical key — left_anti join, the exact
     * semantics of the reference's COUNT(*)==0 gate (weather_etl.py:158–168).

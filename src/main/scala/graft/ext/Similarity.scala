@@ -28,14 +28,26 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
   }
 
+  /** Guard: a vector whose length differs from the hyperplane dimension
+    * would make every dot product NULL, every sign-bit fall to otherwise(0),
+    * and all rows silently collapse into bucket 0 — LSH would degrade to the
+    * O(n²) cross join the design forbids while still returning "correct"
+    * rows. Fail loudly instead (size check is O(1) — array length header). */
+  private[ext] def dimChecked(emb: Column, dim: Int): Column =
+    when(size(emb) === dim, emb).otherwise(raise_error(concat(
+      lit(s"LSH hyperplane dim=$dim but embedding has length "),
+      size(emb).cast("string"))))
+
   /** Sign-bit bucket id from nPlanes hyperplane dot products — one long
     * column, computed fully map-side by the native dot_product kernel. */
   def bucketExpr(embedding: Column, nPlanes: Int, dim: Int = 64,
-                 seed: Long = 7L): Column =
+                 seed: Long = 7L): Column = {
+    val e = dimChecked(embedding, dim)
     planes(nPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
-      when(dot_product(embedding, typedlit(p)) > 0d, shiftleft(lit(1L), j))
+      when(dot_product(e, typedlit(p)) > 0d, shiftleft(lit(1L), j))
         .otherwise(0L)
     }.reduce(_ + _)
+  }
 
   /** Corpus with its LSH bucket id. */
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, dim: Int = 64,
@@ -70,11 +82,13 @@ object Similarity {
               nTables: Int = 16, bitsPerTable: Int = 4, dim: Int = 64,
               seed: Long = 7L): DataFrame = {
     val ps = planes(nTables * bitsPerTable, dim, seed)
-    def bucketCol(emb: Column, t: Int): Column =
+    def bucketCol(emb: Column, t: Int): Column = {
+      val e = dimChecked(emb, dim)
       (0 until bitsPerTable).map { j =>
-        when(dot_product(emb, typedlit(ps(t * bitsPerTable + j))) > 0d,
+        when(dot_product(e, typedlit(ps(t * bitsPerTable + j))) > 0d,
           shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce(_ + _)
+    }
     def tabled(df: DataFrame, idCol: String, embOut: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(embOut),
         posexplode(array((0 until nTables).map(t =>

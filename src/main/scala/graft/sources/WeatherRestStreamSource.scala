@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -28,11 +28,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .load()                            // → DataFrame["value"]
   * }}}
   *
-  * Offsets are a monotone fetch counter: `latestOffset` advances by one per
-  * trigger, so the trigger cadence (the reference's 2 minutes) fully
-  * determines ingest rate, and replaying a (start, end] range re-fetches —
-  * at-least-once, which the downstream key dedup (O13) turns into
-  * effectively-once, exactly the reference's design.
+  * Offsets are a monotone fetch counter: the [[SupportsAdmissionControl]]
+  * `latestOffset(start, limit)` path — which the engine calls exactly once
+  * per trigger to admit data — advances the counter by one, so the trigger
+  * cadence (the reference's 2 minutes) fully determines ingest rate.
+  * Monitoring polls go through the non-mutating `reportLatestOffset`, so
+  * idle polls never manufacture a fetch. Replaying a (start, end] range
+  * re-fetches — at-least-once, which the downstream key dedup (O13) turns
+  * into effectively-once, exactly the reference's design.
+  *
+  * Contract: like Spark's own `rate` source, this source manufactures one
+  * new offset per trigger forever, so `processAllAvailable()` /
+  * `Trigger.AvailableNow` never "drain" it — drive it with
+  * `Trigger.ProcessingTime` and stop explicitly.
   */
 class WeatherRestStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "weather-rest"
@@ -88,10 +96,24 @@ private case class FetchCountOffset(n: Long) extends Offset {
 }
 
 private class WeatherRestMicroBatchStream(props: Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   @volatile private var latest = 0L
   override def initialOffset(): Offset = FetchCountOffset(0L)
-  override def latestOffset(): Offset = { latest += 1; FetchCountOffset(latest) }
+  /** Engine never calls this when SupportsAdmissionControl is implemented —
+    * the admission path below is the only offset-advancing entry point. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "weather-rest implements SupportsAdmissionControl; use latestOffset(start, limit)")
+  /** The per-trigger admission decision: end = start + 1, exactly one fetch
+    * per elapsed trigger regardless of how often anything else polls. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val next = start.asInstanceOf[FetchCountOffset].n + 1
+    if (next > latest) latest = next
+    FetchCountOffset(next)
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Monitoring path — reports without advancing. */
+  override def reportLatestOffset(): Offset = FetchCountOffset(latest)
   /** Restart path: the checkpoint feeds committed offsets back through here —
     * fast-forward the in-memory counter so latestOffset never regresses
     * below what the log already holds (a regressed offset would plan

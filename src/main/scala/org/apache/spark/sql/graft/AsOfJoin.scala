@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** As-of join — the time-series operator Spark lacks (SURVEY.md §2 joins
   * note): for every left row (key, ts), attach the right row with the same
@@ -29,10 +30,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * pays the same shuffle but materializes the union; a join+argmax pays a
   * many-to-many join explosion before aggregating it back down.
   *
-  * Constraints (round 1): key columns are integral (getLong), ts columns are
-  * TimestampType/Long (micros as long); ties on right ts resolve to the
-  * last row in (key, ts) sort order — callers wanting determinism under ts
-  * ties should pre-dedup the right side (as q_asof_join does).
+  * Constraints: key columns are integral (short/int/long — compared widened
+  * to long), ts columns are timestamp-like (timestamp/timestamp_ntz/long
+  * micros, or date/int days — both sides must come from the same family so
+  * the comparison units agree); anything else is rejected at planning time
+  * with a clear error rather than miscast at runtime. Ties on right ts
+  * resolve to the last row in (key, ts) sort order — callers wanting
+  * determinism under ts ties should pre-dedup the right side (as
+  * q_asof_join does).
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: String, leftTs: String,
@@ -72,10 +77,50 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       throw new IllegalArgumentException(
         s"column $name not in [${side.output.map(_.name).mkString(",")}]"))
 
+  /** Type-dispatched long getter — getLong on an IntegerType column would
+    * throw ClassCastException (generic rows) or read wrong bytes (unsafe
+    * rows) at runtime; unsupported types must fail at planning, not there. */
+  private def longGetter(a: Attribute, role: String): (InternalRow, Int) => Long =
+    a.dataType match {
+      case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i)
+      case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+      case ShortType => (r, i) => r.getShort(i).toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of join $role column ${a.name} has unsupported type $other " +
+          "(need short/int/long, timestamp/timestamp_ntz, or date)")
+    }
+
+  /** Days (date/int) and micros (timestamp/long) must not be compared to
+    * each other — same family on both sides or planning fails. */
+  private def tsFamily(t: DataType): String = t match {
+    case LongType | TimestampType | TimestampNTZType => "micros-like"
+    case IntegerType | DateType | ShortType => "days-like"
+    case other => other.sql
+  }
+
+  /** Planning-time validation — lazy (not constructor-time) because Catalyst
+    * copies nodes with placeholder children during canonicalization, where
+    * attributes have no usable names/types. Forced from
+    * requiredChildDistribution (EnsureRequirements, i.e. planning of the
+    * real tree) and again from doExecute, so a misuse surfaces with column
+    * names and types instead of as a ClassCastException deep in the merge. */
+  private lazy val validated: Unit = {
+    longGetter(attr(left, leftKey), "left key")
+    longGetter(attr(right, rightKey), "right key")
+    val lt = attr(left, leftTs); val rt = attr(right, rightTs)
+    longGetter(lt, "left ts"); longGetter(rt, "right ts")
+    require(tsFamily(lt.dataType) == tsFamily(rt.dataType),
+      s"as-of join ts columns disagree on time unit: ${lt.name}: ${lt.dataType.sql} " +
+        s"(${tsFamily(lt.dataType)}) vs ${rt.name}: ${rt.dataType.sql} " +
+        s"(${tsFamily(rt.dataType)})")
+  }
+
   /** One hash shuffle per side, co-partitioned on the key. */
-  override def requiredChildDistribution: Seq[Distribution] =
+  override def requiredChildDistribution: Seq[Distribution] = {
+    validated
     ClusteredDistribution(attr(left, leftKey) :: Nil) ::
     ClusteredDistribution(attr(right, rightKey) :: Nil) :: Nil
+  }
 
   /** Intra-partition (key, ts) sort — the merge's only requirement. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
@@ -87,10 +132,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
+    validated
     val lkOrd = left.output.indexWhere(_.name == leftKey)
     val ltsOrd = left.output.indexWhere(_.name == leftTs)
     val rkOrd = right.output.indexWhere(_.name == rightKey)
     val rtsOrd = right.output.indexWhere(_.name == rightTs)
+    val lkGet = longGetter(attr(left, leftKey), "left key")
+    val ltsGet = longGetter(attr(left, leftTs), "left ts")
+    val rkGet = longGetter(attr(right, rightKey), "right key")
+    val rtsGet = longGetter(attr(right, rightTs), "right ts")
     val rightWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       new Iterator[InternalRow] {
@@ -111,23 +161,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           // monotone; null right rows are consumed and never retained.
           if (l.isNullAt(lkOrd) || l.isNullAt(ltsOrd))
             return joined(l, nullRight)
-          val lk = l.getLong(lkOrd)
-          val lts = l.getLong(ltsOrd)
+          val lk = lkGet(l, lkOrd)
+          val lts = ltsGet(l, ltsOrd)
           while (rBuf.hasNext && {
             val r = rBuf.head
             r.isNullAt(rkOrd) || r.isNullAt(rtsOrd) || {
-              val rk = r.getLong(rkOrd)
-              rk < lk || (rk == lk && r.getLong(rtsOrd) <= lts)
+              val rk = rkGet(r, rkOrd)
+              rk < lk || (rk == lk && rtsGet(r, rtsOrd) <= lts)
             }
           }) {
             val r = rBuf.next()
             if (!r.isNullAt(rkOrd) && !r.isNullAt(rtsOrd)) {
               lastRight = r.copy()
-              lastRightKey = r.getLong(rkOrd)
+              lastRightKey = rkGet(r, rkOrd)
             }
           }
           if (lastRight != null && lastRightKey == lk &&
-              lastRight.getLong(rtsOrd) <= lts)
+              rtsGet(lastRight, rtsOrd) <= lts)
             joined(l, lastRight)
           else
             joined(l, nullRight)

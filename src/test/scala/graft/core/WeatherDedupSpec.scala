@@ -30,6 +30,23 @@ class WeatherDedupSpec extends SparkSpec {
     assert(df.select("city", "utc").distinct().count() == 3)
   }
 
+  test("dedupWithinBatch: winner is deterministic under any physical order") {
+    // two rows, same (city, utc) key, different payloads — the winner must
+    // not depend on row order or partitioning
+    val t = java.sql.Timestamp.valueOf("2024-08-07 12:00:00")
+    val rows = Seq(
+      ("Paris", 20.0, "clear", 50, 1000, 1.0, t, t),
+      ("Paris", 25.0, "rain", 60, 1010, 2.0, t, t))
+    val cols = Seq("city", "temperature", "weather", "humidity", "pressure",
+      "wind_speed", "lt", "utc")
+    val fwd = WeatherDedup.dedupWithinBatch(
+      rows.toDF(cols: _*)).select("temperature").as[Double].collect()
+    val rev = WeatherDedup.dedupWithinBatch(
+      rows.reverse.toDF(cols: _*).repartition(5)).select("temperature")
+      .as[Double].collect()
+    assert(fwd.toSeq == Seq(25.0) && rev.toSeq == Seq(25.0))
+  }
+
   test("property: any replay mix keeps (city, utc) unique (scalacheck)") {
     val docGen = Gen.someOf(WeatherFixtures.all)
     val prop = Prop.forAll(docGen, docGen) { (batch1, batch2) =>

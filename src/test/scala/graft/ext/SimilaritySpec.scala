@@ -78,6 +78,16 @@ class SimilaritySpec extends SparkSpec {
     assert(maxBucket < n / 4, s"largest bucket $maxBucket of $n — not pruning")
   }
 
+  test("LSH fails loudly on embedding dimension mismatch (no silent bucket-0 collapse)") {
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.hyperplaneBuckets(bad, nPlanes = 8, dim = 64).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("dim=64")), msgs(err).mkString(" | "))
+  }
+
   test("dot_product agrees with sql aggregate reference") {
     val df = Tables.embeddings(spark, sf).limit(20)
     val native = df.select(dot_product(col("embedding"), col("embedding")))

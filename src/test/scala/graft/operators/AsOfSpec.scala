@@ -87,6 +87,38 @@ class AsOfSpec extends SparkSpec {
     assert(p1 == p7)
   }
 
+  test("widened types: int keys and date timestamps merge correctly") {
+    val left = Seq((1, java.sql.Date.valueOf("2024-01-10"), "l1"),
+      (2, java.sql.Date.valueOf("2024-01-05"), "l2"))
+      .toDF("k", "d", "ltag")
+    val right = Seq((1, java.sql.Date.valueOf("2024-01-08"), "r1"),
+      (2, java.sql.Date.valueOf("2024-01-06"), "r2"))
+      .toDF("rk", "rd", "rtag")
+    val got = AsOf.join(left, right, "k", "d", "rk", "rd")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("l1" -> "r1", "l2" -> null))
+  }
+
+  test("unsupported column types fail at planning with a clear error") {
+    val left = Seq(("a", 1L, "l1")).toDF("k", "t", "ltag")
+    val right = Seq(("a", 1L, "r1")).toDF("rk", "rt", "rtag")
+    val err = intercept[Exception] {
+      AsOf.join(left, right, "k", "t", "rk", "rt").collect()
+    }
+    assert(err.getMessage.contains("unsupported type"), err.getMessage)
+  }
+
+  test("mixed day/micros time units fail at planning, not compare wrong") {
+    val left = Seq((1L, ts("2024-01-10 00:00:00"), "l1")).toDF("k", "t", "ltag")
+    val right = Seq((1L, java.sql.Date.valueOf("2024-01-08"), "r1"))
+      .toDF("rk", "rd", "rtag")
+    val err = intercept[Exception] {
+      AsOf.join(left, right, "k", "t", "rk", "rd").collect()
+    }
+    assert(err.getMessage.contains("disagree on time unit"), err.getMessage)
+  }
+
   test("plans the custom exec with one shuffle per side, no join explosion") {
     val plan = AsOf.qAsofJoin(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan)
