@@ -75,11 +75,22 @@ object RelationalExtra {
   /** q_approx_distinct — HLL++ sketch next to the exact count (rows-only:
     * DuckDB's approx algorithm differs; the ±5% bound is asserted in
     * RelationalExtraSpec). At 100 TB the sketch is the difference between a
-    * mergeable fixed-size state and a full distinct shuffle. */
+    * mergeable fixed-size state and a full distinct shuffle.
+    *
+    * Shape: explicit two-level aggregation. `countDistinct` next to another
+    * aggregate makes Catalyst plan an Expand (every input row duplicated per
+    * aggregate arm) over the full table; pre-deduping (flag, partkey) — a
+    * map-side-partial groupBy — feeds both aggregates from the already-
+    * distinct pairs. HLL's estimate is identical on the deduped set (the
+    * sketch is multiset-insensitive), and the shuffle carries distinct pairs
+    * instead of 2× the raw rows. */
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .filter(col("l_partkey").isNotNull) // countDistinct-equivalent nulls
+      .distinct()
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+      .agg(count(lit(1)).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 

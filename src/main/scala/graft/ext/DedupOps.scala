@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions.cosine_sim
 import graft.sources.Tables
@@ -64,13 +65,33 @@ object DedupOps {
 
   // ---- n-gram Jaccard ----
 
-  /** Exact Jaccard over distinct k-shingle sets for all pairs sharing ≥1
-    * shingle (inverted-index join — pairs that share nothing are never
-    * materialized). `maxDf` drops shingles present in more than that many
-    * documents: stop-shingle skew control at scale (off for oracle runs). */
-  def jaccardPairs(docs: DataFrame, k: Int = 3,
-                   maxDf: Option[Int] = None): DataFrame = {
-    val sh0 = shingleIndex(docs, k)
+  /** All ordered doc-id pairs sharing a shingle, with shared-shingle counts:
+    * group the inverted index by shingle into its posting list and emit the
+    * C(m,2) ordered pairs per list with higher-order functions. ONE shuffle
+    * of the index (by shingle) — a self-join would shuffle it twice and scan
+    * the index lineage twice. Posting lists are bounded by the maxDf cutoff
+    * (or the corpus's natural shingle df), so the per-row pair explosion is
+    * bounded too. */
+  private def cooccurrencePairs(sh: DataFrame): DataFrame = {
+    def pairCombos(sorted: Column): Column =
+      flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)),
+          y => struct(x.as("id_a"), y.as("id_b")))))
+    sh.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+  }
+
+  /** Inverted index for [[jaccardPairs]]/[[qMinhash]]: hashed shingles, the
+    * optional maxDf stop-shingle cutoff, cached — the index feeds multiple
+    * consumers (pair generation + per-doc sizes + signatures/verification)
+    * and caching beats recomputing the tokenize→shingle→explode lineage per
+    * consumer. ~16 bytes/row, spills to disk if it ever outgrows memory. */
+  private def cachedIndex(docs: DataFrame, k: Int,
+                          maxDf: Option[Int]): DataFrame = {
+    val sh0 = hashedShingleIndex(docs, k)
     val sh = maxDf match {
       case Some(m) =>
         val hot = sh0.groupBy("shingle").count().filter(col("count") > m)
@@ -78,11 +99,24 @@ object DedupOps {
         sh0.join(hot, Seq("shingle"), "left_anti")
       case None => sh0
     }
+    sh.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exact Jaccard over distinct k-shingle sets for all pairs sharing ≥1
+    * shingle (inverted-index pair generation — pairs that share nothing are
+    * never materialized). `maxDf` drops shingles present in more than that
+    * many documents: stop-shingle skew control at scale (off for oracle
+    * runs).
+    *
+    * The index carries 64-bit shingle hashes: the shuffle moves 8-byte
+    * longs instead of ~20-char strings. Collision odds
+    * (§[[hashedShingleIndex]]) are ~1e-8 over a million distinct shingles —
+    * the DuckDB oracle on exact strings still hash-matches. */
+  def jaccardPairs(docs: DataFrame, k: Int = 3,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh = cachedIndex(docs, k, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
-    a.join(b, "shingle").filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    cooccurrencePairs(sh)
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard", round(col("common").cast("double") /
@@ -105,10 +139,15 @@ object DedupOps {
     * overflow). One aggregate pass — numHashes min() columns, all map-side
     * partial. */
   def minhashSignatures(docs: DataFrame, k: Int = 3,
-                        numHashes: Int = 64): DataFrame = {
+                        numHashes: Int = 64): DataFrame =
+    signaturesFromIndex(hashedShingleIndex(docs, k), numHashes)
+
+  /** Same, from a prepared hashed index (lets one cached index feed both
+    * signatures and verification). */
+  private def signaturesFromIndex(sh: DataFrame,
+                                  numHashes: Int = 64): DataFrame = {
     // hashed index: the 64 per-row hash evaluations each digest 8 bytes
     // instead of re-hashing the shingle string
-    val sh = hashedShingleIndex(docs, k)
     val mins = (0 until numHashes).map { i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"m$i")
     }
@@ -135,8 +174,12 @@ object DedupOps {
   /** Exact Jaccard for an explicit candidate-pair set: joins each side's
     * collected shingle set and intersects — O(|candidates|), never touching
     * non-candidate pairs. This is the verify half of every LSH scheme. */
-  def verifyJaccard(cands: DataFrame, docs: DataFrame, k: Int = 3): DataFrame = {
-    val sets = hashedShingleIndex(docs, k)
+  def verifyJaccard(cands: DataFrame, docs: DataFrame, k: Int = 3): DataFrame =
+    verifyFromIndex(cands, hashedShingleIndex(docs, k))
+
+  /** Verification against a prepared hashed index. */
+  private def verifyFromIndex(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh_set"),
         count(lit(1)).as("n_sh"))
@@ -157,9 +200,9 @@ object DedupOps {
     * an all-pairs verify would re-pay the O(shared-shingle pairs) join the
     * banding just avoided). */
   def qMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val cands = minhashCandidates(minhashSignatures(docs))
-    verifyJaccard(cands, docs, k = 3)
+    val sh = cachedIndex(Tables.documents(spark, sfDir), k = 3, maxDf = None)
+    val cands = minhashCandidates(signaturesFromIndex(sh))
+    verifyFromIndex(cands, sh)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)

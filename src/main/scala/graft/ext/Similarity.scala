@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{cosine_sim, dot_product}
+import graft.functions.VectorFunctions.{cosine_sim, dot_product, hyperplane_buckets}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (north-star op,
@@ -28,26 +28,20 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
   }
 
-  /** Guard: a vector whose length differs from the hyperplane dimension
-    * would make every dot product NULL, every sign-bit fall to otherwise(0),
-    * and all rows silently collapse into bucket 0 — LSH would degrade to the
-    * O(n²) cross join the design forbids while still returning "correct"
-    * rows. Fail loudly instead (size check is O(1) — array length header). */
-  private[ext] def dimChecked(emb: Column, dim: Int): Column =
-    when(size(emb) === dim, emb).otherwise(raise_error(concat(
-      lit(s"LSH hyperplane dim=$dim but embedding has length "),
-      size(emb).cast("string"))))
+  /** Flattened plane matrix for the native kernel. */
+  private def flatPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Float] =
+    planes(nPlanes, dim, seed).flatten.toArray
 
   /** Sign-bit bucket id from nPlanes hyperplane dot products — one long
-    * column, computed fully map-side by the native dot_product kernel. */
+    * column from the single fused [[hyperplane_buckets]] kernel (the
+    * composed per-plane dot_product/when/shiftleft tree costs seconds of
+    * analysis+codegen at high plane counts). A vector whose length ≠ dim
+    * throws — silent mis-bucketing would degrade LSH to the O(n²) cross
+    * join the design forbids while still returning "correct" rows. */
   def bucketExpr(embedding: Column, nPlanes: Int, dim: Int = 64,
-                 seed: Long = 7L): Column = {
-    val e = dimChecked(embedding, dim)
-    planes(nPlanes, dim, seed).zipWithIndex.map { case (p, j) =>
-      when(dot_product(e, typedlit(p)) > 0d, shiftleft(lit(1L), j))
-        .otherwise(0L)
-    }.reduce(_ + _)
-  }
+                 seed: Long = 7L): Column =
+    hyperplane_buckets(embedding, flatPlanes(nPlanes, dim, seed),
+      nTables = 1, bitsPerTable = nPlanes).getItem(0)
 
   /** Corpus with its LSH bucket id. */
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, dim: Int = 64,
@@ -81,36 +75,30 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nTables: Int = 16, bitsPerTable: Int = 4, dim: Int = 64,
               seed: Long = 7L): DataFrame = {
-    val ps = planes(nTables * bitsPerTable, dim, seed)
-    def bucketCol(emb: Column, t: Int): Column = {
-      val e = dimChecked(emb, dim)
-      (0 until bitsPerTable).map { j =>
-        when(dot_product(e, typedlit(ps(t * bitsPerTable + j))) > 0d,
-          shiftleft(lit(1L), j)).otherwise(0L)
-      }.reduce(_ + _)
-    }
+    val ps = flatPlanes(nTables * bitsPerTable, dim, seed)
     def tabled(df: DataFrame, idCol: String, embOut: String): DataFrame =
       df.select(col("vec_id").as(idCol), col("embedding").as(embOut),
-        posexplode(array((0 until nTables).map(t =>
-          bucketCol(col("embedding"), t)): _*)).as(Seq("table", "bucket")))
+        posexplode(hyperplane_buckets(col("embedding"), ps,
+          nTables, bitsPerTable)).as(Seq("table", "bucket")))
     val c = tabled(corpus, "vec_id", "embedding")
     val q = tabled(queries, "query_id", "q_emb")
-    // dedup candidate id-pairs BEFORE scoring: a pair colliding in several
-    // tables is scored once, and the distinct runs on two longs, not on
-    // (longs + double + vectors)
-    val candPairs = q.select(col("table"), col("bucket"), col("query_id"))
-      .join(c.select(col("table"), col("bucket"), col("vec_id")),
-        Seq("table", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
+    // Shuffle-minimal shape: the query side is small by contract (that's
+    // what makes top-k search a lookup, not a join), so its bucketed form
+    // broadcasts and the candidate join is map-side — the 16×|C| exploded
+    // corpus never shuffles. Scoring happens IN the broadcast join stage
+    // (the query embedding rides the broadcast), so a pair colliding in
+    // several tables is scored per collision (cheap: one fused cosine
+    // kernel) and deduped by max() on an 18-byte row — versus distinct()
+    // on the raw pair list plus two join-backs to re-attach embeddings,
+    // which costs three extra shuffles.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    candPairs
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))), "query_id")
+    c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine_sim(col("q_emb"), col("embedding")).as("score"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("score")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,76 +13,102 @@ import graft.sources.Tables
   * kernel — no MLlib, no UDFs), build the centroid→vectors inverted lists,
   * and serve queries by probing only the nProbe nearest lists.
   *
-  * Scale shape: training touches the corpus nIters times (linear scans with
-  * a broadcast centroid table — centroids are √n-ish, always broadcastable);
-  * the index is one extra int column (list id = a partition-able key);
-  * a query scans |corpus|·nProbe/nList candidates. Unlike LSH there is no
-  * corpus replication, and recall degrades gracefully with data that HAS
-  * cluster structure (for isotropic-noise corpora like the test embeddings,
+  * Scale shape: training touches the corpus nIters times (one linear scan +
+  * one nList-group aggregate per iteration); the trained centroids are
+  * driver-side model state — nList×dim floats, the same bounded
+  * "model on the driver" shape MLlib's KMeans uses — so list assignment is a
+  * pure map-side projection against centroid literals: no crossJoin, no
+  * groupBy-argmax, no join-back, and no recursive plan growth in the Lloyd
+  * loop (an unmaterialized centroid lineage would embed each iteration's
+  * plan inside the next, re-executing training per downstream use). The
+  * index is one extra int column (list id = a partition-able key); a query
+  * scans |corpus|·nProbe/nList candidates. Unlike LSH there is no corpus
+  * replication, and recall degrades gracefully with data that HAS cluster
+  * structure (for isotropic-noise corpora like the test embeddings,
   * LSH multi-table is the better tool — both are provided and measured).
   */
 object SimilarityIvf {
 
-  /** Assign each vector the id of its max-cosine centroid (broadcast
-    * centroids → map-side argmax via one window-free groupBy-less
-    * max_by(struct)). */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine_sim(col("embedding"), col("centroid")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), struct(col("sim"), col("centroid_id")))
-        .as("list_id"))
+  /** Materialize a centroid table as driver model state (bounded:
+    * nList rows × dim floats). */
+  private def collectCentroids(centroids: DataFrame): Seq[(Int, Seq[Float])] =
+    centroids.select(col("centroid_id"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+
+  private def centroidDf(spark: SparkSession,
+                         cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("centroid_id", "centroid")
+  }
+
+  /** Map-side argmax-cosine assignment against literal centroids: array_max
+    * over (sim, id) structs compares fields in order — max sim, ties to the
+    * larger id (same tie rule as max_by on struct(sim, centroid_id)). */
+  private def assignExpr(cents: Seq[(Int, Seq[Float])], emb: Column): Column =
+    array_max(array(cents.map { case (id, c) =>
+      struct(cosine_sim(emb, typedlit(c)).as("sim"), lit(id).as("cid"))
+    }: _*)).getField("cid")
 
   /** Train nList centroids with Lloyd's iterations in cosine space.
     * Init = deterministic systematic sample (vec_id mod stride). Mean
     * vectors are computed with `aggregate`+`zip_with` array sums — one
-    * shuffle of nList groups per iteration. */
+    * shuffle of nList groups per iteration, partial-aggregated map-side. */
   def train(corpus: DataFrame, nList: Int, nIters: Int = 3, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
     val n = corpus.count()
     val stride = math.max(1L, n / nList)
-    var centroids = corpus
+    var cents = collectCentroids(corpus
       .filter(col("vec_id") % stride === 0).limit(nList)
       .select((col("vec_id") / stride).cast("int").as("centroid_id"),
-        col("embedding").as("centroid"))
+        col("embedding").as("centroid")))
+    val zeros = array((0 until dim).map(_ => lit(0.0d)): _*)
     (1 to nIters).foreach { _ =>
-      val assigned = assign(corpus, centroids)
-        .join(corpus, "vec_id")
-      // element-wise mean per list: sum each dimension, divide by count
-      val zeros = array((0 until dim).map(_ => lit(0.0d)): _*)
-      centroids = assigned.groupBy(col("list_id"))
+      cents = collectCentroids(corpus
+        .select(assignExpr(cents, col("embedding")).as("list_id"),
+          col("embedding"))
+        .groupBy(col("list_id"))
         .agg(
           aggregate(collect_list(col("embedding")), zeros,
             (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("sums"),
           count(lit(1)).as("cnt"))
         .select(col("list_id").as("centroid_id"),
           transform(col("sums"), s => (s / col("cnt")).cast("float"))
-            .as("centroid"))
+            .as("centroid")))
     }
-    centroids
+    centroidDf(spark, cents)
   }
 
-  /** Index: corpus with its inverted-list id. */
+  /** Index: corpus plus its inverted-list id — a single map-side projection
+    * (the embedding and any payload columns stay on the row). */
   def index(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    assign(corpus, centroids).join(corpus, "vec_id")
+    corpus.withColumn("list_id",
+      assignExpr(collectCentroids(centroids), col("embedding")))
 
   /** Query: probe the nProbe closest lists per query, exact-score only the
-    * vectors in those lists. */
+    * vectors in those lists. The probe table (|Q|·nProbe rows, carrying the
+    * query embedding) broadcasts, so candidate generation + scoring is one
+    * map-side pass over the index; the only shuffle is the final per-query
+    * top-k window on (query_id, vec_id, score) triples. */
   def topK(queries: DataFrame, indexed: DataFrame, centroids: DataFrame,
            k: Int, nProbe: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_emb"), col("centroid_id"),
-        cosine_sim(col("q_emb"), col("centroid")).as("csim"))
+      .select(col("query_id"), col("q_emb"),
+        explode(array(cents.map { case (id, c) =>
+          struct(cosine_sim(col("q_emb"), typedlit(c)).as("csim"),
+            lit(id).as("centroid_id"))
+        }: _*)).as("sc"))
+      .select(col("query_id"), col("q_emb"),
+        col("sc.csim").as("csim"), col("sc.centroid_id").as("centroid_id"))
       .withColumn("pr", row_number().over(wq))
       .filter(col("pr") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("centroid_id").as("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    probes.join(indexed, "list_id")
+    indexed.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine_sim(col("q_emb"), col("embedding")).as("score"))

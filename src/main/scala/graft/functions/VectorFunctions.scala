@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, GraftExpressions, RollingHash}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, RollingHash}
 
 /** Public facade over the native Catalyst kernels in
   * [[org.apache.spark.sql.graft]] (which must live inside Spark's namespace
@@ -19,6 +19,15 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftExpressions.column(DotProduct(
       GraftExpressions.expression(a), GraftExpressions.expression(b)))
+
+  /** hyperplane_buckets(emb): all LSH table bucket ids of an array<float>
+    * column in one fused kernel — `planes` is the flattened
+    * (nTables·bitsPerTable) × dim hyperplane matrix. Returns
+    * array<long>(nTables). Throws on embedding-dimension mismatch. */
+  def hyperplane_buckets(emb: Column, planes: Array[Float],
+                         nTables: Int, bitsPerTable: Int): Column =
+    GraftExpressions.column(HyperplaneBuckets(
+      GraftExpressions.expression(emb), planes, nTables, bitsPerTable))
 
   /** rolling_hash(text): order-sensitive 63-bit document fingerprint. */
   def rolling_hash(c: Column): Column =

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -149,6 +149,82 @@ case class RollingHash(child: Expression)
          |  $h = $h * ${GraftExpressions.RollingBase}L + ($bytes[$i] & 0xffL);
          |}
          |${ev.value} = $h & ${GraftExpressions.SignMask}L;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All LSH table buckets of a float vector in ONE kernel: `planes` is the
+  * flattened (nTables·bitsPerTable) × dim hyperplane matrix, carried as a
+  * plain reference object — NOT as literal-array child expressions. The
+  * composed form (nTables·bitsPerTable `dot_product(emb, typedlit(...))`
+  * nodes wrapped in when/shiftleft) builds an expression tree whose
+  * analysis + optimization + codegen cost ~2 s per query at 64 planes,
+  * dwarfing execution; this node is O(1) to plan and one fused loop to run.
+  *
+  * A vector whose length ≠ dim throws (with both lengths in the message)
+  * rather than silently landing in bucket 0 — see
+  * [[graft.ext.Similarity.bucketExpr]]'s scale rationale. */
+case class HyperplaneBuckets(child: Expression, planes: Array[Float],
+                             nTables: Int, bitsPerTable: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.length % (nTables * bitsPerTable) == 0,
+    s"planes length ${planes.length} not divisible by ${nTables * bitsPerTable}")
+  private val dim = planes.length / (nTables * bitsPerTable)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"LSH hyperplane dim=$dim but embedding has length $n")
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L; var j = 0
+      while (j < bitsPerTable) {
+        val base = (t * bitsPerTable + j) * dim
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += planes(base + i) * a.getFloat(i); i += 1 }
+        if (dot > 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket; t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ps = ctx.addReferenceObj("planes", planes, "float[]")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket"); val base = ctx.freshName("base")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "LSH hyperplane dim=$dim but embedding has length " + $n);
+         |}
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bitsPerTable; $j++) {
+         |    int $base = ($t * $bitsPerTable + $j) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += $ps[$base + $i] * $a.getFloat($i);
+         |    }
+         |    if ($dot > 0.0) $bucket |= (1L << $j);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
