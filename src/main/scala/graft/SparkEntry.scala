@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.analytics.{Events, Relational, RelationalExtra}
+import graft.analytics.{Advanced, Events, Relational, RelationalExtra}
 import graft.ext.{DedupOps, Multimodal, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ RelationalExtra.defs ++ Events.defs ++
+    Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ Multimodal.defs ++
       AsOf.defs ++ Map(
@@ -29,7 +29,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ RelationalExtra.oracles ++ Events.oracles ++
+    Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
+      Events.oracles ++
       TextAnalysis.oracles ++
       DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles

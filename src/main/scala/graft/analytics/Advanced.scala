@@ -1,0 +1,352 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second analytics tranche (round 2): grouping sets, statistical
+  * aggregates, full window-function breadth, higher-order array functions,
+  * ordered string aggregation, regex scalars, conditional scalars, date
+  * arithmetic, range (non-equi) join, MERGE-style upsert, salted two-stage
+  * aggregation, and unpivot. Every query is DuckDB-oracle-checked.
+  *
+  * The reference itself has none of these (SURVEY.md §2: its only
+  * aggregation is a COUNT(*) existence gate) — this is the extended
+  * engine surface, Spark built-ins exercised in their 100 TB shapes
+  * (broadcast range joins, partial-agg-friendly two-stage salting,
+  * single-shuffle grouping sets).
+  */
+object Advanced {
+
+  /** q_grouping_sets — explicit GROUPING SETS with grouping() flags: three
+    * granularities in ONE shuffle (Spark expands grouping sets like cube —
+    * a single Expand + hash aggregate, not three scans). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+  }
+
+  /** q_stats_agg — the statistical-aggregate surface (corr / covariance /
+    * stddev / variance), all single-pass partial-aggregable moments.
+    * Rounded to 4: moment accumulation order differs across engines. */
+  def qStatsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qp"),
+        round(stddev_samp(col("l_discount")), 4).as("sd_disc"),
+        round(var_samp(col("l_tax")), 4).as("var_tax"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_window_breadth — the window functions q_window_funcs doesn't cover:
+    * dense_rank, percent_rank, cume_dist, lag/lead with defaults. Ordering
+    * is total within each partition (ties broken by key) so offset
+    * functions are deterministic. */
+  def qWindowBreadth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        round(lag(col("o_totalprice"), 1, 0.0).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1, 0.0).over(w), 2).as("next_price"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** q_array_funcs — higher-order functions over per-group arrays:
+    * collect → sort → transform / filter / aggregate, reduced back to
+    * scalars (plus a joined string) for oracle comparison. */
+  def qArrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 500)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        aggregate(col("qs"), lit(0), (a, x) => a + x * 2).cast("bigint")
+          .as("sum_doubled"),
+        size(filter(col("qs"), _ > 25)).as("n_big"),
+        array_join(transform(col("qs"), _.cast("string")), ",").as("qstr"))
+      .orderBy(col("l_orderkey"))
+
+  /** q_string_agg — ordered, distinct string aggregation per group
+    * (deterministic: the set is sorted before joining). */
+  def qStringAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+        .as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q_regex_funcs — regex scalar surface (extract + replace), patterns
+    * chosen inside the RE2 ∩ Java-regex dialect the two engines share. */
+  def qRegexFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        length(regexp_replace(col("p_name"), "[^aeiou]", "")).as("vowels"),
+        col("p_retailprice"))
+      .groupBy(col("first_word"))
+      .agg(count(lit(1)).as("n"), sum(col("vowels")).as("n_vowels"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"))
+      .orderBy(col("first_word"))
+
+  /** q_conditional — CASE / nullif / coalesce / least / greatest. */
+  def qConditional(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"),
+        least(col("o_totalprice"), lit(100000.0)).as("capped"),
+        greatest(col("o_totalprice"), lit(1000.0)).as("floored"))
+      .groupBy(col("band"), col("status_or_open"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("capped")), 2).as("sum_capped"),
+        round(min(col("floored")), 2).as("min_floored"))
+      .orderBy(col("band"), col("status_or_open"))
+
+  /** q_date_arith — date arithmetic (truncation, day offsets, month ends)
+    * beyond q_date_parts's field extraction. */
+  def qDateArith(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(date_trunc("quarter", col("o_orderdate")).cast("date")
+        .cast("string").as("qstart"),
+        datediff(last_day(col("o_orderdate")), col("o_orderdate").cast("date"))
+          .as("days_to_eom"),
+        when(quarter(date_add(col("o_orderdate").cast("date"), 30))
+          =!= quarter(col("o_orderdate")), 1).otherwise(0).as("crosses"))
+      .groupBy(col("qstart"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("days_to_eom")), 6).as("avg_days_to_eom"),
+        sum(col("crosses")).as("n_q_crossers"))
+      .orderBy(col("qstart"))
+
+  /** q_range_join — non-equi (band) join: orders against a tiny derived
+    * band table. The band side is explicitly broadcast, so the range join
+    * is a map-side nested-loop against 4 rows — the only sane plan for
+    * dim-table banding at 100 TB (a shuffle range join would be a skewed
+    * cross product). */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("p00_050k", 0.0, 50000.0),
+      ("p05_100k", 50000.0, 100000.0),
+      ("p10_200k", 100000.0, 200000.0),
+      ("p20_600k", 200000.0, 600000.0)).toDF("band", "lo", "hi")
+    Tables.orders(spark, sfDir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("band"))
+  }
+
+  /** q_merge_upsert — MERGE INTO semantics (the reference's O13 insert-if-
+    * absent generalized to upsert) as one full-outer join pass: matched →
+    * update, unmatched-source → insert, unmatched-target → keep. Output is
+    * the per-action audit (count + post-merge checksum), the shape a 100 TB
+    * merge job would emit for reconciliation. */
+  def qMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val snapshot = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("s_price"))
+    val updates = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("key"),
+        round(col("o_totalprice") * 1.1, 2).as("u_price"))
+      .unionByName(
+        Tables.orders(spark, sfDir).filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 100000000L).as("key"),
+            lit(100.0).as("u_price")))
+    snapshot.join(updates, Seq("key"), "full_outer")
+      .select(
+        when(col("u_price").isNotNull && col("s_price").isNotNull, "update")
+          .when(col("s_price").isNull, "insert")
+          .otherwise("keep").as("action"),
+        coalesce(col("u_price"), col("s_price")).as("price"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+      .orderBy(col("action"))
+  }
+
+  /** q_salted_agg — the two-stage salted aggregation
+    * ([[graft.operators.Salting]]'s shape applied to aggregation): stage 1
+    * aggregates on (key, salt) spreading each hot key over 16 reducers,
+    * stage 2 combines the 16 partials per key. Same result as a direct
+    * groupBy — which IS the oracle — with the skew spread the point at
+    * scale (l_returnflag has 3 values; a direct shuffle would land a third
+    * of 100 TB on one reducer... partial map-side aggregation also fixes
+    * that here, but salting composes with aggregates that can't partial,
+    * e.g. exact distincts or collect_list). */
+  def qSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"),
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)).as("_salt"))
+      .agg(sum(col("l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("pq")), 2).as("sum_qty"), sum(col("pn")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** q_unpivot — wide→long reshaping (Dataset.unpivot): the q1-style wide
+    * aggregate melted into (flag, metric, value) triples. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_window_breadth" -> (qWindowBreadth _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_string_agg" -> (qStringAgg _),
+    "q_regex_funcs" -> (qRegexFuncs _),
+    "q_conditional" -> (qConditional _),
+    "q_date_arith" -> (qDateArith _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_unpivot" -> (qUnpivot _))
+
+  val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  ROUND(stddev_samp(l_discount), 4) AS sd_disc,
+        |  ROUND(var_samp(l_tax), 4) AS var_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_breadth" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cdist,
+        |  ROUND(LAG(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+        |  ROUND(LEAD(o_totalprice, 1, 0.0) OVER w, 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS INT))) AS qs
+        |  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS INT) AS n_items,
+        |  CAST(list_sum(list_transform(qs, x -> x * 2)) AS BIGINT)
+        |    AS sum_doubled,
+        |  CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+        |  array_to_string(list_transform(qs, x -> CAST(x AS VARCHAR)), ',')
+        |    AS qstr
+        |FROM g ORDER BY l_orderkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        |    AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(length(regexp_replace(p_name, '[^aeiou]', '', 'g')))
+        |    AS BIGINT) AS n_vowels,
+        |  ROUND(AVG(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY 1 ORDER BY first_word""".stripMargin,
+    "q_conditional" ->
+      """SELECT
+        |  CASE WHEN o_totalprice < 50000 THEN 'low'
+        |       WHEN o_totalprice < 150000 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(LEAST(o_totalprice, 100000.0)), 2) AS sum_capped,
+        |  ROUND(MIN(GREATEST(o_totalprice, 1000.0)), 2) AS min_floored
+        |FROM orders GROUP BY 1, 2 ORDER BY band, status_or_open""".stripMargin,
+    "q_date_arith" ->
+      """SELECT CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE)
+        |    AS VARCHAR) AS qstart,
+        |  COUNT(*) AS n,
+        |  ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE),
+        |    last_day(o_orderdate))), 6) AS avg_days_to_eom,
+        |  CAST(SUM(CASE WHEN EXTRACT(quarter FROM CAST(o_orderdate AS DATE)
+        |      + INTERVAL 30 DAY) <> EXTRACT(quarter FROM o_orderdate)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_q_crossers
+        |FROM orders GROUP BY 1 ORDER BY qstart""".stripMargin,
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p00_050k', 0.0, 50000.0), ('p05_100k', 50000.0, 100000.0),
+        |  ('p10_200k', 100000.0, 200000.0), ('p20_600k', 200000.0, 600000.0))
+        |SELECT band, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH snapshot AS (
+        |  SELECT o_orderkey AS key, o_totalprice AS s_price FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey AS key, ROUND(o_totalprice * 1.1, 2) AS u_price
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS key, 100.0 AS u_price
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT
+        |  CASE WHEN u_price IS NOT NULL AND s_price IS NOT NULL THEN 'update'
+        |       WHEN s_price IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(COALESCE(u_price, s_price)), 2) AS sum_price
+        |FROM snapshot FULL OUTER JOIN updates USING (key)
+        |GROUP BY 1 ORDER BY action""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |    ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |    ROUND(AVG(l_discount), 6) AS avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'avg_disc', avg_disc FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin)
+}
