@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions.{cosine_sim, simhash64}
 import graft.sources.Tables
 
 /** Record-deduplication family (north-star ops, SURVEY.md §2): exact,
@@ -210,24 +210,15 @@ object DedupOps {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per document: majority vote of token-hash bits.
-    * 64 conditional sums in one aggregate pass (map-side partial), then the
-    * bits are packed arithmetically — no UDF anywhere. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val packed = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-  }
+  /** 64-bit SimHash per document: majority vote of token-hash bits, fused
+    * into the native [[simhash64]] kernel — one map-side projection, zero
+    * shuffle (documents are one row each; the former explode → 64
+    * conditional-sum aggregates → repack pipeline paid a full shuffle and a
+    * 64-column aggregate for a per-row computation). Token hashing is
+    * bit-identical to `xxhash64(token)`, so results are unchanged. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
 
   /** Candidate pairs by 16-bit block collision (4 blocks; guarantees all
     * pairs at hamming ≤ 3, approximates above), verified by bit_count. */

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, RollingHash}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, RollingHash, SimHash64}
 
 /** Public facade over the native Catalyst kernels in
   * [[org.apache.spark.sql.graft]] (which must live inside Spark's namespace
@@ -28,6 +28,11 @@ object VectorFunctions {
                          nTables: Int, bitsPerTable: Int): Column =
     GraftExpressions.column(HyperplaneBuckets(
       GraftExpressions.expression(emb), planes, nTables, bitsPerTable))
+
+  /** simhash64(tokens): 64-bit SimHash of an array<string> column — per-
+    * token xxhash64 majority vote, fused into one map-side kernel. */
+  def simhash64(tokens: Column): Column =
+    GraftExpressions.column(SimHash64(GraftExpressions.expression(tokens)))
 
   /** rolling_hash(text): order-sensitive 63-bit document fingerprint. */
   def rolling_hash(c: Column): Column =

@@ -58,6 +58,51 @@ class DedupOpsSpec extends SparkSpec {
       s"near-dup too far: ${pairs.get((0L, 1L))}")
   }
 
+  test("native simhash64 kernel matches the explode/aggregate formulation bit-for-bit") {
+    val viaAgg = {
+      val tok = corpus.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .withColumn("h", xxhash64(col("token")))
+      val bitSums = (0 until 64).map { j =>
+        sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$j")
+      }
+      val packed = (0 until 64).map { j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce(_ + _)
+      tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), packed.as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val native = DedupOps.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == viaAgg)
+  }
+
+  test("simhash64: interpreted eval matches codegen") {
+    val df = corpus.select(
+      graft.functions.VectorFunctions.simhash64(
+        TextAnalysis.tokens(col("text"))).as("s"))
+    val codegen = df.collect().map(_.getLong(0)).toSeq
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val i = corpus.select(
+        graft.functions.VectorFunctions.simhash64(
+          TextAnalysis.tokens(col("text"))).as("s"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(i == codegen)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("maxDf cutoff drops stop-shingle-only pairs (skew control)") {
     // every doc shares the same 5-token prefix → one family of hot shingles
     val hot = "s1 s2 s3 s4 s5 "
