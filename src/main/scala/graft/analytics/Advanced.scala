@@ -216,7 +216,76 @@ object Advanced {
         "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** q_corr_scalar — correlated scalar subquery (per-nation max): Catalyst
+    * decorrelates to an aggregate + join, one pass over supplier — no
+    * per-row re-execution. */
+  def qCorrScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    spark.sql("""
+      SELECT s.s_nationkey, s.s_name, ROUND(s.s_acctbal, 2) AS top_bal
+      FROM supplier s
+      WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+      ORDER BY s.s_nationkey, s.s_name""")
+  }
+
+  /** q_in_subquery — IN / NOT IN predicate subqueries (both rewritten to
+    * semi/anti joins by the optimizer). */
+  def qInSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    spark.sql("""
+      SELECT 'in' AS op, COUNT(*) AS n FROM customer
+      WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+                            WHERE s_acctbal > 5000)
+      UNION ALL
+      SELECT 'not_in' AS op, COUNT(*) AS n FROM customer
+      WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+                                WHERE s_acctbal > 5000)
+      ORDER BY op""")
+  }
+
+  /** q_argmax — max_by/min_by with a composite (value, key) ordering so
+    * ties are deterministic (the oracle expresses the same total order via
+    * row_number — DuckDB's arg_max can't take a struct key). */
+  def qArgmax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("top_key"),
+        round(max(col("o_totalprice")), 2).as("top_price"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_key"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q_gap_fill — time-series densification: generate the month spine with
+    * `sequence` (no data shuffled to build a dimension) and left-join the
+    * monthly rollup onto it, zero-filling gaps. */
+  def qGapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql("""
+      WITH b AS (
+        SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS lo,
+               CAST(MAX(date_trunc('month', o_orderdate)) AS DATE) AS hi
+        FROM orders),
+      spine AS (
+        SELECT explode(sequence(lo, hi, INTERVAL 1 MONTH)) AS month FROM b),
+      m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1)
+      SELECT CAST(spine.month AS STRING) AS month, COALESCE(m.n, 0) AS n,
+        COALESCE(m.revenue, 0.0) AS revenue
+      FROM spine LEFT JOIN m ON spine.month = m.month
+      ORDER BY month""")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_scalar" -> (qCorrScalar _),
+    "q_in_subquery" -> (qInSubquery _),
+    "q_argmax" -> (qArgmax _),
+    "q_gap_fill" -> (qGapFill _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_window_breadth" -> (qWindowBreadth _),
@@ -231,6 +300,51 @@ object Advanced {
     "q_unpivot" -> (qUnpivot _))
 
   val oracles: Map[String, String] = Map(
+    "q_corr_scalar" ->
+      """SELECT s.s_nationkey, s.s_name, ROUND(s.s_acctbal, 2) AS top_bal
+        |FROM supplier s
+        |WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+        |                     WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s.s_nationkey, s.s_name""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT 'in' AS op, COUNT(*) AS n FROM customer
+        |WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+        |                      WHERE s_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'not_in' AS op, COUNT(*) AS n FROM customer
+        |WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+        |                          WHERE s_acctbal > 5000)
+        |ORDER BY op""".stripMargin,
+    "q_argmax" ->
+      """WITH rnk AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rt,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rb
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  MAX(CASE WHEN rt = 1 THEN o_orderkey END) AS top_key,
+        |  ROUND(MAX(CASE WHEN rt = 1 THEN o_totalprice END), 2) AS top_price,
+        |  MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS bottom_key
+        |FROM rnk GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT CAST(MIN(date_trunc('month', o_orderdate)) AS DATE) AS lo,
+        |         CAST(MAX(date_trunc('month', o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+        |    AS DATE) AS month FROM b),
+        |m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(spine.month AS VARCHAR) AS month,
+        |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n,
+        |  COALESCE(m.revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN m ON spine.month = m.month
+        |ORDER BY month""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
