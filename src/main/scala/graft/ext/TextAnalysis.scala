@@ -153,7 +153,59 @@ object TextAnalysis {
         countDistinct(col("fingerprint")).as("n_distinct_fp"),
         countDistinct(col("fingerprint_md5")).as("n_distinct_md5"))
 
+  /** PII/noise scrubbing patterns (emails, URLs, long digit runs) — chosen
+    * inside the RE2 ∩ Java dialect so the DuckDB oracle matches. */
+  private val scrubs: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[0-9]{4,}" -> "<NUM>")
+
+  /** Text with the scrub patterns applied in order. */
+  def scrubbed(text: Column): Column =
+    scrubs.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl) }
+
+  /** q_text_scrub — redaction accounting per source: how many documents a
+    * scrubbing pass touches and the net character delta. The redaction
+    * itself is pure map-side regexp work (codegen'd, no UDF); a 100 TB
+    * scrub is scan-bound, which is the right bound. */
+  def qScrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"), scrubbed(col("text")).as("red"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("red") =!= col("text"), 1L).otherwise(0L))
+          .as("n_redacted"),
+        sum((length(col("text")) - length(col("red"))).cast("long"))
+          .as("chars_delta"))
+      .orderBy(col("source"))
+
+  /** q_text_repetition — Gopher-style repetition signal: the most frequent
+    * 3-gram's share of all 3-grams per document (multiset — duplicates are
+    * the signal), rolled up per source with a >10% flag count. Candidate
+    * docs shorter than 3 tokens have no 3-grams and drop out (mirrored by
+    * the oracle's len >= 3). */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(DedupOps.shingles(col("t"), 3)).as("sh"))
+      .groupBy(col("doc_id"), col("source"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("c")).as("top"), sum(col("c")).as("total"))
+      .select(col("source"),
+        round(col("top").cast("double") / col("total"), 6).as("rep_ratio"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("rep_ratio")), 6).as("avg_rep_ratio"),
+        sum(when(col("rep_ratio") > 0.1, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_scrub" -> (qScrub _),
+    "q_text_repetition" -> (qRepetition _),
     "q_text_stats" -> (qStats _),
     "q_text_quality" -> (qQuality _),
     "q_text_tokens" -> (qTokens _),
@@ -164,6 +216,40 @@ object TextAnalysis {
     stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_text_scrub" ->
+      """WITH red AS (
+        |  SELECT source, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g') AS r
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN r <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_redacted,
+        |  CAST(SUM(length(text) - length(r)) AS BIGINT) AS chars_delta
+        |FROM red GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(t) - 3 + 2),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |cnt AS (
+        |  SELECT doc_id, source, s, COUNT(*) AS c
+        |  FROM sh GROUP BY 1, 2, 3),
+        |per_doc AS (
+        |  SELECT doc_id, source,
+        |    ROUND(MAX(c) / SUM(c), 6) AS rep_ratio
+        |  FROM cnt GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(AVG(rep_ratio), 6) AS avg_rep_ratio,
+        |  CAST(SUM(CASE WHEN rep_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
     "q_text_stats" ->
       s"""SELECT lang, source, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

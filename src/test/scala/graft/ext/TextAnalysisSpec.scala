@@ -54,6 +54,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.forall(_ >= 0)) // sign bit cleared
   }
 
+  test("scrubber redacts emails, urls, and long digit runs; leaves clean text alone") {
+    import spark.implicits._
+    val got = Seq(
+      "contact bob@example.com or see https://example.com/a?b=1 ref 123456",
+      "short 123 stays, clean text untouched")
+      .toDF("text")
+      .select(TextAnalysis.scrubbed(org.apache.spark.sql.functions.col("text")))
+      .as[String].collect()
+    assert(got(0) == "contact <EMAIL> or see <URL> ref <NUM>", got(0))
+    assert(got(1) == "short 123 stays, clean text untouched", got(1))
+  }
+
   test("bpeish count splits case and digit boundaries") {
     val df = Seq(Tuple1("camelCase and v2Model x9")).toDF("text")
     val n = df.select(TextAnalysis.bpeishTokenCount(col("text")).as("n"))
