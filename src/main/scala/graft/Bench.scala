@@ -1,10 +1,16 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, forcing full execution through the noop sink (count()
   * would let Catalyst prune whole subtrees of the projection), and prints
-  * exactly one JSON line.
+  * exactly one JSON line. Besides per-query seconds the line carries
+  * per-query shuffle-write MB (task-metrics listener) — the scale signal
+  * that matters at 100 TB: a query that got faster by shuffling more is not
+  * an improvement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,6 +25,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Cumulative shuffle-write bytes across all tasks; per-query deltas are
+    // taken around each timed run. Listener delivery is async — deltas are
+    // read after a short settle loop.
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def settledShuffleBytes(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get()
+      while (cur != prev) { Thread.sleep(30); prev = cur; cur = shuffleBytes.get() }
+      cur
+    }
     // Warm the JVM + file cache on the smallest table so the first measured
     // query doesn't absorb session bring-up.
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -28,23 +48,29 @@ object Bench {
     // A failed run reports -1 for the query (never a bogus fast elapsed) and
     // is excluded from the total, so breakage reads as breakage.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var lastShuffleMb = -1.0
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
+        val s0 = settledShuffleBytes()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          lastShuffleMb = (settledShuffleBytes() - s0) / 1e6
+          sec
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
       }
       val ok = times.filter(_ >= 0)
-      name -> (if (ok.nonEmpty) ok.min else -1.0)
+      (name, if (ok.nonEmpty) ok.min else -1.0, lastShuffleMb)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, m) => "\"" + k + f"""\":$m%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
