@@ -180,23 +180,38 @@ object TextAnalysis {
           .as("chars_delta"))
       .orderBy(col("source"))
 
+  /** Longest run of equal values in a sorted array = the multiset's top
+    * element count, computed map-side with one aggregate() fold — no
+    * explode, no per-(doc, shingle) shuffle. */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** q_text_repetition — Gopher-style repetition signal: the most frequent
     * 3-gram's share of all 3-grams per document (multiset — duplicates are
-    * the signal), rolled up per source with a >10% flag count. Candidate
-    * docs shorter than 3 tokens have no 3-grams and drop out (mirrored by
+    * the signal), rolled up per source with a >10% flag count. The per-doc
+    * top count is [[maxRunLength]] over the doc's own sorted shingle array:
+    * entirely map-side, so the only shuffle in the query is the final
+    * per-source rollup (the explode → groupBy(doc, shingle) →
+    * groupBy(doc) formulation shuffled every shingle occurrence twice).
+    * Docs shorter than 3 tokens have no 3-grams and drop out (mirrored by
     * the oracle's len >= 3). */
   def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(DedupOps.shingles(col("t"), 3)).as("sh"))
-      .groupBy(col("doc_id"), col("source"), col("sh"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(max(col("c")).as("top"), sum(col("c")).as("total"))
       .select(col("source"),
-        round(col("top").cast("double") / col("total"), 6).as("rep_ratio"))
+        DedupOps.shingles(col("t"), 3).as("sh"))
+      .select(col("source"),
+        round(maxRunLength(array_sort(col("sh"))).cast("double") /
+          size(col("sh")), 6).as("rep_ratio"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("rep_ratio")), 6).as("avg_rep_ratio"),
