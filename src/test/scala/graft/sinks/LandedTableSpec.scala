@@ -27,6 +27,29 @@ class LandedTableSpec extends SparkSpec {
     assert(LandedTable.append(spark, batch, path) == 0) // replay: still 0
   }
 
+  test("dynamic partition overwrite restates only the touched dates") {
+    def doc(city: String, dt: Long, temp: Double) =
+      s"""{"name":"$city","dt":$dt,"timezone":0,""" +
+        s""""main":{"temp":$temp,"humidity":50,"pressure":1000},""" +
+        """"weather":[{"description":"x"}],"wind":{"speed":1.0}}"""
+    val d1 = 1723291200L // 2024-08-10 12:00:00 UTC
+    val d2 = 1723377600L // 2024-08-11 12:00:00 UTC
+    val path = tmpDir("landed-backfill")
+    LandedTable.append(spark,
+      flat(Seq(doc("A", d1, 10.0), doc("B", d2, 20.0))), path)
+    // restate day 2: different key AND different payload — the old B row
+    // must be GONE (restatement, not append), day 1 must be untouched
+    val n = LandedTable.overwriteDates(spark,
+      flat(Seq(doc("C", d2 + 3600, 30.0))), path)
+    assert(n == 1)
+    val rows = spark.read.parquet(path)
+      .select("city", "temperature", "utc_date")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDate(2).toString))
+      .toSet
+    assert(rows == Set(("A", 10.0, "2024-08-10"), ("C", 30.0, "2024-08-11")),
+      rows.toString)
+  }
+
   test("date-ranged read prunes partitions (PartitionFilters in the scan)") {
     val path = tmpDir("landed-part2")
     LandedTable.append(spark, flat(WeatherFixtures.all), path)
