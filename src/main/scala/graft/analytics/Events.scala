@@ -62,13 +62,48 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** q_events_retention — weekly cohort retention: users bucketed by their
+    * first-seen week, counted once per (cohort, week-offset) they were
+    * active in. Two aggregates + one join, all keyed on user_id — at scale
+    * the firsts aggregate and the activity distinct share the user_id
+    * partitioning, and the join reuses it (no extra shuffle of the big
+    * side beyond the two aggregates). */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    activity.join(firsts, "user_id")
+      .select(col("cohort").cast("date").cast("string").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_retention" -> (qRetention _),
     "q_events_hourly" -> (qHourly _),
     "q_events_json" -> (qJson _),
     "q_events_dedup" -> (qDedup _),
     "q_events_sessions" -> (qSessions _))
 
   val oracles: Map[String, String] = Map(
+    "q_events_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+        |SELECT CAST(CAST(f.cohort AS DATE) AS VARCHAR) AS cohort_week,
+        |  CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN firsts f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
