@@ -281,7 +281,46 @@ object Advanced {
       ORDER BY month""")
   }
 
+  /** q_map_funcs — MapType surface: build a status→count map per group
+    * (map_from_entries over pre-aggregated entries), then read it back with
+    * element_at / map_keys. The oracle recomputes the extracted scalars
+    * directly (DuckDB maps exist but the portable contract is the values,
+    * not the container). */
+  def qMapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("o_orderstatus"), col("c"))))).as("m"))
+      .select(col("o_orderpriority"),
+        coalesce(try_element_at(col("m"), lit("O")), lit(0L)).as("n_open"),
+        coalesce(try_element_at(col("m"), lit("F")), lit(0L)).as("n_filled"),
+        size(map_keys(col("m"))).as("n_statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q_try_funcs — ANSI-safe arithmetic: with ANSI mode ON (this engine's
+    * default), x/0 and bad casts THROW; try_divide/try_cast give the
+    * null-on-error escape hatch a 100 TB batch job needs (one poison row
+    * must not kill a 6-hour job). day(o_orderdate)-1 is 0 for
+    * first-of-month rows, so the nulls actually occur. */
+  def qTryFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        try_divide(col("o_totalprice"),
+          (dayofmonth(col("o_orderdate")) - 1).cast("double")).as("d"),
+        try_to_number(substring(col("o_orderpriority"), 1, 1), lit("9"))
+          .as("prio_num"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        round(sum(coalesce(col("d"), lit(0.0))), 2).as("sum_div"),
+        max(col("prio_num")).cast("int").as("prio"))
+      .orderBy(col("o_orderpriority"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_try_funcs" -> (qTryFuncs _),
     "q_corr_scalar" -> (qCorrScalar _),
     "q_in_subquery" -> (qInSubquery _),
     "q_argmax" -> (qArgmax _),
@@ -300,6 +339,28 @@ object Advanced {
     "q_unpivot" -> (qUnpivot _))
 
   val oracles: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_filled,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_try_funcs" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN EXTRACT(day FROM o_orderdate) = 1 THEN NULL
+        |         ELSE o_totalprice / (EXTRACT(day FROM o_orderdate) - 1)
+        |    END AS d,
+        |    TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_div_null,
+        |  ROUND(SUM(COALESCE(d, 0.0)), 2) AS sum_div,
+        |  CAST(MAX(prio_num) AS INT) AS prio
+        |FROM t GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q_corr_scalar" ->
       """SELECT s.s_nationkey, s.s_name, ROUND(s.s_acctbal, 2) AS top_bal
         |FROM supplier s
