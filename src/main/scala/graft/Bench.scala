@@ -50,8 +50,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var lastShuffleMb = -1.0
       val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+        // settle BEFORE starting the clock — the settle loop always sleeps
+        // at least once and must not be billed to the query
         val s0 = settledShuffleBytes()
+        val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9

@@ -166,13 +166,19 @@ object Advanced {
   def qMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val snapshot = Tables.orders(spark, sfDir)
       .select(col("o_orderkey").as("key"), col("o_totalprice").as("s_price"))
+    // Insert keys sit strictly above the table's actual max key — a fixed
+    // offset would collide with real keys at large scale factors, and a
+    // plain +max offset collides via key 0 (this data's keys start at 0);
+    // either silently reclassifies inserts as updates.
+    val maxKey = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
     val updates = Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey").as("key"),
         round(col("o_totalprice") * 1.1, 2).as("u_price"))
       .unionByName(
         Tables.orders(spark, sfDir).filter(col("o_orderkey") % 97 === 0)
-          .select((col("o_orderkey") + 100000000L).as("key"),
+          .select((col("o_orderkey") + lit(maxKey)).as("key"),
             lit(100.0).as("u_price")))
     snapshot.join(updates, Seq("key"), "full_outer")
       .select(
@@ -496,7 +502,8 @@ object Advanced {
         |  SELECT o_orderkey AS key, ROUND(o_totalprice * 1.1, 2) AS u_price
         |  FROM orders WHERE o_orderkey % 97 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000 AS key, 100.0 AS u_price
+        |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS key,
+        |    100.0 AS u_price
         |  FROM orders WHERE o_orderkey % 97 = 0)
         |SELECT
         |  CASE WHEN u_price IS NOT NULL AND s_price IS NOT NULL THEN 'update'

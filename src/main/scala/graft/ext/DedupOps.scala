@@ -88,7 +88,11 @@ object DedupOps {
     * optional maxDf stop-shingle cutoff, cached — the index feeds multiple
     * consumers (pair generation + per-doc sizes + signatures/verification)
     * and caching beats recomputing the tokenize→shingle→explode lineage per
-    * consumer. ~16 bytes/row, spills to disk if it ever outgrows memory. */
+    * consumer. ~16 bytes/row, spills to disk if it ever outgrows memory.
+    * Repeat calls do NOT stack cache entries: CacheManager dedups by
+    * canonicalized logical plan, so the same (docs, k, maxDf) re-registers
+    * the existing entry ("Asked to cache already cached data" warning);
+    * distinct inputs get one bounded entry each for the session. */
   private def cachedIndex(docs: DataFrame, k: Int,
                           maxDf: Option[Int]): DataFrame = {
     val sh0 = hashedShingleIndex(docs, k)
@@ -217,8 +221,13 @@ object DedupOps {
     * 64-column aggregate for a per-row computation). Token hashing is
     * bit-identical to `xxhash64(token)`, so results are unchanged. */
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
+    docs
+      // same contract as the old explode/aggregate form: a null text
+      // produced no token rows, so the doc was absent from the output —
+      // not present with a NULL hash
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        simhash64(TextAnalysis.tokens(col("text"))).as("simhash"))
 
   /** Candidate pairs by 16-bit block collision (4 blocks; guarantees all
     * pairs at hamming ≤ 3, approximates above), verified by bit_count. */

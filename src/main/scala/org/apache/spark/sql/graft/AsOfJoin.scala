@@ -105,8 +105,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     * real tree) and again from doExecute, so a misuse surfaces with column
     * names and types instead of as a ClassCastException deep in the merge. */
   private lazy val validated: Unit = {
-    longGetter(attr(left, leftKey), "left key")
-    longGetter(attr(right, rightKey), "right key")
+    val lk = attr(left, leftKey); val rk = attr(right, rightKey)
+    longGetter(lk, "left key")
+    longGetter(rk, "right key")
+    // Key hash-families must also agree: ClusteredDistribution is satisfied
+    // with HashPartitioning over the RAW attribute, and Spark hashes
+    // int-width and long-width values differently (hashInt vs hashLong) —
+    // a mixed int/long key pair would co-partition WRONG and null-extend
+    // every left row silently.
+    require(tsFamily(lk.dataType) == tsFamily(rk.dataType),
+      s"as-of join key columns disagree on width family: ${lk.name}: " +
+        s"${lk.dataType.sql} vs ${rk.name}: ${rk.dataType.sql} — " +
+        "cast one side so both partition identically")
     val lt = attr(left, leftTs); val rt = attr(right, rightTs)
     longGetter(lt, "left ts"); longGetter(rt, "right ts")
     require(tsFamily(lt.dataType) == tsFamily(rt.dataType),

@@ -109,6 +109,15 @@ class AsOfSpec extends SparkSpec {
     assert(err.getMessage.contains("unsupported type"), err.getMessage)
   }
 
+  test("mixed int/long key widths fail at planning (they hash-partition differently)") {
+    val left = Seq((1, 10L, "l1")).toDF("k", "t", "ltag")
+    val right = Seq((1L, 8L, "r1")).toDF("rk", "rt", "rtag")
+    val err = intercept[Exception] {
+      AsOf.join(left, right, "k", "t", "rk", "rt").collect()
+    }
+    assert(err.getMessage.contains("disagree on width family"), err.getMessage)
+  }
+
   test("mixed day/micros time units fail at planning, not compare wrong") {
     val left = Seq((1L, ts("2024-01-10 00:00:00"), "l1")).toDF("k", "t", "ltag")
     val right = Seq((1L, java.sql.Date.valueOf("2024-01-08"), "r1"))
