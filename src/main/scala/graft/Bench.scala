@@ -42,14 +42,17 @@ object Bench {
     // Warm the JVM + file cache on the smallest table so the first measured
     // query doesn't absorb session bring-up.
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Two timed executions per query, keep the min: JIT-compiled codegen and
-    // GC pauses put ±2s of noise on individual cold runs; min-of-2 is the
-    // steady-state number a resident engine would serve.
+    // N timed executions per query, keep the min: JIT-compiled codegen and
+    // GC pauses put ±2s of noise on individual cold runs (and ±4s on the
+    // 65-query total at min-of-2); min-of-N is the steady-state number a
+    // resident engine would serve, and N=3 halves the total's run-to-run
+    // spread for ~80s of extra wall.
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // A failed run reports -1 for the query (never a bogus fast elapsed) and
     // is excluded from the total, so breakage reads as breakage.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var lastShuffleMb = -1.0
-      val times = (1 to 2).map { _ =>
+      val times = (1 to benchRuns).map { _ =>
         // settle BEFORE starting the clock — the settle loop always sleeps
         // at least once and must not be billed to the query
         val s0 = settledShuffleBytes()
