@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorAggregates.vector_mean
 import graft.functions.VectorFunctions.cosine_sim
 import graft.sources.Tables
 
@@ -51,8 +52,11 @@ object SimilarityIvf {
 
   /** Train nList centroids with Lloyd's iterations in cosine space.
     * Init = deterministic systematic sample (vec_id mod stride). Mean
-    * vectors are computed with `aggregate`+`zip_with` array sums — one
-    * shuffle of nList groups per iteration, partial-aggregated map-side. */
+    * vectors use the typed [[vector_mean]] Aggregator — fixed-size
+    * (dim doubles) mergeable state per group, partial-aggregated map-side,
+    * where a collect_list-based mean would materialize every member vector
+    * of a list in one buffer (unbounded state — the thing that OOMs on a
+    * hot list at scale). One shuffle of nList groups per iteration. */
   def train(corpus: DataFrame, nList: Int, nIters: Int = 3, dim: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     val n = corpus.count()
@@ -61,19 +65,13 @@ object SimilarityIvf {
       .filter(col("vec_id") % stride === 0).limit(nList)
       .select((col("vec_id") / stride).cast("int").as("centroid_id"),
         col("embedding").as("centroid")))
-    val zeros = array((0 until dim).map(_ => lit(0.0d)): _*)
     (1 to nIters).foreach { _ =>
       cents = collectCentroids(corpus
         .select(assignExpr(cents, col("embedding")).as("list_id"),
           col("embedding"))
         .groupBy(col("list_id"))
-        .agg(
-          aggregate(collect_list(col("embedding")), zeros,
-            (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("sums"),
-          count(lit(1)).as("cnt"))
-        .select(col("list_id").as("centroid_id"),
-          transform(col("sums"), s => (s / col("cnt")).cast("float"))
-            .as("centroid")))
+        .agg(vector_mean(col("embedding")).as("centroid"))
+        .select(col("list_id").as("centroid_id"), col("centroid")))
     }
     centroidDf(spark, cents)
   }
