@@ -312,5 +312,7 @@ object GraftExpressions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
   }
 }
