@@ -324,7 +324,42 @@ object Advanced {
         max(col("prio_num")).cast("int").as("prio"))
       .orderBy(col("o_orderpriority"))
 
+  /** q_having — HAVING over an aggregated IN-subquery (the TPC-H q18
+    * shape): orders whose total line quantity clears a threshold. The
+    * subquery aggregate runs once and semi-joins — no per-row re-execution. */
+  def qHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT o.o_orderkey, o.o_orderpriority, ROUND(o.o_totalprice, 2) AS price
+      FROM orders o
+      WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+      ORDER BY o.o_orderkey""")
+  }
+
+  /** q_window_range — time-RANGE window frame (peers by VALUE, not row
+    * position): trailing-30-day revenue per priority. Range frames are
+    * tie-deterministic by construction — all date peers share one frame —
+    * so no tiebreaker column is needed, unlike every ROWS frame here. */
+  def qWindowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // orderdate is TIMESTAMP_NTZ; ANSI forbids a direct long cast — go via
+    // TIMESTAMP (identity under the engine's fixed UTC session timezone)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("rev_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_having" -> (qHaving _),
+    "q_window_range" -> (qWindowRange _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_try_funcs" -> (qTryFuncs _),
     "q_corr_scalar" -> (qCorrScalar _),
@@ -345,6 +380,21 @@ object Advanced {
     "q_unpivot" -> (qUnpivot _))
 
   val oracles: Map[String, String] = Map(
+    "q_having" ->
+      """SELECT o.o_orderkey, o.o_orderpriority, ROUND(o.o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER w, 2) AS rev_30d,
+        |  COUNT(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_map_funcs" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
