@@ -76,6 +76,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    // The full line above now exceeds the driver's tail-capture window (67
+    // per-query timings + shuffle map truncate its head -> unparseable), so
+    // ALSO emit a compact total-only record LAST: the tail always contains a
+    // complete JSON line. n_queries/failed make a silently-shrunk suite
+    // visible in the compact record too.
+    val failed = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed}""")
     spark.stop()
   }
 }

@@ -19,6 +19,17 @@ import graft.sources.Tables
   */
 object DedupOps {
 
+  /** Default stop-shingle cutoff for [[jaccardPairs]]: shingles present in
+    * more than this many documents are dropped before pair generation. The
+    * posting-list pair expansion is C(df, 2) PER SHINGLE — a natural-language
+    * corpus at 100 TB has stop-shingles ("of the and" …) with df in the
+    * millions, which would explode quadratically. Such shingles carry ~zero
+    * Jaccard signal (they're in everything), so dropping them changes scores
+    * negligibly while bounding every posting list. Production entry points
+    * get this default; only the oracle-parity query passes an explicit
+    * `None` (the DuckDB recompute is unguarded, so parity requires it). */
+  val DefaultMaxDf = 1000
+
   // ---- shingling ----
 
   /** Contiguous k-token shingles (space-joined). Documents shorter than k
@@ -117,7 +128,7 @@ object DedupOps {
     * (§[[hashedShingleIndex]]) are ~1e-8 over a million distinct shingles —
     * the DuckDB oracle on exact strings still hash-matches. */
   def jaccardPairs(docs: DataFrame, k: Int = 3,
-                   maxDf: Option[Int] = None): DataFrame = {
+                   maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val sh = cachedIndex(docs, k, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     cooccurrencePairs(sh)
@@ -128,9 +139,14 @@ object DedupOps {
   }
 
   /** q_dedup_ngram — top-20 most-similar pairs by 3-gram Jaccard
-    * (deterministic: rounded score desc, then ids). */
+    * (deterministic: rounded score desc, then ids).
+    *
+    * `maxDf = None` is the ORACLE-PARITY configuration only: the DuckDB
+    * recompute has no stop-shingle cutoff, so hash-equality requires the
+    * unguarded index. Do not copy this into a pipeline — every production
+    * entry point defaults to [[DefaultMaxDf]] for exactly that reason. */
   def qNgram(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, sfDir), k = 3)
+    jaccardPairs(Tables.documents(spark, sfDir), k = 3, maxDf = None)
       .select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorAggregates.vector_mean
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions.{centroid_argmax, centroid_topn, cosine_sim}
 import graft.sources.Tables
 
 /** IVF (inverted-file) ANN — the second scale path next to
@@ -42,13 +42,22 @@ object SimilarityIvf {
     cents.toDF("centroid_id", "centroid")
   }
 
-  /** Map-side argmax-cosine assignment against literal centroids: array_max
-    * over (sim, id) structs compares fields in order — max sim, ties to the
-    * larger id (same tie rule as max_by on struct(sim, centroid_id)). */
-  private def assignExpr(cents: Seq[(Int, Seq[Float])], emb: Column): Column =
-    array_max(array(cents.map { case (id, c) =>
-      struct(cosine_sim(emb, typedlit(c)).as("sim"), lit(id).as("cid"))
-    }: _*)).getField("cid")
+  /** Flatten driver model state into the (ids, matrix) pair the native
+    * centroid kernels carry via `addReferenceObj` — ids stay explicit
+    * because Lloyd iterations can empty a list (gaps). */
+  private def flat(cents: Seq[(Int, Seq[Float])]): (Array[Int], Array[Float]) =
+    (cents.map(_._1).toArray, cents.flatMap(_._2).toArray)
+
+  /** Map-side argmax-cosine assignment via the fused [[centroid_argmax]]
+    * kernel (max cosine, ties to the larger id — the array_max-over-structs
+    * tie rule). The composed alternative — nList separate
+    * `cosine_sim(emb, typedlit(centroid))` struct nodes — costs seconds of
+    * analysis/codegen once nList reaches the 10³–10⁵ a 100 TB corpus needs
+    * (nList ≈ √n); the kernel is O(1) to plan regardless of nList. */
+  private def assignExpr(cents: Seq[(Int, Seq[Float])], emb: Column): Column = {
+    val (ids, m) = flat(cents)
+    centroid_argmax(emb, m, ids)
+  }
 
   /** Train nList centroids with Lloyd's iterations in cosine space.
     * Init = deterministic systematic sample (vec_id mod stride). Mean
@@ -83,27 +92,23 @@ object SimilarityIvf {
       assignExpr(collectCentroids(centroids), col("embedding")))
 
   /** Query: probe the nProbe closest lists per query, exact-score only the
-    * vectors in those lists. The probe table (|Q|·nProbe rows, carrying the
-    * query embedding) broadcasts, so candidate generation + scoring is one
-    * map-side pass over the index; the only shuffle is the final per-query
-    * top-k window on (query_id, vec_id, score) triples. */
+    * vectors in those lists. Probe selection is the fused [[centroid_topn]]
+    * kernel — nProbe ranking happens INSIDE the expression (cosine desc,
+    * ties to the smaller id, the row_number contract), so the per-query
+    * ranking window (and its shuffle) is gone from the probe side entirely.
+    * The probe table (|Q|·nProbe rows, carrying the query embedding)
+    * broadcasts, so candidate generation + scoring is one map-side pass over
+    * the index; the only shuffle is the final per-query top-k window on
+    * (query_id, vec_id, score) triples. */
   def topK(queries: DataFrame, indexed: DataFrame, centroids: DataFrame,
            k: Int, nProbe: Int): DataFrame = {
-    val cents = collectCentroids(centroids)
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("centroid_id"))
+    val (ids, m) = flat(collectCentroids(centroids))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .select(col("query_id"), col("q_emb"),
-        explode(array(cents.map { case (id, c) =>
-          struct(cosine_sim(col("q_emb"), typedlit(c)).as("csim"),
-            lit(id).as("centroid_id"))
-        }: _*)).as("sc"))
+        explode(centroid_topn(col("q_emb"), m, ids, nProbe)).as("sc"))
       .select(col("query_id"), col("q_emb"),
-        col("sc.csim").as("csim"), col("sc.centroid_id").as("centroid_id"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("centroid_id").as("list_id"))
+        col("sc.centroid_id").as("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     indexed.join(broadcast(probes), "list_id")

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, RollingHash, SimHash64}
+import org.apache.spark.sql.graft.{CentroidArgmax, CentroidTopN, CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, RollingHash, SimHash64}
 
 /** Public facade over the native Catalyst kernels in
   * [[org.apache.spark.sql.graft]] (which must live inside Spark's namespace
@@ -28,6 +28,23 @@ object VectorFunctions {
                          nTables: Int, bitsPerTable: Int): Column =
     GraftExpressions.column(HyperplaneBuckets(
       GraftExpressions.expression(emb), planes, nTables, bitsPerTable))
+
+  /** centroid_argmax(emb): id of the nearest (max-cosine) centroid —
+    * `centroids` is the flattened ids.length × dim matrix, carried as one
+    * reference object so the plan stays O(1) in nList. Ties go to the larger
+    * id; throws on dimension mismatch. */
+  def centroid_argmax(emb: Column, centroids: Array[Float],
+                      ids: Array[Int]): Column =
+    GraftExpressions.column(CentroidArgmax(
+      GraftExpressions.expression(emb), centroids, ids))
+
+  /** centroid_topn(emb): the topN nearest centroids as
+    * array<struct<csim double, centroid_id int>>, cosine DESC, ties to the
+    * smaller id — the IVF probe step fused into one O(1)-to-plan kernel. */
+  def centroid_topn(emb: Column, centroids: Array[Float], ids: Array[Int],
+                    topN: Int): Column =
+    GraftExpressions.column(CentroidTopN(
+      GraftExpressions.expression(emb), centroids, ids, topN))
 
   /** simhash64(tokens): 64-bit SimHash of an array<string> column — per-
     * token xxhash64 majority vote, fused into one map-side kernel. */

@@ -296,9 +296,225 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Float],
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment in ONE kernel: `centroids` is the flattened
+  * nList × dim centroid matrix and `ids` the parallel list-id array (ids may
+  * have gaps — Lloyd iterations can empty a list), both carried as plain
+  * reference objects. The composed form (nList separate
+  * `cosine_sim(emb, typedlit(centroid))` struct nodes under array_max) is the
+  * same plan-overhead trap [[HyperplaneBuckets]] kills: at the nList a 100 TB
+  * corpus needs (10³–10⁵ lists ≈ √n) those literal nodes cost seconds of
+  * analysis/codegen per query. This node is O(1) to plan regardless of nList.
+  *
+  * Returns the id of the max-cosine centroid; ties go to the LARGER id
+  * (ids are sorted ascending — same tie rule as `array_max` over
+  * struct(sim, id), which the composed form used). Zero-norm inputs or
+  * centroids score 0.0. An embedding whose length ≠ dim throws. */
+case class CentroidArgmax(child: Expression, centroids: Array[Float],
+                          ids: Array[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ids.length > 0 && centroids.length % ids.length == 0,
+    s"centroid matrix length ${centroids.length} not divisible by nList ${ids.length}")
+  private val nList = ids.length
+  private val dim = centroids.length / nList
+  @transient private lazy val cNorms: Array[Double] =
+    GraftExpressions.centroidNorms(centroids, nList, dim)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "centroid_argmax"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) throw new IllegalArgumentException(
+      s"centroid dim=$dim but embedding has length ${a.numElements()}")
+    var en = 0.0; var i = 0
+    while (i < dim) { val x = a.getFloat(i); en += x * x; i += 1 }
+    en = math.sqrt(en)
+    var best = Double.NegativeInfinity; var bestIdx = 0; var c = 0
+    while (c < nList) {
+      var dot = 0.0; val base = c * dim; i = 0
+      while (i < dim) { dot += centroids(base + i) * a.getFloat(i); i += 1 }
+      val sim = if (cNorms(c) == 0.0 || en == 0.0) 0.0 else dot / (cNorms(c) * en)
+      if (sim >= best) { best = sim; bestIdx = c }
+      c += 1
+    }
+    ids(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("centroids", centroids, "float[]")
+      val ns = ctx.addReferenceObj("cNorms", cNorms, "double[]")
+      val is = ctx.addReferenceObj("ids", ids, "int[]")
+      val en = ctx.freshName("en"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val sim = ctx.freshName("sim"); val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx"); val base = ctx.freshName("base")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "centroid dim=$dim but embedding has length " + $a.numElements());
+         |}
+         |double $en = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  float x = $a.getFloat($i); $en += x * x;
+         |}
+         |$en = java.lang.Math.sqrt($en);
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestIdx = 0;
+         |for (int $c = 0; $c < $nList; $c++) {
+         |  double $dot = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += $cs[$base + $i] * $a.getFloat($i);
+         |  }
+         |  double $sim = ($ns[$c] == 0.0 || $en == 0.0)
+         |    ? 0.0 : $dot / ($ns[$c] * $en);
+         |  if ($sim >= $best) { $best = $sim; $bestIdx = $c; }
+         |}
+         |${ev.value} = $is[$bestIdx];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-N nearest centroids in ONE kernel (the IVF probe step): same matrix
+  * and contract as [[CentroidArgmax]], returning
+  * array<struct<csim double, centroid_id int>> ordered by cosine DESC, ties
+  * to the SMALLER id — the exact row_number(csim desc, id asc) contract the
+  * composed explode-over-literals probe used, so nProbe selection happens
+  * inside the kernel and the per-query ranking window (a shuffle) disappears
+  * from the plan entirely. */
+case class CentroidTopN(child: Expression, centroids: Array[Float],
+                        ids: Array[Int], topN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ids.length > 0 && centroids.length % ids.length == 0,
+    s"centroid matrix length ${centroids.length} not divisible by nList ${ids.length}")
+  require(topN > 0, s"topN must be positive, got $topN")
+  private val nList = ids.length
+  private val dim = centroids.length / nList
+  private val m = math.min(topN, nList)
+  @transient private lazy val cNorms: Array[Double] =
+    GraftExpressions.centroidNorms(centroids, nList, dim)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("csim", DoubleType, nullable = false),
+    StructField("centroid_id", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "centroid_topn"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() != dim) throw new IllegalArgumentException(
+      s"centroid dim=$dim but embedding has length ${a.numElements()}")
+    var en = 0.0; var i = 0
+    while (i < dim) { val x = a.getFloat(i); en += x * x; i += 1 }
+    en = math.sqrt(en)
+    val sims = new Array[Double](m); val idx = new Array[Int](m)
+    var filled = 0; var c = 0
+    while (c < nList) {
+      var dot = 0.0; val base = c * dim; i = 0
+      while (i < dim) { dot += centroids(base + i) * a.getFloat(i); i += 1 }
+      val sim = if (cNorms(c) == 0.0 || en == 0.0) 0.0 else dot / (cNorms(c) * en)
+      // Insertion keeps sims desc; strict > means equal sims keep scan
+      // (= ascending id) order, i.e. ties to the smaller id.
+      var pos = filled
+      while (pos > 0 && sim > sims(pos - 1)) pos -= 1
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var k = last
+        while (k > pos) { sims(k) = sims(k - 1); idx(k) = idx(k - 1); k -= 1 }
+        sims(pos) = sim; idx(pos) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val rows = new Array[Any](filled)
+    var k = 0
+    while (k < filled) {
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(sims(k), ids(idx(k)))
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("centroids", centroids, "float[]")
+      val ns = ctx.addReferenceObj("cNorms", cNorms, "double[]")
+      val is = ctx.addReferenceObj("ids", ids, "int[]")
+      val en = ctx.freshName("en"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val sim = ctx.freshName("sim"); val base = ctx.freshName("base")
+      val sims = ctx.freshName("sims"); val idx = ctx.freshName("idx")
+      val filled = ctx.freshName("filled"); val pos = ctx.freshName("pos")
+      val k = ctx.freshName("k"); val last = ctx.freshName("last")
+      val rows = ctx.freshName("rows")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "centroid dim=$dim but embedding has length " + $a.numElements());
+         |}
+         |double $en = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  float x = $a.getFloat($i); $en += x * x;
+         |}
+         |$en = java.lang.Math.sqrt($en);
+         |double[] $sims = new double[$m];
+         |int[] $idx = new int[$m];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $nList; $c++) {
+         |  double $dot = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += $cs[$base + $i] * $a.getFloat($i);
+         |  }
+         |  double $sim = ($ns[$c] == 0.0 || $en == 0.0)
+         |    ? 0.0 : $dot / ($ns[$c] * $en);
+         |  int $pos = $filled;
+         |  while ($pos > 0 && $sim > $sims[$pos - 1]) $pos--;
+         |  if ($pos < $m) {
+         |    int $last = java.lang.Math.min($filled, $m - 1);
+         |    for (int $k = $last; $k > $pos; $k--) {
+         |      $sims[$k] = $sims[$k - 1]; $idx[$k] = $idx[$k - 1];
+         |    }
+         |    $sims[$pos] = $sim; $idx[$pos] = $c;
+         |    if ($filled < $m) $filled++;
+         |  }
+         |}
+         |Object[] $rows = new Object[$filled];
+         |for (int $k = 0; $k < $filled; $k++) {
+         |  $rows[$k] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $sims[$k], $is[$idx[$k]] });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   val RollingBase = 257L
   val SignMask = 0x7fffffffffffffffL
+
+  /** Per-centroid L2 norms of a flattened nList × dim matrix (computed once,
+    * driver-side, shared by the centroid kernels). */
+  private[graft] def centroidNorms(cents: Array[Float], nList: Int,
+                                   dim: Int): Array[Double] = {
+    val out = new Array[Double](nList)
+    var c = 0
+    while (c < nList) {
+      var s = 0.0; var i = 0; val base = c * dim
+      while (i < dim) { val x = cents(base + i); s += x * x; i += 1 }
+      out(c) = math.sqrt(s); c += 1
+    }
+    out
+  }
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

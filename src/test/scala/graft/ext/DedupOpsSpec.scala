@@ -117,6 +117,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(filtered == 0)    // cutoff removes shingles present in >2 docs
   }
 
+  test("jaccardPairs DEFAULT bounds posting lists (stop-shingles can't explode)") {
+    // DefaultMaxDf+1 docs all share one hot shingle; each doc's second
+    // shingle is unique. Unguarded, the hot posting list alone emits
+    // C(1001, 2) ≈ 500k pairs; the default cutoff must drop it entirely.
+    val n = DedupOps.DefaultMaxDf + 1
+    val docs = (0 until n).map(i => (i.toLong, s"common one two w$i"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.jaccardPairs(docs).count() == 0)
+    // the guard is the default, not a lucky corpus: unguarded DOES explode
+    assert(DedupOps.jaccardPairs(docs, maxDf = None).count() == n.toLong * (n - 1) / 2)
+  }
+
   test("embedding near-dup query returns self-consistent cosine ordering") {
     val res = DedupOps.qEmbedding(spark, sf).collect()
     val cosines = res.map(_.getAs[Double]("cosine"))
