@@ -11,24 +11,34 @@ import graft.sources.RestWeatherSource
   * moves to the orchestrator; the run itself is this job).
   *
   *   spark-submit --class graft.pipeline.WeatherEtlMain <jar> \
-  *     --table /data/weather [--fixture]
+  *     --table /data/weather [--fixture] [--stage ddl|run]
   *
   * Env config (CITY/LANG/UNITS/API_KEY) and fail-fast semantics are the
   * reference's (weather_etl.py:93–99). `--fixture` swaps the HTTP transport
   * for the canonical fixture document — the offline smoke path.
+  * `--stage ddl` runs only the idempotent catalog bootstrap (the DAG twin's
+  * first task, mirroring create_database_and_user/create_table); the
+  * default stage runs the full fetch → transform → load pipeline.
   */
 object WeatherEtlMain {
 
   def main(args: Array[String]): Unit = {
     val table = argValue(args, "--table").getOrElse("/tmp/graft-weather-table")
     val fixture = args.contains("--fixture")
+    val stage = argValue(args, "--stage").getOrElse("run")
     val spark = SparkSession.builder()
       .appName("weather-etl")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      val result = run(spark, table, fixture)
-      println(s"[weather-etl] fetched=${result.fetched} appended=${result.appended}")
+    try stage match {
+      case "ddl" =>
+        graft.core.WeatherDdl.ensureTable(spark, Some(table))
+        println(s"[weather-etl] ddl ensured table=$table")
+      case "run" =>
+        val result = run(spark, table, fixture)
+        println(s"[weather-etl] fetched=${result.fetched} appended=${result.appended}")
+      case other =>
+        throw new IllegalArgumentException(s"unknown --stage: $other")
     } finally spark.stop()
   }
 

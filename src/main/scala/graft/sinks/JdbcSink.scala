@@ -11,10 +11,13 @@ import graft.core.WeatherTransform
   * timestamp columns (weather_etl.py:75–76) are produced by the same
   * sink-edge formatting as the batch path.
   *
-  * Untestable in this container (zero egress, no MySQL) — covered by option
-  * construction tests; the parquet sink ([[graft.core.WeatherDedup]]) is the
-  * engine-native path and carries the correctness suite. The reference's
-  * CREATE USER / GRANT (weather_etl.py:46–48) maps to these credentials.
+  * MySQL itself is unreachable in this container (zero egress), but the
+  * write path EXECUTES here: JdbcSinkSpec drives [[append]] through embedded
+  * Derby (shipped with Spark) and reads the rows back, including the FLOAT
+  * narrowing the reference's DDL applies server-side. The parquet sink
+  * ([[graft.core.WeatherDedup]]) remains the engine-native path and carries
+  * the correctness suite. The reference's CREATE USER / GRANT
+  * (weather_etl.py:46–48) maps to these credentials.
   */
 object JdbcSink {
 
@@ -42,8 +45,13 @@ object JdbcSink {
     * timestamp formatting. Note the FLOAT narrowing the reference's DDL
     * applies (weather_etl.py:70,74) happens server-side on insert; the
     * engine keeps doubles (SURVEY.md §7 "type-coercion edges"). */
-  def append(flat: DataFrame, cfg: Config): Unit =
+  def append(flat: DataFrame, cfg: Config): Unit = append(flat, cfg.options)
+
+  /** The executable core: same sink-edge formatting, arbitrary JDBC
+    * connection options — what lets an embedded-Derby spec execute the
+    * exact write path the MySQL config drives in production. */
+  def append(flat: DataFrame, options: Map[String, String]): Unit =
     WeatherTransform.formatForSink(flat)
-      .write.format("jdbc").options(cfg.options)
+      .write.format("jdbc").options(options)
       .mode(SaveMode.Append).save()
 }

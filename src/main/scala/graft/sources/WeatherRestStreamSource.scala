@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -30,9 +30,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Offsets are a monotone fetch counter: the [[SupportsAdmissionControl]]
   * `latestOffset(start, limit)` path — which the engine calls exactly once
-  * per trigger to admit data — advances the counter by one, so the trigger
-  * cadence (the reference's 2 minutes) fully determines ingest rate.
-  * Monitoring polls go through the non-mutating `reportLatestOffset`, so
+  * per trigger to admit data — advances the counter by
+  * `maxFetchesPerTrigger` (option, default 1), so the trigger cadence (the
+  * reference's 2 minutes) × the per-trigger rate fully determines ingest.
+  * A tighter engine-supplied [[ReadMaxRows]] (alone or inside a
+  * [[CompositeReadLimit]]) is honored — the admitted range never exceeds
+  * its `maxRows`; `ReadAllAvailable` falls back to the configured rate
+  * (a synthetic source has no backlog to drain). Monitoring polls go
+  * through the non-mutating `reportLatestOffset`, so
   * idle polls never manufacture a fetch. Replaying a (start, end] range
   * re-fetches — at-least-once, which the downstream key dedup (O13) turns
   * into effectively-once, exactly the reference's design.
@@ -91,12 +96,20 @@ private class WeatherRestTable(props: Map[String, String])
     }
 }
 
-private case class FetchCountOffset(n: Long) extends Offset {
+private[sources] case class FetchCountOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private class WeatherRestMicroBatchStream(props: Map[String, String])
+private[sources] class WeatherRestMicroBatchStream(props: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl {
+  /** Fetches admitted per trigger when the engine doesn't constrain
+    * tighter. The reference's rate is one observation per tick; >1 models
+    * a multi-city/paginated fetch at the same cadence. */
+  private val maxFetchesPerTrigger: Long = {
+    val m = props.getOrElse("maxFetchesPerTrigger", "1").toLong
+    require(m > 0, s"maxFetchesPerTrigger must be positive, got $m")
+    m
+  }
   @volatile private var latest = 0L
   override def initialOffset(): Offset = FetchCountOffset(0L)
   /** Engine never calls this when SupportsAdmissionControl is implemented —
@@ -104,14 +117,27 @@ private class WeatherRestMicroBatchStream(props: Map[String, String])
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "weather-rest implements SupportsAdmissionControl; use latestOffset(start, limit)")
-  /** The per-trigger admission decision: end = start + 1, exactly one fetch
-    * per elapsed trigger regardless of how often anything else polls. */
+  /** Tightest maxRows bound inside a possibly-composite limit; None when
+    * the engine imposes none (ReadAllAvailable / min-rows-only). */
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: ReadMaxRows => Some(r.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxRowsOf).minOption
+    case _: ReadAllAvailable => None
+    case _ => None // ReadMinRows: a synthetic source cannot wait for backlog
+  }
+  /** The per-trigger admission decision: end = start + the configured
+    * per-trigger rate, capped by any engine-supplied maxRows — regardless
+    * of how often anything else polls. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val next = start.asInstanceOf[FetchCountOffset].n + 1
+    val admit = maxRowsOf(limit).fold(maxFetchesPerTrigger)(
+      math.min(maxFetchesPerTrigger, _))
+    val next = start.asInstanceOf[FetchCountOffset].n + admit
     if (next > latest) latest = next
     FetchCountOffset(next)
   }
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(maxFetchesPerTrigger)
   /** Monitoring path — reports without advancing. */
   override def reportLatestOffset(): Offset = FetchCountOffset(latest)
   /** Restart path: the checkpoint feeds committed offsets back through here —

@@ -40,6 +40,39 @@ class WeatherEtlJobSpec extends SparkSpec {
     }
   }
 
+  test("load failure fails fast by default (an engine must not drop data silently)") {
+    // tablePath is an existing plain FILE -> the parquet append cannot succeed
+    val f = java.nio.file.Files.createTempFile("etl-notadir", ".bin")
+    intercept[Exception] {
+      WeatherEtlJob.run(spark, cfg, f.toString, FakeFetcher)
+    }
+  }
+
+  test("failFastLoad=false mirrors the reference's swallow-and-log load edge (weather_etl.py:190–191)") {
+    val f = java.nio.file.Files.createTempFile("etl-notadir2", ".bin")
+    val r = WeatherEtlJob.run(spark, cfg, f.toString, FakeFetcher,
+      failFastLoad = false)
+    assert(r.fetched == 1 && r.appended == 0)
+    assert(r.loadError.isDefined) // swallowed but surfaced, not lost
+  }
+
+  test("DAG twin exists and mirrors the reference's scheduling envelope (weather_etl.py:15–29,228)") {
+    val dag = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("airflow/dags/weather_etl_spark.py")), "UTF-8")
+    // the submit unit is this engine's main
+    assert(dag.contains("graft.pipeline.WeatherEtlMain"))
+    assert(dag.contains("SparkSubmitOperator"))
+    // reference retry policy (weather_etl.py:20–21) and cadence (:29)
+    assert(dag.contains("\"retries\": 1"))
+    assert(dag.contains("retry_delay\": timedelta(minutes=5)"))
+    assert(dag.contains("schedule_interval=timedelta(minutes=2)"))
+    assert(dag.contains("catchup=False"))
+    // linear chain, DDL first (:228)
+    assert(dag.contains("ensure_catalog >> run_etl"))
+    // both stages of the engine's main are exercised
+    assert(dag.contains("\"--stage\", \"ddl\""))
+  }
+
   test("loadMany fan-out fetches per city, distributed, through one transform") {
     object CityEcho extends RestWeatherSource.Fetcher {
       def fetch(url: String): String = {

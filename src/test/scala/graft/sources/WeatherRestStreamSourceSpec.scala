@@ -75,6 +75,49 @@ class WeatherRestStreamSourceSpec extends SparkSpec {
       s"no rows after restart: $afterFirst -> $afterSecond")
   }
 
+  test("weather-rest: admission honors ReadLimit (engine cap vs configured rate)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val s = new WeatherRestMicroBatchStream(Map("maxFetchesPerTrigger" -> "3"))
+    def end(start: Long, limit: ReadLimit): Long =
+      s.latestOffset(FetchCountOffset(start), limit)
+        .asInstanceOf[FetchCountOffset].n
+    // the source advertises its configured rate as its default limit
+    assert(s.getDefaultReadLimit == ReadLimit.maxRows(3))
+    // no engine constraint -> the configured per-trigger rate
+    assert(end(0, ReadLimit.allAvailable()) == 3)
+    // tighter engine maxRows wins
+    assert(end(3, ReadLimit.maxRows(2)) == 5)
+    // looser engine maxRows does NOT raise the configured rate
+    assert(end(5, ReadLimit.maxRows(100)) == 8)
+    // composite: tightest member applies
+    assert(end(8, ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxRows(1)))) == 9)
+    // maxRows(0): admit nothing, offset stands still
+    assert(end(9, ReadLimit.maxRows(0)) == 9)
+    // monitoring poll reports without advancing
+    assert(s.reportLatestOffset().asInstanceOf[FetchCountOffset].n == 9)
+    assert(s.reportLatestOffset().asInstanceOf[FetchCountOffset].n == 9)
+  }
+
+  test("weather-rest: maxFetchesPerTrigger batches that many fetches per trigger") {
+    val fetcher = new RoundRobinFetcher
+    WeatherRestStreamSource.fetchers.put("rr4", fetcher)
+    val raw = spark.readStream.format("weather-rest")
+      .option("fetcher", "rr4").option("maxFetchesPerTrigger", "4").load()
+    val q = raw.writeStream.format("memory").queryName("wrest_rate")
+      .outputMode("append").trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("wrest_rate").count() < 8 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    assert(spark.table("wrest_rate").count() >= 8)
+    val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batches.nonEmpty && batches.forall(_ == 4),
+      s"per-trigger batch sizes: ${batches.mkString(",")}")
+  }
+
   test("weather-rest: missing url fails fast like the reference (O17)") {
     val raw = spark.readStream.format("weather-rest").load()
     val q = raw.writeStream.format("memory").queryName("wrest_fail")
