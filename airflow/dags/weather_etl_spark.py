@@ -21,8 +21,8 @@
 #
 # This file is deployment skin: it needs an Airflow runtime with the
 # apache-airflow-providers-apache-spark provider, neither of which runs in
-# the offline build container. It is exercised there only by a
-# syntax/structure check (WeatherEtlDagSpec).
+# the offline build container. It is exercised there only by the DAG
+# structure check in WeatherEtlJobSpec.
 
 from datetime import datetime, timedelta
 import os
@@ -70,10 +70,14 @@ run_etl = SparkSubmitOperator(
     application_args=["--table", TABLE],
     conn_id="spark_default",
     # CITY/LANG/UNITS/API_KEY flow to the driver env exactly as the
-    # reference reads them (weather_etl.py:93-96)
+    # reference reads them (weather_etl.py:93-96). Only keys that are SET
+    # are forwarded: defaulting an unset var to "" would turn the engine's
+    # fail-fast "configuration manquante" error into an opaque HTTP 401
+    # (presence-but-empty passes the env check).
     env_vars={
-        k: os.getenv(k, "")
+        k: os.environ[k]
         for k in ("CITY", "LANG", "UNITS", "API_KEY")
+        if k in os.environ
     },
     dag=dag,
 )

@@ -32,8 +32,15 @@ object WeatherEtlMain {
       .getOrCreate()
     try stage match {
       case "ddl" =>
-        graft.core.WeatherDdl.ensureTable(spark, Some(table))
-        println(s"[weather-etl] ddl ensured table=$table")
+        // Same swallow-and-log policy as the in-run DDL edge
+        // (weather_etl.py:50–51): a transient catalog failure must not gate
+        // the ETL task behind it — the run stage re-ensures idempotently.
+        try {
+          graft.core.WeatherDdl.ensureTable(spark, Some(table))
+          println(s"[weather-etl] ddl ensured table=$table")
+        } catch { case e: Exception =>
+          System.err.println(s"[weather-etl] DDL failed (continuing): ${e.getMessage}")
+        }
       case "run" =>
         val result = run(spark, table, fixture)
         println(s"[weather-etl] fetched=${result.fetched} appended=${result.appended}")

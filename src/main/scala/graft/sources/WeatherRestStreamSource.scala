@@ -53,7 +53,12 @@ class WeatherRestStreamSource extends TableProvider with DataSourceRegister {
     WeatherRestStreamSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new WeatherRestTable(properties.asScala.toMap)
+    // DSv2 options are case-insensitive by convention — normalize once here
+    // so `.option("MaxFetchesPerTrigger", …)` is honored, not silently
+    // ignored. Values keep their case (fetcher keys, urls).
+    new WeatherRestTable(properties.asScala.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }.toMap)
 }
 
 object WeatherRestStreamSource {
@@ -106,7 +111,10 @@ private[sources] class WeatherRestMicroBatchStream(props: Map[String, String])
     * tighter. The reference's rate is one observation per tick; >1 models
     * a multi-city/paginated fetch at the same cadence. */
   private val maxFetchesPerTrigger: Long = {
-    val m = props.getOrElse("maxFetchesPerTrigger", "1").toLong
+    // props arrive lower-cased from WeatherRestStreamSource.getTable; the
+    // direct-construction (test) path may still pass camelCase
+    val m = props.getOrElse("maxfetchespertrigger",
+      props.getOrElse("maxFetchesPerTrigger", "1")).toLong
     require(m > 0, s"maxFetchesPerTrigger must be positive, got $m")
     m
   }

@@ -314,6 +314,11 @@ case class CentroidArgmax(child: Expression, centroids: Array[Float],
     extends UnaryExpression with ExpectsInputTypes {
   require(ids.length > 0 && centroids.length % ids.length == 0,
     s"centroid matrix length ${centroids.length} not divisible by nList ${ids.length}")
+  // the documented id tie rules resolve by scan index — they only mean
+  // what they say if ids ascend with the scan
+  require(GraftExpressions.strictlyAscending(ids),
+    "centroid ids must be strictly ascending (sorted, distinct) " +
+      "so index-order tie-breaking matches the id tie rule")
   private val nList = ids.length
   private val dim = centroids.length / nList
   @transient private lazy val cNorms: Array[Double] =
@@ -392,6 +397,9 @@ case class CentroidTopN(child: Expression, centroids: Array[Float],
     extends UnaryExpression with ExpectsInputTypes {
   require(ids.length > 0 && centroids.length % ids.length == 0,
     s"centroid matrix length ${centroids.length} not divisible by nList ${ids.length}")
+  require(GraftExpressions.strictlyAscending(ids),
+    "centroid ids must be strictly ascending (sorted, distinct) " +
+      "so index-order tie-breaking matches the id tie rule")
   require(topN > 0, s"topN must be positive, got $topN")
   private val nList = ids.length
   private val dim = centroids.length / nList
@@ -501,6 +509,14 @@ case class CentroidTopN(child: Expression, centroids: Array[Float],
 object GraftExpressions {
   val RollingBase = 257L
   val SignMask = 0x7fffffffffffffffL
+
+  /** ids sorted strictly ascending — the centroid kernels' precondition for
+    * their index-order tie-breaking to equal the documented id tie rules. */
+  private[graft] def strictlyAscending(ids: Array[Int]): Boolean = {
+    var i = 1
+    while (i < ids.length) { if (ids(i) <= ids(i - 1)) return false; i += 1 }
+    true
+  }
 
   /** Per-centroid L2 norms of a flattened nList × dim matrix (computed once,
     * driver-side, shared by the centroid kernels). */
