@@ -289,7 +289,32 @@ object DedupOps {
       .limit(20)
   }
 
+  /** q_dedup_stats — duplicate-group-size histogram, the dedup audit query:
+    * run before AND after a dedup pass, the before shows how much duplicated
+    * mass exists, the after must be a single group_size=1 row. Shuffles only
+    * 16-byte digests, then a tiny second aggregate. */
+  def qDedupStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+
+  /** q_shingle_df — the stop-shingle diagnostic that calibrates
+    * [[DefaultMaxDf]]: top shingles by document frequency. At 100 TB this
+    * IS the query you run to pick the cutoff — posting-list pair cost is
+    * C(df, 2), so the head of this ranking is the entire skew budget. */
+  def qShingleDf(spark: SparkSession, sfDir: String): DataFrame =
+    shingleIndex(Tables.documents(spark, sfDir), 3)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(10)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_stats" -> (qDedupStats _),
+    "q_shingle_df" -> (qShingleDf _),
     "q_dedup_exact" -> (qExact _),
     "q_dedup_ngram" -> (qNgram _),
     "q_dedup_minhash" -> (qMinhash _),
@@ -297,6 +322,26 @@ object DedupOps {
     "q_dedup_embedding" -> (qEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_stats" ->
+      """SELECT group_size, COUNT(*) AS n_groups FROM (
+        |  SELECT md5(text) AS digest, COUNT(*) AS group_size
+        |  FROM documents GROUP BY 1) g
+        |GROUP BY group_size
+        |ORDER BY group_size""".stripMargin,
+    "q_shingle_df" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 3 + 2),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS s
+        |    FROM toks WHERE len(t) >= 3))
+        |SELECT s AS shingle, COUNT(*) AS df FROM sh
+        |GROUP BY s
+        |ORDER BY df DESC, shingle
+        |LIMIT 10""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, keeper_id, CAST(is_dup AS INT) AS is_dup FROM (
         |  SELECT doc_id,

@@ -218,7 +218,20 @@ object TextAnalysis {
         sum(when(col("rep_ratio") > 0.1, 1L).otherwise(0L)).as("n_flagged"))
       .orderBy(col("source"))
 
+  /** q_token_hist — token-length histogram in buckets of 32 (the
+    * sequence-packing planner's input: how much of the corpus fits a
+    * context window, and where padding waste concentrates). Map-side
+    * bucketing + one tiny-group aggregate; scan-bound at any scale. */
+  def qTokenHist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select((floor(size(tokens(col("text"))) / lit(32.0)) * 32)
+        .cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket_lo"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_hist" -> (qTokenHist _),
     "q_text_scrub" -> (qScrub _),
     "q_text_repetition" -> (qRepetition _),
     "q_text_stats" -> (qStats _),
@@ -231,6 +244,13 @@ object TextAnalysis {
     stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_token_hist" ->
+      """SELECT CAST(FLOOR(len(string_split_regex(trim(text), '\s+')) / 32.0)
+        |    * 32 AS BIGINT) AS bucket_lo,
+        |  COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY bucket_lo""".stripMargin,
     "q_text_scrub" ->
       """WITH red AS (
         |  SELECT source, text,

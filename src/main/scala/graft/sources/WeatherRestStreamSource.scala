@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -42,10 +42,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-fetches — at-least-once, which the downstream key dedup (O13) turns
   * into effectively-once, exactly the reference's design.
   *
-  * Contract: like Spark's own `rate` source, this source manufactures one
-  * new offset per trigger forever, so `processAllAvailable()` /
-  * `Trigger.AvailableNow` never "drain" it — drive it with
-  * `Trigger.ProcessingTime` and stop explicitly.
+  * Contract: like Spark's own `rate` source, this source manufactures new
+  * offsets per trigger forever under `Trigger.ProcessingTime` (stop it
+  * explicitly; `processAllAvailable()` never drains). `Trigger.AvailableNow`
+  * IS supported ([[SupportsTriggerAvailableNow]]): "available now" for a
+  * fetch-on-demand source is one admission batch — the query fetches
+  * `maxFetchesPerTrigger` documents past the restored offset and
+  * terminates, the one-shot batch-style invocation.
   */
 class WeatherRestStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "weather-rest"
@@ -106,7 +109,8 @@ private[sources] case class FetchCountOffset(n: Long) extends Offset {
 }
 
 private[sources] class WeatherRestMicroBatchStream(props: Map[String, String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   /** Fetches admitted per trigger when the engine doesn't constrain
     * tighter. The reference's rate is one observation per tick; >1 models
     * a multi-city/paginated fetch at the same cadence. */
@@ -134,13 +138,23 @@ private[sources] class WeatherRestMicroBatchStream(props: Map[String, String])
     case _: ReadAllAvailable => None
     case _ => None // ReadMinRows: a synthetic source cannot wait for backlog
   }
+  /** Trigger.AvailableNow drain target: set once at query start, after the
+    * checkpoint restore — "available now" for a fetch-on-demand source is
+    * one admission batch past the restored offset. */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latest + maxFetchesPerTrigger)
   /** The per-trigger admission decision: end = start + the configured
     * per-trigger rate, capped by any engine-supplied maxRows — regardless
-    * of how often anything else polls. */
+    * of how often anything else polls — and, under AvailableNow, by the
+    * drain target (once reached, the offset stops advancing and the query
+    * terminates). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val admit = maxRowsOf(limit).fold(maxFetchesPerTrigger)(
       math.min(maxFetchesPerTrigger, _))
-    val next = start.asInstanceOf[FetchCountOffset].n + admit
+    val uncapped = start.asInstanceOf[FetchCountOffset].n + admit
+    val next = availableNowTarget.fold(uncapped)(
+      t => math.min(uncapped, math.max(t, start.asInstanceOf[FetchCountOffset].n)))
     if (next > latest) latest = next
     FetchCountOffset(next)
   }

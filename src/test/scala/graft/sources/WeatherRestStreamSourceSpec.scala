@@ -118,6 +118,19 @@ class WeatherRestStreamSourceSpec extends SparkSpec {
       s"per-trigger batch sizes: ${batches.mkString(",")}")
   }
 
+  test("weather-rest: Trigger.AvailableNow drains one admission batch and terminates") {
+    val fetcher = new RoundRobinFetcher
+    WeatherRestStreamSource.fetchers.put("rr-an", fetcher)
+    val raw = spark.readStream.format("weather-rest")
+      .option("fetcher", "rr-an").option("maxFetchesPerTrigger", "3").load()
+    val q = raw.writeStream.format("memory").queryName("wrest_an")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // the query must END BY ITSELF — the whole point of the drain target
+    assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    assert(spark.table("wrest_an").count() == 3)
+    assert(fetcher.calls.get() == 3)
+  }
+
   test("weather-rest: missing url fails fast like the reference (O17)") {
     val raw = spark.readStream.format("weather-rest").load()
     val q = raw.writeStream.format("memory").queryName("wrest_fail")
