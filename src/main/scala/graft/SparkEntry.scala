@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, Relational, RelationalExtra}
-import graft.ext.{DedupOps, Multimodal, Similarity, SimilarityIvf, TextAnalysis}
+import graft.ext.{DedupOps, Mixing, Multimodal, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
-      TextAnalysis.defs ++ DedupOps.defs ++
+      TextAnalysis.defs ++ DedupOps.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ Multimodal.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
@@ -32,6 +32,7 @@ object SparkEntry {
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
       Events.oracles ++
       TextAnalysis.oracles ++
-      DedupOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      DedupOps.oracles ++ Mixing.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 }

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextAnalysis.tokens
+import graft.sources.Tables
+
+/** Data-mixture operators for training-set assembly (north-star surface
+  * beyond the reference): stratified sampling to hit a target domain mix,
+  * and sequential sequence packing for context-window budgeting.
+  *
+  * Both are DETERMINISTIC by construction — systematic (every k-th row in
+  * key order) rather than pseudo-random — which is what makes them (a)
+  * reproducible across reruns/retries at 100 TB, where a re-executed stage
+  * must not change the training set, and (b) exactly oracle-checkable in
+  * SQL, unlike `sample()`'s RNG. A seeded hash-mod variant
+  * (`xxhash64(doc_id) % k = 0`) has the same properties when key order
+  * itself is biased; both shapes are one window/filter — no extra shuffle
+  * beyond the per-stratum partition.
+  */
+object Mixing {
+
+  /** Keep every stride-th document per language (doc_id order): the domain
+    * re-weighting step of corpus assembly. `strides(lang) = k` keeps ~1/k of
+    * that stratum; unlisted languages use `defaultStride`. One window
+    * shuffle on the stratum key. */
+  def stratifiedSystematic(docs: DataFrame, strides: Map[String, Int],
+                           defaultStride: Int): DataFrame = {
+    val strideCol: Column = coalesce(
+      try_element_at(typedlit(strides), col("lang")), lit(defaultStride))
+    val rn = row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("doc_id")))
+    docs.withColumn("__stride", strideCol)
+      .withColumn("__rn", rn)
+      .filter((col("__rn") - 1) % col("__stride") === 0)
+      .drop("__stride", "__rn")
+  }
+
+  /** q_sample_stratified — per-language kept counts for a 2/5/10 mix
+    * (en kept densest). Deterministic, hash-matched by the oracle's
+    * ROW_NUMBER twin. */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    stratifiedSystematic(Tables.documents(spark, sfDir),
+      Map("en" -> 2, "fr" -> 5), defaultStride = 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+      .orderBy(col("lang"))
+
+  /** Sequential packing accounting: documents per source in doc_id order
+    * fill context windows of `ctx` tokens; a document starts a new bin when
+    * the running total before it crosses a bin boundary. bin id =
+    * floor(preceding-cumsum / ctx) — the standard streaming-packer shape,
+    * exact in one window pass (no per-bin state, no driver loop). Documents
+    * longer than ctx overflow their bin (real packers truncate or split;
+    * accounting stays exact either way). */
+  def packBins(docs: DataFrame, ctx: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(ctx))
+          .cast("long"))
+  }
+
+  /** q_seq_pack — packing efficiency per source at ctx=2048: bins used,
+    * fill ratio, biggest bin. THE context-window budgeting query: fill
+    * ratio tells you the padding waste a naive sequential packer pays. */
+  def qSeqPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val ctx = 2048
+    packBins(Tables.documents(spark, sfDir), ctx)
+      .groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bins"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        round(avg(col("bin_tokens")) / ctx, 4).as("avg_fill"))
+      .orderBy(col("source"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_seq_pack" -> (qSeqPack _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |    CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 5 ELSE 10 END AS stride
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM ranked WHERE (rn - 1) % stride = 0
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q_seq_pack" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |binned AS (
+        |  SELECT source,
+        |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2048.0) AS BIGINT) AS bin,
+        |    n_tokens
+        |  FROM toks),
+        |per_bin AS (
+        |  SELECT source, bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |  FROM binned GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_bins,
+        |  MAX(bin_tokens) AS max_bin_tokens,
+        |  ROUND(AVG(bin_tokens) / 2048, 4) AS avg_fill
+        |FROM per_bin
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0 until 100).map { i =>
+    val lang = Seq("en", "fr", "zz")(i % 3)
+    (i.toLong, lang, s"tok$i " * (i % 7 + 1))
+  }.toDF("doc_id", "lang", "text")
+
+  test("stratified systematic keeps exactly every k-th doc per stratum, deterministically") {
+    val kept = Mixing.stratifiedSystematic(corpus,
+      Map("en" -> 2, "fr" -> 5), defaultStride = 10)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 34 en docs (i%3==0), 33 fr, 33 zz
+    assert(byLang("en") == 17)  // ceil(34/2)
+    assert(byLang("fr") == 7)   // ceil(33/5)
+    assert(byLang("zz") == 4)   // ceil(33/10)
+    // systematic = every k-th IN KEY ORDER: en kept ids are positions 0,2,4…
+    val enIds = kept.filter($"lang" === "en").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val allEn = corpus.filter($"lang" === "en").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(enIds == allEn.zipWithIndex.filter(_._2 % 2 == 0).map(_._1))
+    // rerun is bit-identical (the property sample() does not have)
+    val again = Mixing.stratifiedSystematic(corpus,
+      Map("en" -> 2, "fr" -> 5), defaultStride = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("packBins: bins are contiguous in doc order and track the running token sum") {
+    val docs = Seq(
+      (0L, "a", "w " * 10), (1L, "a", "w " * 10), (2L, "a", "w " * 10),
+      (3L, "a", "w " * 10), (4L, "b", "w " * 100)
+    ).toDF("doc_id", "lang", "text").withColumn("source", $"lang")
+    val bins = Mixing.packBins(docs, ctx = 25)
+      .select("source", "doc_id", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // source a: cumsum-before = 0,10,20,30 -> bins 0,0,0,1 at ctx=25
+    assert(bins.filter(_._1 == "a").map(_._3).toSeq == Seq(0L, 0L, 0L, 1L))
+    // source b: single oversized doc still lands in bin 0 (overflow documented)
+    assert(bins.filter(_._1 == "b").map(_._3).toSeq == Seq(0L))
+  }
+
+  test("q_seq_pack fill ratio is within (0, 1] for multi-bin sources at sf0.001") {
+    val res = Mixing.qSeqPack(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val fill = r.getAs[Double]("avg_fill")
+      assert(fill > 0.0, s"fill=$fill")
+      // oversized docs can push a bin past 1.0 only if a single doc > ctx;
+      // sf0.001 documents are far below 2048 tokens
+      assert(fill <= 1.0, s"fill=$fill")
+    }
+  }
+}
