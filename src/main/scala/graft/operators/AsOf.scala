@@ -20,6 +20,30 @@ object AsOf {
            rightKey: String, rightTs: String): DataFrame =
     AsOfJoin.join(left, right, leftKey, leftTs, rightKey, rightTs)
 
+  /** Forward as-of: for every left row, the EARLIEST right row with the same
+    * key and right ts ≥ left ts (left-outer) — "next reading after the
+    * event". Reduced to the backward exec by order reversal:
+    * first r ≥ t under ts is exactly last r' ≤ t' under the negated axis
+    * (t' = −t), so the same co-partitioned sorted-merge runs unchanged —
+    * no second exec to maintain, same single shuffle+sort per side.
+    * TimestampType negates via `unix_micros` (lossless); integral ts via a
+    * long cast. Right-side ts ties must be pre-deduped, as with [[join]]. */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  leftKey: String, leftTs: String,
+                  rightKey: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    def negated(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType => negate(unix_micros(col(c)))
+      case _ => negate(col(c).cast("long"))
+    }
+    val ln = "__asof_fwd_lts"; val rn = "__asof_fwd_rts"
+    AsOfJoin.join(
+        left.withColumn(ln, negated(left, leftTs)),
+        right.withColumn(rn, negated(right, rightTs)),
+        leftKey, ln, rightKey, rn)
+      .drop(ln, rn)
+  }
+
   /** q_asof_join — each purchase event gains the user's most recent signup
     * event at-or-before it (the canonical as-of shape: fact × snapshot).
     * Right side pre-dedups ts ties so the match is deterministic; DuckDB's
@@ -36,8 +60,25 @@ object AsOf {
       .orderBy(col("event_id"))
   }
 
+  /** q_asof_forward — each signup gains the user's FIRST purchase at-or-
+    * after it (conversion lag accounting — the forward twin of
+    * [[qAsofJoin]]). Oracle = plain-SQL first-match emulation (DuckDB's
+    * native ASOF is backward-only). */
+  def qAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .agg(min(col("event_id")).as("purchase_event_id"))
+    joinForward(signups, purchases, "user_id", "ts", "p_user_id", "p_ts")
+      .select(col("event_id"), col("user_id"), col("purchase_event_id"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q_asof_forward" -> (qAsofForward _))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" ->
@@ -53,5 +94,24 @@ object AsOf {
         |FROM purchases p
         |ASOF LEFT JOIN signups s
         |  ON p.user_id = s.s_user_id AND p.ts >= s.s_ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH signups AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'signup'),
+        |purchases AS (
+        |  SELECT user_id AS p_user_id, ts AS p_ts,
+        |    MIN(event_id) AS purchase_event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |matched AS (
+        |  SELECT s.event_id, s.user_id, p.purchase_event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY s.event_id
+        |      ORDER BY p.p_ts) AS rn
+        |  FROM signups s
+        |  LEFT JOIN purchases p
+        |    ON s.user_id = p.p_user_id AND p.p_ts >= s.ts)
+        |SELECT event_id, user_id, purchase_event_id
+        |FROM matched WHERE rn = 1
+        |ORDER BY event_id""".stripMargin)
 }

@@ -32,6 +32,38 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map("l1" -> "r1", "l2" -> "r3", "l3" -> null, "l4" -> null))
   }
 
+  test("forward variant: earliest at-or-after match, nulls when none") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"), // next right at 11:00
+      (1L, ts("2024-01-01 12:00:00"), "l2"), // equal ts -> matches (≥)
+      (2L, ts("2024-01-01 11:00:00"), "l3"), // after the only right for key 2
+      (3L, ts("2024-01-01 09:00:00"), "l4")  // key with no right rows at all
+    ).toDF("k", "t", "ltag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "r1"),
+      (1L, ts("2024-01-01 11:00:00"), "r2"),
+      (1L, ts("2024-01-01 12:00:00"), "r3"),
+      (2L, ts("2024-01-01 10:00:00"), "r4")
+    ).toDF("rk", "rt", "rtag")
+    val got = AsOf.joinForward(left, right, "k", "t", "rk", "rt")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("l1" -> "r2", "l2" -> "r3", "l3" -> null, "l4" -> null))
+    // the helper negation columns must not leak into the output
+    val cols = AsOf.joinForward(left, right, "k", "t", "rk", "rt").columns
+    assert(!cols.exists(_.startsWith("__asof_fwd")))
+  }
+
+  test("forward variant on integral ts (long key path)") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b")).toDF("k", "t", "ltag")
+    val right = Seq((1L, 99L, "r0"), (1L, 200L, "r1"), (1L, 300L, "r2"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.joinForward(left, right, "k", "t", "rk", "rt")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "r1", "b" -> "r2"))
+  }
+
   test("NULL keys and timestamps match nothing (SQL semantics)") {
     val left = Seq(
       (Option(1L), Option(ts("2024-01-01 10:00:00")), "valid"),
