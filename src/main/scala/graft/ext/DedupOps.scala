@@ -312,7 +312,41 @@ object DedupOps {
       .orderBy(col("df").desc, col("shingle"))
       .limit(10)
 
+  /** Benchmark decontamination: per-source accounting of training docs that
+    * share ≥1 k-shingle with an eval set. The eval set is tiny by nature,
+    * so its shingle set BROADCASTS and the corpus-side index never shuffles
+    * for the membership join — the only shuffle is the per-doc rollup of
+    * actual hits (matched rows only). This is the standard n-gram-overlap
+    * decontamination pass of an LLM data pipeline, shaped so 100 TB of
+    * training text streams past a few MB of benchmark shingles. */
+  def contaminationBySource(docs: DataFrame, benchDocs: DataFrame,
+                            k: Int = 3): DataFrame = {
+    val sh = shingleIndex(docs, k)
+    val bench = shingleIndex(benchDocs, k).select(col("shingle")).distinct()
+    val hits = sh
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // index shingles are per-doc distinct
+    docs.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_shared") > 0).cast("long")).as("n_contaminated"),
+        max(col("n_shared")).as("max_shared"))
+      .orderBy(col("source"))
+  }
+
+  /** q_decontaminate — docs 0–1 stand in as the eval set; every other doc
+    * is checked for 3-gram overlap against them. */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    contaminationBySource(docs.filter(col("doc_id") >= 2),
+      docs.filter(col("doc_id") < 2))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_stats" -> (qDedupStats _),
     "q_shingle_df" -> (qShingleDf _),
     "q_dedup_exact" -> (qExact _),
@@ -322,6 +356,30 @@ object DedupOps {
     "q_dedup_embedding" -> (qEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 3 + 2),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 2),
+        |hits AS (
+        |  SELECT sh.doc_id, COUNT(*) AS n_shared
+        |  FROM sh JOIN bench USING (s)
+        |  WHERE sh.doc_id >= 2
+        |  GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN COALESCE(h.n_shared, 0) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(MAX(COALESCE(h.n_shared, 0)) AS BIGINT) AS max_shared
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id >= 2
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_dedup_stats" ->
       """SELECT group_size, COUNT(*) AS n_groups FROM (
         |  SELECT md5(text) AS digest, COUNT(*) AS group_size

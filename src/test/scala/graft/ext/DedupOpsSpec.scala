@@ -129,6 +129,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.jaccardPairs(docs, maxDf = None).count() == n.toLong * (n - 1) / 2)
   }
 
+  test("decontamination flags exactly the docs sharing a 3-gram with the eval set") {
+    val bench = Seq((100L, "benchq", "alpha beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val train = Seq(
+      (0L, "web", "alpha beta gamma copied verbatim here"), // shares "alpha beta gamma"
+      (1L, "web", "entirely different words in this one ok"),
+      (2L, "books", "beta gamma delta also leaked through")  // shares "beta gamma delta"
+    ).toDF("doc_id", "source", "text")
+    val got = DedupOps.contaminationBySource(train, bench).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("web") == ((2L, 1L, 1L)))   // 2 docs, 1 contaminated, 1 shared
+    assert(got("books") == ((1L, 1L, 1L)))
+  }
+
   test("embedding near-dup query returns self-consistent cosine ordering") {
     val res = DedupOps.qEmbedding(spark, sf).collect()
     val cosines = res.map(_.getAs[Double]("cosine"))
