@@ -53,9 +53,11 @@ object Mixing {
     * fill context windows of `ctx` tokens; a document starts a new bin when
     * the running total before it crosses a bin boundary. bin id =
     * floor(preceding-cumsum / ctx) — the standard streaming-packer shape,
-    * exact in one window pass (no per-bin state, no driver loop). Documents
-    * longer than ctx overflow their bin (real packers truncate or split;
-    * accounting stays exact either way). */
+    * exact in one window pass (no per-bin state, no driver loop). The last
+    * document of a bin straddles the boundary, so bins can exceed ctx
+    * tokens even when every document is shorter than ctx (real packers
+    * truncate or split the straddler; the accounting stays exact either
+    * way, and fill ratios > 1.0 quantify exactly that overflow). */
   def packBins(docs: DataFrame, ctx: Int): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -26,15 +26,28 @@ object AsOf {
     * first r ≥ t under ts is exactly last r' ≤ t' under the negated axis
     * (t' = −t), so the same co-partitioned sorted-merge runs unchanged —
     * no second exec to maintain, same single shuffle+sort per side.
-    * TimestampType negates via `unix_micros` (lossless); integral ts via a
-    * long cast. Right-side ts ties must be pre-deduped, as with [[join]]. */
+    * Each ts type negates within its own width family — TIMESTAMP via
+    * `unix_micros` (micros-like long), DATE via `unix_date` (days-like
+    * int), integral columns as themselves — so the exec's planning-time
+    * unit-mismatch validation still fires (a blanket long cast would erase
+    * it and let a days-vs-micros pair join silently wrong). TIMESTAMP_NTZ
+    * is rejected with a clear error: no public expression extracts its
+    * micros without a session-timezone reinterpretation, and a DST-affected
+    * mapping is not order-preserving — cast to TIMESTAMP (or epoch micros)
+    * explicitly to state the intended semantics. Right-side ts ties must be
+    * pre-deduped, as with [[join]]. */
   def joinForward(left: DataFrame, right: DataFrame,
                   leftKey: String, leftTs: String,
                   rightKey: String, rightTs: String): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, TimestampType}
     def negated(df: DataFrame, c: String) = df.schema(c).dataType match {
-      case TimestampType | TimestampNTZType => negate(unix_micros(col(c)))
-      case _ => negate(col(c).cast("long"))
+      case TimestampType => negate(unix_micros(col(c)))
+      case DateType => negate(unix_date(col(c)))
+      case LongType | IntegerType | ShortType => negate(col(c))
+      case other => throw new IllegalArgumentException(
+        s"forward as-of ts column '$c' has unsupported type ${other.sql}: " +
+          "supported are TIMESTAMP, DATE, and integral epochs; cast " +
+          "TIMESTAMP_NTZ to TIMESTAMP (or epoch micros) first")
     }
     val ln = "__asof_fwd_lts"; val rn = "__asof_fwd_rts"
     AsOfJoin.join(

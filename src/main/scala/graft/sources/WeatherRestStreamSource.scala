@@ -138,23 +138,30 @@ private[sources] class WeatherRestMicroBatchStream(props: Map[String, String])
     case _: ReadAllAvailable => None
     case _ => None // ReadMinRows: a synthetic source cannot wait for backlog
   }
-  /** Trigger.AvailableNow drain target: set once at query start, after the
-    * checkpoint restore — "available now" for a fetch-on-demand source is
-    * one admission batch past the restored offset. */
+  /** Trigger.AvailableNow drain mode. Spark calls
+    * `prepareForTriggerAvailableNow()` while building the logical plan —
+    * BEFORE the checkpoint restore feeds offsets through
+    * [[deserializeOffset]] — so an absolute target computed there would be
+    * stale (a restarted AvailableNow run would drain zero rows). Only the
+    * MODE is flagged here; the target is pinned on the first admission
+    * call, whose `start` is the restored offset. */
+  @volatile private var availableNowMode = false
   @volatile private var availableNowTarget: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(latest + maxFetchesPerTrigger)
+  override def prepareForTriggerAvailableNow(): Unit = availableNowMode = true
   /** The per-trigger admission decision: end = start + the configured
     * per-trigger rate, capped by any engine-supplied maxRows — regardless
     * of how often anything else polls — and, under AvailableNow, by the
-    * drain target (once reached, the offset stops advancing and the query
-    * terminates). */
+    * drain target = restored offset + one full admission batch (once
+    * reached, the offset stops advancing and the query terminates). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FetchCountOffset].n
     val admit = maxRowsOf(limit).fold(maxFetchesPerTrigger)(
       math.min(maxFetchesPerTrigger, _))
-    val uncapped = start.asInstanceOf[FetchCountOffset].n + admit
+    if (availableNowMode && availableNowTarget.isEmpty)
+      availableNowTarget = Some(s + maxFetchesPerTrigger)
+    val uncapped = s + admit
     val next = availableNowTarget.fold(uncapped)(
-      t => math.min(uncapped, math.max(t, start.asInstanceOf[FetchCountOffset].n)))
+      t => math.min(uncapped, math.max(t, s)))
     if (next > latest) latest = next
     FetchCountOffset(next)
   }

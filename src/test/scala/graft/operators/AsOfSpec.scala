@@ -64,6 +64,41 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map("a" -> "r1", "b" -> "r2"))
   }
 
+  test("forward variant keeps ts width families, so unit mismatches still fail at planning") {
+    // int days vs long micros: the backward join rejects this pair; the
+    // forward reduction must NOT erase that check with a blanket long cast
+    val left = Seq((1, 19700, "a")).toDF("k", "t", "ltag")    // days-like int
+    val right = Seq((1, 1700000000000000L, "r")).toDF("rk", "rt", "rtag")
+    val ex = intercept[Exception] {
+      AsOf.joinForward(left, right, "k", "t", "rk", "rt").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("disagree on time unit")), ex.toString)
+  }
+
+  test("forward variant rejects TIMESTAMP_NTZ with a clear error (no silent tz reinterpretation)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "a")).toDF("k", "t", "ltag")
+      .withColumn("t", col("t").cast("timestamp_ntz"))
+    val right = Seq((1L, ts("2024-01-01 11:00:00"), "r")).toDF("rk", "rt", "rtag")
+      .withColumn("rt", col("rt").cast("timestamp_ntz"))
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinForward(left, right, "k", "t", "rk", "rt")
+    }
+    assert(ex.getMessage.contains("TIMESTAMP_NTZ"))
+  }
+
+  test("forward variant on DATE ts stays in the days family") {
+    val d = java.sql.Date.valueOf(_: String)
+    val left = Seq((1L, d("2024-01-10"), "a")).toDF("k", "t", "ltag")
+    val right = Seq((1L, d("2024-01-09"), "r0"), (1L, d("2024-01-12"), "r1"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.joinForward(left, right, "k", "t", "rk", "rt")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "r1"))
+  }
+
   test("NULL keys and timestamps match nothing (SQL semantics)") {
     val left = Seq(
       (Option(1L), Option(ts("2024-01-01 10:00:00")), "valid"),

@@ -131,6 +131,29 @@ class WeatherRestStreamSourceSpec extends SparkSpec {
     assert(fetcher.calls.get() == 3)
   }
 
+  test("weather-rest: restarted AvailableNow run drains a fresh batch past the restored offset") {
+    val fetcher = new RoundRobinFetcher
+    WeatherRestStreamSource.fetchers.put("rr-an2", fetcher)
+    val ckpt = tmpDir("wrest-an-ckpt")
+    val out = tmpDir("wrest-an-out")
+    def runOnce(): Unit = {
+      val raw = spark.readStream.format("weather-rest")
+        .option("fetcher", "rr-an2").option("maxFetchesPerTrigger", "3").load()
+      val q = raw.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+    // second invocation restores offset 3 from the checkpoint; the drain
+    // target must be restored+3, not a stale pre-restore snapshot (which
+    // would admit nothing, forever)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 6)
+    assert(fetcher.calls.get() == 6)
+  }
+
   test("weather-rest: missing url fails fast like the reference (O17)") {
     val raw = spark.readStream.format("weather-rest").load()
     val q = raw.writeStream.format("memory").queryName("wrest_fail")
