@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, Relational, RelationalExtra}
-import graft.ext.{DedupOps, Mixing, Multimodal, Similarity, SimilarityIvf, TextAnalysis}
+import graft.ext.{DedupOps, Mixing, Multimodal, Quantize, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++ Mixing.defs ++
-      Similarity.defs ++ SimilarityIvf.defs ++ Multimodal.defs ++
+      Similarity.defs ++ SimilarityIvf.defs ++ Quantize.defs ++
+      Multimodal.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
