@@ -19,9 +19,9 @@ import graft.sources.Tables
   * higher); the q_quant_recall query measures it against the float
   * brute-force ground truth.
   *
-  * All column arithmetic (`transform`/`round`/`cast`) — codegen'd, no
-  * UDFs, map-side only; quantization of 100 TB of embeddings is
-  * scan-bound, which is the right bound.
+  * All built-in higher-order column functions (no UDFs), map-side only;
+  * quantization of 100 TB of embeddings is scan-bound, which is the
+  * right bound.
   */
 object Quantize {
 
@@ -32,14 +32,23 @@ object Quantize {
     greatest(array_max(transform(emb, x => abs(x))).cast("double") / 127.0,
       lit(1e-30))
 
-  /** array<float> → array<tinyint> codes. */
-  def int8Codes(emb: Column): Column =
-    transform(emb, x => round(x / scaleOf(emb)).cast("byte"))
+  /** array<float> → array<tinyint> codes for a PRE-PROJECTED scale column.
+    * The scale must be materialized once per row before entering the
+    * lambda: referencing `scaleOf(emb)` inside it would re-evaluate the
+    * array_max scan per ELEMENT — O(d²) work per vector. */
+  def int8Codes(emb: Column, scale: Column): Column =
+    transform(emb, x => round(x / scale).cast("byte"))
 
-  /** Quantized twin of an embeddings frame: vec_id, codes, scale. */
+  /** Quantized twin of an embeddings frame: vec_id, codes, scale. The
+    * two-step projection keeps the scale an attribute reference inside the
+    * quantization lambda (CollapseProject does not inline non-cheap
+    * expressions used twice). */
   def quantize(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), int8Codes(col("embedding")).as("codes"),
-      scaleOf(col("embedding")).cast("float").as("scale"))
+    emb.select(col("vec_id"), col("embedding"),
+        scaleOf(col("embedding")).as("s"))
+      .select(col("vec_id"),
+        int8Codes(col("embedding"), col("s")).as("codes"),
+        col("s").cast("float").as("scale"))
 
   /** Codes viewed as array<float> for the cosine kernel — the lazy
     * dequantization-free scoring form (cosine ignores the per-vector
@@ -54,11 +63,11 @@ object Quantize {
     * to mirror). One row: pair counts + recall. */
   def qQuantRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val probes = emb.filter(col("vec_id") < 10)
+    val probes = Similarity.queriesSet(emb) // SAME probe set as q_sim_brute/ann
     val exact = Similarity.bruteForceTopK(probes, emb, k = 5)
       .select(col("query_id"), col("vec_id"))
     val qAll = scoreView(quantize(emb))
-    val qProbes = qAll.filter(col("vec_id") < 10)
+    val qProbes = Similarity.queriesSet(qAll)
     val approx = Similarity.bruteForceTopK(qProbes, qAll, k = 5)
       .select(col("query_id"), col("vec_id"))
     exact

@@ -105,7 +105,10 @@ object Similarity {
 
   // ---- driver queries ----
 
-  private def queriesSet(emb: DataFrame): DataFrame =
+  /** The shared probe set for every similarity measurement query
+    * (brute/ANN/quantized) — one definition so their recalls compare over
+    * the same population. */
+  private[ext] def queriesSet(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 10)
 
   /** q_sim_brute — exact cosine top-5 for the 10 probe vectors. */
