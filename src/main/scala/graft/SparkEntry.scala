@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, Relational, RelationalExtra}
-import graft.ext.{DedupOps, Mixing, Multimodal, Quantize, Similarity, SimilarityIvf, TextAnalysis}
+import graft.ext.{DedupCluster, DedupOps, Mixing, Multimodal, Quantize, Ranking, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
-      TextAnalysis.defs ++ DedupOps.defs ++ Mixing.defs ++
+      TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++
+      Ranking.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ Quantize.defs ++
       Multimodal.defs ++
       AsOf.defs ++ Map(
@@ -33,7 +34,8 @@ object SparkEntry {
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
       Events.oracles ++
       TextAnalysis.oracles ++
-      DedupOps.oracles ++ Mixing.oracles ++ Similarity.oracles ++
+      DedupOps.oracles ++ DedupCluster.oracles ++ Ranking.oracles ++
+      Mixing.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 }

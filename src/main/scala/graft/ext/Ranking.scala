@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Keyword relevance ranking over the `documents` table: BM25, the standard
+  * lexical retrieval score (Robertson & Zaragoza, "The Probabilistic
+  * Relevance Framework: BM25 and Beyond") — the retrieval half of a
+  * training-data pipeline's targeted-subset selection ("pull every document
+  * about X").
+  *
+  * Scale design: the query's term set is a literal handful, so the term
+  * filter runs map-side BEFORE any shuffle — of a 100 TB corpus, only rows
+  * containing a query term enter the (doc_id, term) aggregate, and the
+  * per-doc length rides along in that same aggregate (max of a per-doc
+  * constant) instead of joining a second scan of the corpus. Corpus size
+  * and average length are one scalar row (broadcast), per-term document
+  * frequencies are |terms| rows (broadcast). Total: ONE corpus scan, one
+  * partial-agg'd shuffle of query-term postings, one tiny per-doc sum.
+  */
+object Ranking {
+
+  /** BM25 scores for `terms` over a (doc_id, text) corpus: one row per
+    * document containing at least one query term, with the summed per-term
+    * score. k1 tempers term-frequency saturation, b the length
+    * normalization (textbook defaults 1.2 / 0.75). */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    // corpus stats: one row — joins below as a broadcast nested loop
+    val stats = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("t"))).as("avgdl"))
+    // query-term postings: the isin filter drops every non-query token
+    // map-side, so the groupBy shuffles only matching (doc, term) rows;
+    // dl is constant per doc and rides the same aggregate (no second scan)
+    val tf = toks
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (idf * col("tf") * lit(k1 + 1) / norm).as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** q_bm25 — top-20 documents for a three-term query, deterministic order
+    * (rounded score desc, then doc_id). */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25(Tables.documents(spark, sfDir), Seq("spark", "join", "window"))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25 _))
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks) u
+        |  WHERE term IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) *
+        |        tf.tf * (1.2 + 1) /
+        |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, ROUND(score, 4) AS score FROM scored
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin)
+}

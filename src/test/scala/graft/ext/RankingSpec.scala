@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scores(docs: DataFrame, terms: Seq[String]): Map[Long, Double] =
+    Ranking.bm25(docs, terms).as[(Long, Double)].collect().toMap
+
+  test("more query-term occurrences rank higher at equal length") {
+    val docs = Seq(
+      (0L, "spark spark spark pad pad pad"),
+      (1L, "spark spark pad pad pad pad"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val s = scores(docs, Seq("spark"))
+    assert(!s.contains(3L)) // no query term -> no row
+    assert(s(0L) > s(1L) && s(1L) > s(2L))
+  }
+
+  test("rarer terms carry more weight than common ones") {
+    // "common" is in every doc, "rare" in one; equal tf and length
+    val docs = Seq(
+      (0L, "common rare pad pad"),
+      (1L, "common pad pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "common pad pad pad"))
+      .toDF("doc_id", "text")
+    val s = scores(docs, Seq("common", "rare"))
+    assert(s(0L) > s(1L))
+    assert(s(1L) === s(2L) && s(2L) === s(3L))
+  }
+
+  test("length normalization: same tf in a shorter doc scores higher") {
+    val docs = Seq(
+      (0L, "spark pad"),
+      (1L, "spark pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val s = scores(docs, Seq("spark"))
+    assert(s(0L) > s(1L))
+  }
+
+  test("multi-term score is the sum of single-term scores") {
+    val docs = Seq(
+      (0L, "spark join pad pad"),
+      (1L, "spark pad pad pad"),
+      (2L, "join join pad pad"))
+      .toDF("doc_id", "text")
+    val both = scores(docs, Seq("spark", "join"))
+    val sparkOnly = scores(docs, Seq("spark"))
+    val joinOnly = scores(docs, Seq("join"))
+    assert(math.abs(both(0L) - (sparkOnly(0L) + joinOnly(0L))) < 1e-12)
+  }
+
+  test("q_bm25 is deterministic top-20 with positive scores") {
+    val out = Ranking.qBm25(spark, sf).as[(Long, Double)].collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    assert(out.forall(_._2 > 0))
+    assert(out.sameElements(out.sortBy(r => (-r._2, r._1))))
+  }
+}
