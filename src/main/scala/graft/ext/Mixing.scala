@@ -84,11 +84,59 @@ object Mixing {
       .orderBy(col("source"))
   }
 
+  /** Temperature-based mixture re-weighting: sampling share per stratum
+    * `p_s ∝ n_s^alpha` (the multilingual-corpus standard — alpha=1 keeps
+    * natural proportions, alpha→0 approaches uniform, 0.2–0.7 is the usual
+    * up-weight-the-tail band). Returns one row per stratum with natural and
+    * re-weighted shares plus the document budget each stratum receives.
+    *
+    * The window runs over the AGGREGATED frame — |strata| rows, not the
+    * corpus — so the single-partition window is a few dozen rows at any
+    * corpus size; the only corpus-scale work is the partial-agg'd count. */
+  def mixtureWeights(docs: DataFrame, alpha: Double, budget: Long,
+                     stratum: String = "lang"): DataFrame = {
+    val all = Window.partitionBy()
+    val powed = pow(col("n_docs"), alpha)
+    docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("raw_share",
+        col("n_docs") / sum(col("n_docs")).over(all))
+      .withColumn("weight", powed / sum(powed).over(all))
+      .withColumn("target_docs",
+        floor(col("weight") * budget).cast("long"))
+  }
+
+  /** q_mixture — alpha=0.7 language mixture for a 100k-document budget:
+    * the plan-the-sampling-rates query that precedes
+    * [[stratifiedSystematic]] (its per-stratum stride ≈ n_docs/target). */
+  def qMixture(spark: SparkSession, sfDir: String): DataFrame =
+    mixtureWeights(Tables.documents(spark, sfDir), alpha = 0.7,
+        budget = 100000L)
+      .select(col("lang"), col("n_docs"),
+        round(col("raw_share"), 6).as("raw_share"),
+        round(col("weight"), 6).as("weight"),
+        col("target_docs"))
+      .orderBy(col("lang"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture" -> (qMixture _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_seq_pack" -> (qSeqPack _))
 
   val oracles: Map[String, String] = Map(
+    "q_mixture" ->
+      """WITH counts AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |weighted AS (
+        |  SELECT lang, n_docs,
+        |    n_docs / SUM(n_docs) OVER () AS raw_share,
+        |    POWER(n_docs, 0.7) / SUM(POWER(n_docs, 0.7)) OVER () AS weight
+        |  FROM counts)
+        |SELECT lang, n_docs,
+        |  ROUND(raw_share, 6) AS raw_share,
+        |  ROUND(weight, 6) AS weight,
+        |  CAST(FLOOR(weight * 100000) AS BIGINT) AS target_docs
+        |FROM weighted
+        |ORDER BY lang""".stripMargin,
     "q_sample_stratified" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id,

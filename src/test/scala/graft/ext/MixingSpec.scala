@@ -60,4 +60,23 @@ class MixingSpec extends SparkSpec {
       assert(fill < 2.0, s"fill=$fill")
     }
   }
+
+  test("mixtureWeights: alpha<1 up-weights the tail, shares sum to 1, budget conserved") {
+    import spark.implicits._
+    val docs = (0L until 80L).map(i => (i, if (i < 60) "en" else if (i < 75) "fr" else "zh"))
+      .toDF("doc_id", "lang")
+    val w = Mixing.mixtureWeights(docs, alpha = 0.7, budget = 1000L)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // natural shares: en .75, fr .1875, zh .0625
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(w.values.map(_._4).sum - 1.0) < 1e-9)
+    // temperature pulls toward uniform: head loses share, tail gains
+    assert(w("en")._4 < w("en")._3)
+    assert(w("zh")._4 > w("zh")._3)
+    // ordering by size preserved (alpha > 0 is monotone)
+    assert(w("en")._4 > w("fr")._4 && w("fr")._4 > w("zh")._4)
+    // floor'd targets never exceed the budget
+    assert(w.values.map(_._5).sum <= 1000L)
+  }
 }
