@@ -9,10 +9,18 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
-    args.foreach { name =>
+    // --exec: run the query first and dump the AQE-final plan (stage reuse,
+    // runtime join switches, codegen collapse only appear post-execution)
+    val exec = args.contains("--exec")
+    args.filterNot(_ == "--exec").foreach { name =>
       println(s"==== $name ====")
-      println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val df = SparkEntry.queries(name)(spark, sf)
+      if (exec) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -37,12 +38,18 @@ object Ranking {
     // query-term postings: the isin filter drops every non-query token
     // map-side, so the groupBy shuffles only matching (doc, term) rows;
     // dl is constant per doc and rides the same aggregate (no second scan)
+    // persisted: df and the scoring join both consume tf, and AQE does NOT
+    // stage-reuse the subtree (the df branch re-aliases every attribute, so
+    // the exchanges don't canonicalize equal — verified in the executed
+    // plan) — without the persist the corpus-wide tokenize+explode runs
+    // TWICE. The cache is bounded: one row per (matching doc, term).
     val tf = toks
       .select(col("doc_id"), size(col("t")).as("dl"),
         explode(col("t")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
