@@ -40,11 +40,8 @@ object Curation {
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    val contIds = DedupOps.shingleIndex(docs, 3)
-      .join(broadcast(
-        DedupOps.shingleIndex(evalDocs, 3).select(col("shingle")).distinct()),
-        Seq("shingle"))
-      .select(col("doc_id")).distinct()
+    val contIds = DedupOps.contaminationHits(docs, evalDocs)
+      .select(col("doc_id"))
       .withColumn("is_cont", lit(true))
     quality
       .join(dupIds, Seq("doc_id"), "left")
@@ -73,8 +70,7 @@ object Curation {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_funnel" -> (qFunnel _))
 
-  private val stopwordsSqlList =
-    TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val stopwordsSqlList = TextAnalysis.stopwordsSqlList
 
   val oracles: Map[String, String] = Map(
     "q_curation_funnel" ->

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointUtils
 import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
@@ -36,9 +37,10 @@ object DedupCluster {
 
   /** Connected components of an undirected (id_a, id_b) edge list.
     * Returns one row per distinct endpoint: (doc_id, cluster_id) where
-    * cluster_id is the component's minimum doc id. Throws if the labels
-    * have not converged after `maxIter` rounds (diameter > maxIter) —
-    * loud failure beats silently mislabeled clusters.
+    * cluster_id is the component's minimum doc id. `maxIter` bounds the
+    * component diameter: labels settle within `maxIter` propagation rounds
+    * plus one quiet confirmation round, and a graph still changing after
+    * that throws — loud failure beats silently mislabeled clusters.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetrize once: propagation below only follows src -> dst
@@ -53,7 +55,9 @@ object DedupCluster {
         .localCheckpoint()
       var round = 0
       var converged = false
-      while (!converged && round < maxIter) {
+      // a diameter-d graph changes labels in rounds 1..d and confirms the
+      // fixpoint in round d+1, hence the +1 on the cap
+      while (!converged && round < maxIter + 1) {
         val neighborMin = sym
           .join(labels.select(col("id").as("src"), col("label")), "src")
           .groupBy(col("dst"))
@@ -68,13 +72,14 @@ object DedupCluster {
           .localCheckpoint() // materialize: truncates lineage AND makes the
                              // convergence count + next round share one pass
         converged = stepped.filter(col("changed")).isEmpty
+        CheckpointUtils.freeLocalCheckpoint(labels) // superseded snapshot
         labels = stepped.drop("changed")
         round += 1
       }
       if (!converged)
         throw new IllegalStateException(
-          s"connectedComponents: not converged after $maxIter rounds " +
-            "(component diameter exceeds maxIter)")
+          s"connectedComponents: labels still changing after ${maxIter + 1} " +
+            s"rounds (component diameter exceeds maxIter=$maxIter)")
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     } finally sym.unpersist() // labels are checkpointed — safe to drop
   }

@@ -321,12 +321,7 @@ object DedupOps {
     * training text streams past a few MB of benchmark shingles. */
   def contaminationBySource(docs: DataFrame, benchDocs: DataFrame,
                             k: Int = 3): DataFrame = {
-    val sh = shingleIndex(docs, k)
-    val bench = shingleIndex(benchDocs, k).select(col("shingle")).distinct()
-    val hits = sh
-      .join(broadcast(bench), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared")) // index shingles are per-doc distinct
+    val hits = contaminationHits(docs, benchDocs, k)
     docs.select(col("doc_id"), col("source"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
@@ -336,6 +331,20 @@ object DedupOps {
         max(col("n_shared")).as("max_shared"))
       .orderBy(col("source"))
   }
+
+  /** Per-doc contamination hits: (doc_id, n_shared) for every doc of
+    * `docs` sharing ≥1 k-shingle with `benchDocs`. The single definition
+    * behind both [[contaminationBySource]] and the Curation funnel — the
+    * eval shingle set broadcasts, the corpus index never shuffles for the
+    * membership join. */
+  def contaminationHits(docs: DataFrame, benchDocs: DataFrame,
+                        k: Int = 3): DataFrame =
+    shingleIndex(docs, k)
+      .join(broadcast(
+        shingleIndex(benchDocs, k).select(col("shingle")).distinct()),
+        Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // index shingles are per-doc distinct
 
   /** q_decontaminate — docs 0–1 stand in as the eval set; every other doc
     * is checked for 3-gram overlap against them. */

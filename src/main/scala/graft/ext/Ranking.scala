@@ -18,8 +18,11 @@ import graft.sources.Tables
   * per-doc length rides along in that same aggregate (max of a per-doc
   * constant) instead of joining a second scan of the corpus. Corpus size
   * and average length are one scalar row (broadcast), per-term document
-  * frequencies are |terms| rows (broadcast). Total: ONE corpus scan, one
-  * partial-agg'd shuffle of query-term postings, one tiny per-doc sum.
+  * frequencies are |terms| rows (broadcast). Total: TWO corpus scans — the
+  * tokenize+explode pass that builds the (persisted, bounded) tf aggregate,
+  * and the text-only pass for the corpus-wide count/avgdl, which cannot
+  * derive from the term-filtered side — plus one tiny per-doc sum. df is
+  * computed FROM the persisted tf, not from a third scan.
   */
 object Ranking {
 

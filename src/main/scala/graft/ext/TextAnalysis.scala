@@ -240,7 +240,9 @@ object TextAnalysis {
     "q_text_langid" -> (qLangId _),
     "q_text_fingerprint" -> (qFingerprint _))
 
-  private val stopwordsSqlList =
+  /** DuckDB list literal of [[stopwords]] — shared with the Curation
+    * oracle so the two quality-score SQL twins can't drift. */
+  private[ext] val stopwordsSqlList =
     stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(

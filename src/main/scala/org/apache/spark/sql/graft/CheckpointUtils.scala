@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic release of `localCheckpoint()` storage.
+  *
+  * A local checkpoint materializes into executor block storage and the
+  * public `Dataset.unpersist()` does NOT free it (it only talks to the
+  * CacheManager, and checkpoints aren't cache entries) — the blocks
+  * otherwise linger until the driver GCs the RDD reference and the
+  * ContextCleaner gets around to it. Iterative loops that checkpoint per
+  * round ([[graft.ext.DedupCluster]]) would pin one superseded label
+  * snapshot per round for the session. This helper reaches the
+  * checkpointed RDD through the plan's [[LogicalRDD]] leaves (the reason
+  * it lives under `org.apache.spark.sql`) and unpersists it directly.
+  */
+object CheckpointUtils {
+
+  /** Free the block-storage of a localCheckpoint'd Dataset. Safe on any
+    * Dataset: non-checkpoint leaves are left alone. */
+  def freeLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -33,12 +33,20 @@ class DedupClusterSpec extends SparkSpec {
     assert(cc === Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("diameter exactly maxIter converges (confirmation round is extra)") {
+    // 1-2-3-4: diameter 3; label 1 reaches node 4 in round 3, round 4 confirms
+    val path = (1L to 4L).sliding(2).map(s => s.head -> s.last).toSeq
+    val cc = DedupCluster.connectedComponents(edges(path: _*), maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet === Set(1L))
+  }
+
   test("non-convergence within maxIter fails loudly") {
     val path = (1L to 9L).sliding(2).map(s => s.head -> s.last).toSeq
     val e = intercept[IllegalStateException] {
       DedupCluster.connectedComponents(edges(path: _*), maxIter = 2).collect()
     }
-    assert(e.getMessage.contains("not converged"))
+    assert(e.getMessage.contains("still changing"))
   }
 
   test("clusterDuplicates groups near-identical texts and only those") {
