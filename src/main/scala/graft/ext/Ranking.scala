@@ -74,10 +74,67 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  /** TF-IDF keyword extraction: top-`topK` terms per document by
+    * tf·ln(N/df), ties broken by term. This is the whole-corpus variant
+    * (keyword-tag every document): one explode shuffle builds the (doc,
+    * term) tf index, document frequencies aggregate from it (vocabulary-
+    * sized), and the per-doc ranking window partitions on doc_id — maximal
+    * parallelism at any corpus size. Callers selecting a doc subset can
+    * filter the RESULT: the window is per-doc independent and Catalyst
+    * pushes partition-key filters below it. */
+  def tfidfTerms(docs: DataFrame, topK: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = col("tf") * log(col("n") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(score.desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"),
+        round(score, 6).as("score"), col("rnk"))
+  }
+
+  /** q_tfidf_terms — top-3 keywords for the first ten documents (df/N from
+    * the whole corpus, as keyword extraction requires). */
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTerms(Tables.documents(spark, sfDir), topK = 3)
+      .filter(col("doc_id") < 10)
+      .orderBy(col("doc_id"), col("rnk"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bm25" -> (qBm25 _))
+    "q_bm25" -> (qBm25 _),
+    "q_tfidf_terms" -> (qTfidf _))
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks) u
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM toks),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(n.n / df.df) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term) AS rnk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, ROUND(score, 6) AS score, rnk
+        |FROM scored
+        |WHERE doc_id < 10 AND rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

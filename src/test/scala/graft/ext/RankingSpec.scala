@@ -56,6 +56,25 @@ class RankingSpec extends SparkSpec {
     assert(math.abs(both(0L) - (sparkOnly(0L) + joinOnly(0L))) < 1e-12)
   }
 
+  test("tfidfTerms: corpus-wide terms score 0, distinctive terms rank first") {
+    val docs = Seq(
+      (0L, "everywhere unique0 unique0 filler"),
+      (1L, "everywhere unique1 filler filler"),
+      (2L, "everywhere filler filler filler"))
+      .toDF("doc_id", "text")
+    val top = Ranking.tfidfTerms(docs, topK = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // "everywhere" is in every doc -> idf = ln(1) = 0, never a top term
+    // against any positive-idf term
+    assert(top(0L).head === "unique0")
+    assert(top(1L).head === "unique1")
+    // rank 1 beats rank 2 by score: unique0 (tf=2) outranks filler in doc 0
+    val doc0 = Ranking.tfidfTerms(docs, 2)
+      .as[(Long, String, Double, Int)].collect().filter(_._1 == 0L)
+    assert(doc0.find(_._4 == 1).get._3 > doc0.find(_._4 == 2).get._3)
+  }
+
   test("q_bm25 is deterministic top-20 with positive scores") {
     val out = Ranking.qBm25(spark, sf).as[(Long, Double)].collect()
     assert(out.length <= 20 && out.nonEmpty)
