@@ -83,19 +83,26 @@ object Ranking {
     * filter the RESULT: the window is per-doc independent and Catalyst
     * pushes partition-key filters below it. */
   def tfidfTerms(docs: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("t"))
+    // column-less count: reads parquet footers only, not data
     val n = toks.agg(count(lit(1)).as("n"))
     val tf = toks
       .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window over tf (tf has one row per containing doc), NOT a
+    // separate aggregate joined back: AQE can't stage-reuse the re-aliased
+    // aggregate branch, so the join formulation would execute the whole
+    // corpus-scale tf subtree twice — and persisting corpus-scale tf is
+    // not an option at 100 TB. The window pays the same by-term shuffle
+    // the join would, once.
+    val df = count(lit(1)).over(Window.partitionBy(col("term")))
     val score = col("tf") * log(col("n") / col("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
+    val w = Window.partitionBy(col("doc_id"))
       .orderBy(score.desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", df)
       .crossJoin(broadcast(n))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
