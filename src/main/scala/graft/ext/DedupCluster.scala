@@ -55,32 +55,45 @@ object DedupCluster {
         .localCheckpoint()
       var round = 0
       var converged = false
-      // a diameter-d graph changes labels in rounds 1..d and confirms the
-      // fixpoint in round d+1, hence the +1 on the cap
-      while (!converged && round < maxIter + 1) {
-        val neighborMin = sym
-          .join(labels.select(col("id").as("src"), col("label")), "src")
-          .groupBy(col("dst"))
-          .agg(min(col("label")).as("nmin"))
-          .select(col("dst").as("id"), col("nmin"))
-        val stepped = labels
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label"),
-            coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
-          .localCheckpoint() // materialize: truncates lineage AND makes the
-                             // convergence count + next round share one pass
-        converged = stepped.filter(col("changed")).isEmpty
-        CheckpointUtils.freeLocalCheckpoint(labels) // superseded snapshot
-        labels = stepped.drop("changed")
-        round += 1
+      // on ANY failure path (mid-round error, non-convergence throw) the
+      // in-flight label snapshot must be released too — only the SUCCESS
+      // path hands its final checkpoint to the caller
+      def failing[A](body: => A): A =
+        try body catch {
+          case t: Throwable =>
+            CheckpointUtils.freeLocalCheckpoint(labels); throw t
+        }
+      failing {
+        // a diameter-d graph changes labels in rounds 1..d and confirms the
+        // fixpoint in round d+1, hence the +1 on the cap
+        while (!converged && round < maxIter + 1) {
+          val neighborMin = sym
+            .join(labels.select(col("id").as("src"), col("label")), "src")
+            .groupBy(col("dst"))
+            .agg(min(col("label")).as("nmin"))
+            .select(col("dst").as("id"), col("nmin"))
+          val stepped = labels
+            .join(neighborMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nmin"), col("label")))
+                .as("label"),
+              coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
+            .localCheckpoint() // materialize: truncates lineage AND makes the
+                               // convergence count + next round share one pass
+          // free the superseded snapshot and hand over BEFORE the
+          // convergence probe, so a probe failure releases `stepped` (now
+          // `labels`) through `failing`, not leaks it
+          CheckpointUtils.freeLocalCheckpoint(labels)
+          labels = stepped.drop("changed")
+          converged = stepped.filter(col("changed")).isEmpty
+          round += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponents: labels still changing after ${maxIter + 1} " +
+              s"rounds (component diameter exceeds maxIter=$maxIter)")
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents: labels still changing after ${maxIter + 1} " +
-            s"rounds (component diameter exceeds maxIter=$maxIter)")
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     } finally sym.unpersist() // labels are checkpointed — safe to drop
   }
 

@@ -1,8 +1,8 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -18,11 +18,10 @@ import graft.sources.Tables
   * per-doc length rides along in that same aggregate (max of a per-doc
   * constant) instead of joining a second scan of the corpus. Corpus size
   * and average length are one scalar row (broadcast), per-term document
-  * frequencies are |terms| rows (broadcast). Total: TWO corpus scans — the
-  * tokenize+explode pass that builds the (persisted, bounded) tf aggregate,
+  * frequencies ride as a by-term window over the tf rows. Total: TWO
+  * corpus scans — the tokenize+explode pass that builds the tf aggregate,
   * and the text-only pass for the corpus-wide count/avgdl, which cannot
-  * derive from the term-filtered side — plus one tiny per-doc sum. df is
-  * computed FROM the persisted tf, not from a third scan.
+  * derive from the term-filtered side — plus one tiny per-doc sum.
   */
 object Ranking {
 
@@ -41,24 +40,25 @@ object Ranking {
     // query-term postings: the isin filter drops every non-query token
     // map-side, so the groupBy shuffles only matching (doc, term) rows;
     // dl is constant per doc and rides the same aggregate (no second scan)
-    // persisted: df and the scoring join both consume tf, and AQE does NOT
-    // stage-reuse the subtree (the df branch re-aliases every attribute, so
-    // the exchanges don't canonicalize equal — verified in the executed
-    // plan) — without the persist the corpus-wide tokenize+explode runs
-    // TWICE. The cache is bounded: one row per (matching doc, term).
     val tf = toks
       .select(col("doc_id"), size(col("t")).as("dl"),
         explode(col("t")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window over tf (one row per containing doc), NOT a separate
+    // aggregate joined back: AQE cannot stage-reuse the re-aliased
+    // aggregate branch, so the join formulation executed the whole
+    // filtered-postings subtree twice (verified in the executed plan).
+    // Same trick as tfidfTerms — tf then has exactly ONE consumer, and
+    // nothing needs a session-lifetime persist per query-term set (an
+    // unbounded family: one cache entry per distinct term list).
+    val dfW = count(lit(1)).over(Window.partitionBy(col("term")))
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + lit(k1) *
       (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
-    tf.join(broadcast(df), "term")
+    tf.withColumn("df", dfW)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (idf * col("tf") * lit(k1 + 1) / norm).as("term_score"))
@@ -83,7 +83,6 @@ object Ranking {
     * filter the RESULT: the window is per-doc independent and Catalyst
     * pushes partition-key filters below it. */
   def tfidfTerms(docs: DataFrame, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       TextAnalysis.tokens(col("text")).as("t"))
     // column-less count: reads parquet footers only, not data

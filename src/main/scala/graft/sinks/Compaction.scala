@@ -1,11 +1,11 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Small-file compaction for parquet directories — the janitorial operator
   * every long-running ingestion table needs.
@@ -17,53 +17,114 @@ import org.apache.spark.sql.functions._
   * and listing, not bytes — compaction rewrites a directory into
   * target-sized files, amortizing that overhead away.
   *
-  * Scale design: the rewrite sizes its output from the data actually
-  * present (`bytes / targetFileBytes` output files, via one cheap file
-  * listing — no data pass), repartitions ONCE, and writes to a staging
-  * directory first, swapping in only after the write commits — a failed
-  * compaction leaves the live directory untouched (the same
-  * stage-then-commit discipline as the reference's swallow-vs-fail load
-  * boundary). For date-partitioned layouts, compact one partition
-  * directory at a time — that bounds the unit of work AND of rollback.
+  * Commit protocol (single compactor per directory; appenders may keep
+  * landing files concurrently):
+  *
+  *  1. snapshot the file list; rewrite EXACTLY those files into a staging
+  *     directory (one data pass, `bytes / targetFileBytes` output files);
+  *  2. write a manifest of the compacted source names into staging — the
+  *     manifest IS the commit marker;
+  *  3. swap: rename live dir aside, rename staging in, move any file that
+  *     landed after the snapshot (present aside, absent from the manifest)
+  *     into the new dir, drop the old dir.
+  *
+  * Directory renames are atomic on a POSIX filesystem and every crash
+  * window is recoverable: [[recover]] rolls forward iff the manifest
+  * exists (completing the swap and the late-file rescue) and rolls back
+  * otherwise, leaving the live directory byte-identical. [[compact]] runs
+  * it first, so a crashed compaction heals on the next call. Readers see
+  * the old listing or the new one; the only reader-visible window is the
+  * instant between the two renames (an object store / lake table would
+  * commit through table metadata instead — same protocol, no window).
+  * For date-partitioned layouts, compact one partition directory at a
+  * time — that bounds the unit of work AND of rollback.
   */
 object Compaction {
 
-  /** Parquet data files under `dir` (non-recursive; ignores _SUCCESS etc.). */
-  private def parquetFiles(dir: String): Seq[java.nio.file.Path] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
+  private val ManifestName = "_graft_compacted_sources"
+
+  private def staging(dir: String): Path =
+    Paths.get(dir.stripSuffix("/") + "._compacted")
+  private def retired(dir: String): Path =
+    Paths.get(dir.stripSuffix("/") + "._old")
+
+  /** Parquet data files under `dir` (non-recursive; ignores _SUCCESS and
+    * the manifest). The listing stream is closed eagerly. */
+  private def parquetFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    finally s.close()
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList.foreach(Files.delete(_))
+    finally s.close()
+    Files.delete(p)
+  }
+
+  /** Files that landed in `old` after the manifest snapshot move to
+    * `live`; everything else in `old` was compacted and drops with it. */
+  private def rescueAndDrop(old: Path, live: Path): Unit = {
+    val manifest = live.resolve(ManifestName)
+    val compacted = Files.readAllLines(manifest).asScala.toSet
+    parquetFiles(old)
+      .filterNot(p => compacted.contains(p.getFileName.toString))
+      .foreach(p => Files.move(p, live.resolve(p.getFileName)))
+    deleteTree(old)
+    Files.delete(manifest) // swap fully committed — marker no longer needed
+  }
+
+  /** Finish or undo an interrupted [[compact]]: roll forward iff the
+    * staged manifest committed, roll back (live directory untouched)
+    * otherwise. No-op on a clean directory. */
+  def recover(dir: String): Unit = {
+    val (stg, old, live) = (staging(dir), retired(dir), Paths.get(dir))
+    if (Files.exists(old)) {
+      if (!Files.exists(live)) {
+        if (Files.exists(stg.resolve(ManifestName)))
+          Files.move(stg, live) // committed: finish the swap
+        else {
+          Files.move(old, live) // not committed: restore the original
+          if (Files.exists(stg)) deleteTree(stg)
+          return
+        }
+      }
+      // both exist now: died between the renames and the final cleanup
+      if (Files.exists(live.resolve(ManifestName))) rescueAndDrop(old, live)
+      else deleteTree(old) // rescue already ran (manifest deleted last)
+    } else if (Files.exists(stg)) {
+      deleteTree(stg) // live dir never touched: discard the stale stage
+    }
+  }
 
   /** Compact the parquet directory `dir` into ~`targetFileBytes` files.
     * Returns (filesBefore, filesAfter). No-op (and no data pass) when the
     * directory already has no more files than the target count. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val before = parquetFiles(dir)
+    recover(dir)
+    val live = Paths.get(dir)
+    val before = parquetFiles(live)
     val bytes = before.map(Files.size(_)).sum
     val targetFiles = math.max(1, math.ceil(
       bytes.toDouble / targetFileBytes).toInt)
     if (before.size <= targetFiles) return (before.size, before.size)
 
-    val staging = dir.stripSuffix("/") + "._compacting"
-    // one data pass: read -> repartition to the byte-derived file count ->
-    // write to staging. repartition (not coalesce): coalesce would chain
-    // upstream parallelism to the output file count.
-    spark.read.parquet(dir)
+    // one data pass over EXACTLY the snapshotted files — a file landing
+    // after the snapshot is neither read, deleted, nor double-counted
+    val stg = staging(dir)
+    spark.read.parquet(before.map(_.toString): _*)
       .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    // commit: swap staged files in, then drop the originals. Staging wrote
-    // fresh part-file names (UUID-suffixed), so moves can't collide with
-    // the originals being replaced.
-    val staged = parquetFiles(staging)
-    staged.foreach { p =>
-      Files.move(p, Paths.get(dir).resolve(p.getFileName),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
-    before.foreach(Files.delete(_))
-    Files.list(Paths.get(staging)).iterator().asScala.toSeq
-      .foreach(Files.delete(_))
-    Files.delete(Paths.get(staging))
-    (before.size, parquetFiles(dir).size)
+      .write.mode(SaveMode.Overwrite).parquet(stg.toString)
+    Files.write(stg.resolve(ManifestName),
+      before.map(_.getFileName.toString).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8)) // commit point
+
+    Files.move(live, retired(dir))
+    Files.move(stg, live)
+    rescueAndDrop(retired(dir), live)
+    (before.size, parquetFiles(live).size)
   }
 }

@@ -41,6 +41,27 @@ object CorpusStream {
       .select(batch.columns.map(col): _*) // original schema, flags dropped
   }
 
+  /** Curate one micro-batch and land it idempotently: survivors already in
+    * the output (a replayed micro-batch after a failure before the offset
+    * committed) are anti-joined away on doc_id, so redelivery cannot
+    * duplicate — the same exactly-once-by-key discipline as
+    * [[WeatherStream.writerWithMerge]]. The guard reads only the landed
+    * doc_id column (column-pruned); at scale, partition the output by
+    * ingest date and prune the guard to the replay horizon the same way
+    * [[graft.sinks.LandedTable]] date-prunes its dup check. */
+  def landBatch(batch: DataFrame, evalDocs: DataFrame, outPath: String,
+                minQuality: Double): Unit = {
+    val survivors = curateBatch(batch, evalDocs, minQuality)
+    val landed =
+      try batch.sparkSession.read.parquet(outPath).select(col("doc_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        null } // first batch: nothing landed yet
+    val fresh =
+      if (landed == null) survivors
+      else survivors.join(landed, Seq("doc_id"), "left_anti")
+    fresh.write.mode("append").parquet(outPath)
+  }
+
   /** Parquet-append writer: caller `.start()`s. `evalDocs` should be a
     * small static frame (an eval benchmark); cache it if the trigger rate
     * is high — its shingle set is recomputed per micro-batch otherwise. */
@@ -49,9 +70,7 @@ object CorpusStream {
              minQuality: Double = 0.7): DataStreamWriter[Row] =
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, evalDocs, minQuality)
-          .write.mode("append").parquet(outPath)
-        ()
+        landBatch(batch, evalDocs, outPath, minQuality)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

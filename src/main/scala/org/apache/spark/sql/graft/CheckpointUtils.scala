@@ -18,10 +18,17 @@ import org.apache.spark.sql.execution.LogicalRDD
 object CheckpointUtils {
 
   /** Free the block-storage of a localCheckpoint'd Dataset. Safe on any
-    * Dataset: non-checkpoint leaves are left alone. */
+    * Dataset: only RDD leaves that are actually locally checkpointed are
+    * unpersisted — a caller-persisted RDD behind `createDataFrame(rdd)`
+    * (which also plans as a [[LogicalRDD]]) is left alone. */
   def freeLocalCheckpoint(ds: Dataset[_]): Unit =
     ds.queryExecution.analyzed.collectLeaves().foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      // isLocallyCheckpointed is private[rdd]; its implementation is this
+      // checkpointData test, and private[spark] members are reachable from
+      // the host package
+      case l: LogicalRDD if l.rdd.checkpointData.exists(
+          _.isInstanceOf[org.apache.spark.rdd.LocalRDDCheckpointData[_]]) =>
+        l.rdd.unpersist(blocking = false)
       case _ => ()
     }
 }

@@ -38,4 +38,45 @@ class CompactionSpec extends SparkSpec {
     assert(b2 == 3 && a2 == 3)
     assert(spark.read.parquet(dir).count() == 1000)
   }
+
+  test("recover rolls back an uncommitted crash (live dir byte-identical)") {
+    val dir = tmpDir("compact-rb") + "/t"
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4).write.parquet(dir)
+    val files = listParquet(dir).sorted
+    // simulate a crash between the two renames, staging NOT committed
+    // (no manifest): live renamed aside, staging half-written
+    Files.move(Paths.get(dir), Paths.get(dir + "._old"))
+    Files.createDirectory(Paths.get(dir + "._compacted"))
+    Files.write(Paths.get(dir + "._compacted/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    Compaction.recover(dir)
+    assert(listParquet(dir).sorted.sameElements(files))
+    assert(!Files.exists(Paths.get(dir + "._old")))
+    assert(!Files.exists(Paths.get(dir + "._compacted")))
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("recover rolls forward a committed crash and rescues late files") {
+    val base = tmpDir("compact-rf")
+    val dir = base + "/t"
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4).write.parquet(dir)
+    val originals = listParquet(dir)
+    // build a real committed staging: compacted rewrite + manifest
+    spark.read.parquet(dir).repartition(1).write
+      .parquet(dir + "._compacted")
+    Files.write(Paths.get(dir + "._compacted/_graft_compacted_sources"),
+      originals.mkString("\n").getBytes)
+    // crash simulated right after the first rename; one file landed late
+    Files.move(Paths.get(dir), Paths.get(dir + "._old"))
+    (100 until 110).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(1).write.mode("append").parquet(dir + "._old")
+    Compaction.recover(dir)
+    assert(!Files.exists(Paths.get(dir + "._old")))
+    assert(!Files.exists(Paths.get(dir + "._compacted")))
+    // compacted rows AND the late arrival both present, exactly once
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted
+      .sameElements(0L until 110L))
+  }
 }

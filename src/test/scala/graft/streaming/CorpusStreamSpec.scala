@@ -49,4 +49,16 @@ class CorpusStreamSpec extends SparkSpec {
         .sameElements(Array("doc_id", "n_chars", "source", "text")))
     } finally q.stop()
   }
+
+  test("micro-batch replay cannot duplicate landed survivors") {
+    val outDir = tmpDir("corpus-replay") + "/t"
+    val eval_ = docsDf(Seq((1000L, "eval", leaky)))
+    val batch = docsDf(Seq((0L, "s0", clean), (1L, "s0", "!!!")))
+    // same batch delivered twice (failure before the offset commit)
+    CorpusStream.landBatch(batch, eval_, outDir, minQuality = 0.7)
+    CorpusStream.landBatch(batch, eval_, outDir, minQuality = 0.7)
+    val landed = spark.read.parquet(outDir).select("doc_id").as[Long]
+      .collect()
+    assert(landed.sameElements(Array(0L)))
+  }
 }
