@@ -172,10 +172,15 @@ object Advanced {
     // either silently reclassifies inserts as updates.
     val maxKey = Tables.orders(spark, sfDir)
       .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    // u_price must be ARITHMETICALLY unambiguous across engines: the
+    // earlier round(price * 1.1, 2) lands on .xx5 double boundaries where
+    // Spark (exact-binary HALF_UP) and DuckDB (scaled double round)
+    // disagree per row — observed at sf0.1. A plain IEEE add of the same
+    // two doubles is bit-identical everywhere.
     val updates = Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey").as("key"),
-        round(col("o_totalprice") * 1.1, 2).as("u_price"))
+        (col("o_totalprice") + lit(10.0)).as("u_price"))
       .unionByName(
         Tables.orders(spark, sfDir).filter(col("o_orderkey") % 97 === 0)
           .select((col("o_orderkey") + lit(maxKey)).as("key"),
@@ -187,7 +192,15 @@ object Advanced {
           .otherwise("keep").as("action"),
         coalesce(col("u_price"), col("s_price")).as("price"))
       .groupBy(col("action"))
-      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("sum_price"))
+      // checksum accumulates in DECIMAL: prices are exact 2-dp quantities,
+      // and a double sum over enough of them drifts past the 2-dp rounding
+      // (observed at sf0.1: Spark's and DuckDB's float summation orders
+      // disagreed in the cents digit over 1.5k addends). Exact decimal
+      // arithmetic is order-independent, so the parity holds at ANY scale;
+      // cast back to double for a stable output schema.
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("price").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_price"))
       .orderBy(col("action"))
   }
 
@@ -549,7 +562,7 @@ object Advanced {
       """WITH snapshot AS (
         |  SELECT o_orderkey AS key, o_totalprice AS s_price FROM orders),
         |updates AS (
-        |  SELECT o_orderkey AS key, ROUND(o_totalprice * 1.1, 2) AS u_price
+        |  SELECT o_orderkey AS key, o_totalprice + 10.0 AS u_price
         |  FROM orders WHERE o_orderkey % 97 = 0
         |  UNION ALL
         |  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS key,
@@ -560,7 +573,8 @@ object Advanced {
         |       WHEN s_price IS NULL THEN 'insert'
         |       ELSE 'keep' END AS action,
         |  COUNT(*) AS n,
-        |  ROUND(SUM(COALESCE(u_price, s_price)), 2) AS sum_price
+        |  ROUND(CAST(SUM(CAST(COALESCE(u_price, s_price) AS DECIMAL(18,2)))
+        |    AS DOUBLE), 2) AS sum_price
         |FROM snapshot FULL OUTER JOIN updates USING (key)
         |GROUP BY 1 ORDER BY action""".stripMargin,
     "q_salted_agg" ->
