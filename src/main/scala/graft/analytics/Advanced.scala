@@ -29,7 +29,9 @@ object Advanced {
       SELECT l_returnflag, l_linestatus,
         CAST(grouping(l_returnflag) AS INT) AS g_rf,
         CAST(grouping(l_linestatus) AS INT) AS g_ls,
-        COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+        COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+          AS sum_price
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -118,7 +120,7 @@ object Advanced {
         greatest(col("o_totalprice"), lit(1000.0)).as("floored"))
       .groupBy(col("band"), col("status_or_open"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("capped")), 2).as("sum_capped"),
+        round(Parity.decSum2(col("capped")), 2).as("sum_capped"),
         round(min(col("floored")), 2).as("min_floored"))
       .orderBy(col("band"), col("status_or_open"))
 
@@ -217,9 +219,13 @@ object Advanced {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"),
         pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)).as("_salt"))
-      .agg(sum(col("l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      .agg(Parity.decSum2(col("l_quantity")).as("pq"),
+        count(lit(1)).as("pn"))
       .groupBy(col("l_returnflag"))
-      .agg(round(sum(col("pq")), 2).as("sum_qty"), sum(col("pn")).as("n_rows"))
+      // partials are exact 2-dp values well under 2^53/100, so the double
+      // round-trip between the two decimal stages is lossless
+      .agg(round(Parity.decSum2(col("pq")), 2).as("sum_qty"),
+        sum(col("pn")).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
   /** q_unpivot — wide→long reshaping (Dataset.unpivot): the q1-style wide
@@ -227,8 +233,8 @@ object Advanced {
   def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      .agg(round(Parity.decSum2(col("l_quantity")), 2).as("sum_qty"),
+        round(Parity.decSum2(col("l_extendedprice")), 2).as("sum_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"))
       .unpivot(Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
@@ -292,7 +298,9 @@ object Advanced {
         SELECT explode(sequence(lo, hi, INTERVAL 1 MONTH)) AS month FROM b),
       m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-          COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+          COUNT(*) AS n,
+          ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+            AS revenue
         FROM orders GROUP BY 1)
       SELECT CAST(spine.month AS STRING) AS month, COALESCE(m.n, 0) AS n,
         COALESCE(m.revenue, 0.0) AS revenue
@@ -468,7 +476,9 @@ object Advanced {
         |    AS DATE) AS month FROM b),
         |m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+        |    COUNT(*) AS n,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS revenue
         |  FROM orders GROUP BY 1)
         |SELECT CAST(spine.month AS VARCHAR) AS month,
         |  CAST(COALESCE(m.n, 0) AS BIGINT) AS n,
@@ -479,7 +489,9 @@ object Advanced {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-        |  COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())
@@ -537,7 +549,8 @@ object Advanced {
         |       ELSE 'high' END AS band,
         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
         |  COUNT(*) AS n,
-        |  ROUND(SUM(LEAST(o_totalprice, 100000.0)), 2) AS sum_capped,
+        |  ROUND(CAST(SUM(CAST(LEAST(o_totalprice, 100000.0)
+        |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_capped,
         |  ROUND(MIN(GREATEST(o_totalprice, 1000.0)), 2) AS min_floored
         |FROM orders GROUP BY 1, 2 ORDER BY band, status_or_open""".stripMargin,
     "q_date_arith" ->
@@ -578,14 +591,18 @@ object Advanced {
         |FROM snapshot FULL OUTER JOIN updates USING (key)
         |GROUP BY 1 ORDER BY action""".stripMargin,
     "q_salted_agg" ->
-      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,
-        |    ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |    ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS sum_qty,
+        |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS sum_price,
         |    ROUND(AVG(l_discount), 6) AS avg_disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, metric, value FROM (

@@ -35,9 +35,9 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round(Parity.decSum2(col("l_quantity")), 2).as("sum_qty"),
+        round(Parity.decSum2(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(Parity.decSum4(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -54,7 +54,7 @@ object Relational {
         col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+      .agg(round(Parity.decSum4(col("l_extendedprice") * col("l_discount")), 2)
         .as("revenue"))
   }
 
@@ -74,7 +74,7 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(Parity.decSum4(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -99,7 +99,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(Parity.decSum4(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
       .orderBy(col("n_name"))
   }
@@ -168,7 +168,7 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
     li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        round(Parity.decSum2(col("l_quantity")), 2).as("sum_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -231,9 +231,12 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_base_price,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
         |  ROUND(AVG(l_quantity), 4) AS avg_qty,
         |  ROUND(AVG(l_discount), 4) AS avg_disc,
         |  COUNT(*) AS count_order
@@ -242,7 +245,8 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q6_filter" ->
-      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -250,7 +254,8 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin,
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -262,7 +267,8 @@ object Relational {
         |LIMIT 10""".stripMargin,
     "q5_join" ->
       """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -318,7 +324,8 @@ object Relational {
         |ORDER BY membership, nationkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)

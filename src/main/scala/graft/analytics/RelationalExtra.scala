@@ -20,7 +20,8 @@ object RelationalExtra {
     val nation = Tables.nation(spark, sfDir)
     cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .cube(col("n_name"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("c_acctbal")), 2).as("sum_bal"))
       .orderBy(col("n_name"), col("c_mktsegment"))
   }
 
@@ -31,7 +32,7 @@ object RelationalExtra {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(round(sum(col("l_quantity")), 2))
+      .agg(round(Parity.decSum2(col("l_quantity")), 2))
       .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
       .orderBy(col("l_returnflag"))
 
@@ -42,7 +43,7 @@ object RelationalExtra {
     Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") % 20 === 3)
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        round(Parity.decSum2(col("o_totalprice")), 2).as("sum_price"))
 
   /** q_exists_subquery — correlated EXISTS through the SQL parser, so
     * Catalyst's decorrelation rewrites it to the same semi-join qSemiJoin
@@ -126,7 +127,7 @@ object RelationalExtra {
       .groupBy(year(col("o_orderdate")).as("yr"),
         quarter(col("o_orderdate")).as("qtr"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        round(Parity.decSum2(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(col("yr"), col("qtr"))
 
   /** q_setops_all — multiset set ops (UNION ALL / INTERSECT ALL / EXCEPT
@@ -209,7 +210,9 @@ object RelationalExtra {
     "q_date_parts" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
         |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
-        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY yr, qtr""".stripMargin,
@@ -222,21 +225,26 @@ object RelationalExtra {
         |ORDER BY o_orderpriority""".stripMargin,
     "q_cube" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n,
-        |  ROUND(SUM(c_acctbal), 2) AS sum_bal
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
-        |  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+        |  ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
         |    AS qty_f,
-        |  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+        |  ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2)
         |    AS qty_o
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_sample" ->
-      """SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+      """SELECT COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price
         |FROM orders WHERE o_orderkey % 20 = 3""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_mktsegment, COUNT(*) AS n_big_spenders
