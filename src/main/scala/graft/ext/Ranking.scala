@@ -18,10 +18,11 @@ import graft.sources.Tables
   * per-doc length rides along in that same aggregate (max of a per-doc
   * constant) instead of joining a second scan of the corpus. Corpus size
   * and average length are one scalar row (broadcast), per-term document
-  * frequencies ride as a by-term window over the tf rows. Total: TWO
-  * corpus scans — the tokenize+explode pass that builds the tf aggregate,
-  * and the text-only pass for the corpus-wide count/avgdl, which cannot
-  * derive from the term-filtered side — plus one tiny per-doc sum.
+  * frequencies aggregate from the checkpointed postings and broadcast
+  * (|terms| rows). Total: TWO corpus scans — the tokenize+explode pass
+  * that materializes the (bounded) matching postings, and the text-only
+  * pass for the corpus-wide count/avgdl, which cannot derive from the
+  * term-filtered side — plus one tiny per-doc sum.
   */
 object Ranking {
 
@@ -46,19 +47,25 @@ object Ranking {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // df as a window over tf (one row per containing doc), NOT a separate
-    // aggregate joined back: AQE cannot stage-reuse the re-aliased
-    // aggregate branch, so the join formulation executed the whole
-    // filtered-postings subtree twice (verified in the executed plan).
-    // Same trick as tfidfTerms — tf then has exactly ONE consumer, and
-    // nothing needs a session-lifetime persist per query-term set (an
-    // unbounded family: one cache entry per distinct term list).
-    val dfW = count(lit(1)).over(Window.partitionBy(col("term")))
+    // tf feeds two consumers (df and the scoring join) and AQE cannot
+    // stage-reuse the re-aliased aggregate branch, so without
+    // materialization the corpus tokenize+explode runs twice. The three
+    // candidate fixes each fail differently at scale: recompute = a second
+    // corpus scan; persist = one CacheManager entry PER query-term set for
+    // the session (unbounded across a retrieval workload); a by-term
+    // count window = at most |terms| reducers sorting ALL postings of a
+    // common term in one task (fine in tfidfTerms where terms are the
+    // whole vocabulary, broken for a literal handful). localCheckpoint is
+    // the fit: eager one-time materialization of the bounded matching
+    // postings, no cache-registry entry, storage freed when the plan is
+    // GC'd. Consequence: bm25() triggers its corpus scan at CALL time.
+    val tfm = tf.localCheckpoint()
+    val df = tfm.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + lit(k1) *
       (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
-    tf.withColumn("df", dfW)
+    tfm.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (idf * col("tf") * lit(k1 + 1) / norm).as("term_score"))

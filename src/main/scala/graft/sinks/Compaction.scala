@@ -57,11 +57,14 @@ object Compaction {
     finally s.close()
   }
 
+  /** Recursive delete: a crashed Spark write leaves nested `_temporary/`
+    * directories, which a flat children-only delete would trip over —
+    * wedging every later recover() on DirectoryNotEmptyException. */
   private def deleteTree(p: Path): Unit = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toList.foreach(Files.delete(_))
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.toList.foreach(Files.delete(_))
     finally s.close()
-    Files.delete(p)
   }
 
   /** Files that landed in `old` after the manifest snapshot move to
@@ -77,25 +80,48 @@ object Compaction {
   }
 
   /** Finish or undo an interrupted [[compact]]: roll forward iff the
-    * staged manifest committed, roll back (live directory untouched)
-    * otherwise. No-op on a clean directory. */
+    * staged manifest committed (including the window BEFORE the first
+    * rename — a committed stage is never thrown away), roll back with the
+    * live directory untouched otherwise. No-op on a clean directory.
+    * Recovery itself assumes appenders are paused (it is the rare path);
+    * the normal compact() path tolerates concurrent appends. */
   def recover(dir: String): Unit = {
     val (stg, old, live) = (staging(dir), retired(dir), Paths.get(dir))
+    val committed = Files.exists(stg.resolve(ManifestName))
     if (Files.exists(old)) {
-      if (!Files.exists(live)) {
-        if (Files.exists(stg.resolve(ManifestName)))
-          Files.move(stg, live) // committed: finish the swap
+      if (Files.exists(live)) {
+        if (Files.exists(live.resolve(ManifestName)))
+          rescueAndDrop(old, live) // died between swap and rescue/cleanup
+        else if (committed) {
+          // an appender recreated live between the two renames (the swap's
+          // second move then failed): its files are late arrivals — fold
+          // them into old, finish the swap, and the rescue recovers them
+          parquetFiles(live).foreach(p =>
+            Files.move(p, old.resolve(p.getFileName)))
+          deleteTree(live)
+          Files.move(stg, live)
+          rescueAndDrop(old, live)
+        } else
+          // old + live + no commit marker anywhere: not a state this
+          // protocol produces — refuse to guess which files are data
+          throw new IllegalStateException(
+            s"Compaction.recover: $dir and $old both exist with no " +
+              "manifest; manual inspection required")
+      } else {
+        if (committed) { Files.move(stg, live); rescueAndDrop(old, live) }
         else {
           Files.move(old, live) // not committed: restore the original
           if (Files.exists(stg)) deleteTree(stg)
-          return
         }
       }
-      // both exist now: died between the renames and the final cleanup
-      if (Files.exists(live.resolve(ManifestName))) rescueAndDrop(old, live)
-      else deleteTree(old) // rescue already ran (manifest deleted last)
+    } else if (committed) {
+      // crashed after the commit point but before the first rename:
+      // resume the swap rather than discarding the committed data pass
+      Files.move(live, old)
+      Files.move(stg, live)
+      rescueAndDrop(old, live)
     } else if (Files.exists(stg)) {
-      deleteTree(stg) // live dir never touched: discard the stale stage
+      deleteTree(stg) // uncommitted stage, live never touched: discard
     }
   }
 
@@ -118,9 +144,14 @@ object Compaction {
     spark.read.parquet(before.map(_.toString): _*)
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(stg.toString)
-    Files.write(stg.resolve(ManifestName),
-      before.map(_.getFileName.toString).mkString("\n")
-        .getBytes(StandardCharsets.UTF_8)) // commit point
+    // the manifest IS the commit point, so its appearance must be atomic:
+    // a plain create+write could crash half-written and recover() would
+    // roll forward on a truncated source list, duplicating unlisted files
+    val tmp = stg.resolve(ManifestName + ".tmp")
+    Files.write(tmp, before.map(_.getFileName.toString).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, stg.resolve(ManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE) // commit point
 
     Files.move(live, retired(dir))
     Files.move(stg, live)

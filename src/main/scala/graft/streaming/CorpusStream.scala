@@ -52,13 +52,17 @@ object CorpusStream {
   def landBatch(batch: DataFrame, evalDocs: DataFrame, outPath: String,
                 minQuality: Double): Unit = {
     val survivors = curateBatch(batch, evalDocs, minQuality)
-    val landed =
-      try batch.sparkSession.read.parquet(outPath).select(col("doc_id"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        null } // first batch: nothing landed yet
+    // first-batch detection by an explicit existence probe, NOT by
+    // swallowing AnalysisException — a read failure on an output that
+    // does exist (corrupt footer, a compaction swap in flight) must fail
+    // the micro-batch so the engine retries it, not silently disable the
+    // replay-dedup guard and land duplicates
     val fresh =
-      if (landed == null) survivors
-      else survivors.join(landed, Seq("doc_id"), "left_anti")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(outPath)))
+        survivors
+      else survivors.join(
+        batch.sparkSession.read.parquet(outPath).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(outPath)
   }
 

@@ -27,7 +27,8 @@ class CompactionSpec extends SparkSpec {
     // target ~ a third of the data -> 3 output files
     val (before, after) = Compaction.compact(spark, dir, bytes / 3 + 1)
     assert(before == 20 && after == 3, s"before=$before after=$after")
-    assert(!Files.exists(Paths.get(dir + "._compacting")))
+    assert(!Files.exists(Paths.get(dir + "._compacted")))
+    assert(!Files.exists(Paths.get(dir + "._old")))
     val got = spark.read.parquet(dir).as[(Long, String)]
       .collect().sortBy(_._1)
     assert(got.sameElements(expected))
@@ -54,6 +55,23 @@ class CompactionSpec extends SparkSpec {
     assert(listParquet(dir).sorted.sameElements(files))
     assert(!Files.exists(Paths.get(dir + "._old")))
     assert(!Files.exists(Paths.get(dir + "._compacted")))
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("recover resumes a committed stage that never started its swap") {
+    val dir = tmpDir("compact-resume") + "/t"
+    (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+      .repartition(4).write.parquet(dir)
+    val originals = listParquet(dir)
+    spark.read.parquet(dir).repartition(1).write.parquet(dir + "._compacted")
+    Files.write(Paths.get(dir + "._compacted/_graft_compacted_sources"),
+      originals.mkString("\n").getBytes)
+    // crash simulated right after the commit point, before ANY rename:
+    // the committed data pass must be completed, not discarded
+    Compaction.recover(dir)
+    assert(!Files.exists(Paths.get(dir + "._old")))
+    assert(!Files.exists(Paths.get(dir + "._compacted")))
+    assert(listParquet(dir).size == 1)
     assert(spark.read.parquet(dir).count() == 100)
   }
 
