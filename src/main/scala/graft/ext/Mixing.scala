@@ -117,12 +117,48 @@ object Mixing {
         col("target_docs"))
       .orderBy(col("lang"))
 
+  /** Deterministic epoch shuffle: a seeded-hash TOTAL order over the
+    * corpus — the training-order randomization step. Hash-ordering beats
+    * `orderBy(rand())` on the two properties that matter at 100 TB:
+    * a re-executed stage reproduces the same order (retry-stable, so the
+    * training set's order is a pure function of (corpus, seed)), and a
+    * new epoch is just a new seed. The sort is Spark's standard
+    * range-partitioned total order; at scale you'd write the result as
+    * sorted epoch shards rather than collect it. */
+  def epochShuffle(docs: DataFrame, seed: Long): DataFrame =
+    docs.orderBy(
+      md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))),
+      col("doc_id"))
+
+  /** q_epoch_shuffle — the first 20 positions of the seed-42 epoch order
+    * (position via the same total order, so the oracle can reproduce it
+    * exactly). */
+  def qEpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = md5(concat_ws(":", lit(42L), col("doc_id").cast("string")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        row_number().over(
+          Window.orderBy(key, col("doc_id"))).as("position"))
+      .filter(col("position") <= 20)
+      .orderBy(col("position"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_shuffle" -> (qEpochShuffle _),
     "q_mixture" -> (qMixture _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_seq_pack" -> (qSeqPack _))
 
   val oracles: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      """SELECT doc_id, position FROM (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY md5(CONCAT('42', ':', CAST(doc_id AS VARCHAR))),
+        |        doc_id) AS position
+        |  FROM documents) t
+        |WHERE position <= 20
+        |ORDER BY position""".stripMargin,
     "q_mixture" ->
       """WITH counts AS (
         |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),

@@ -79,4 +79,19 @@ class MixingSpec extends SparkSpec {
     // floor'd targets never exceed the budget
     assert(w.values.map(_._5).sum <= 1000L)
   }
+
+  test("epochShuffle: seeded, reproducible, complete permutation") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val e1 = Mixing.epochShuffle(docs, seed = 1L).select("doc_id")
+      .as[Long].collect()
+    val e1again = Mixing.epochShuffle(docs, seed = 1L).select("doc_id")
+      .as[Long].collect()
+    val e2 = Mixing.epochShuffle(docs, seed = 2L).select("doc_id")
+      .as[Long].collect()
+    assert(e1.sameElements(e1again))          // retry-stable
+    assert(!e1.sameElements(e2))              // new seed = new order
+    assert(e1.sorted.sameElements(0L until 100L)) // a true permutation
+    assert(!e1.sameElements(0L until 100L))   // and actually shuffled
+  }
 }
