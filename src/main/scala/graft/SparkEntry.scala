@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.analytics.{Advanced, Events, Relational, RelationalExtra}
+import graft.analytics.{Advanced, Events, Relational, RelationalExtra, ScaleOps}
 import graft.ext.{Curation, DedupCluster, DedupOps, Mixing, Multimodal, Quantize, Ranking, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
+      ScaleOps.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ Quantize.defs ++
@@ -32,7 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver's rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
-      Events.oracles ++
+      Events.oracles ++ ScaleOps.oracles ++
       TextAnalysis.oracles ++
       DedupOps.oracles ++ DedupCluster.oracles ++ Ranking.oracles ++
       Curation.oracles ++

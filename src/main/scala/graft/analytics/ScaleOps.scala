@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomJoin
+import graft.sources.Tables
+
+/** Scale-pattern operators: the shapes that decide whether a plan survives
+  * 100× data growth — pre-shuffle reduction (bloom-filtered joins), bounded
+  * per-group state (mergeable sampling / heavy-hitter summaries), and
+  * map-side restructuring (token-window chunking). Each has an exact DuckDB
+  * oracle; the scale mechanism itself (shuffle cut, state bound) is pinned
+  * by specs.
+  */
+object ScaleOps {
+
+  /** q_bloom_join — large-large equi-join with the big side bloom-pre-
+    * filtered on the selective build side's keys ([[BloomJoin]]): lineitems
+    * of urgent pre-1997 orders (~6% of orders). The bloom probe is map-side
+    * in the lineitem scan stage, so only probable matches reach the join
+    * shuffle; the exact join then makes false positives irrelevant — the
+    * oracle is the PLAIN join, and it hash-matches at any fpp. */
+  def qBloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    BloomJoin.bloomJoin(li, col("l_orderkey"), urgent, col("o_orderkey"),
+        expectedItems = 1L << 20, fpp = 0.01)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(Parity.decSum2(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("yr"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (qBloomJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_bloom_join" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  COUNT(*) AS n_lines,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY yr""".stripMargin)
+}
