@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.udaf
 
 import graft.operators.BloomJoin
 import graft.sources.Tables
@@ -36,8 +37,28 @@ object ScaleOps {
       .orderBy(col("yr"))
   }
 
+  /** q_sample_group — k-per-group deterministic sample via the bottom-k-by-
+    * hash aggregator ([[graft.functions.BottomKByHashAgg]]): 8 docs per
+    * language, ranked by md5(doc_id). The oracle is the ROW_NUMBER window
+    * formulation — identical rows, but the aggregator keeps ≤ k entries of
+    * state per group on every path where the window sorts the whole group
+    * through the shuffle. */
+  def qSampleGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sampler = udaf(new graft.functions.BottomKByHashAgg(8))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sampler(col("h"), col("doc_id")).as("sample"))
+      .select(col("lang"), posexplode(col("sample")).as(Seq("p", "doc_id")))
+      .select(col("lang"), (col("p") + 1).cast("long").as("rk"),
+        col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bloom_join" -> (qBloomJoin _))
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_sample_group" -> (qSampleGroup _))
 
   val oracles: Map[String, String] = Map(
     "q_bloom_join" ->
@@ -49,5 +70,13 @@ object ScaleOps {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1
-        |ORDER BY yr""".stripMargin)
+        |ORDER BY yr""".stripMargin,
+    "q_sample_group" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 8
+        |ORDER BY lang, rk""".stripMargin)
 }
