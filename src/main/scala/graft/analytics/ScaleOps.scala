@@ -56,9 +56,25 @@ object ScaleOps {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** q_chunk — sliding token-window chunking ([[graft.ext.Chunking]]):
+    * 32-token windows every 24 tokens over the documents corpus, output as
+    * (doc_id, chunk_id, n_tok, chunk md5). Entirely map-side — the chunk
+    * fingerprint makes the oracle compare content, not just counts. */
+  def qChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.ext.Chunking.chunkTokens(docs,
+        graft.ext.TextAnalysis.tokens(col("text")), size = 32, stride = 24,
+        keep = Seq(col("doc_id")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
-    "q_sample_group" -> (qSampleGroup _))
+    "q_sample_group" -> (qSampleGroup _),
+    "q_chunk" -> (qChunk _))
 
   val oracles: Map[String, String] = Map(
     "q_bloom_join" ->
@@ -78,5 +94,24 @@ object ScaleOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 8
-        |ORDER BY lang, rk""".stripMargin)
+        |ORDER BY lang, rk""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 32 THEN 1
+        |         ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1
+        |    END AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, n_chunks - 1)) AS i
+        |  FROM c)
+        |SELECT doc_id, i AS chunk_id,
+        |  len(toks[(i*24 + 1):(i*24 + 32)]) AS n_tok,
+        |  md5(array_to_string(toks[(i*24 + 1):(i*24 + 32)], ' ')) AS chunk_md5
+        |FROM e
+        |ORDER BY doc_id, chunk_id""".stripMargin)
 }
