@@ -71,10 +71,29 @@ object ScaleOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** q_heavy_hitters — per-day top-2 event types via the SpaceSaving
+    * summary ([[graft.functions.SpaceSavingAgg]]). Capacity 32 ≥ the
+    * event-type cardinality, so the sketch's eviction path never fires and
+    * its counts are EXACT — which is what makes an approximate-by-design
+    * summary oracle-able; behavior under capacity pressure (the n/capacity
+    * error bound) is spec-pinned instead. */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val hh = udaf(new graft.functions.SpaceSavingAgg(32))
+    Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(hh(col("event_type")).as("top"))
+      .select(col("day"), posexplode(slice(col("top"), 1, 2)).as(Seq("p", "t")))
+      .select(col("day"), (col("p") + 1).cast("long").as("rk"),
+        col("t._1").as("event_type"), col("t._2").as("cnt"))
+      .orderBy(col("day"), col("rk"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
     "q_sample_group" -> (qSampleGroup _),
-    "q_chunk" -> (qChunk _))
+    "q_chunk" -> (qChunk _),
+    "q_heavy_hitters" -> (qHeavyHitters _))
 
   val oracles: Map[String, String] = Map(
     "q_bloom_join" ->
@@ -113,5 +132,18 @@ object ScaleOps {
         |  len(toks[(i*24 + 1):(i*24 + 32)]) AS n_tok,
         |  md5(array_to_string(toks[(i*24 + 1):(i*24 + 32)], ' ')) AS chunk_md5
         |FROM e
-        |ORDER BY doc_id, chunk_id""".stripMargin)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT day, event_type, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY day
+        |      ORDER BY cnt DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT day, rk, event_type, cnt FROM r
+        |WHERE rk <= 2
+        |ORDER BY day, rk""".stripMargin)
 }
