@@ -89,11 +89,37 @@ object ScaleOps {
       .orderBy(col("day"), col("rk"))
   }
 
+  /** q_zorder_scan — round-trips events through the z-order layout writer
+    * ([[graft.sinks.Layout]]: quantile rank buckets → Morton code → one
+    * range shuffle) and aggregates a 2-D box filter off the rewritten
+    * copy. The oracle runs the same filter on the ORIGINAL table, so a
+    * hash-match proves the layout rewrite is row-preserving end-to-end;
+    * the data-skipping effect itself (scan metrics dropping) is pinned by
+    * LayoutSpec. */
+  def qZorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val dir = System.getProperty("java.io.tmpdir") +
+      s"/graft_zorder_${Integer.toHexString(sfDir.hashCode)}"
+    graft.sinks.Layout.writeZordered(ev, Seq("user_id", "value"), dir,
+      numFiles = 8, bitsPerDim = 6)
+    spark.read.parquet(dir)
+      .filter(col("user_id").between(3, 9) &&
+        col("value").between(10.0, 60.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        round(Parity.decSum2(col("value")), 2).as("val_sum"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
     "q_sample_group" -> (qSampleGroup _),
     "q_chunk" -> (qChunk _),
-    "q_heavy_hitters" -> (qHeavyHitters _))
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_zorder_scan" -> (qZorderScan _))
 
   val oracles: Map[String, String] = Map(
     "q_bloom_join" ->
@@ -145,5 +171,14 @@ object ScaleOps {
         |  FROM c)
         |SELECT day, rk, event_type, cnt FROM r
         |WHERE rk <= 2
-        |ORDER BY day, rk""".stripMargin)
+        |ORDER BY day, rk""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS val_sum
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 10.0 AND 60.0
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin)
 }

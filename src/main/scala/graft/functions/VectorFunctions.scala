@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CentroidArgmax, CentroidTopN, CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, RollingHash, SimHash64}
+import org.apache.spark.sql.graft.{CentroidArgmax, CentroidTopN, CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, InterleaveBits, RankBucket, RollingHash, SimHash64}
 
 /** Public facade over the native Catalyst kernels in
   * [[org.apache.spark.sql.graft]] (which must live inside Spark's namespace
@@ -45,6 +45,20 @@ object VectorFunctions {
                     topN: Int): Column =
     GraftExpressions.column(CentroidTopN(
       GraftExpressions.expression(emb), centroids, ids, topN))
+
+  /** rank_bucket(c): equi-depth bucket index of a double column — the count
+    * of sorted `boundaries` <= value, binary-searched in one kernel with the
+    * boundary array carried as a single reference object. */
+  def rank_bucket(c: Column, boundaries: Array[Double]): Column =
+    GraftExpressions.column(RankBucket(
+      GraftExpressions.expression(c), boundaries))
+
+  /** interleave_bits(buckets): Morton / z-order code of an array<int> of
+    * bucket ids — low `bitsPerDim` bits of each element interleaved (dim 0
+    * most significant within each bit group) into one long. */
+  def interleave_bits(buckets: Column, bitsPerDim: Int): Column =
+    GraftExpressions.column(InterleaveBits(
+      GraftExpressions.expression(buckets), bitsPerDim))
 
   /** simhash64(tokens): 64-bit SimHash of an array<string> column — per-
     * token xxhash64 majority vote, fused into one map-side kernel. */

@@ -506,6 +506,124 @@ case class CentroidTopN(child: Expression, centroids: Array[Float],
     copy(child = newChild)
 }
 
+/** Equi-depth bucket index of a double: the count of sorted `boundaries`
+  * that are <= the value, via binary search — an int in
+  * [0, boundaries.length]. `boundaries` (the (2^bits − 1) approximate
+  * quantiles of the column) is carried as ONE reference object, not as
+  * literal children — the same plan-overhead rule as [[HyperplaneBuckets]]:
+  * a 12-bit dim means 4095 boundary doubles, which as literals would bloat
+  * analysis/codegen; here the plan stays O(1) in bucket count.
+  *
+  * Quantile (rank) normalization rather than min/max scaling makes the
+  * z-order layout skew-robust: heavy values spread over many buckets
+  * instead of collapsing the curve onto a few codes. NULL in → NULL out;
+  * NaN compares below every boundary and lands in bucket 0. */
+case class RankBucket(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(boundaries.nonEmpty, "rank_bucket needs at least one boundary " +
+    "(empty quantile array — is the column all NULL?)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "rank_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bs = ctx.addReferenceObj("boundaries", boundaries, "double[]")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0;
+         |int $hi = ${boundaries.length};
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($bs[$mid] <= $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Morton (z-order) code: interleaves the low `bitsPerDim` bits of the int
+  * bucket ids in `child` (an array<int>, dim 0 most significant within each
+  * bit group) into one non-negative long. Sorting by this code makes rows
+  * close in EVERY dimension land in the same parquet file/row group, so
+  * min/max stats prune multi-dimensional box predicates — the data-skipping
+  * layout a 100 TB table needs when queries filter on more than the single
+  * partition column.
+  *
+  * NULL array → NULL; a NULL element maps to bucket 0 (NULL-filtering
+  * predicates can't use stats anyway, so placement is free); values are
+  * masked to bitsPerDim bits. n·bitsPerDim must fit in 63 bits — checked
+  * per row because the array length is only known at runtime (the
+  * [[graft.sinks.Layout]] entry points check it at plan time). */
+case class InterleaveBits(child: Expression, bitsPerDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bitsPerDim > 0 && bitsPerDim <= 63,
+    s"bitsPerDim must be in [1, 63], got $bitsPerDim")
+  private val mask = (1 << math.min(bitsPerDim, 30)) - 1
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n * bitsPerDim > 63) throw new IllegalArgumentException(
+      s"interleave_bits: $n dims x $bitsPerDim bits exceeds 63")
+    var out = 0L
+    var d = 0
+    while (d < n) {
+      val x = (if (a.isNullAt(d)) 0 else a.getInt(d)) & mask
+      var b = 0
+      while (b < bitsPerDim) {
+        out |= ((x >> b) & 1).toLong << (b * n + (n - 1 - d))
+        b += 1
+      }
+      d += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("zout")
+      val d = ctx.freshName("d"); val b = ctx.freshName("b")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n * $bitsPerDim > 63) {
+         |  throw new IllegalArgumentException(
+         |    "interleave_bits: " + $n + " dims x $bitsPerDim bits exceeds 63");
+         |}
+         |long $out = 0L;
+         |for (int $d = 0; $d < $n; $d++) {
+         |  int $x = ($a.isNullAt($d) ? 0 : $a.getInt($d)) & $mask;
+         |  for (int $b = 0; $b < $bitsPerDim; $b++) {
+         |    $out |= ((long) (($x >> $b) & 1)) << ($b * $n + ($n - 1 - $d));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   val RollingBase = 257L
   val SignMask = 0x7fffffffffffffffL
