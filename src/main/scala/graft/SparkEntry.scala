@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, Relational, RelationalExtra, ScaleOps}
-import graft.ext.{Curation, DedupCluster, DedupOps, Mixing, Multimodal, Quantize, Ranking, Similarity, SimilarityIvf, TextAnalysis}
+import graft.ext.{Curation, DedupCluster, DedupOps, LineDedup, Mixing, Multimodal, Quantize, Ranking, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       ScaleOps.defs ++
-      TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++
+      TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++ LineDedup.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ Quantize.defs ++
       Multimodal.defs ++
@@ -35,7 +35,7 @@ object SparkEntry {
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
       Events.oracles ++ ScaleOps.oracles ++
       TextAnalysis.oracles ++
-      DedupOps.oracles ++ DedupCluster.oracles ++ Ranking.oracles ++
+      DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++ Ranking.oracles ++
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++
