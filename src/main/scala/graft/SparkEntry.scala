@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.analytics.{Advanced, Events, Relational, RelationalExtra, ScaleOps}
+import graft.analytics.{Advanced, Events, GraphOps, Relational, RelationalExtra, ScaleOps}
 import graft.ext.{Curation, DedupCluster, DedupOps, LineDedup, Mixing, Multimodal, Quantize, Ranking, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
-      ScaleOps.defs ++
+      ScaleOps.defs ++ GraphOps.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++ LineDedup.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ Quantize.defs ++
@@ -33,7 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver's rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
-      Events.oracles ++ ScaleOps.oracles ++
+      Events.oracles ++ ScaleOps.oracles ++ GraphOps.oracles ++
       TextAnalysis.oracles ++
       DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++ Ranking.oracles ++
       Curation.oracles ++

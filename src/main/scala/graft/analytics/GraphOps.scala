@@ -1,0 +1,152 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointUtils
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.Tables
+
+/** Graph centrality over relational edge lists — PageRank as iterative
+  * DataFrame joins. The reference engine has no graph surface (its
+  * 228-line pipeline is linear — /root/reference/airflow/dags/
+  * weather_etl.py); a training-data pipeline needs link-graph centrality
+  * for source weighting (rank domains by citation structure, weight a
+  * crawl by authority, seed-expand a curated allowlist).
+  *
+  * Scale design, per iteration: ONE shuffle family — ranks join onto the
+  * out-degree-annotated edge list by src, then a sum aggregate by dst.
+  * The edge list is persisted once with its degree annotation and reused
+  * every round; ranks are `localCheckpoint`ed per round (lineage
+  * truncation — round N never replays rounds 1..N-1) and the superseded
+  * snapshot's blocks are freed eagerly ([[CheckpointUtils]], the
+  * [[graft.ext.DedupCluster]] discipline). The only driver-side scalar is
+  * the node count (the teleport denominator) — one long, computed once.
+  * Iteration count is FIXED, not convergence-probed: power iteration's
+  * error decays as damping^k regardless of graph size, so k is a quality
+  * knob independent of scale, and a fixed k keeps the operator
+  * oracle-expressible (k chained CTEs) and free of per-round driver
+  * round-trips.
+  *
+  * Dangling nodes (out-degree 0) contribute no redistributed mass — the
+  * standard "removed dangling" simplification; callers who need strict
+  * probability conservation symmetrize the edge list (undirected graphs
+  * conserve exactly — spec-pinned) or add self-loops.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank over a directed (src, dst) edge list.
+    * Returns (node, rank, rank_n) for node = every distinct src or dst:
+    * rank is the teleport-smoothed probability after `iters` rounds of
+    * r(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u); rank_n = rank · N
+    * (mean 1.0 — the scale-free form to compare across corpus sizes). */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+               iters: Int = 5): DataFrame = {
+    require(iters > 0 && damping > 0 && damping < 1,
+      s"need iters > 0 and 0 < damping < 1: iters=$iters damping=$damping")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint() // reused every round as the left side
+      try {
+        val n = nodes.count() // ONE driver scalar: the teleport denominator
+        var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+        def failing[A](body: => A): A =
+          try body catch {
+            case t: Throwable =>
+              CheckpointUtils.freeLocalCheckpoint(ranks); throw t
+          }
+        failing {
+          for (_ <- 1 to iters) {
+            val contribs = withDeg
+              .join(ranks.select(col("node").as("src"), col("rank")), "src")
+              .groupBy(col("dst"))
+              .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+              .select(col("dst").as("node"), col("contrib"))
+            // left join from the stable node list: a node with no in-edges
+            // keeps the bare teleport share instead of dropping out
+            val stepped = nodes
+              .join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                (lit((1 - damping) / n) +
+                  lit(damping) * coalesce(col("contrib"), lit(0.0)))
+                  .as("rank"))
+              .localCheckpoint()
+            CheckpointUtils.freeLocalCheckpoint(ranks)
+            ranks = stepped
+          }
+          ranks.withColumn("rank_n", col("rank") * n)
+        }
+      } finally CheckpointUtils.freeLocalCheckpoint(nodes)
+    } finally { withDeg.unpersist(); e.unpersist() }
+  }
+
+  /** q_pagerank — authority ranking over the who-buys-from-whom graph:
+    * distinct (customer, supplier) trade pairs from lineitem ⋈ orders,
+    * symmetrized (undirected trade relation → exact mass conservation),
+    * 5 damped iterations, top 20 by normalized rank. Ordering ties are
+    * broken on the ROUNDED rank then node id, so the boundary of the
+    * top-20 cannot flip on cross-engine float noise. */
+  def qPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cust"),
+        concat(lit("s"), col("l_suppkey")).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+    pageRank(edges, damping = 0.85, iters = 5)
+      .select(col("node"), round(col("rank_n"), 6).as("rank_n"))
+      .orderBy(col("rank_n").desc, col("node"))
+      .limit(20)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (qPageRank _))
+
+  /** DuckDB twin: the same edge construction and 5 unrolled power
+    * iterations as chained CTEs (recursive CTEs can't re-aggregate per
+    * step). Every node appears as src after symmetrization, so the node
+    * list and the left-join base case match the Spark side exactly. */
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> {
+      val step = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT nd.node,
+           |         (0.15 / (SELECT n FROM nn)) + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS contrib
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON e.src = r.node
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+         |                  's' || CAST(l_suppkey AS VARCHAR) AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT cust AS src, supp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT supp AS src, cust AS dst FROM pairs),
+         |nodes AS (
+         |  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT node,
+         |       ROUND(rank * (SELECT n FROM nn), 6) AS rank_n
+         |FROM r5
+         |ORDER BY rank_n DESC, node
+         |LIMIT 20""".stripMargin
+    })
+}
