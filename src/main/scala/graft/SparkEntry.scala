@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, GraphOps, Relational, RelationalExtra, ScaleOps}
-import graft.ext.{Curation, DedupCluster, DedupOps, LineDedup, Mixing, Multimodal, Quantize, Ranking, Similarity, SimilarityIvf, TextAnalysis}
+import graft.ext.{Curation, DedupCluster, DedupOps, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -23,7 +23,7 @@ object SparkEntry {
       ScaleOps.defs ++ GraphOps.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++ LineDedup.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
-      Similarity.defs ++ SimilarityIvf.defs ++ Quantize.defs ++
+      Similarity.defs ++ SimilarityIvf.defs ++ SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),

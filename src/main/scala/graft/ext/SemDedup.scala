@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine_sim
+import graft.sources.Tables
+
+/** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+  * arXiv:2303.09540): remove documents that SAY the same thing — near-
+  * identical embeddings — even when their text shares no n-grams, by
+  * (1) coarse-clustering the embedding space with k-means and
+  * (2) comparing pairs only WITHIN a cluster, keeping one representative
+  * per semantic-duplicate relation.
+  *
+  * This is the third fuzzy-dedup family next to [[DedupOps]]' lexical
+  * (shingle/MinHash/SimHash) and embedding-LSH paths, and the one used to
+  * prune web-scale corpora before LLM pretraining. The reference engine
+  * has no text or vector surface at all (228-line weather pipeline —
+  * /root/reference/airflow/dags/weather_etl.py).
+  *
+  * Scale shape: clustering reuses [[SimilarityIvf]]'s Lloyd trainer
+  * (driver-resident nList×dim model, map-side fused-kernel assignment —
+  * no per-centroid plan growth). The pair stage self-joins each cluster
+  * with an id-ordered predicate: cost is Σ|c|² over clusters, the knob
+  * being nList (paper uses nList ≈ n/avg_cluster_size so |c| stays
+  * bounded — e.g. 50k clusters over 5B docs). The join shuffles on
+  * list_id only; a pathologically hot cluster is the same heavy-key
+  * profile as a stop-shingle and is bounded the same way — raise nList
+  * (finer clusters) rather than any maxDf-style cutoff, because unlike a
+  * stop-shingle a big cluster is exactly where semantic duplicates live.
+  * Keeper rule: a vector is removed iff some SMALLER vec_id in its
+  * cluster clears the threshold — greedy-by-id, one pass, deterministic,
+  * and it guarantees the kept set is pairwise ≤ threshold within every
+  * cluster (each survivor certifies no smaller kept neighbor above it).
+  */
+object SemDedup {
+
+  /** Distinct vec_ids condemned within their cluster: b is a duplicate
+    * iff ∃ a with a.list_id = b.list_id, a.vec_id < b.vec_id and
+    * cos(a, b) > threshold. `indexed` needs (vec_id, embedding, list_id). */
+  def duplicateIds(indexed: DataFrame, threshold: Double): DataFrame = {
+    val a = indexed.select(col("list_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = indexed.select(col("list_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("emb_a"), col("emb_b")) > threshold)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+  }
+
+  /** The surviving corpus: cluster with k-means (nList, nIters), then
+    * drop every within-cluster duplicate. Returns the input rows plus
+    * their list_id, minus the condemned. */
+  def semDedup(corpus: DataFrame, nList: Int, nIters: Int = 2,
+               threshold: Double = 0.7): DataFrame = {
+    val centroids = SimilarityIvf.train(corpus, nList, nIters)
+    val indexed = SimilarityIvf.index(corpus, centroids)
+    indexed.join(duplicateIds(indexed, threshold), Seq("vec_id"), "left_anti")
+  }
+
+  /** q_dedup_semantic — per-cluster survivor accounting over the
+    * embeddings table (rows-only oracle: k-means + the native cosine
+    * kernel aren't portable SQL — the keeper invariants are pinned in
+    * SemDedupSpec, the same contract as the MinHash/SimHash/LSH rows-only
+    * family). τ = 0.3 is corpus-calibrated: the synthetic embeddings are
+    * isotropic-ish (max within-label cosine ≈ 0.5), so the real-corpus
+    * default of 0.7 would be a no-op here; 0.3 exercises the removal
+    * path at every scale factor. */
+  def qSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = SimilarityIvf.train(emb, nList = 8, nIters = 2)
+    // persisted, not unpersisted: the plan is lazy and the index feeds the
+    // pair join twice plus both rollups; CacheManager dedups repeat calls
+    // by plan equality (the DedupOps.cachedIndex contract)
+    val indexed = SimilarityIvf.index(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = indexed
+      .join(duplicateIds(indexed, threshold = 0.3), Seq("vec_id"), "left_anti")
+    indexed.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+      .join(kept.groupBy(col("list_id")).agg(count(lit(1)).as("n_kept")),
+        Seq("list_id"), "left")
+      .select(col("list_id"), col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("list_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semantic" -> (qSemantic _))
+}
