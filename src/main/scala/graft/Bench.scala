@@ -75,7 +75,19 @@ object Bench {
     val sh = results.map { case (k, _, m) => "\"" + k + f"""\":$m%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Durable copy of the full record: the driver's tail capture only
+    // preserves the compact line, which made round 4's per-query map
+    // unrecoverable. target/ is gitignored scratch — best effort.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_full.json: $e")
+    }
     // The full line above now exceeds the driver's tail-capture window (67
     // per-query timings + shuffle map truncate its head -> unparseable), so
     // ALSO emit a compact total-only record LAST: the tail always contains a

@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.CheckpointUtils
+import org.apache.spark.sql.graft.Checkpointer
 import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
@@ -17,10 +17,11 @@ import graft.sources.Tables
   * Scale design, per iteration: ONE shuffle family — ranks join onto the
   * out-degree-annotated edge list by src, then a sum aggregate by dst.
   * The edge list is persisted once with its degree annotation and reused
-  * every round; ranks are `localCheckpoint`ed per round (lineage
-  * truncation — round N never replays rounds 1..N-1) and the superseded
-  * snapshot's blocks are freed eagerly ([[CheckpointUtils]], the
-  * [[graft.ext.DedupCluster]] discipline). The only driver-side scalar is
+  * every round; ranks are checkpointed every second round (lineage depth
+  * ≤ 2 — round N never replays more than one unmaterialized predecessor)
+  * and the superseded snapshot's blocks are freed eagerly
+  * ([[Checkpointer]], the [[graft.ext.DedupCluster]] discipline). The
+  * only driver-side scalar is
   * the node count (the teleport denominator) — one long, computed once.
   * Iteration count is FIXED, not convergence-probed: power iteration's
   * error decays as damping^k regardless of graph size, so k is a quality
@@ -39,30 +40,39 @@ object GraphOps {
     * Returns (node, rank, rank_n) for node = every distinct src or dst:
     * rank is the teleport-smoothed probability after `iters` rounds of
     * r(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u); rank_n = rank · N
-    * (mean 1.0 — the scale-free form to compare across corpus sizes). */
+    * (mean 1.0 — the scale-free form to compare across corpus sizes).
+    *
+    * Checkpointing: every SECOND round (plus the last) — lineage depth
+    * stays bounded at 2 while halving the materialization jobs that
+    * dominate the operator's cost on small graphs (the unmaterialized
+    * round fuses into the next round's job; total shuffle work is
+    * unchanged). `checkpointDir` switches the snapshots from
+    * localCheckpoint to RELIABLE checkpoints that survive executor loss —
+    * the option a 100 TB multi-hour run wants ([[Checkpointer]]). */
   def pageRank(edges: DataFrame, damping: Double = 0.85,
-               iters: Int = 5): DataFrame = {
+               iters: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
     require(iters > 0 && damping > 0 && damping < 1,
       s"need iters > 0 and 0 < damping < 1: iters=$iters damping=$damping")
+    val cp = Checkpointer(checkpointDir)
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val withDeg = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .localCheckpoint() // reused every round as the left side
+      val nodes = cp.checkpoint(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+        // reused every round as the left side
       try {
         val n = nodes.count() // ONE driver scalar: the teleport denominator
-        var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+        var ranks = cp.checkpoint(nodes.withColumn("rank", lit(1.0 / n)))
+        var lastSnap = ranks // most recent MATERIALIZED snapshot
         def failing[A](body: => A): A =
           try body catch {
-            case t: Throwable =>
-              CheckpointUtils.freeLocalCheckpoint(ranks); throw t
+            case t: Throwable => cp.free(lastSnap); throw t
           }
         failing {
-          for (_ <- 1 to iters) {
+          for (i <- 1 to iters) {
             val contribs = withDeg
               .join(ranks.select(col("node").as("src"), col("rank")), "src")
               .groupBy(col("dst"))
@@ -76,13 +86,17 @@ object GraphOps {
                 (lit((1 - damping) / n) +
                   lit(damping) * coalesce(col("contrib"), lit(0.0)))
                   .as("rank"))
-              .localCheckpoint()
-            CheckpointUtils.freeLocalCheckpoint(ranks)
-            ranks = stepped
+            if (i % 2 == 0 || i == iters) {
+              // checkpoint is eager: materialize the new snapshot, THEN
+              // free the superseded one
+              ranks = cp.checkpoint(stepped)
+              cp.free(lastSnap)
+              lastSnap = ranks
+            } else ranks = stepped // lineage depth ≤ 2, fused into next job
           }
           ranks.withColumn("rank_n", col("rank") * n)
         }
-      } finally CheckpointUtils.freeLocalCheckpoint(nodes)
+      } finally cp.free(nodes)
     } finally { withDeg.unpersist(); e.unpersist() }
   }
 
@@ -118,10 +132,18 @@ object GraphOps {
     * list and the left-join base case match the Spark side exactly. */
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> {
+      // bit-identical coefficients on both engines: Spark computes the
+      // teleport term as (1 - damping) in driver double arithmetic
+      // (0.15000000000000002, not 0.15) — emit the oracle constants from
+      // the SAME doubles, cast to DOUBLE so DuckDB doesn't parse the long
+      // literal as DECIMAL and change the arithmetic
+      val damping = 0.85
+      val tel = s"CAST(${(1 - damping).toString} AS DOUBLE)"
+      val d = s"CAST(${damping.toString} AS DOUBLE)"
       val step = (k: Int) =>
         s"""r$k AS (
            |  SELECT nd.node,
-           |         (0.15 / (SELECT n FROM nn)) + 0.85 * coalesce(c.contrib, 0.0) AS rank
+           |         ($tel / (SELECT n FROM nn)) + $d * coalesce(c.contrib, 0.0) AS rank
            |  FROM nodes nd LEFT JOIN (
            |    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS contrib
            |    FROM edges e
@@ -141,7 +163,8 @@ object GraphOps {
          |nn AS (SELECT count(*) AS n FROM nodes),
          |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          |r0 AS (
-         |  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+         |  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+         |  FROM nodes),
          |${(1 to 5).map(step).mkString(",\n")}
          |SELECT node,
          |       ROUND(rank * (SELECT n FROM nn), 6) AS rank_n

@@ -100,8 +100,10 @@ object ScaleOps {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
-    val dir = System.getProperty("java.io.tmpdir") +
-      s"/graft_zorder_${Integer.toHexString(sfDir.hashCode)}"
+    // unique dir per invocation: two concurrent suites over the same sfDir
+    // must not race on overwrite-while-read of a shared path
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      .toString
     graft.sinks.Layout.writeZordered(ev, Seq("user_id", "value"), dir,
       numFiles = 8, bitsPerDim = 6)
     spark.read.parquet(dir)

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.CheckpointUtils
+import org.apache.spark.sql.graft.Checkpointer
 import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
@@ -41,8 +41,15 @@ object DedupCluster {
     * component diameter: labels settle within `maxIter` propagation rounds
     * plus one quiet confirmation round, and a graph still changing after
     * that throws — loud failure beats silently mislabeled clusters.
+    * `checkpointDir` switches the per-round snapshots from localCheckpoint
+    * to RELIABLE checkpoints that survive executor loss (the multi-hour
+    * 100 TB option — [[Checkpointer]]); unlike [[graft.analytics.GraphOps]]
+    * every round still materializes, because the convergence probe needs
+    * an action per round anyway.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cp = Checkpointer(checkpointDir)
     // symmetrize once: propagation below only follows src -> dst
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -50,9 +57,8 @@ object DedupCluster {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
-        .localCheckpoint()
+      var labels = cp.checkpoint(sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
       var round = 0
       var converged = false
       // on ANY failure path (mid-round error, non-convergence throw) the
@@ -60,8 +66,7 @@ object DedupCluster {
       // path hands its final checkpoint to the caller
       def failing[A](body: => A): A =
         try body catch {
-          case t: Throwable =>
-            CheckpointUtils.freeLocalCheckpoint(labels); throw t
+          case t: Throwable => cp.free(labels); throw t
         }
       failing {
         // a diameter-d graph changes labels in rounds 1..d and confirms the
@@ -78,14 +83,15 @@ object DedupCluster {
               least(col("label"), coalesce(col("nmin"), col("label")))
                 .as("label"),
               coalesce(col("nmin") < col("label"), lit(false)).as("changed"))
-            .localCheckpoint() // materialize: truncates lineage AND makes the
-                               // convergence count + next round share one pass
+          val snap = cp.checkpoint(stepped)
+            // materialize: truncates lineage AND makes the convergence
+            // count + next round share one pass
           // free the superseded snapshot and hand over BEFORE the
-          // convergence probe, so a probe failure releases `stepped` (now
+          // convergence probe, so a probe failure releases `snap` (now
           // `labels`) through `failing`, not leaks it
-          CheckpointUtils.freeLocalCheckpoint(labels)
-          labels = stepped.drop("changed")
-          converged = stepped.filter(col("changed")).isEmpty
+          cp.free(labels)
+          labels = snap.drop("changed")
+          converged = snap.filter(col("changed")).isEmpty
           round += 1
         }
         if (!converged)

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -17,23 +16,23 @@ import graft.sources.Tables
   * pipeline lands flat weather rows — /root/reference/airflow/dags/
   * weather_etl.py); this is north-star training-pipeline surface.
   *
-  * Scale shape: two shuffles, both on bounded keys. (1) The
-  * first-occurrence winner is a row_number window partitioned by the LINE
-  * TEXT itself — lines are short (a sentence), and partitioning by the
-  * exact text instead of a 64-bit hash means a hash collision can never
-  * silently delete a distinct line (the text travels through the shuffle
-  * anyway, because reassembly needs it — hashing would save sort-key
-  * comparisons, not bytes). (2) Reassembly is one groupBy(doc_id) whose
-  * state per group is the surviving lines of ONE document — bounded by
-  * document length, not corpus size. No self-join, no O(n²) pair step:
-  * cost is linear in total line count at any corpus size. Boilerplate
-  * lines repeated across millions of documents make the window partition
-  * skewed; that is the same heavy-key profile as the ngram shingle index
-  * and the remedy is the same — a df cutoff upstream (drop lines with
-  * count(*) over the line above a threshold entirely) — but the
-  * first-occurrence semantics here only need ONE winner per heavy key and
-  * row_number short-circuits nothing, so for exact C4 semantics the skew
-  * cost is inherent and the window rank is the minimal form of it.
+  * Scale shape: the first-occurrence winner is a
+  * `groupBy(line).agg(min(struct(doc_id, line_id)))` — an algebraic
+  * aggregate that PARTIAL-aggregates map-side, so a boilerplate line with
+  * 10⁸ occurrences reaches the reducer as one candidate row per upstream
+  * partition instead of 10⁸ rows sorted on one reducer (the failure mode
+  * of the row_number-over-line window this replaced). Keeps are then
+  * marked by joining the (one-row-per-distinct-line) winner table back to
+  * the occurrences; the join still hashes on the skewed line key, but
+  * join skew is AQE-splittable (spark.sql.adaptive.skewJoin) while window
+  * skew is not — and the winner side carries exactly one row per heavy
+  * key. Partitioning by the exact text instead of a 64-bit hash means a
+  * hash collision can never silently delete a distinct line (the text
+  * travels through the shuffle anyway, because reassembly needs it).
+  * Reassembly is one groupBy(doc_id) whose state per group is the
+  * surviving lines of ONE document — bounded by document length, not
+  * corpus size. No self-join, no O(n²) pair step: cost is linear in total
+  * line count at any corpus size.
   *
   * The synthetic corpus has no newlines or sentence punctuation, so the
   * driver query segments text into fixed 8-token lines (stride = size via
@@ -58,13 +57,23 @@ object LineDedup {
   /** One row per (doc_id, line_id, line) with `keep` = true iff this
     * occurrence is the corpus-wide first (min (doc_id, line_id)) of its
     * line text. `lines` must be an array<string> column; line_id is the
-    * 0-based position within the document. */
+    * 0-based position within the document.
+    *
+    * The winner is computed as an algebraic min over the (doc_id, line_id)
+    * struct (lexicographic — identical ordering to the row_number
+    * formulation) so each map task emits ONE candidate per distinct line
+    * before the shuffle; see the scale note in the class doc. */
   def markFirstOccurrences(docs: DataFrame, lines: Column): DataFrame = {
     val occ = docs
       .select(col("doc_id"), posexplode(lines).as(Seq("line_id", "line")))
-    val firstSite = Window.partitionBy(col("line"))
-      .orderBy(col("doc_id"), col("line_id"))
-    occ.withColumn("keep", row_number().over(firstSite) === 1)
+    val firstSite = occ
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_id"))).as("first_site"))
+    occ
+      .join(firstSite, Seq("line"))
+      .withColumn("keep",
+        struct(col("doc_id"), col("line_id")) === col("first_site"))
+      .select(col("doc_id"), col("line_id"), col("line"), col("keep"))
   }
 
   /** Reassemble per-document survivors: (doc_id, n_lines, n_kept,
@@ -85,11 +94,15 @@ object LineDedup {
             s => s.getField("line")))).as("kept_md5"))
 
   /** q_line_dedup — corpus-wide first-occurrence line dedup over the
-    * documents table, "lines" = non-overlapping 8-token segments. */
+    * documents table, "lines" = non-overlapping 8-token segments. NULL
+    * text coalesces to '' BEFORE tokenization (mirrored in the oracle's
+    * toks CTE) so the operator is total over nullable input — without it
+    * Spark yields one empty line while DuckDB propagates NULL. */
   def qLineDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     dedupSummary(markFirstOccurrences(docs,
-        tokenSegments(TextAnalysis.tokens(col("text")), size = 8)))
+        tokenSegments(TextAnalysis.tokens(coalesce(col("text"), lit(""))),
+          size = 8)))
       .orderBy(col("doc_id"))
   }
 
@@ -104,7 +117,7 @@ object LineDedup {
   val oracles: Map[String, String] = Map(
     "q_line_dedup" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
         |  FROM documents),
         |occ AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS line_id,

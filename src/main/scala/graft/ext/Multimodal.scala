@@ -9,13 +9,19 @@ import graft.sources.Tables
   * as opaque `binary` payloads with a typed metadata struct, plus the
   * decode / feature-extract / resize / frame-sample plumbing.
   *
-  * The decode step is a clearly-marked STUB (this container has no image or
-  * audio codecs): [[StubCodec.decode]] derives deterministic pseudo-features
-  * from the payload bytes where a real libjpeg/ffmpeg call would go. What IS
-  * real — and tested — is everything Spark-side: the asset schema, the
-  * batch-iterator `mapPartitions` shape (one codec init per partition, the
-  * exact pattern a JNI decoder needs), partition sizing, and the feature
-  * schema the pipeline downstream consumes.
+  * Two codecs share one per-partition decode seam ([[extractFeatures]]):
+  *
+  *  - [[ImageCodec]] is a REAL decoder — `javax.imageio` PNG/BMP (pure
+  *    JDK, no native deps): binary payload → pixels → width/height/
+  *    pixel-sum features. q_image_stats runs it over generated fixture
+  *    images whose pixel pattern has a closed form, so the DuckDB oracle
+  *    recomputes the decoded statistics from arithmetic and a hash match
+  *    proves true bytes→pixels work.
+  *  - [[StubCodec]] remains the clearly-marked stand-in for the codecs
+  *    this container lacks (libsndfile/ffmpeg audio/video): deterministic
+  *    pseudo-features where the real call would go, keeping the
+  *    batch-iterator `mapPartitions` shape (one codec init per partition,
+  *    the exact pattern a JNI decoder needs) testable end to end.
   */
 object Multimodal {
 
@@ -29,13 +35,13 @@ object Multimodal {
                            width: Int, height: Int, n_frames: Int,
                            checksum: Long)
 
-  /** STUB codec — deterministic stand-in for libjpeg/libsndfile/ffmpeg.
-    * Every field is pure arithmetic on the payload so tests and oracles can
-    * reproduce it; swap `decode` for the real call in production. */
+  /** STUB codec — deterministic stand-in for libsndfile/ffmpeg (audio and
+    * video only; images have the real [[ImageCodec]]). Every field is pure
+    * arithmetic on the payload so tests and oracles can reproduce it; swap
+    * `decode` for the real call in production. */
   object StubCodec extends Serializable {
     def decode(a: Asset): AssetFeatures = {
       val n = a.payload.length.toLong
-      // ??? real decoder goes here — the surrounding plumbing is the product
       var ck = 0L
       var i = 0
       while (i < a.payload.length) { ck = ck * 31 + (a.payload(i) & 0xff); i += 1 }
@@ -45,6 +51,75 @@ object Multimodal {
         n_frames = if (a.kind == "video") (1 + n % 300).toInt else 1,
         checksum = ck & 0x7fffffffffffffffL)
     }
+  }
+
+  /** REAL image codec: `javax.imageio` (JDK-builtin PNG/BMP readers —
+    * verified lossless for 8-bit grayscale in this JVM). The payload is
+    * decoded to a pixel raster; features are computed FROM THE PIXELS:
+    * width/height from the decoded geometry, checksum = the sum of all
+    * gray samples (the field a real pipeline fills with a perceptual
+    * hash). Works per-row inside the [[extractFeatures]] partition seam;
+    * `ImageIO.setUseCache(false)` keeps decodes in-memory (no per-call
+    * tmp-file spooling). */
+  object ImageCodec extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def decode(a: Asset): AssetFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.payload))
+      require(img != null, s"undecodable image payload: asset ${a.asset_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+        width = w, height = h, n_frames = 1, checksum = sum)
+    }
+  }
+
+  /** Deterministic fixture image: width 16 + id%16, height 16 + (id/2)%16,
+    * gray(x, y) = (7x + 13y + id) mod 256 — closed-form pixels, so the
+    * oracle can recompute what [[ImageCodec]] must read back out of the
+    * encoded bytes. Encoded with the JDK's own PNG/BMP writers (both
+    * lossless for 8-bit gray). */
+  def encodeImage(id: Long, format: String): Array[Byte] = {
+    val w = (16 + id % 16).toInt
+    val h = (16 + (id / 2) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x * 7L + y * 13L + id) % 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no JDK writer for format $format")
+    bos.toByteArray
+  }
+
+  /** Image asset table: one REAL encoded image per document id, format
+    * alternating PNG/BMP by parity (two distinct JDK readers exercised).
+    * Generation is a map over ids — the binary column is born distributed,
+    * never on the driver. */
+  def imageAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = encodeImage(id, fmt)
+        Asset(id, fmt, bytes, bytes.length.toLong)
+      }
   }
 
   /** Build a multimodal asset table from `documents` (the driver data has no
@@ -63,12 +138,15 @@ object Multimodal {
 
   /** The decode pass: mapPartitions so a real codec initializes once per
     * partition (not per row) — the Scala twin of the mapInPandas batch
-    * pattern. Stays a Dataset[T] end to end. */
-  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    * pattern. Stays a Dataset[T] end to end. `codec` selects the decoder:
+    * [[StubCodec.decode]] (default — audio/video stand-in) or the real
+    * [[ImageCodec.decode]]. */
+  def extractFeatures(assets: Dataset[Asset],
+      codec: Asset => AssetFeatures = StubCodec.decode): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // real impl: val codec = Codec.open() — once per partition
-      it.map(StubCodec.decode)
+      it.map(codec)
     }
   }
 
@@ -108,8 +186,22 @@ object Multimodal {
         round(avg(col("n_frames")), 4).as("avg_frames"))
       .orderBy(col("kind"))
 
+  /** q_image_stats — REAL decode accounting: encode fixture images
+    * distributed, decode them back through [[ImageCodec]], aggregate
+    * per (format, decoded width). The oracle recomputes width/height/
+    * pixel-sum from the fixture's closed form — a hash match is only
+    * possible if the bytes→pixels decode actually happened. */
+  def qImageStats(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(imageAssets(spark, sfDir), ImageCodec.decode).toDF()
+      .groupBy(col("kind"), col("width"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("height")).as("sum_h"),
+        sum(col("checksum")).as("gray_sum"))
+      .orderBy(col("kind"), col("width"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal" -> (qMultimodal _))
+    "q_multimodal" -> (qMultimodal _),
+    "q_image_stats" -> (qImageStats _))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal" ->
@@ -126,5 +218,29 @@ object Multimodal {
         |      AS n_frames
         |  FROM documents) t
         |GROUP BY kind
-        |ORDER BY kind""".stripMargin)
+        |ORDER BY kind""".stripMargin,
+    // q_image_stats: the fixture pixels have a closed form, so the oracle
+    // recomputes the DECODED statistics (width/height/pixel sum) from
+    // arithmetic over a generated (x, y) grid — no image library involved
+    "q_image_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS kind,
+        |         16 + doc_id % 16 AS w,
+        |         16 + (doc_id // 2) % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT id, kind, w, h, (x.v * 7 + y.v * 13 + id) % 256 AS gray
+        |  FROM dims,
+        |       UNNEST(generate_series(0, w - 1)) AS x(v),
+        |       UNNEST(generate_series(0, h - 1)) AS y(v)),
+        |per_img AS (
+        |  SELECT id, kind, w, h, SUM(gray) AS gsum
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT kind, CAST(w AS INT) AS width, COUNT(*) AS n,
+        |       CAST(SUM(h) AS BIGINT) AS sum_h,
+        |       CAST(SUM(gsum) AS BIGINT) AS gray_sum
+        |FROM per_img
+        |GROUP BY kind, w
+        |ORDER BY kind, width""".stripMargin)
 }

@@ -51,14 +51,29 @@ object SemDedup {
       .distinct()
   }
 
+  /** Survivors given an already-indexed corpus (vec_id, embedding,
+    * list_id) — the entry point for a LOADED index artifact
+    * ([[SimilarityIvf.loadIndex]]): dedup serves from the landed parquet
+    * without retraining or reassigning. */
+  def semDedupIndexed(indexed: DataFrame, threshold: Double = 0.7): DataFrame =
+    indexed.join(duplicateIds(indexed, threshold), Seq("vec_id"), "left_anti")
+
   /** The surviving corpus: cluster with k-means (nList, nIters), then
     * drop every within-cluster duplicate. Returns the input rows plus
-    * their list_id, minus the condemned. */
+    * their list_id, minus the condemned.
+    *
+    * The assignment scan is persisted here (not in callers): the index
+    * feeds both sides of the per-cluster self-join plus the anti-join
+    * probe, and without the persist the k-means assignment recomputes per
+    * consumer. CacheManager dedups repeat calls by canonicalized plan
+    * (the DedupOps.cachedIndex contract), so a resident session holds one
+    * bounded entry per distinct (corpus, nList, nIters). */
   def semDedup(corpus: DataFrame, nList: Int, nIters: Int = 2,
                threshold: Double = 0.7): DataFrame = {
     val centroids = SimilarityIvf.train(corpus, nList, nIters)
     val indexed = SimilarityIvf.index(corpus, centroids)
-    indexed.join(duplicateIds(indexed, threshold), Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    semDedupIndexed(indexed, threshold)
   }
 
   /** q_dedup_semantic — per-cluster survivor accounting over the
@@ -72,19 +87,23 @@ object SemDedup {
   def qSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = SimilarityIvf.train(emb, nList = 8, nIters = 2)
-    // persisted, not unpersisted: the plan is lazy and the index feeds the
-    // pair join twice plus both rollups; CacheManager dedups repeat calls
-    // by plan equality (the DedupOps.cachedIndex contract)
     val indexed = SimilarityIvf.index(emb, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = indexed
       .join(duplicateIds(indexed, threshold = 0.3), Seq("vec_id"), "left_anti")
-    indexed.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+    val out = indexed.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
       .join(kept.groupBy(col("list_id")).agg(count(lit(1)).as("n_kept")),
         Seq("list_id"), "left")
       .select(col("list_id"), col("n_vecs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy(col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the nList-row rollup through the index cache, then free
+    // the big index: a resident session keeps only the bounded result
+    // cached (CacheManager dedups repeats by canonicalized plan)
+    out.count()
+    indexed.unpersist(blocking = false)
+    out
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -32,3 +32,32 @@ object CheckpointUtils {
       case _ => ()
     }
 }
+
+/** Checkpoint strategy for iterative operators ([[graft.analytics.GraphOps]],
+  * [[graft.ext.DedupCluster]]): `localCheckpoint` truncates lineage into
+  * executor block storage — cheap, but a lost executor kills the query at
+  * hour 10 of a 100 TB run because the truncated lineage cannot recompute
+  * the lost blocks. When a durable `reliableDir` is configured the same
+  * call sites write RELIABLE checkpoints instead (HDFS/object-store files
+  * that survive executor loss); local stays the default for short
+  * interactive runs. Both forms are eager, so call sites keep the
+  * "materialize then free the superseded snapshot" discipline unchanged. */
+final case class Checkpointer(reliableDir: Option[String] = None) {
+
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = reliableDir match {
+    case Some(dir) =>
+      val sc = ds.sparkSession.sparkContext
+      // setCheckpointDir mints a fresh UUID subdir per call — set once per
+      // context (the first configured dir wins; Spark has one global dir)
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      ds.checkpoint()
+    case None => ds.localCheckpoint()
+  }
+
+  /** Release a superseded snapshot. Local checkpoints free executor
+    * blocks immediately; reliable checkpoint files are left for the
+    * ContextCleaner (`spark.cleaner.referenceTracking.cleanCheckpoints`)
+    * or checkpoint-dir retention — they are durable job state, not cache. */
+  def free(ds: Dataset[_]): Unit =
+    if (reliableDir.isEmpty) CheckpointUtils.freeLocalCheckpoint(ds)
+}

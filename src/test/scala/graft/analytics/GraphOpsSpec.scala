@@ -44,6 +44,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.values.sum < 1.0)
   }
 
+  test("reliable-checkpoint mode returns ranks identical to local mode") {
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a")
+      .toDF("src", "dst")
+    def run(dir: Option[String]) =
+      GraphOps.pageRank(edges, damping = 0.85, iters = 5, checkpointDir = dir)
+        .select(col("node"), col("rank"))
+        .as[(String, Double)].collect().toMap
+    val local = run(None)
+    val reliable = run(Some(tmpDir("pr-ckpt")))
+    assert(local == reliable) // bit-identical: same plan, different snapshots
+  }
+
+  test("connected components agree across checkpoint modes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def run(dir: Option[String]) =
+      graft.ext.DedupCluster.connectedComponents(edges, checkpointDir = dir)
+        .as[(Long, Long)].collect().toSet
+    val expect = Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    assert(run(None) == expect)
+    assert(run(Some(tmpDir("cc-ckpt"))) == expect)
+  }
+
   test("q_pagerank: 20 rows, normalized ranks positive, deterministic") {
     val df = GraphOps.qPageRank(spark, sf)
     val rows = df.as[(String, Double)].collect().toSeq

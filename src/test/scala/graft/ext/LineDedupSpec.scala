@@ -55,6 +55,33 @@ class LineDedupSpec extends SparkSpec {
     assert(segs == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9"))
   }
 
+  test("winner stage partial-aggregates map-side (no window sort on line)") {
+    // The scale contract: a 10⁸-occurrence boilerplate line must reach the
+    // reducer as one candidate per upstream partition, which requires the
+    // winner to be an algebraic min (partial_min before the Exchange), not
+    // a row_number window sorting every occurrence on one reducer.
+    val plan = LineDedup.markFirstOccurrences(
+        Seq(1L -> "a b", 2L -> "a c").toDF("doc_id", "text"),
+        LineDedup.tokenSegments(TextAnalysis.tokens(col("text")), size = 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("NULL text is total: coalesces to one empty line, still deduped") {
+    val df = LineDedup.dedupSummary(LineDedup.markFirstOccurrences(
+        Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"),
+        LineDedup.tokenSegments(
+          TextAnalysis.tokens(coalesce(col("text"), lit(""))), size = 8)))
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // each NULL doc yields exactly one (empty) line; the corpus-wide first
+    // occurrence survives once, the second document's copy drops
+    assert(df == Seq((1L, 1L, 1L), (2L, 1L, 0L)))
+  }
+
   test("q_line_dedup runs on testdata: totals consistent, dedup is real") {
     val df = LineDedup.qLineDedup(spark, sf).cache()
     val agg = df.agg(sum("n_lines"), sum("n_kept")).as[(Long, Long)].head()

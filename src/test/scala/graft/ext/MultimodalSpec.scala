@@ -43,6 +43,34 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.length < orig.length)
   }
 
+  test("real image codec: decoded pixels match the closed form, both formats") {
+    for (id <- Seq(0L, 1L, 7L, 30L, 31L)) {
+      val fmt = if (id % 2 == 0) "png" else "bmp"
+      val bytes = Multimodal.encodeImage(id, fmt)
+      val f = Multimodal.ImageCodec.decode(
+        Multimodal.Asset(id, fmt, bytes, bytes.length.toLong))
+      val w = (16 + id % 16).toInt
+      val h = (16 + (id / 2) % 16).toInt
+      assert(f.width == w && f.height == h, s"id=$id geometry")
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield (x * 7L + y * 13L + id) % 256L).sum
+      assert(f.checksum == want, s"id=$id pixel sum: got ${f.checksum} want $want")
+    }
+  }
+
+  test("image codec rejects undecodable payloads loudly") {
+    val junk = Multimodal.Asset(9L, "png", Array[Byte](1, 2, 3), 3L)
+    intercept[IllegalArgumentException](Multimodal.ImageCodec.decode(junk))
+  }
+
+  test("q_image_stats: real decode end to end over generated assets") {
+    val df = Multimodal.qImageStats(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 32) // ≤ 2 formats × 16 widths
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Multimodal.imageAssets(spark, sf).count())
+  }
+
   test("decode runs partition-wise (mapPartitions, not per-row collect)") {
     val a = Multimodal.assets(spark, sf).repartition(3)
     val parts = Multimodal.extractFeatures(a).rdd.getNumPartitions

@@ -30,6 +30,45 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(wide <= 5L * emb.count())
   }
 
+  test("landed index: train→write→load→serve returns identical top-k") {
+    val dir = tmpDir("ivf-index")
+    SimilarityIvf.writeIndex(indexed, centroids, dir)
+    val q = emb.filter($"vec_id" < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"vec_id", round($"score", 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val inMem = key(SimilarityIvf.topK(q, indexed, centroids, 5, nProbe = 6))
+    val served = key(SimilarityIvf.serveTopK(q, dir, 5, nProbe = 6))
+    assert(served == inMem)
+  }
+
+  test("serve path prunes the scan to the probed partitions") {
+    val dir = tmpDir("ivf-prune")
+    SimilarityIvf.writeIndex(indexed, centroids, dir)
+    val q = emb.filter($"vec_id" === 0)
+    val plan = SimilarityIvf.serveTopK(q, dir, 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // the probe set must reach the file scan as a partition filter so only
+    // the probed list directories are read
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      plan)
+    val (lists, cents) = SimilarityIvf.loadIndex(spark, dir)
+    assert(cents.count() == centroids.count())
+    assert(lists.count() == emb.count())
+  }
+
+  test("loaded index serves semantic dedup without retraining") {
+    val dir = tmpDir("ivf-semdedup")
+    SimilarityIvf.writeIndex(indexed, centroids, dir)
+    val (lists, _) = SimilarityIvf.loadIndex(spark, dir)
+    val fromArtifact = SemDedup.semDedupIndexed(lists, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    val fromMemory = SemDedup.semDedupIndexed(indexed, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fromArtifact == fromMemory && fromMemory.nonEmpty)
+  }
+
   test("recall@5 with wide probe beats narrow probe and is sane") {
     val q = emb.filter($"vec_id" < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5).collect()
