@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, GraphOps, Relational, RelationalExtra, ScaleOps}
-import graft.ext.{Curation, DedupCluster, DedupOps, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, TextAnalysis}
+import graft.ext.{Curation, DedupCluster, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SubstrDedup, TextAnalysis}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       ScaleOps.defs ++ GraphOps.defs ++
       TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++ LineDedup.defs ++
+      SubstrDedup.defs ++ LangModel.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++
@@ -35,7 +36,8 @@ object SparkEntry {
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
       Events.oracles ++ ScaleOps.oracles ++ GraphOps.oracles ++
       TextAnalysis.oracles ++
-      DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++ Ranking.oracles ++
+      DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++
+      SubstrDedup.oracles ++ LangModel.oracles ++ Ranking.oracles ++
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++

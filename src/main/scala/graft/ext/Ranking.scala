@@ -61,16 +61,66 @@ object Ranking {
     // GC'd. Consequence: bm25() triggers its corpus scan at CALL time.
     val tfm = tf.localCheckpoint()
     val df = tfm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreBm25(tfm, df, stats, k1, b)
+  }
+
+  /** The BM25 arithmetic over prepared inputs: postings (doc_id, term,
+    * tf, dl), per-term document frequencies, and the one-row corpus stats
+    * (n, avgdl). Shared by the recompute path ([[bm25]]) and the landed-
+    * artifact path ([[serveBm25]]) so the two can never drift. */
+  private def scoreBm25(tf: DataFrame, df: DataFrame, stats: DataFrame,
+                        k1: Double, b: Double): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") + lit(k1) *
       (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
-    tfm.join(broadcast(df), "term")
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (idf * col("tf") * lit(k1 + 1) / norm).as("term_score"))
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
+  }
+
+  /** Land the full-corpus retrieval index as a queryable artifact (the
+    * "land it, then query it" treatment [[graft.ext.SimilarityIvf]] gives
+    * vectors, applied to lexical retrieval): postings range-partitioned
+    * and SORTED by term — so a term lookup is parquet row-group skipping
+    * on min/max stats, not a corpus scan — plus the vocabulary's document
+    * frequencies and the one-row corpus stats. Two corpus scans at build
+    * time (stats + postings); df derives from the LANDED postings, never
+    * a third scan. Serving touches the corpus zero times. */
+  def writeBm25Index(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    toks.agg(count(lit(1)).as("n"), avg(size(col("t"))).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    toks
+      .select(col("doc_id"), size(col("t")).as("dl"),
+        explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
+  }
+
+  /** Serve BM25 from a landed index: the term filter pushes into the
+    * postings scan (term-sorted files → row-group skipping), so a query
+    * reads a handful of row groups out of a corpus-sized index. */
+  def serveBm25(spark: SparkSession, dir: String, terms: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "serveBm25: empty query")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+    val df = spark.read.parquet(s"$dir/df")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    scoreBm25(postings, df, stats, k1, b)
   }
 
   /** q_bm25 — top-20 documents for a three-term query, deterministic order

@@ -152,6 +152,19 @@ object SimilarityIvf {
     (spark.read.parquet(s"$dir/lists"),
      spark.read.parquet(s"$dir/centroids"))
 
+  /** Incremental ingest into a LANDED index: assign the new batch against
+    * the artifact's existing centroids (one map-side kernel pass — no
+    * retraining, no touch of the already-landed lists) and append its rows
+    * into the per-list directories. This is how a daily crawl lands into a
+    * trained index: assignment quality degrades only as the data drifts
+    * from the training distribution, at which point [[train]] +
+    * [[writeIndex]] rebuild the artifact. */
+  def appendToIndex(newCorpus: DataFrame, dir: String): Unit = {
+    val centroids = newCorpus.sparkSession.read.parquet(s"$dir/centroids")
+    index(newCorpus, centroids)
+      .write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+  }
+
   /** Serve top-k from a LANDED index: probe lists are resolved first and
     * pushed into the scan as a partition filter (`list_id IN (...)`), so
     * the job reads only the ≤ |Q|·nProbe probed directories out of nList —

@@ -75,6 +75,31 @@ class RankingSpec extends SparkSpec {
     assert(doc0.find(_._4 == 1).get._3 > doc0.find(_._4 == 2).get._3)
   }
 
+  test("landed index: served scores equal recomputed scores") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val dir = tmpDir("bm25-index")
+    Ranking.writeBm25Index(docs, dir)
+    val terms = Seq("spark", "join", "window")
+    def rounded(df: DataFrame): Map[Long, Double] = df
+      .selectExpr("doc_id", "round(score, 6) AS s")
+      .as[(Long, Double)].collect().toMap
+    val served = rounded(Ranking.serveBm25(spark, dir, terms))
+    val recomputed = rounded(Ranking.bm25(docs, terms))
+    assert(served == recomputed && served.nonEmpty)
+  }
+
+  test("served query pushes the term filter into the postings scan") {
+    val dir = tmpDir("bm25-pushdown")
+    Ranking.writeBm25Index(
+      graft.sources.Tables.documents(spark, sf), dir)
+    val plan = Ranking.serveBm25(spark, dir, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    // the postings files are term-sorted, so this pushed In-filter becomes
+    // row-group skipping — the serve path never scans the whole index
+    assert(plan.contains("PushedFilters: [In(term") ||
+           plan.contains("PushedFilters: [IsNotNull(term"), plan)
+  }
+
   test("q_bm25 is deterministic top-20 with positive scores") {
     val out = Ranking.qBm25(spark, sf).as[(Long, Double)].collect()
     assert(out.length <= 20 && out.nonEmpty)

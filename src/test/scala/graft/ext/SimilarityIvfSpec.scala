@@ -58,6 +58,26 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(lists.count() == emb.count())
   }
 
+  test("incremental append: new batch is served without retraining") {
+    val dir = tmpDir("ivf-append")
+    val old = emb.filter($"vec_id" >= 10)
+    val fresh = emb.filter($"vec_id" < 10)
+    SimilarityIvf.writeIndex(
+      SimilarityIvf.index(old, centroids), centroids, dir)
+    SimilarityIvf.appendToIndex(fresh, dir)
+    val (lists, _) = SimilarityIvf.loadIndex(spark, dir)
+    assert(lists.count() == emb.count())
+    // a landed-then-appended index must answer exactly like one built over
+    // the full corpus in memory (same centroids → same assignments)
+    val q = emb.filter($"vec_id" >= 10 && $"vec_id" < 15)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val served = key(SimilarityIvf.serveTopK(q, dir, 5, nProbe = 16))
+    val inMem = key(SimilarityIvf.topK(q, indexed, centroids, 5, nProbe = 16))
+    assert(served == inMem)
+  }
+
   test("loaded index serves semantic dedup without retraining") {
     val dir = tmpDir("ivf-semdedup")
     SimilarityIvf.writeIndex(indexed, centroids, dir)
