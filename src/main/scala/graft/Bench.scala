@@ -80,13 +80,18 @@ object Bench {
     println(fullLine)
     // Durable copy of the full record: the driver's tail capture only
     // preserves the compact line, which made round 4's per-query map
-    // unrecoverable. target/ is gitignored scratch — best effort.
+    // unrecoverable. Path is overridable (-Dgraft.bench.out / env) because
+    // the CWD-relative default is only meaningful when the driver runs from
+    // the repo root. target/ is gitignored scratch — best effort.
+    val outPath = sys.props.get("graft.bench.out")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("target/bench_full.json")
     try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_full.json: $e")
+      System.err.println(s"[bench] could not write $outPath: $e")
     }
     // The full line above now exceeds the driver's tail-capture window (67
     // per-query timings + shuffle map truncate its head -> unparseable), so

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, GraphOps, Relational, RelationalExtra, ScaleOps}
-import graft.ext.{Curation, DedupCluster, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SubstrDedup, TextAnalysis}
+import graft.ext.{Curation, DedupCluster, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 
@@ -21,8 +21,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       ScaleOps.defs ++ GraphOps.defs ++
-      TextAnalysis.defs ++ DedupOps.defs ++ DedupCluster.defs ++ LineDedup.defs ++
-      SubstrDedup.defs ++ LangModel.defs ++
+      TextAnalysis.defs ++ TextNormalize.defs ++
+      DedupOps.defs ++ DedupCluster.defs ++ LineDedup.defs ++
+      SubstrDedup.defs ++ LangModel.defs ++ Splits.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++
@@ -35,9 +36,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
       Events.oracles ++ ScaleOps.oracles ++ GraphOps.oracles ++
-      TextAnalysis.oracles ++
+      TextAnalysis.oracles ++ TextNormalize.oracles ++
       DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++
-      SubstrDedup.oracles ++ LangModel.oracles ++ Ranking.oracles ++
+      SubstrDedup.oracles ++ LangModel.oracles ++ Splits.oracles ++
+      Ranking.oracles ++
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++

@@ -102,10 +102,16 @@ object ScaleOps {
         col("value"))
     // unique dir per invocation: two concurrent suites over the same sfDir
     // must not race on overwrite-while-read of a shared path
-    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_")
-      .toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_")
+    val dir = tmp.toString
     graft.sinks.Layout.writeZordered(ev, Seq("user_id", "value"), dir,
       numFiles = 8, bitsPerDim = 6)
+    // The returned DataFrame reads lazily from dir, so the copy can't be
+    // deleted here; register every landed file for JVM-exit cleanup so a
+    // resident session's repeated invocations don't grow /tmp forever.
+    // (deleteOnExit runs in reverse registration order: dir first-registered
+    // → deleted last, after its contents.)
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
     spark.read.parquet(dir)
       .filter(col("user_id").between(3, 9) &&
         col("value").between(10.0, 60.0))

@@ -59,14 +59,17 @@ object Multimodal {
     * width/height from the decoded geometry, checksum = the sum of all
     * gray samples (the field a real pipeline fills with a perceptual
     * hash). Works per-row inside the [[extractFeatures]] partition seam;
-    * `ImageIO.setUseCache(false)` keeps decodes in-memory (no per-call
-    * tmp-file spooling). */
+    * decodes read through an explicit MemoryCacheImageInputStream (in-
+    * memory, no per-call tmp-file spooling) rather than flipping the
+    * JVM-global ImageIO.setUseCache switch under other ImageIO users. */
   object ImageCodec extends Serializable {
-    javax.imageio.ImageIO.setUseCache(false)
 
     def decode(a: Asset): AssetFeatures = {
+      // ImageIO.read(ImageInputStream) closes the stream itself when the
+      // read completes — no explicit close (a second close throws).
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(a.payload))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload)))
       require(img != null, s"undecodable image payload: asset ${a.asset_id}")
       val (w, h) = (img.getWidth, img.getHeight)
       val raster = img.getRaster
@@ -80,6 +83,71 @@ object Multimodal {
       AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
         width = w, height = h, n_frames = 1, checksum = sum)
     }
+  }
+
+  /** REAL audio codec: `javax.sound.sampled` (JDK-builtin WAV/PCM reader —
+    * no native deps, no audio device needed for stream decode). The payload
+    * is parsed as a RIFF/WAVE container; features come FROM THE DECODED
+    * SAMPLES: width = sample rate, height = bits per sample, n_frames =
+    * PCM frame count, checksum = sum of all 16-bit samples (the field a
+    * real pipeline fills with an acoustic fingerprint). Covers the audio
+    * leg of the decode seam the same way [[ImageCodec]] covers images;
+    * [[StubCodec]] now stands in for video only. */
+  object AudioCodec extends Serializable {
+    def decode(a: Asset): AssetFeatures = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"expected 16-bit LE mono PCM: asset ${a.asset_id}")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          sum += (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+          width = fmt.getSampleRate.toInt, height = fmt.getSampleSizeInBits,
+          n_frames = n, checksum = sum)
+      } finally ais.close()
+    }
+  }
+
+  /** Deterministic fixture waveform: n = 64 + id%64 samples at 8 kHz,
+    * sample(i) = ((31 i + 7 id) mod 2001) − 1000 — closed-form PCM, so the
+    * oracle can recompute what [[AudioCodec]] must read back out of the
+    * RIFF bytes. Encoded with the JDK's own WAVE writer. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((i.toLong * 31 + id * 7) % 2001 - 1000).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio asset table: one REAL RIFF/WAVE payload per document id, born
+    * distributed like [[imageAssets]]. */
+  def audioAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes = encodeWav(id)
+        Asset(id, "wav", bytes, bytes.length.toLong)
+      }
   }
 
   /** Deterministic fixture image: width 16 + id%16, height 16 + (id/2)%16,
@@ -199,9 +267,24 @@ object Multimodal {
         sum(col("checksum")).as("gray_sum"))
       .orderBy(col("kind"), col("width"))
 
+  /** q_audio_stats — REAL audio decode accounting: encode fixture WAVs
+    * distributed, decode them back through [[AudioCodec]], aggregate per
+    * decoded frame count. The oracle recomputes rate/frames/sample-sum
+    * from the waveform's closed form — a hash match is only possible if
+    * the RIFF container was actually parsed back to PCM samples. */
+  def qAudioStats(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(audioAssets(spark, sfDir), AudioCodec.decode).toDF()
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("checksum")).as("sample_sum"),
+        max(col("width")).as("rate"),
+        sum(col("n_bytes")).as("sum_bytes"))
+      .orderBy(col("n_frames"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> (qMultimodal _),
-    "q_image_stats" -> (qImageStats _))
+    "q_image_stats" -> (qImageStats _),
+    "q_audio_stats" -> (qAudioStats _))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal" ->
@@ -242,5 +325,24 @@ object Multimodal {
         |       CAST(SUM(gsum) AS BIGINT) AS gray_sum
         |FROM per_img
         |GROUP BY kind, w
-        |ORDER BY kind, width""".stripMargin)
+        |ORDER BY kind, width""".stripMargin,
+    // q_audio_stats: the fixture waveform has a closed form, so the oracle
+    // recomputes the DECODED statistics (frame count, sample sum) from
+    // arithmetic over a generated sample index — no audio library involved.
+    // 44 = the RIFF/WAVE PCM header the JDK writer emits (probed: total
+    // bytes − 2·n_samples), so sum_bytes checks container framing too.
+    "q_audio_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 64 + doc_id % 64 AS n FROM documents),
+        |samp AS (
+        |  SELECT id, n, ((i.v * 31 + id * 7) % 2001) - 1000 AS s
+        |  FROM d, UNNEST(generate_series(0, n - 1)) AS i(v)),
+        |per AS (SELECT id, n, SUM(s) AS ssum FROM samp GROUP BY 1, 2)
+        |SELECT CAST(n AS INT) AS n_frames, COUNT(*) AS n,
+        |  CAST(SUM(ssum) AS BIGINT) AS sample_sum,
+        |  CAST(8000 AS INT) AS rate,
+        |  CAST(SUM(44 + 2 * n) AS BIGINT) AS sum_bytes
+        |FROM per
+        |GROUP BY n
+        |ORDER BY n_frames""".stripMargin)
 }

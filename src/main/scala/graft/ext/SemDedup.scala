@@ -62,18 +62,26 @@ object SemDedup {
     * drop every within-cluster duplicate. Returns the input rows plus
     * their list_id, minus the condemned.
     *
-    * The assignment scan is persisted here (not in callers): the index
-    * feeds both sides of the per-cluster self-join plus the anti-join
-    * probe, and without the persist the k-means assignment recomputes per
-    * consumer. CacheManager dedups repeat calls by canonicalized plan
-    * (the DedupOps.cachedIndex contract), so a resident session holds one
-    * bounded entry per distinct (corpus, nList, nIters). */
+    * EAGER on the condemned set: the index feeds both sides of the
+    * per-cluster self-join, so it is persisted for exactly that stage —
+    * the duplicate ids (a vec_id-only projection, far narrower than the
+    * corpus+embeddings) are materialized through the cache and the
+    * corpus-sized index entry is freed before returning. The returned
+    * plan re-derives list_id with one map-side assignment scan (driver-
+    * resident centroids, fused kernel) on consumption — a corpus scan is
+    * the right trade against pinning a corpus-sized cache entry for the
+    * session lifetime. */
   def semDedup(corpus: DataFrame, nList: Int, nIters: Int = 2,
                threshold: Double = 0.7): DataFrame = {
     val centroids = SimilarityIvf.train(corpus, nList, nIters)
     val indexed = SimilarityIvf.index(corpus, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    semDedupIndexed(indexed, threshold)
+    val dups = duplicateIds(indexed, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dups.count() // materialize the pair stage through the cached index
+    indexed.unpersist(blocking = false)
+    SimilarityIvf.index(corpus, centroids)
+      .join(dups, Seq("vec_id"), "left_anti")
   }
 
   /** q_dedup_semantic — per-cluster survivor accounting over the

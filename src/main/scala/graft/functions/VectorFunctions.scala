@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CentroidArgmax, CentroidTopN, CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, InterleaveBits, RankBucket, RollingHash, SimHash64}
+import org.apache.spark.sql.graft.{CentroidArgmax, CentroidTopN, CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, InterleaveBits, NfcNormalize, RankBucket, RollingHash, SimHash64}
 
 /** Public facade over the native Catalyst kernels in
   * [[org.apache.spark.sql.graft]] (which must live inside Spark's namespace
@@ -68,6 +68,11 @@ object VectorFunctions {
   /** rolling_hash(text): order-sensitive 63-bit document fingerprint. */
   def rolling_hash(c: Column): Column =
     GraftExpressions.column(RollingHash(GraftExpressions.expression(c)))
+
+  /** nfc_normalize(text): Unicode canonical composition (NFC) with an
+    * allocation-free fast path for already-normalized text. */
+  def nfc_normalize(c: Column): Column =
+    GraftExpressions.column(NfcNormalize(GraftExpressions.expression(c)))
 
   /** Register cosine_sim / dot_product / rolling_hash for SQL use. */
   def register(spark: SparkSession): Unit = GraftExpressions.register(spark)

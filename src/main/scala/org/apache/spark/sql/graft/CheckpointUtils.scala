@@ -48,9 +48,26 @@ final case class Checkpointer(reliableDir: Option[String] = None) {
     case Some(dir) =>
       val sc = ds.sparkSession.sparkContext
       // setCheckpointDir mints a fresh UUID subdir per call — set once per
-      // context (the first configured dir wins; Spark has one global dir)
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-      ds.checkpoint()
+      // context (the first configured dir wins; Spark has one global dir).
+      // A second Checkpointer asking for a DIFFERENT dir still checkpoints
+      // durably, just under the first dir — surface that loudly instead of
+      // silently ignoring the request.
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(dir)
+        case Some(existing) if !existing.contains(dir) =>
+          System.err.println(
+            s"[graft] reliable checkpoint dir already set to $existing; " +
+              s"requested $dir is ignored (Spark has one global checkpoint dir)")
+        case _ => ()
+      }
+      // Reliable Dataset.checkpoint() is eager: it runs a count job AND a
+      // separate checkpoint-write job — an unpersisted plan computes twice.
+      // Persist around the call so the second job reads cached blocks, then
+      // drop the cache (the durable files are now the source of truth).
+      val persisted =
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try persisted.checkpoint()
+      finally persisted.unpersist(blocking = false)
     case None => ds.localCheckpoint()
   }
 

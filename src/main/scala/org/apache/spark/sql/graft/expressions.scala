@@ -624,6 +624,48 @@ case class InterleaveBits(child: Expression, bitsPerDim: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column — the canonical-composition
+  * pass every text-cleaning pipeline runs before hashing/dedup (the same
+  * visible text can arrive composed or decomposed from different crawls and
+  * would otherwise fingerprint differently). Spark has no built-in; a native
+  * expression keeps it inside whole-stage codegen. Fast path: the JDK's
+  * `isNormalized` quick check (true for all-ASCII and most already-composed
+  * text) returns the input UTF8String untouched — no allocation on the
+  * overwhelmingly common case, which is what makes a 100 TB normalization
+  * pass scan-bound instead of allocation-bound. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val str = ctx.freshName("str")
+      s"""
+         |String $str = $s.toString();
+         |if (java.text.Normalizer.isNormalized($str,
+         |    java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $s;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize($str,
+         |      java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   val RollingBase = 257L
   val SignMask = 0x7fffffffffffffffL
@@ -664,5 +706,7 @@ object GraftExpressions {
       exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "built-in")
   }
 }

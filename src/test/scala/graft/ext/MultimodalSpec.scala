@@ -58,6 +58,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real audio codec: decoded PCM matches the closed form") {
+    for (id <- Seq(0L, 1L, 17L, 63L, 64L)) {
+      val bytes = Multimodal.encodeWav(id)
+      val f = Multimodal.AudioCodec.decode(
+        Multimodal.Asset(id, "wav", bytes, bytes.length.toLong))
+      val n = (64 + id % 64).toInt
+      assert(f.n_frames == n, s"id=$id frame count")
+      assert(f.width == 8000 && f.height == 16, s"id=$id format fields")
+      assert(f.n_bytes == 44 + 2L * n, s"id=$id container size")
+      val want = (0 until n).map(i => (i.toLong * 31 + id * 7) % 2001 - 1000).sum
+      assert(f.checksum == want, s"id=$id sample sum: got ${f.checksum} want $want")
+    }
+  }
+
+  test("audio codec rejects non-RIFF payloads loudly") {
+    val junk = Multimodal.Asset(9L, "wav", Array[Byte](1, 2, 3, 4), 4L)
+    intercept[Exception](Multimodal.AudioCodec.decode(junk))
+  }
+
   test("image codec rejects undecodable payloads loudly") {
     val junk = Multimodal.Asset(9L, "png", Array[Byte](1, 2, 3), 3L)
     intercept[IllegalArgumentException](Multimodal.ImageCodec.decode(junk))
