@@ -5,6 +5,7 @@ import graft.analytics.{Advanced, Events, GraphOps, Relational, RelationalExtra,
 import graft.ext.{Curation, DedupCluster, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
+import graft.sinks.Bucketing
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries and oracles are assembled from the per-module maps; each module
@@ -26,7 +27,7 @@ object SparkEntry {
       SubstrDedup.defs ++ LangModel.defs ++ Splits.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ SemDedup.defs ++ Quantize.defs ++
-      Multimodal.defs ++
+      Multimodal.defs ++ Bucketing.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
@@ -42,6 +43,6 @@ object SparkEntry {
       Ranking.oracles ++
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++
+      Multimodal.oracles ++ Bucketing.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 }
