@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, GraphOps, Relational, RelationalExtra, ScaleOps}
-import graft.ext.{Curation, DedupCluster, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, Splits, SubstrDedup, TextAnalysis, TextNormalize}
+import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 import graft.sinks.Bucketing
@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       ScaleOps.defs ++ GraphOps.defs ++
       TextAnalysis.defs ++ TextNormalize.defs ++
-      DedupOps.defs ++ DedupCluster.defs ++ LineDedup.defs ++
+      DedupOps.defs ++ DedupCluster.defs ++ DedupIndex.defs ++
+      LineDedup.defs ++
       SubstrDedup.defs ++ LangModel.defs ++ Splits.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ SemDedup.defs ++ Quantize.defs ++
