@@ -122,7 +122,47 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** q_dpp_scan — dynamic partition pruning over a date-partitioned
+    * landing: events are landed `partitionBy(day)` (the layout a 100 TB
+    * event table ships with), the day dimension is landed separately with
+    * a hot flag, and the join's runtime then prunes the fact scan to the
+    * dim's surviving partitions BEFORE reading them — the broadcast's key
+    * set becomes a partition filter (`dynamicpruning` subquery in the scan,
+    * spec-asserted). Static pruning can't do this: the hot-day set only
+    * exists at runtime, after the dim filter. The oracle applies the
+    * equivalent static predicate (Mondays) to the original table, so a
+    * hash match proves the pruned scan loses no rows. */
+  def qDppScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp_")
+    val factDir = s"$base/fact"
+    val dimDir = s"$base/dim"
+    ev.write.partitionBy("day").parquet(factDir)
+    // dayofweek: 1=Sunday … 2=Monday (oracle uses DuckDB's 0=Sunday form).
+    // The flag is kept as the raw dow INT and filtered `=== 2` at query
+    // time: a pre-computed boolean would simplify to a bare attribute
+    // predicate, which Spark's isLikelySelective() check rejects for DPP.
+    ev.select(col("day")).distinct()
+      .withColumn("dow", dayofweek(col("day")))
+      .write.parquet(dimDir)
+    java.nio.file.Files.walk(base).forEach(p => p.toFile.deleteOnExit())
+    dppJoin(spark, factDir, dimDir)
+  }
+
+  /** The join half of [[qDppScan]], separated so the spec can assert the
+    * pruning subquery on exactly the plan the query runs. */
+  private[graft] def dppJoin(spark: SparkSession, factDir: String,
+                             dimDir: String): DataFrame =
+    spark.read.parquet(factDir)
+      .join(spark.read.parquet(dimDir).filter(col("dow") === 2), "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum(col("value"), 4), 4).as("sum_v"))
+      .orderBy(col("event_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dpp_scan" -> (qDppScan _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_sample_group" -> (qSampleGroup _),
     "q_chunk" -> (qChunk _),
@@ -130,6 +170,15 @@ object ScaleOps {
     "q_zorder_scan" -> (qZorderScan _))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB dayofweek: 0=Sunday, 1=Monday — the engine's hot-day flag is
+    // Spark dayofweek()==2, the same calendar Mondays
+    "q_dpp_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v
+        |FROM events
+        |WHERE dayofweek(CAST(ts AS DATE)) = 1
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_bloom_join" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
         |  COUNT(*) AS n_lines,
