@@ -80,12 +80,9 @@ object DedupIndex {
     * broadcast (a daily batch is small next to the landed corpus); the
     * landed postings and signatures are only scanned+filtered, never
     * shuffled. */
-  def candidatesAgainstIndex(newDocs: DataFrame, dir: String,
-                             threshold: Double = 0.5): DataFrame = {
-    val spark = newDocs.sparkSession
-    val m = readMeta(spark, dir)
-    val newSigs = signatures(newDocs, m)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def candidatesCore(newSigs: DataFrame, dir: String, m: Meta,
+                             threshold: Double): DataFrame = {
+    val spark = newSigs.sparkSession
     val newBands = banded(newSigs, m)
       .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
     val landedBands = spark.read.parquet(s"$dir/postings")
@@ -105,13 +102,36 @@ object DedupIndex {
       .select(col("new_id"), col("old_id"), col("est_jaccard"))
   }
 
+  def candidatesAgainstIndex(newDocs: DataFrame, dir: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val m = readMeta(newDocs.sparkSession, dir)
+    candidatesCore(signatures(newDocs, m), dir, m, threshold)
+  }
+
+  /** EAGER condemned-id set of a new batch: materialized through a
+    * batch-sized signature cache that is FREED before returning, so a loop
+    * serving thousands of batches (the streaming twin, [[graft.streaming
+    * .DedupStream]]) pins nothing per batch. The returned frame is
+    * persisted and tiny (condemned ids only); callers unpersist it after
+    * their anti-join lands. */
+  def condemnedIds(newDocs: DataFrame, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val m = readMeta(newDocs.sparkSession, dir)
+    val newSigs = signatures(newDocs, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = candidatesCore(newSigs, dir, m, threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    newSigs.unpersist(blocking = false)
+    out
+  }
+
   /** The new batch minus everything that near-duplicates a landed doc. */
   def dedupAgainstIndex(newDocs: DataFrame, dir: String,
                         threshold: Double = 0.5): DataFrame =
-    newDocs.join(
-      candidatesAgainstIndex(newDocs, dir, threshold)
-        .select(col("new_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
+    newDocs.join(condemnedIds(newDocs, dir, threshold), Seq("doc_id"),
+      "left_anti")
 
   /** Land a (deduped) batch's postings + signatures — keeps the index
     * current without touching existing files (parquet append into the
