@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.udaf
 
-import graft.operators.BloomJoin
+import graft.operators.{BloomJoin, SkewJoin}
 import graft.sources.Tables
 
 /** Scale-pattern operators: the shapes that decide whether a plan survives
@@ -54,6 +54,53 @@ object ScaleOps {
       .select(col("lang"), (col("p") + 1).cast("long").as("rk"),
         col("doc_id"))
       .orderBy(col("lang"), col("rk"))
+  }
+
+  /** q_skew_join — skewed-key join via deterministic salting
+    * ([[SkewJoin]]): events (the skewed side — event_type has 5 values, so
+    * every key is hot) joined to a per-type weight dim with the key spread
+    * across 8 salted reducers. The dim is shuffle-hash-hinted so the query
+    * exercises the actual skew mechanism (a broadcastable dim would
+    * broadcast and dodge the problem this operator exists for — large-large
+    * joins where AQE's sort-merge-only skew split can't help). The oracle
+    * is the plain unsalted join: hash-match proves salting is
+    * row-preserving. */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // integer-valued weights: the event values carry two decimals, so a
+    // fractional weight would mint three-decimal products sitting exactly
+    // on .005 — where Spark's and DuckDB's double→DECIMAL(18,2) roundings
+    // of the same binary double disagree. Integer scaling adds no digits.
+    val dim = Seq(("click", 1.0), ("error", 0.0), ("purchase", 10.0),
+        ("signup", 5.0), ("view", 2.0)).toDF("event_type", "weight")
+      .hint("shuffle_hash")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    SkewJoin.saltedJoin(ev, "event_type", dim, "event_type",
+        saltFrom = col("event_id"), nSalts = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value") * col("weight")), 2).as("wsum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_topk_group — per-group top-k WITHOUT a group-wide sort, via the
+    * bounded-heap [[graft.functions.TopKByScoreAgg]]: the 3 highest-value
+    * events per event type. The oracle is the ROW_NUMBER window formulation
+    * — identical rows, but the aggregator keeps ≤ k (score, id) pairs of
+    * state per group on every path (map-side partials discard
+    * non-contenders; the shuffle carries ≤ k·|groups| pairs) where the
+    * window sorts every row of a hot group through one reducer. */
+  def qTopkGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScoreAgg(3))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("event_type"), (col("p") + 1).cast("long").as("rk"),
+        col("t._1").as("value"), col("t._2").as("event_id"))
+      .orderBy(col("event_type"), col("rk"))
   }
 
   /** q_chunk — sliding token-window chunking ([[graft.ext.Chunking]]):
@@ -165,6 +212,8 @@ object ScaleOps {
     "q_dpp_scan" -> (qDppScan _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_sample_group" -> (qSampleGroup _),
+    "q_topk_group" -> (qTopkGroup _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_chunk" -> (qChunk _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_zorder_scan" -> (qZorderScan _))
@@ -197,6 +246,24 @@ object ScaleOps {
         |  FROM documents)
         |WHERE rk <= 8
         |ORDER BY lang, rk""".stripMargin,
+    "q_skew_join" ->
+      """WITH dim(event_type, weight) AS (VALUES
+        |  ('click', 1.0), ('error', 0.0), ('purchase', 10.0),
+        |  ('signup', 5.0), ('view', 2.0))
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(e.value * CAST(d.weight AS DOUBLE)
+        |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS wsum
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q_topk_group" ->
+      """SELECT event_type, rk, value, event_id FROM (
+        |  SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 3
+        |ORDER BY event_type, rk""".stripMargin,
     "q_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
