@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, GraphOps, Incremental, Profiling, Relational, RelationalExtra, ScaleOps}
-import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, Splits, SubstrDedup, TextAnalysis, TextNormalize}
+import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 import graft.sinks.Bucketing
@@ -27,7 +27,8 @@ object SparkEntry {
       LineDedup.defs ++
       SubstrDedup.defs ++ LangModel.defs ++ Splits.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
-      Similarity.defs ++ SimilarityIvf.defs ++ SemDedup.defs ++ Quantize.defs ++
+      Similarity.defs ++ SimilarityIvf.defs ++ SimilarityPq.defs ++
+      SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++ Bucketing.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),

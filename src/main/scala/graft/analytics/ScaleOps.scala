@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.udaf
 
-import graft.operators.{BloomJoin, SkewJoin}
+import graft.operators.{BloomJoin, Salting}
 import graft.sources.Tables
 
 /** Scale-pattern operators: the shapes that decide whether a plan survives
@@ -56,15 +56,16 @@ object ScaleOps {
       .orderBy(col("lang"), col("rk"))
   }
 
-  /** q_skew_join — skewed-key join via deterministic salting
-    * ([[SkewJoin]]): events (the skewed side — event_type has 5 values, so
-    * every key is hot) joined to a per-type weight dim with the key spread
-    * across 8 salted reducers. The dim is shuffle-hash-hinted so the query
-    * exercises the actual skew mechanism (a broadcastable dim would
-    * broadcast and dodge the problem this operator exists for — large-large
-    * joins where AQE's sort-merge-only skew split can't help). The oracle
-    * is the plain unsalted join: hash-match proves salting is
-    * row-preserving. */
+  /** q_skew_join — skewed-key join via the deterministic salting operator
+    * ([[Salting.saltedJoin]], already spec-proven in SaltingSpec — this
+    * query puts it under the DuckDB oracle too): events (the skewed side —
+    * event_type has 5 values, so every key is hot) joined to a per-type
+    * weight dim with the key spread across 8 salted reducers. The dim is
+    * shuffle-hash-hinted so the query exercises the actual skew mechanism
+    * (a broadcastable dim would broadcast and dodge the problem salting
+    * exists for — large-large joins where AQE's sort-merge-only skew split
+    * can't help). The oracle is the plain unsalted join: hash-match proves
+    * salting is row-preserving. */
   def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // integer-valued weights: the event values carry two decimals, so a
@@ -76,8 +77,8 @@ object ScaleOps {
       .hint("shuffle_hash")
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"), col("value"))
-    SkewJoin.saltedJoin(ev, "event_type", dim, "event_type",
-        saltFrom = col("event_id"), nSalts = 8)
+    Salting.saltedJoin(ev, dim, "event_type", factor = 8,
+        uniqueCols = Seq("event_id"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(Parity.decSum2(col("value") * col("weight")), 2).as("wsum"))

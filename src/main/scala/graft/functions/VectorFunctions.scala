@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{CentroidArgmax, CentroidTopN, CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, InterleaveBits, NfcNormalize, RankBucket, RollingHash, SimHash64}
+import org.apache.spark.sql.graft.{CentroidArgmax, CentroidTopN, CosineSimilarity, DotProduct, GraftExpressions, HyperplaneBuckets, InterleaveBits, NfcNormalize, PqAdc, PqEncode, PqLut, RankBucket, RollingHash, SimHash64}
 
 /** Public facade over the native Catalyst kernels in
   * [[org.apache.spark.sql.graft]] (which must live inside Spark's namespace
@@ -73,6 +73,28 @@ object VectorFunctions {
     * allocation-free fast path for already-normalized text. */
   def nfc_normalize(c: Column): Column =
     GraftExpressions.column(NfcNormalize(GraftExpressions.expression(c)))
+
+  /** pq_encode(emb): per-subspace product-quantization codes
+    * (array<int>(m)) of an array<float> column — argmin-L2 against the
+    * flattened m×ksub×dsub `codebooks` matrix, carried as one reference
+    * object (O(1) plan at any ksub). */
+  def pq_encode(emb: Column, codebooks: Array[Float], m: Int,
+                ksub: Int): Column =
+    GraftExpressions.column(PqEncode(
+      GraftExpressions.expression(emb), codebooks, m, ksub))
+
+  /** pq_lut(q): the per-query ADC lookup table (array<float>(m·ksub)) —
+    * dot(q_j, codebook[j][c]) for every subspace/code cell. */
+  def pq_lut(q: Column, codebooks: Array[Float], m: Int, ksub: Int): Column =
+    GraftExpressions.column(PqLut(
+      GraftExpressions.expression(q), codebooks, m, ksub))
+
+  /** pq_adc(codes, lut): asymmetric-distance score Σ_j lut[j·ksub+codes_j]
+    * ≈ dot(query, candidate) — O(m) per pair. */
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    GraftExpressions.column(PqAdc(
+      GraftExpressions.expression(codes), GraftExpressions.expression(lut),
+      ksub))
 
   /** Register cosine_sim / dot_product / rolling_hash for SQL use. */
   def register(spark: SparkSession): Unit = GraftExpressions.register(spark)
