@@ -52,6 +52,55 @@ object Incremental {
       round(col("max_v"), 6).as("max_v"),
       round((col("sum_v") / col("n")).cast("double"), 6).as("avg_v"))
 
+  // ---- sketch state: the rollup plain partials cannot maintain ----
+
+  /** Distinct counts are the one rollup the plain state above cannot carry
+    * — per-batch distinct counts don't add when members repeat across
+    * batches, and keeping the raw member sets is the unbounded state this
+    * pattern exists to avoid. The DataSketches HLL sketch (built into
+    * Spark: `hll_sketch_agg` / `hll_union_agg`) IS the mergeable partial
+    * state for COUNT(DISTINCT): fixed ≤2^lgK bytes per group, lossless
+    * same-lgK unions, landable as a parquet binary column. New batches
+    * union in; any coarser time grain (month-from-days) re-derives by
+    * unioning landed day sketches without touching raw history — at 100 TB
+    * that is "re-aggregate a few KB per day" versus "re-scan the year".
+    *
+    * Estimates are EXACT while a sketch stays in its coupon (list/set)
+    * phase — thousands of uniques at lgK=16 — and ~1–2% beyond it; the
+    * driver oracle hash-matches COUNT(DISTINCT) in the exact regime, and
+    * the approximate regime's error is spec-pinned instead. */
+  def sketchPartials(events: DataFrame, lgK: Int = 16): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("users_hll"),
+        count(lit(1)).as("n"))
+
+  /** Fold sketch-state frames: counts add, sketches union (associative +
+    * commutative like every other state column — batch landing order
+    * cannot matter). */
+  def sketchMerge(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("users_hll")).as("users_hll"),
+        sum(col("n")).as("n"))
+
+  /** Read-time presentation: estimates materialize only here — the stored
+    * state stays a sketch so it remains mergeable (the avg-vs-sum rule
+    * above, applied to distincts). */
+  def sketchPresent(state: DataFrame): DataFrame =
+    state.select(col("day").cast("string").as("day"), col("n"),
+      hll_sketch_estimate(col("users_hll")).as("distinct_users"))
+
+  /** Coarser grain from landed day state: month-level distincts by
+    * unioning day sketches — no raw-data rescan. */
+  def sketchByMonth(state: DataFrame): DataFrame =
+    state
+      .groupBy(substring(col("day").cast("string"), 1, 7).as("month"))
+      .agg(hll_union_agg(col("users_hll")).as("users_hll"),
+        sum(col("n")).as("n"))
+      .select(col("month"), col("n"),
+        hll_sketch_estimate(col("users_hll")).as("distinct_users"))
+
   // ---- driver query ----
 
   /** q_rollup_incr — the incremental loop end to end: the history half and
@@ -68,10 +117,33 @@ object Incremental {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** q_hll_rollup — the sketch loop end to end, same split discipline as
+    * [[qRollupIncr]]: the two halves of events are sketched separately,
+    * merged sketch-to-sketch, and presented. The oracle is plain
+    * COUNT(DISTINCT) over the full table: in this cardinality regime the
+    * sketches are in their exact coupon phase, so the hash match proves
+    * union(sketch(A), sketch(B)) ≡ sketch(A ∪ B) ≡ exact — the mergeability
+    * property the landed-sketch design rests on. The approximate-regime
+    * error bound is pinned in SketchRollupSpec. */
+  def qHllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val history = ev.filter(col("event_id") % 2 === 0)
+    val fresh = ev.filter(col("event_id") % 2 === 1)
+    sketchPresent(sketchMerge(sketchPartials(history), sketchPartials(fresh)))
+      .orderBy(col("day"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rollup_incr" -> (qRollupIncr _))
+    "q_rollup_incr" -> (qRollupIncr _),
+    "q_hll_rollup" -> (qHllRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_hll_rollup" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS distinct_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
     "q_rollup_incr" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
         |  COUNT(*) AS n,
