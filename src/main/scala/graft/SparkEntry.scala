@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.analytics.{Advanced, Events, GraphOps, Incremental, Profiling, Relational, RelationalExtra, ScaleOps}
-import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
+import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityIvfPq, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
 import graft.sinks.Bucketing
@@ -28,6 +28,7 @@ object SparkEntry {
       SubstrDedup.defs ++ LangModel.defs ++ Splits.defs ++
       Ranking.defs ++ Curation.defs ++ Mixing.defs ++
       Similarity.defs ++ SimilarityIvf.defs ++ SimilarityPq.defs ++
+      SimilarityIvfPq.defs ++
       SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++ Bucketing.defs ++
       AsOf.defs ++ Map(

@@ -35,10 +35,11 @@ object SimilarityPq {
 
   /** Train per-subspace codebooks; returns the flattened
     * [subspace][code][dim] matrix (m·ksub·dsub floats, driver-resident).
-    * Init = subvectors of a deterministic strided sample. */
+    * Init = subvectors of a deterministic strided sample. `embCol` names
+    * the vector column — [[SimilarityIvfPq]] trains on IVF residuals. */
   def train(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
-            nIters: Int = 2): Array[Float] = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+            nIters: Int = 2, embCol: String = "embedding"): Array[Float] = {
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     val n = corpus.count()
@@ -46,7 +47,7 @@ object SimilarityPq {
     val stride = math.max(1L, n / ksub)
     val sample = corpus.filter(col("vec_id") % stride === 0)
       .orderBy(col("vec_id")).limit(ksub)
-      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+      .select(col(embCol)).collect().map(_.getSeq[Float](0))
     val cb = new Array[Float](m * ksub * dsub)
     var c = 0
     while (c < math.min(ksub, sample.length)) {
@@ -64,10 +65,10 @@ object SimilarityPq {
       // one corpus scan: encode → explode m codes → slice the subvector →
       // m·ksub-group mean (fixed-size mergeable state, map-side partials)
       val means = corpus
-        .select(posexplode(pq_encode(col("embedding"), cb, m, ksub))
-          .as(Seq("j", "code")), col("embedding"))
+        .select(posexplode(pq_encode(col(embCol), cb, m, ksub))
+          .as(Seq("j", "code")), col(embCol))
         .select(col("j"), col("code"),
-          slice(col("embedding"), col("j") * dsub + 1, lit(dsub)).as("sub"))
+          slice(col(embCol), col("j") * dsub + 1, lit(dsub)).as("sub"))
         .groupBy(col("j"), col("code"))
         .agg(vector_mean(col("sub")).as("mean"))
         .collect()
@@ -85,8 +86,8 @@ object SimilarityPq {
   /** Corpus with its code column — one map-side kernel pass. Projecting
     * away `embedding` afterwards is what makes the serving table small. */
   def encode(corpus: DataFrame, codebooks: Array[Float], m: Int,
-             ksub: Int): DataFrame =
-    corpus.withColumn("codes", pq_encode(col("embedding"), codebooks, m, ksub))
+             ksub: Int, embCol: String = "embedding"): DataFrame =
+    corpus.withColumn("codes", pq_encode(col(embCol), codebooks, m, ksub))
 
   /** ADC top-k over the coded table: per-query LUT map-side on the
     * (broadcast) query side, m-lookup scoring against every candidate,
@@ -116,8 +117,17 @@ object SimilarityPq {
                  codebooks: Array[Float], m: Int, ksub: Int, k: Int,
                  rerankK: Int): DataFrame = {
     require(rerankK >= k, s"rerankK=$rerankK < k=$k")
-    val cands = adcTopK(queries, coded, codebooks, m, ksub, rerankK)
-      .select(col("query_id"), col("vec_id"))
+    exactRerank(queries,
+      adcTopK(queries, coded, codebooks, m, ksub, rerankK), corpus, k)
+  }
+
+  /** The exact half of two-stage serving, shared with [[SimilarityIvfPq]]:
+    * join (query_id, vec_id) candidates back to the full-precision store,
+    * score with true cosine, keep per-query top-k (desc, ties to the
+    * smaller vec_id). */
+  def exactRerank(queries: DataFrame, candidates: DataFrame,
+                  corpus: DataFrame, k: Int): DataFrame = {
+    val cands = candidates.select(col("query_id"), col("vec_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id"))

@@ -24,7 +24,8 @@ class AnalyticsSpec extends SparkSpec {
     // portable SQL reproduces; each has behavioral assertions in its spec.
     val rowsOnly = Set("q_text_langid", "q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_embedding", "q_sim_ann", "q_sim_ivf", "q_approx_distinct",
-      "q_quant_recall", "q_dedup_semantic", "q_dedup_incr", "q_sim_pq")
+      "q_quant_recall", "q_dedup_semantic", "q_dedup_incr", "q_sim_pq",
+      "q_sim_ivfpq")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"unexpected oracle coverage drift: " +
       s"missing=${noOracle -- rowsOnly} newly-covered=${rowsOnly -- noOracle}")
