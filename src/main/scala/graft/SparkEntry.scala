@@ -5,7 +5,7 @@ import graft.analytics.{Advanced, Events, GraphOps, Incremental, Profiling, Rela
 import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityIvfPq, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
-import graft.sinks.Bucketing
+import graft.sinks.{Bucketing, SchemaEvolution}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries and oracles are assembled from the per-module maps; each module
@@ -30,7 +30,7 @@ object SparkEntry {
       Similarity.defs ++ SimilarityIvf.defs ++ SimilarityPq.defs ++
       SimilarityIvfPq.defs ++
       SemDedup.defs ++ Quantize.defs ++
-      Multimodal.defs ++ Bucketing.defs ++
+      Multimodal.defs ++ Bucketing.defs ++ SchemaEvolution.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
@@ -47,6 +47,6 @@ object SparkEntry {
       Ranking.oracles ++
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Bucketing.oracles ++
+      Multimodal.oracles ++ Bucketing.oracles ++ SchemaEvolution.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.analytics.Profiling
+
+/** Streaming data-quality gate — [[graft.analytics.Profiling]] run per
+  * micro-batch against a REFERENCE profile (a landed artifact from a
+  * trusted corpus): a batch whose shape drifted (null rate spiked, a
+  * measure's mean walked out of the reference range) is quarantined before
+  * it lands, instead of poisoning 100 TB of downstream state. This is the
+  * ingest-side twin of the curation funnel: curation judges individual
+  * rows, the gate judges the BATCH as a distribution.
+  *
+  * Two drift tests per column, both computed from the |cols|-row profile
+  * artifacts (driver-safe by construction):
+  * - null-rate rise: `null_frac(batch) − null_frac(ref) > maxNullRise`
+  * - mean shift: `|avg(batch) − avg(ref)| > maxMeanShift · (max(ref) −
+  *   min(ref))` — range-normalized so one threshold serves columns of any
+  *   unit; a zero-range reference column only alarms on any change.
+  *
+  * The per-batch profile is the approx-distinct mode (one scan, no
+  * Expand); every batch's profile is also appended to a history landing so
+  * drift is observable even when it stays under the gate's thresholds.
+  */
+object ProfileGate {
+
+  /** Reference profile of a trusted corpus, landed as parquet. */
+  def writeReference(trusted: DataFrame, cols: Seq[String],
+                     path: String): Unit =
+    Profiling.profile(trusted, cols)
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-column drift report: one row per profiled column with both
+    * measures and the verdict. `ref` and `batchProfile` are profile
+    * artifacts (|cols| rows each — the join is trivially broadcast). */
+  def driftReport(batchProfile: DataFrame, ref: DataFrame,
+                  maxNullRise: Double, maxMeanShift: Double): DataFrame = {
+    val b = batchProfile.select(col("col_name"),
+      (col("n_null") / col("n_rows")).as("null_frac_b"),
+      col("avg_v").as("avg_b"))
+    val r = ref.select(col("col_name"),
+      (col("n_null") / col("n_rows")).as("null_frac_r"),
+      col("avg_v").as("avg_r"),
+      (col("max_v") - col("min_v")).as("range_r"))
+    b.join(r, "col_name")
+      .withColumn("null_rise", col("null_frac_b") - col("null_frac_r"))
+      .withColumn("mean_shift", abs(col("avg_b") - col("avg_r")))
+      .withColumn("drifted",
+        col("null_rise") > maxNullRise ||
+          (when(col("range_r") > 0,
+            col("mean_shift") > col("range_r") * maxMeanShift)
+            .otherwise(col("mean_shift") > 0)))
+  }
+
+  /** Gate one micro-batch: profile, judge, land. Drifted batches go to
+    * `quarantinePath` untouched (an operator re-admits them after review
+    * — data is never dropped by the gate); clean batches land at
+    * `outPath`. The batch's profile is appended to `profileHistoryPath`
+    * either way, stamped with the batch id and verdict. */
+  def gateBatch(batch: DataFrame, batchId: Long, cols: Seq[String],
+                refPath: String, outPath: String, quarantinePath: String,
+                profileHistoryPath: String, maxNullRise: Double,
+                maxMeanShift: Double): Boolean = {
+    val spark = batch.sparkSession
+    val profile = Profiling.profile(batch, cols)
+    val report = driftReport(profile, spark.read.parquet(refPath),
+      maxNullRise, maxMeanShift)
+    val drifted = report.filter(col("drifted")).count() > 0
+    profile
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("quarantined", lit(drifted))
+      .write.mode("append").parquet(profileHistoryPath)
+    batch.write.mode("append")
+      .parquet(if (drifted) quarantinePath else outPath)
+    !drifted
+  }
+
+  /** foreachBatch writer: caller `.start()`s. */
+  def writer(stream: DataFrame, cols: Seq[String], refPath: String,
+             outPath: String, quarantinePath: String,
+             profileHistoryPath: String, checkpoint: String,
+             maxNullRise: Double = 0.05,
+             maxMeanShift: Double = 0.25): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatch(batch, batchId, cols, refPath, outPath, quarantinePath,
+          profileHistoryPath, maxNullRise, maxMeanShift)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfileGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // trusted reference shape: value ~ [0, 100], no nulls
+  private def goodBatch(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, (i % 101).toDouble)).toDF("id", "value")
+
+  // drifted shape: mean walked far outside the reference range
+  private def shiftedBatch(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, 1000.0 + i)).toDF("id", "value")
+
+  // drifted shape: null rate spiked
+  private def nullyBatch(ids: Range): DataFrame =
+    ids.map(i => (i.toLong,
+      if (i % 2 == 0) null else java.lang.Double.valueOf(i % 101)))
+      .toDF("id", "value")
+
+  test("drift report flags mean shift and null rise, passes the clean batch") {
+    val refPath = tmpDir("gate-ref")
+    ProfileGate.writeReference(goodBatch(0 until 1000), Seq("value"), refPath)
+    val ref = spark.read.parquet(refPath)
+
+    def verdict(b: DataFrame): Boolean =
+      ProfileGate.driftReport(
+        graft.analytics.Profiling.profile(b, Seq("value")), ref,
+        maxNullRise = 0.05, maxMeanShift = 0.25)
+        .filter(col("drifted")).count() > 0
+
+    assert(!verdict(goodBatch(2000 until 3000)))
+    assert(verdict(shiftedBatch(0 until 1000)))
+    assert(verdict(nullyBatch(0 until 1000)))
+  }
+
+  test("stream routes clean batches to out, drifted to quarantine, logs all") {
+    val inDir = tmpDir("gate-in")
+    val refPath = tmpDir("gate-refp")
+    val outDir = tmpDir("gate-out") + "/t"
+    val qDir = tmpDir("gate-quar") + "/t"
+    val histDir = tmpDir("gate-hist") + "/t"
+    val ckpt = tmpDir("gate-ckpt")
+
+    ProfileGate.writeReference(goodBatch(0 until 1000), Seq("value"), refPath)
+
+    val b1 = goodBatch(0 until 500)
+    b1.write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "100").parquet(inDir)
+    val q = ProfileGate.writer(stream, Seq("value"), refPath, outDir, qDir,
+      histDir, ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 500)
+
+      shiftedBatch(500 until 900).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      // clean landing unchanged, drifted batch quarantined whole
+      assert(spark.read.parquet(outDir).count() == 500)
+      assert(spark.read.parquet(qDir).count() == 400)
+
+      // the profile history recorded both batches with their verdicts
+      val hist = spark.read.parquet(histDir)
+      assert(hist.count() == 2)
+      assert(hist.filter(col("quarantined")).count() == 1)
+      assert(hist.filter(!col("quarantined")).count() == 1)
+    } finally q.stop()
+  }
+
+  test("quarantined data is preserved byte-complete for re-admission") {
+    val refPath = tmpDir("gate-ref3")
+    ProfileGate.writeReference(goodBatch(0 until 1000), Seq("value"), refPath)
+    val outDir = tmpDir("gate-out3") + "/t"
+    val qDir = tmpDir("gate-quar3") + "/t"
+    val histDir = tmpDir("gate-hist3") + "/t"
+    val bad = shiftedBatch(0 until 50)
+    val pass = ProfileGate.gateBatch(bad, 7L, Seq("value"), refPath, outDir,
+      qDir, histDir, maxNullRise = 0.05, maxMeanShift = 0.25)
+    assert(!pass)
+    val quarantined = spark.read.parquet(qDir)
+    assert(quarantined.count() == 50)
+    assert(quarantined.except(bad).isEmpty && bad.except(quarantined).isEmpty)
+  }
+}
