@@ -101,6 +101,42 @@ object Incremental {
       .select(col("month"), col("n"),
         hll_sketch_estimate(col("users_hll")).as("distinct_users"))
 
+  // ---- KLL quantile state: the same treatment for percentiles ----
+
+  /** Percentiles are the OTHER non-mergeable rollup: a day's p95 and
+    * another day's p95 combine into nothing — historically you either keep
+    * raw history or lose the quantile. The DataSketches KLL sketch
+    * (`kll_sketch_agg_double` / `kll_sketch_merge_double`) is the
+    * mergeable state: ~k-bounded bytes per group, unions across batches
+    * and grains, ~1.65%-of-N rank error once past the exact phase (a
+    * sketch retaining ≤ k values is exact — k=800 here keeps whole days
+    * exact at the correctness-gate scale, and at 100 TB the rank-error
+    * regime is the point). */
+  def kllPartials(events: DataFrame, k: Int = 800): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(kll_sketch_agg_double(col("value"), k).as("value_kll"),
+        count(lit(1)).as("n"))
+
+  def kllMerge(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("day"))
+      .agg(kll_merge_agg_double(col("value_kll"), 800).as("value_kll"),
+        sum(col("n")).as("n"))
+
+  /** Read-time presentation: the normalized rank of a fixed threshold
+    * (exact while the sketch is in its retain-all phase — what the oracle
+    * checks) plus the quantile estimates (exact in the same phase;
+    * rank-error-bounded beyond it, pinned in SketchRollupSpec). */
+  def kllPresent(state: DataFrame, threshold: Double = 50.0): DataFrame =
+    state.select(col("day").cast("string").as("day"), col("n"),
+      round(kll_sketch_get_rank_double(col("value_kll"), lit(threshold)), 6)
+        .as("rank_at_t"),
+      round(kll_sketch_get_quantile_double(col("value_kll"), lit(0.5)), 6)
+        .as("p50"),
+      round(kll_sketch_get_quantile_double(col("value_kll"), lit(0.95)), 6)
+        .as("p95"))
+
   // ---- driver query ----
 
   /** q_rollup_incr — the incremental loop end to end: the history half and
@@ -115,6 +151,23 @@ object Incremental {
     val fresh = ev.filter(col("event_id") % 2 === 1)
     present(merge(partials(history), partials(fresh)))
       .orderBy(col("day"), col("event_type"))
+  }
+
+  /** q_kll_rollup — the quantile-sketch loop end to end, same split
+    * discipline as [[qRollupIncr]]: halves sketched separately, merged
+    * sketch-to-sketch, presented. The oracle-checked metric is the
+    * normalized rank of a fixed threshold — exact in the retain-all phase
+    * (k=800 ≥ any day's rows at the gate scale), so the hash match proves
+    * merge(kll(A), kll(B)) ≡ kll(A ∪ B) ≡ exact rank. The quantile
+    * estimates (whose exact-phase index convention is engine-specific) are
+    * spec-pinned instead. */
+  def qKllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val history = ev.filter(col("event_id") % 2 === 0)
+    val fresh = ev.filter(col("event_id") % 2 === 1)
+    kllPresent(kllMerge(kllPartials(history), kllPartials(fresh)))
+      .select(col("day"), col("n"), col("rank_at_t"))
+      .orderBy(col("day"))
   }
 
   /** q_hll_rollup — the sketch loop end to end, same split discipline as
@@ -135,9 +188,17 @@ object Incremental {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup_incr" -> (qRollupIncr _),
-    "q_hll_rollup" -> (qHllRollup _))
+    "q_hll_rollup" -> (qHllRollup _),
+    "q_kll_rollup" -> (qKllRollup _))
 
   val oracles: Map[String, String] = Map(
+    "q_kll_rollup" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+        |  ROUND(SUM(CASE WHEN value <= 50.0 THEN 1.0 ELSE 0.0 END)
+        |    / COUNT(*), 6) AS rank_at_t
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
     "q_hll_rollup" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS distinct_users

@@ -56,6 +56,49 @@ class SketchRollupSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("KLL: merged half-sketches equal the single-pass sketch (exact phase)") {
+    val halves = Incremental.kllMerge(
+      Incremental.kllPartials(ev.filter(col("event_id") % 2 === 0)),
+      Incremental.kllPartials(ev.filter(col("event_id") % 2 === 1)))
+    val a = Incremental.kllPresent(halves)
+    val b = Incremental.kllPresent(Incremental.kllPartials(ev))
+    // k=800 >= any sf0.001 day's rows: both sketches retain every value,
+    // so ranks AND quantiles agree exactly, merge order notwithstanding
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("KLL: exact-phase p50/p95 bracket the data and rank matches exact") {
+    val p = Incremental.kllPresent(Incremental.kllPartials(ev))
+    val exact = ev
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg((sum(when(col("value") <= 50.0, 1.0).otherwise(0.0)) /
+        count(lit(1))).as("exact_rank"),
+        expr("percentile(value, 0.5)").as("ep50"))
+    val joined = p.join(exact, "day").collect()
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rank_at_t") -
+        r.getAs[Double]("exact_rank")) < 1e-6, r.toString)
+      // KLL's exact-phase quantile is a real data value at the target
+      // rank; engines differ on the index convention, so pin it to within
+      // one rank step of the interpolated percentile
+      val n = r.getAs[Long]("n").toDouble
+      val rankOfP50 = ev.filter(to_date(col("ts")).cast("string") ===
+        r.getAs[String]("day"))
+        .filter(col("value") <= r.getAs[Double]("p50")).count() / n
+      assert(math.abs(rankOfP50 - 0.5) <= 0.5 / n + 1.0 / n, r.toString)
+    }
+  }
+
+  test("KLL: rank error stays within the sketch bound past the exact phase") {
+    // 100k values through a k=200 sketch — well past retain-all; the
+    // KLL bound for k=200 is ~1.65% rank error at 99% confidence
+    val est = spark.range(100000L)
+      .agg(kll_sketch_agg_double(col("id").cast("double"), 200).as("s"))
+      .select(kll_sketch_get_rank_double(col("s"), lit(25000.0)).as("r"))
+      .head().getDouble(0)
+    assert(math.abs(est - 0.25) < 0.03, s"rank estimate $est vs 0.25")
+  }
+
   test("approximate regime: error stays ~2% at 100k uniques") {
     // past the coupon phase the sketch is genuinely approximate — pin the
     // error bound the lgK=16 config buys (rse ≈ 1.04/sqrt(2^16) ≈ 0.4%,
