@@ -1,11 +1,11 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.analytics.{Advanced, Cdc, Events, GraphOps, Incremental, Profiling, Relational, RelationalExtra, ScaleOps}
+import graft.analytics.{Advanced, Cdc, Events, GraphOps, Incremental, Profiling, Relational, RelationalExtra, ScaleOps, TableDiff}
 import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityIvfPq, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
-import graft.sinks.{Bucketing, SchemaEvolution}
+import graft.sinks.{Bucketing, SchemaEvolution, VersionedTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries and oracles are assembled from the per-module maps; each module
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       ScaleOps.defs ++ GraphOps.defs ++ Incremental.defs ++ Profiling.defs ++
-      Cdc.defs ++
+      Cdc.defs ++ TableDiff.defs ++
       TextAnalysis.defs ++ TextNormalize.defs ++
       DedupOps.defs ++ DedupCluster.defs ++ DedupIndex.defs ++
       LineDedup.defs ++
@@ -32,6 +32,7 @@ object SparkEntry {
       SimilarityIvfPq.defs ++
       SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++ Bucketing.defs ++ SchemaEvolution.defs ++
+      VersionedTable.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
@@ -42,6 +43,7 @@ object SparkEntry {
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
       Events.oracles ++ ScaleOps.oracles ++ GraphOps.oracles ++
       Incremental.oracles ++ Profiling.oracles ++ Cdc.oracles ++
+      TableDiff.oracles ++
       TextAnalysis.oracles ++ TextNormalize.oracles ++
       DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++
       SubstrDedup.oracles ++ LangModel.oracles ++ Splits.oracles ++
@@ -49,5 +51,6 @@ object SparkEntry {
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Bucketing.oracles ++ SchemaEvolution.oracles ++
+      VersionedTable.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 }

@@ -1,0 +1,159 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.Parity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Versioned landed table — snapshot isolation, time travel, and rollback
+  * via a manifest log: the core protocol of every lake table format
+  * (Iceberg's snapshot list, Delta's transaction log), reduced to its
+  * engine-native essentials, because a 100 TB landing that only ever
+  * appends files in place has no consistent answer to "what did the table
+  * contain when yesterday's training job started?".
+  *
+  * Protocol:
+  * - data files are IMMUTABLE parquet, written once under `data/`, never
+  *   modified, never deleted by commits;
+  * - a snapshot is a manifest (`manifests/v{N}`) listing its data files,
+  *   one path per line;
+  * - a commit writes data files first, then publishes the manifest with
+  *   ONE atomic create — optimistic concurrency: if v{N} already exists
+  *   (a concurrent writer won), the commit re-reads the head and retries
+  *   at v{N+1}; nothing is ever overwritten;
+  * - a reader resolves a manifest ONCE (latest, or a pinned version) and
+  *   reads exactly its files — a commit racing the read cannot tear it,
+  *   because the files a manifest references are immutable;
+  * - rollback is just a NEW manifest pointing at an old file set — history
+  *   is append-only, so the bad version stays inspectable.
+  *
+  * File deletion is a separate, orthogonal GC ("expire snapshots older
+  * than N") that removes files referenced by no retained manifest — the
+  * same separation the real formats make.
+  */
+object VersionedTable {
+
+  private def manifestDir(dir: String): Path = Paths.get(dir, "manifests")
+
+  /** Committed versions, ascending (empty if the table doesn't exist). */
+  def versions(dir: String): Seq[Int] = {
+    val md = manifestDir(dir)
+    if (!Files.exists(md)) Seq.empty
+    else Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") => s.drop(1).toInt }
+      .toSeq.sorted
+  }
+
+  private def filesOf(dir: String, version: Int): Seq[String] =
+    Files.readAllLines(manifestDir(dir).resolve(s"v$version"))
+      .asScala.toSeq.filter(_.nonEmpty)
+
+  /** Publish `files` as the next version ≥ `want`; retries upward on
+    * collision (optimistic concurrency — the loser never overwrites the
+    * winner, it re-commits on top). Returns the committed version. */
+  private[sinks] def publish(dir: String, want: Int,
+                             files: Seq[String]): Int = {
+    Files.createDirectories(manifestDir(dir))
+    var v = want
+    val tmp = Files.createTempFile(manifestDir(dir), ".staged", "")
+    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    try {
+      while (true) {
+        try {
+          // atomic create-if-absent: a HARD LINK to the fully-written
+          // staging file. NOT Files.move — POSIX rename REPLACES an
+          // existing target silently, which would let a losing writer
+          // clobber the winner's manifest (caught by VersionedTableSpec's
+          // OCC test); link(2) fails with EEXIST instead, and readers can
+          // never observe a partially-written manifest because the bytes
+          // were durable in the staging file before the link existed.
+          Files.createLink(manifestDir(dir).resolve(s"v$v"), tmp)
+          return v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            v += 1 // concurrent writer won v; retry above it
+        }
+      }
+      v
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Land `df` as a new snapshot. `append = true` carries the previous
+    * head's files forward plus the new ones; `false` makes the new files
+    * the whole snapshot (logical overwrite — old files stay on disk,
+    * still reachable through old manifests). Returns the new version. */
+  def commit(df: DataFrame, dir: String, append: Boolean = true): Int = {
+    val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
+    df.write.parquet(batchDir)
+    val newFiles = Files.list(Paths.get(batchDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val head = versions(dir).lastOption
+    val base = if (append) head.map(filesOf(dir, _)).getOrElse(Seq.empty)
+               else Seq.empty
+    publish(dir, head.getOrElse(0) + 1, base ++ newFiles)
+  }
+
+  /** Read a snapshot: the pinned `version`, or the head. The file list is
+    * resolved HERE, once — the returned DataFrame keeps reading this exact
+    * snapshot no matter what commits after. */
+  def read(spark: SparkSession, dir: String,
+           version: Option[Int] = None): DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    spark.read.parquet(filesOf(dir, v): _*)
+  }
+
+  /** Roll the head back to `toVersion`'s file set — as a NEW version, so
+    * the rolled-back state stays inspectable. */
+  def rollback(dir: String, toVersion: Int): Int =
+    publish(dir, versions(dir).last + 1, filesOf(dir, toVersion))
+
+  /** q_time_travel — the protocol end to end: v1 lands the even half of
+    * events, v2 appends the odd half, and the query reads BOTH versions
+    * through their pinned manifests, joining per-type counts. The oracle
+    * recomputes both snapshots' aggregates from the raw table with the
+    * vintage rule inlined — a hash match proves the manifests capture
+    * exactly the right file sets and that v1 still reads correctly after
+    * v2 committed. */
+  def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = Files.createTempDirectory("graft_versioned_")
+    val dir = tmp.toString
+    val v1 = commit(ev.filter(col("event_id") % 2 === 0), dir)
+    val v2 = commit(ev.filter(col("event_id") % 2 === 1), dir)
+    Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val a = read(spark, dir, Some(v1))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_v1"),
+        round(Parity.decSum2(col("value")), 2).as("sum_v1"))
+    val b = read(spark, dir, Some(v2))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_v2"),
+        round(Parity.decSum2(col("value")), 2).as("sum_v2"))
+    a.join(b, "event_type").orderBy(col("event_type"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel" -> (qTimeTravel _))
+
+  val oracles: Map[String, String] = Map(
+    "q_time_travel" ->
+      """SELECT event_type,
+        |  COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_v1,
+        |  ROUND(CAST(SUM(CASE WHEN event_id % 2 = 0
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS sum_v1,
+        |  COUNT(*) AS n_v2,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_v2
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+}
