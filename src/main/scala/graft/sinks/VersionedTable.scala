@@ -115,6 +115,26 @@ object VersionedTable {
   def rollback(dir: String, toVersion: Int): Int =
     publish(dir, versions(dir).last + 1, filesOf(dir, toVersion))
 
+  /** Expire history: drop all but the newest `keepLast` manifests and
+    * delete data files no RETAINED manifest references — the orthogonal
+    * GC pass every manifest-log format pairs with commits (commits never
+    * delete; only expiration does). Readers pinned to an expired version
+    * fail loudly on their next resolve, which is the contract: retention
+    * is an operational policy, not a correctness knob. Returns the number
+    * of data files deleted. */
+  def expire(dir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val vs = versions(dir)
+    val (dead, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val liveFiles = kept.flatMap(filesOf(dir, _)).toSet
+    val deadFiles = dead.flatMap(filesOf(dir, _)).toSet -- liveFiles
+    // manifests first: a crash mid-expire must never leave a manifest
+    // pointing at deleted files
+    dead.foreach(v => Files.deleteIfExists(manifestDir(dir).resolve(s"v$v")))
+    deadFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    deadFiles.size
+  }
+
   /** q_time_travel — the protocol end to end: v1 lands the even half of
     * events, v2 appends the odd half, and the query reads BOTH versions
     * through their pinned manifests, joining per-type counts. The oracle

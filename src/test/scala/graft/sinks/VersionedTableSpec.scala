@@ -49,6 +49,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir, Some(v2)).count() == 2) // bad kept
   }
 
+  test("expire drops old manifests and unreferenced files, keeps live reads") {
+    val dir = tmpDir("vt-gc")
+    val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    val v2 = VersionedTable.commit(Seq((2L, "b")).toDF("id", "k"), dir)
+    val v3 = VersionedTable.commit(Seq((9L, "z")).toDF("id", "k"), dir,
+      append = false) // v3 drops v1/v2's files from the live set
+    val deleted = VersionedTable.expire(dir, keepLast = 1)
+    assert(deleted > 0) // v1/v2's data files were referenced only by them
+    assert(VersionedTable.versions(dir) == Seq(v3))
+    assert(VersionedTable.read(spark, dir).count() == 1) // head intact
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, dir, Some(v1)) // expired → loud
+    }
+  }
+
+  test("expire keeps files still referenced by a retained manifest") {
+    val dir = tmpDir("vt-gc2")
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    val v2 = VersionedTable.commit(Seq((2L, "b")).toDF("id", "k"), dir)
+    // v2 (append) references v1's files too — expiring v1 must delete NO
+    // data files, only the manifest
+    val deleted = VersionedTable.expire(dir, keepLast = 1)
+    assert(deleted == 0)
+    assert(VersionedTable.read(spark, dir, Some(v2)).count() == 2)
+  }
+
   test("optimistic concurrency: a colliding publish retries above the winner") {
     val dir = tmpDir("vt-occ")
     val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
