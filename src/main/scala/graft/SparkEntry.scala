@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.analytics.{Advanced, Cdc, Events, GraphOps, Incremental, Profiling, Relational, RelationalExtra, ScaleOps, TableDiff}
+import graft.analytics.{Advanced, Cdc, Events, Funnel, GraphOps, Incremental, Profiling, Relational, RelationalExtra, ScaleOps, TableDiff}
 import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityIvfPq, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ RelationalExtra.defs ++ Advanced.defs ++ Events.defs ++
       ScaleOps.defs ++ GraphOps.defs ++ Incremental.defs ++ Profiling.defs ++
-      Cdc.defs ++ TableDiff.defs ++
+      Cdc.defs ++ TableDiff.defs ++ Funnel.defs ++
       TextAnalysis.defs ++ TextNormalize.defs ++
       DedupOps.defs ++ DedupCluster.defs ++ DedupIndex.defs ++
       LineDedup.defs ++
@@ -43,7 +43,7 @@ object SparkEntry {
     Relational.oracles ++ RelationalExtra.oracles ++ Advanced.oracles ++
       Events.oracles ++ ScaleOps.oracles ++ GraphOps.oracles ++
       Incremental.oracles ++ Profiling.oracles ++ Cdc.oracles ++
-      TableDiff.oracles ++
+      TableDiff.oracles ++ Funnel.oracles ++
       TextAnalysis.oracles ++ TextNormalize.oracles ++
       DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++
       SubstrDedup.oracles ++ LangModel.oracles ++ Splits.oracles ++
