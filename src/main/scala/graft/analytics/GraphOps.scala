@@ -123,8 +123,70 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Per-node triangle counts over an undirected edge list — the
+    * degree-ordered ("node-iterator++") formulation every distributed
+    * triangle counter uses: orient each edge from its lower-(degree, id)
+    * endpoint to the higher, enumerate wedges from the ORIENTED adjacency
+    * only, and close them with one join back against the oriented edges.
+    * Orientation is the scale trick: out-degree under it is bounded by
+    * O(√m) on any graph (a hub's edges point INTO it, so the hub generates
+    * no wedges), which caps the wedge table at O(m^1.5) instead of the
+    * Σdeg² a naive neighbor self-join pays — on a power-law crawl graph
+    * the difference is the job finishing or not. Each triangle is
+    * enumerated exactly once (its lowest-order vertex is the wedge
+    * center), then exploded to its three corners for per-node counts. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withOrds = canon
+      .join(deg.select(col("node").as("a"),
+        struct(col("deg"), col("node")).as("ord_a")), "a")
+      .join(deg.select(col("node").as("b"),
+        struct(col("deg"), col("node")).as("ord_b")), "b")
+    val ori = withOrds.select(
+      when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b"))
+        .as("src"),
+      when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a"))
+        .as("dst"),
+      when(col("ord_a") < col("ord_b"), col("ord_b")).otherwise(col("ord_a"))
+        .as("dst_ord"))
+    val e1 = ori.select(col("src").as("n0"), col("dst").as("n1"),
+      col("dst_ord").as("ord1"))
+    val e2 = ori.select(col("src").as("n0"), col("dst").as("n2"),
+      col("dst_ord").as("ord2"))
+    val wedges = e1.join(e2, Seq("n0")).filter(col("ord1") < col("ord2"))
+    // the closing edge is oriented n1 → n2 because ord(n1) < ord(n2)
+    val closed = wedges.join(
+      ori.select(col("src").as("n1"), col("dst").as("n2")), Seq("n1", "n2"))
+    closed
+      .select(explode(array(col("n0"), col("n1"), col("n2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** q_triangles — triangle counts over the near-dup pair graph
+    * ([[graft.ext.DedupOps.jaccardPairs]] at the q_dedup_cluster
+    * threshold): a node's triangle count separates COHESIVE duplicate
+    * cliques (every member pairs with every other) from chained false
+    * positives (A~B~C where A≁C), which is exactly the judgment a dedup
+    * reviewer makes before condemning a cluster. maxDf = None is the
+    * oracle-parity configuration, as in q_dedup_cluster. */
+  def qTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = graft.ext.DedupOps
+      .jaccardPairs(Tables.documents(spark, sfDir), k = 3, maxDf = None)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    triangleCounts(edges)
+      .select(col("node").as("doc_id"), col("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (qPageRank _))
+    "q_pagerank" -> (qPageRank _),
+    "q_triangles" -> (qTriangles _))
 
   /** DuckDB twin: the same edge construction and 5 unrolled power
     * iterations as chained CTEs (recursive CTEs can't re-aggregate per
@@ -171,5 +233,37 @@ object GraphOps {
          |FROM r5
          |ORDER BY rank_n DESC, node
          |LIMIT 20""".stripMargin
-    })
+    },
+    // same pair generation as q_dedup_cluster's oracle (unguarded, 3-gram
+    // Jaccard >= 0.5), then the textbook per-node triple join over the
+    // symmetrized edge list — each triangle contributes once per corner
+    "q_triangles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t) - 3 + 2),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS s
+        |    FROM toks WHERE len(t) >= 3)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.5),
+        |ed AS (
+        |  SELECT id_a AS u, id_b AS v FROM jp
+        |  UNION SELECT id_b, id_a FROM jp)
+        |SELECT e1.u AS doc_id, COUNT(*) AS n_tri
+        |FROM ed e1
+        |JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+        |JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v
+        |GROUP BY e1.u
+        |ORDER BY doc_id""".stripMargin)
 }
