@@ -134,8 +134,21 @@ object GraphOps {
     * Σdeg² a naive neighbor self-join pays — on a power-law crawl graph
     * the difference is the job finishing or not. Each triangle is
     * enumerated exactly once (its lowest-order vertex is the wedge
-    * center), then exploded to its three corners for per-node counts. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+    * center), then exploded to its three corners for per-node counts.
+    *
+    * The oriented edge table is REFERENCED THREE TIMES downstream (both
+    * wedge legs and the closing probe) and its own construction reads the
+    * canonical edges twice — pure lazy composition would recompute the
+    * caller's whole edge-derivation chain once per reference (the
+    * PlanInvariantsSpec shuffle canary measured 53 shuffles against the
+    * suite's ceiling of 12 when `edges` is itself a join pipeline), so
+    * `ori` is checkpointed once at the diamond point: every downstream
+    * branch reads the materialized rows, and `checkpointDir` upgrades the
+    * snapshot to a reliable one for multi-hour graphs, exactly as in
+    * [[pageRank]]. */
+  def triangleCounts(edges: DataFrame,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val cp = Checkpointer(checkpointDir)
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -147,13 +160,13 @@ object GraphOps {
         struct(col("deg"), col("node")).as("ord_a")), "a")
       .join(deg.select(col("node").as("b"),
         struct(col("deg"), col("node")).as("ord_b")), "b")
-    val ori = withOrds.select(
+    val ori = cp.checkpoint(withOrds.select(
       when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b"))
         .as("src"),
       when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a"))
         .as("dst"),
       when(col("ord_a") < col("ord_b"), col("ord_b")).otherwise(col("ord_a"))
-        .as("dst_ord"))
+        .as("dst_ord")))
     val e1 = ori.select(col("src").as("n0"), col("dst").as("n1"),
       col("dst_ord").as("ord1"))
     val e2 = ori.select(col("src").as("n0"), col("dst").as("n2"),

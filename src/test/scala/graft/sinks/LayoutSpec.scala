@@ -12,13 +12,25 @@ import graft.functions.VectorFunctions._
   * predicates that a single-column sort layout cannot prune. */
 class LayoutSpec extends SparkSpec {
 
-  /** Rows the parquet scan emitted (post row-group pruning, pre Filter). */
+  /** Rows the parquet scan emitted (post row-group pruning, pre Filter).
+    * Metric values arrive via the async listener bus — under full-suite
+    * load a read right after collect() races event delivery (observed as
+    * a once-in-a-run undercount), so settle until three consecutive reads
+    * agree, the same discipline Bench applies to its shuffle metrics. */
   private def scannedRows(path: String, cond: Column): Long = {
     val df = spark.read.parquet(path).where(cond)
     df.collect()
-    df.queryExecution.executedPlan.collect {
+    def cur: Long = df.queryExecution.executedPlan.collect {
       case s: FileSourceScanExec => s.metrics("numOutputRows").value
     }.sum
+    var stable = 0
+    var prev = -1L
+    while (stable < 3) {
+      val v = cur
+      if (v == prev) stable += 1 else { stable = 0; prev = v }
+      if (stable < 3) Thread.sleep(100)
+    }
+    prev
   }
 
   private lazy val points = {
