@@ -45,6 +45,19 @@ class TableDiffSpec extends SparkSpec {
     assert(s == Map("unchanged" -> 4L))
   }
 
+  test("composes with VersionedTable: diff two time-travel snapshots") {
+    import graft.sinks.VersionedTable
+    val dir = tmpDir("diff-vt")
+    val v1 = VersionedTable.commit(before, dir)
+    val v2 = VersionedTable.commit(after, dir, append = false)
+    val s = TableDiff.summary(
+        VersionedTable.read(spark, dir, Some(v1)),
+        VersionedTable.read(spark, dir, Some(v2)), "k")
+      .as[(String, Long)].collect().toMap
+    assert(s == Map("unchanged" -> 1L, "changed" -> 2L, "removed" -> 1L,
+      "added" -> 1L))
+  }
+
   test("one full-outer join over (key, hash) — no window, no second scan pair") {
     // parquet-backed inputs: local Seq relations get their projections
     // constant-folded into LocalTableScan, hiding the hash from the plan
