@@ -115,6 +115,83 @@ object VersionedTable {
   def rollback(dir: String, toVersion: Int): Int =
     publish(dir, versions(dir).last + 1, filesOf(dir, toVersion))
 
+  // ---- manifest-level file skipping (Iceberg-style scan planning) ----
+
+  /** Per-file (min, max) stats for `statCols`, landed NEXT TO a version's
+    * manifest as `s{N}` — the metadata that lets a reader prune FILES
+    * before Spark even lists them, which at 100 TB is the difference
+    * between planning over a manifest and listing a bucket. Stats are an
+    * OPTIMIZATION layer: the manifest stays the single source of truth,
+    * a version without a stats file (crash between publish and stats
+    * write, or a commit that didn't collect them) degrades to no pruning,
+    * never to wrong results. Format: tab-separated `path col min max`
+    * per line, doubles. */
+  def writeStats(spark: SparkSession, dir: String, version: Int,
+                 statCols: Seq[String]): Unit = {
+    val files = filesOf(dir, version)
+    val df = spark.read.parquet(files: _*)
+      .withColumn("__file", input_file_name())
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"${c}__min"),
+        max(col(c).cast("double")).as(s"${c}__max"))
+    }
+    val rows = df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val lines = rows.flatMap { r =>
+      // input_file_name is URI-formatted (file://...); normalize back to
+      // the manifest's plain-path form so lookups match
+      val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
+      statCols.map { c =>
+        s"$path\t$c\t${r.getAs[Double](s"${c}__min")}" +
+          s"\t${r.getAs[Double](s"${c}__max")}"
+      }
+    }
+    Files.write(manifestDir(dir).resolve(s"s$version"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** (file → (min, max)) for `col` at `version`; empty if no stats. */
+  private def statsOf(dir: String, version: Int,
+                      column: String): Map[String, (Double, Double)] = {
+    val p = manifestDir(dir).resolve(s"s$version")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala
+      .map(_.split('\t'))
+      .collect { case Array(f, c, lo, hi) if c == column =>
+        f -> (lo.toDouble, hi.toDouble) }
+      .toMap
+  }
+
+  /** Read a snapshot with manifest-level file skipping: files whose
+    * [min, max] for `column` cannot intersect [lo, hi] are dropped from
+    * the scan BEFORE Spark sees them; files without stats are kept
+    * (pruning must never lose rows). The caller still applies its exact
+    * predicate — stats pruning is a superset guarantee, same contract as
+    * parquet row-group skipping one level up. */
+  def prunedRead(spark: SparkSession, dir: String, column: String,
+                 lo: Double, hi: Double,
+                 version: Option[Int] = None): DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    val stats = statsOf(dir, v, column)
+    val keep = filesOf(dir, v).filter { f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
+  /** Files `prunedRead` would scan — exposed so specs (and operators) can
+    * assert the skipping itself, not just result correctness. */
+  private[graft] def prunedFiles(dir: String, version: Int, column: String,
+                                 lo: Double, hi: Double): Seq[String] = {
+    val stats = statsOf(dir, version, column)
+    filesOf(dir, version).filter { f =>
+      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+  }
+
   /** Expire history: drop all but the newest `keepLast` manifests and
     * delete data files no RETAINED manifest references — the orthogonal
     * GC pass every manifest-log format pairs with commits (commits never
@@ -130,7 +207,10 @@ object VersionedTable {
     val deadFiles = dead.flatMap(filesOf(dir, _)).toSet -- liveFiles
     // manifests first: a crash mid-expire must never leave a manifest
     // pointing at deleted files
-    dead.foreach(v => Files.deleteIfExists(manifestDir(dir).resolve(s"v$v")))
+    dead.foreach { v =>
+      Files.deleteIfExists(manifestDir(dir).resolve(s"v$v"))
+      Files.deleteIfExists(manifestDir(dir).resolve(s"s$v"))
+    }
     deadFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
     deadFiles.size
   }

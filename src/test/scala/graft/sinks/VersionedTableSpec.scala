@@ -75,6 +75,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir, Some(v2)).count() == 2)
   }
 
+  test("manifest stats prune files; results equal the unpruned read") {
+    val dir = tmpDir("vt-stats")
+    // three commits with DISJOINT value ranges — each lands its own files
+    VersionedTable.commit((1 to 100).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v"), dir)
+    VersionedTable.commit((101 to 200).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v"), dir)
+    val head = VersionedTable.commit(
+      (201 to 300).map(i => (i.toLong, i.toDouble)).toDF("id", "v"), dir)
+    VersionedTable.writeStats(spark, dir, head, Seq("v"))
+    val all = VersionedTable.prunedFiles(dir, head, "v", 0.0, 1e9)
+    val narrow = VersionedTable.prunedFiles(dir, head, "v", 150.0, 160.0)
+    assert(narrow.nonEmpty && narrow.size < all.size,
+      s"no pruning: ${narrow.size} of ${all.size}")
+    // correctness: pruned read + exact predicate == full read + predicate
+    val pruned = VersionedTable.prunedRead(spark, dir, "v", 150.0, 160.0)
+      .filter($"v".between(150.0, 160.0))
+    val full = VersionedTable.read(spark, dir)
+      .filter($"v".between(150.0, 160.0))
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    assert(pruned.count() == 11)
+  }
+
+  test("a version without stats degrades to no pruning, never to loss") {
+    val dir = tmpDir("vt-nostats")
+    VersionedTable.commit((1 to 50).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v"), dir)
+    // no writeStats call — prunedRead must keep every file
+    val r = VersionedTable.prunedRead(spark, dir, "v", 10.0, 20.0)
+    assert(r.count() == 50)
+  }
+
+  test("expire removes dead versions' stats files too") {
+    val dir = tmpDir("vt-gc-stats")
+    val v1 = VersionedTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir)
+    VersionedTable.writeStats(spark, dir, v1, Seq("v"))
+    VersionedTable.commit(Seq((2L, 2.0)).toDF("id", "v"), dir,
+      append = false)
+    VersionedTable.expire(dir, keepLast = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "manifests", s"s$v1")))
+  }
+
   test("optimistic concurrency: a colliding publish retries above the winner") {
     val dir = tmpDir("vt-occ")
     val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
