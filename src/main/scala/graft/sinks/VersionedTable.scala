@@ -127,27 +127,70 @@ object VersionedTable {
     * never to wrong results. Format: tab-separated `path col min max`
     * per line, doubles. */
   def writeStats(spark: SparkSession, dir: String, version: Int,
-                 statCols: Seq[String]): Unit = {
-    val files = filesOf(dir, version)
+                 statCols: Seq[String]): Unit =
+    Files.write(manifestDir(dir).resolve(s"s$version"),
+      statsLines(spark, filesOf(dir, version), statCols)
+        .mkString("\n").getBytes("UTF-8"))
+
+  /** One stats line per (file, col) over exactly `files` — one grouped
+    * aggregate, one scan of those files. */
+  private def statsLines(spark: SparkSession, files: Seq[String],
+                         statCols: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
       .withColumn("__file", input_file_name())
     val aggs = statCols.flatMap { c =>
       Seq(min(col(c).cast("double")).as(s"${c}__min"),
         max(col(c).cast("double")).as(s"${c}__max"))
     }
-    val rows = df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val lines = rows.flatMap { r =>
-      // input_file_name is URI-formatted (file://...); normalize back to
-      // the manifest's plain-path form so lookups match
-      val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
-      statCols.map { c =>
-        s"$path\t$c\t${r.getAs[Double](s"${c}__min")}" +
-          s"\t${r.getAs[Double](s"${c}__max")}"
+    df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq
+      .flatMap { r =>
+        // input_file_name is URI-formatted (file://...); normalize back to
+        // the manifest's plain-path form so lookups match
+        val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
+        statCols.map { c =>
+          s"$path\t$c\t${r.getAs[Double](s"${c}__min")}" +
+            s"\t${r.getAs[Double](s"${c}__max")}"
+        }
       }
-    }
-    Files.write(manifestDir(dir).resolve(s"s$version"),
-      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Commit a batch in the FULL landing shape: the batch is z-ordered on
+    * `zCols` ([[Layout.writeZordered]] — quantile rank buckets → Morton
+    * code → one range shuffle, so each file covers a tight hyper-box),
+    * then published with per-file stats CARRIED FORWARD incrementally:
+    * stats lines for files inherited from the previous head are copied
+    * from its stats file, and only the NEW batch's files are scanned —
+    * per-commit stats cost is O(batch), never O(table), which is what
+    * makes stats maintenance viable on a 100 TB landing. Clustered files
+    * + manifest stats is the combination that makes [[prunedRead]]
+    * actually skip: z-order gives files disjoint ranges, stats make the
+    * ranges visible at planning time. */
+  def commitClustered(df: DataFrame, dir: String, zCols: Seq[String],
+                      statCols: Seq[String], numFiles: Int = 16,
+                      bitsPerDim: Int = 6, append: Boolean = true): Int = {
+    val spark = df.sparkSession
+    val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
+    Layout.writeZordered(df, zCols, batchDir, numFiles, bitsPerDim)
+    val newFiles = Files.list(Paths.get(batchDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val head = versions(dir).lastOption
+    val base = if (append) head.map(filesOf(dir, _)).getOrElse(Seq.empty)
+               else Seq.empty
+    val carried: Seq[String] = (for {
+      h <- head if append
+      p = manifestDir(dir).resolve(s"s$h") if Files.exists(p)
+    } yield {
+      val baseSet = base.toSet
+      Files.readAllLines(p).asScala.toSeq
+        .filter(l => baseSet.contains(l.takeWhile(_ != '\t')))
+    }).getOrElse(Seq.empty)
+    val v = publish(dir, head.getOrElse(0) + 1, base ++ newFiles)
+    Files.write(manifestDir(dir).resolve(s"s$v"),
+      (carried ++ statsLines(spark, newFiles, statCols))
+        .mkString("\n").getBytes("UTF-8"))
+    v
   }
 
   /** (file → (min, max)) for `col` at `version`; empty if no stats. */

@@ -118,6 +118,38 @@ class VersionedTableSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "manifests", s"s$v1")))
   }
 
+  test("clustered commit: z-order + stats makes pruning bite; carry-forward") {
+    val dir = tmpDir("vt-clustered")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(col("id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("double").as("x"),
+        pmod(xxhash64(col("id"), lit(2)), lit(1000)).cast("double").as("y"))
+    val v1 = VersionedTable.commitClustered(batch(0, 30000), dir,
+      zCols = Seq("x", "y"), statCols = Seq("x", "y"), numFiles = 16)
+    // pruning bites on BOTH z-dims thanks to the layout
+    val all = VersionedTable.prunedFiles(dir, v1, "x", -1e9, 1e9)
+    val nx = VersionedTable.prunedFiles(dir, v1, "x", 100.0, 199.0)
+    val ny = VersionedTable.prunedFiles(dir, v1, "y", 100.0, 199.0)
+    assert(all.size == 16)
+    assert(nx.size < all.size / 2, s"x pruning weak: ${nx.size}/${all.size}")
+    assert(ny.size < all.size / 2, s"y pruning weak: ${ny.size}/${all.size}")
+    // pruned read correctness
+    val pruned = VersionedTable.prunedRead(spark, dir, "x", 100.0, 199.0)
+      .filter($"x".between(100.0, 199.0))
+    val full = VersionedTable.read(spark, dir)
+      .filter($"x".between(100.0, 199.0))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // second clustered commit: v1's stats lines carry forward verbatim
+    val s1 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "manifests", s"s$v1"))
+    val v2 = VersionedTable.commitClustered(batch(30000, 40000), dir,
+      zCols = Seq("x", "y"), statCols = Seq("x", "y"), numFiles = 8)
+    val s2 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "manifests", s"s$v2"))
+    assert(s2.containsAll(s1), "carried stats lines missing")
+    assert(s2.size() == s1.size() + 8 * 2) // + (files × cols) new lines
+  }
+
   test("optimistic concurrency: a colliding publish retries above the winner") {
     val dir = tmpDir("vt-occ")
     val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
