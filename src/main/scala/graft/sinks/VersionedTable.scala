@@ -49,9 +49,19 @@ object VersionedTable {
       .toSeq.sorted
   }
 
+  // `#`-prefixed manifest lines are metadata headers (e.g. the transaction
+  // id a streaming commit carries), never file paths
   private def filesOf(dir: String, version: Int): Seq[String] =
     Files.readAllLines(manifestDir(dir).resolve(s"v$version"))
-      .asScala.toSeq.filter(_.nonEmpty)
+      .asScala.toSeq.filter(_.nonEmpty).filterNot(_.startsWith("#"))
+
+  /** Transaction ids carried by committed manifests — the replay ledger
+    * for [[commitOnce]]. */
+  def committedTxns(dir: String): Set[String] =
+    versions(dir).flatMap { v =>
+      Files.readAllLines(manifestDir(dir).resolve(s"v$v")).asScala
+        .collect { case l if l.startsWith("#txn=") => l.drop(5) }
+    }.toSet
 
   /** Publish `files` as the next version ≥ `want`; retries upward on
     * collision (optimistic concurrency — the loser never overwrites the
@@ -87,7 +97,8 @@ object VersionedTable {
     * head's files forward plus the new ones; `false` makes the new files
     * the whole snapshot (logical overwrite — old files stay on disk,
     * still reachable through old manifests). Returns the new version. */
-  def commit(df: DataFrame, dir: String, append: Boolean = true): Int = {
+  def commit(df: DataFrame, dir: String, append: Boolean = true,
+             txnId: Option[String] = None): Int = {
     val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
     df.write.parquet(batchDir)
     val newFiles = Files.list(Paths.get(batchDir)).iterator().asScala
@@ -95,8 +106,26 @@ object VersionedTable {
     val head = versions(dir).lastOption
     val base = if (append) head.map(filesOf(dir, _)).getOrElse(Seq.empty)
                else Seq.empty
-    publish(dir, head.getOrElse(0) + 1, base ++ newFiles)
+    publish(dir, head.getOrElse(0) + 1,
+      txnId.map(t => s"#txn=$t").toSeq ++ base ++ newFiles)
   }
+
+  /** Exactly-once commit for replayable sources (Structured Streaming's
+    * foreachBatch): the transaction id rides IN the manifest, so the
+    * manifest publish is itself the atomic "this batch landed" marker —
+    * there is no crash window between data commit and marker write in
+    * which a replay could double-land (the Delta `txn` action, in manifest
+    * form). A redelivered (txnId already committed) batch is a no-op that
+    * returns the original version. Assumes one writer per txn namespace —
+    * exactly what foreachBatch guarantees per query. */
+  def commitOnce(df: DataFrame, dir: String, txnId: String,
+                 append: Boolean = true): Int =
+    if (committedTxns(dir).contains(txnId)) {
+      versions(dir).reverse.find { v =>
+        Files.readAllLines(manifestDir(dir).resolve(s"v$v")).asScala
+          .contains(s"#txn=$txnId")
+      }.get
+    } else commit(df, dir, append, txnId = Some(txnId))
 
   /** Read a snapshot: the pinned `version`, or the head. The file list is
     * resolved HERE, once — the returned DataFrame keeps reading this exact
@@ -240,8 +269,11 @@ object VersionedTable {
     * GC pass every manifest-log format pairs with commits (commits never
     * delete; only expiration does). Readers pinned to an expired version
     * fail loudly on their next resolve, which is the contract: retention
-    * is an operational policy, not a correctness knob. Returns the number
-    * of data files deleted. */
+    * is an operational policy, not a correctness knob. Note for
+    * [[commitOnce]] users: expiring a manifest also forgets its txn id,
+    * so retention must exceed the source's replay horizon (the same
+    * contract as Delta's txn retention). Returns the number of data files
+    * deleted. */
   def expire(dir: String, keepLast: Int): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = versions(dir)
