@@ -1,8 +1,5 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.Parity
@@ -22,9 +19,13 @@ import org.apache.spark.sql.functions._
   * - a snapshot is a manifest (`manifests/v{N}`) listing its data files,
   *   one path per line;
   * - a commit writes data files first, then publishes the manifest with
-  *   ONE atomic create — optimistic concurrency: if v{N} already exists
-  *   (a concurrent writer won), the commit re-reads the head and retries
-  *   at v{N+1}; nothing is ever overwritten;
+  *   ONE atomic create ([[TableIO.createExclusive]]) — optimistic
+  *   concurrency: if v{N} already exists (a concurrent writer won), an
+  *   APPEND commit re-resolves the head and republishes the NEW head's
+  *   file list plus its own files ([[publishOnHead]]), so the loser's
+  *   retry carries the winner's rows forward — retrying with the stale
+  *   base would silently drop the winner's files from the head lineage
+  *   (and expiration would then delete them); nothing is ever overwritten;
   * - a reader resolves a manifest ONCE (latest, or a pinned version) and
   *   reads exactly its files — a commit racing the read cannot tear it,
   *   because the files a manifest references are immutable;
@@ -34,80 +35,90 @@ import org.apache.spark.sql.functions._
   * File deletion is a separate, orthogonal GC ("expire snapshots older
   * than N") that removes files referenced by no retained manifest — the
   * same separation the real formats make.
+  *
+  * All metadata IO goes through a [[TableIO]]: `java.nio` + hard links
+  * locally, Hadoop `FileSystem` where a real landing lives. The default
+  * [[VersionedTable]] object binds the local backend; bind
+  * `new VersionedTableOps(new HadoopTableIO(conf))` for the rest.
   */
-object VersionedTable {
+class VersionedTableOps(protected val io: TableIO) {
 
-  private def manifestDir(dir: String): Path = Paths.get(dir, "manifests")
+  protected def manifestDir(dir: String): String = s"$dir/manifests"
+  private def manifestPath(dir: String, v: Int) = s"${manifestDir(dir)}/v$v"
+  private def statsPath(dir: String, v: Int) = s"${manifestDir(dir)}/s$v"
 
   /** Committed versions, ascending (empty if the table doesn't exist). */
-  def versions(dir: String): Seq[Int] = {
-    val md = manifestDir(dir)
-    if (!Files.exists(md)) Seq.empty
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
+  def versions(dir: String): Seq[Int] =
+    io.list(manifestDir(dir))
       .collect { case s if s.startsWith("v") => s.drop(1).toInt }
-      .toSeq.sorted
-  }
+      .sorted
 
   // `#`-prefixed manifest lines are metadata headers (e.g. the transaction
   // id a streaming commit carries), never file paths
   private def filesOf(dir: String, version: Int): Seq[String] =
-    Files.readAllLines(manifestDir(dir).resolve(s"v$version"))
-      .asScala.toSeq.filter(_.nonEmpty).filterNot(_.startsWith("#"))
+    io.readLines(manifestPath(dir, version))
+      .filter(_.nonEmpty).filterNot(_.startsWith("#"))
 
   /** Transaction ids carried by committed manifests — the replay ledger
     * for [[commitOnce]]. */
   def committedTxns(dir: String): Set[String] =
     versions(dir).flatMap { v =>
-      Files.readAllLines(manifestDir(dir).resolve(s"v$v")).asScala
+      io.readLines(manifestPath(dir, v))
         .collect { case l if l.startsWith("#txn=") => l.drop(5) }
     }.toSet
 
-  /** Publish `files` as the next version ≥ `want`; retries upward on
-    * collision (optimistic concurrency — the loser never overwrites the
-    * winner, it re-commits on top). Returns the committed version. */
+  /** Publish exactly `lines` as the next version ≥ `want`; retries upward
+    * on collision with the SAME content — correct for the fixed-file-set
+    * publishes (rollback, logical overwrite), where the intended head
+    * state does not depend on what it replaces. Append commits must NOT
+    * use this: see [[publishOnHead]]. Returns the committed version. */
   private[sinks] def publish(dir: String, want: Int,
-                             files: Seq[String]): Int = {
-    Files.createDirectories(manifestDir(dir))
+                             lines: Seq[String]): Int = {
+    io.mkdirs(manifestDir(dir))
     var v = want
-    val tmp = Files.createTempFile(manifestDir(dir), ".staged", "")
-    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
-    try {
-      while (true) {
-        try {
-          // atomic create-if-absent: a HARD LINK to the fully-written
-          // staging file. NOT Files.move — POSIX rename REPLACES an
-          // existing target silently, which would let a losing writer
-          // clobber the winner's manifest (caught by VersionedTableSpec's
-          // OCC test); link(2) fails with EEXIST instead, and readers can
-          // never observe a partially-written manifest because the bytes
-          // were durable in the staging file before the link existed.
-          Files.createLink(manifestDir(dir).resolve(s"v$v"), tmp)
-          return v
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            v += 1 // concurrent writer won v; retry above it
-        }
-      }
-      v
-    } finally Files.deleteIfExists(tmp)
+    while (!io.createExclusive(manifestPath(dir, v), lines)) v += 1
+    v
   }
 
-  /** Land `df` as a new snapshot. `append = true` carries the previous
-    * head's files forward plus the new ones; `false` makes the new files
-    * the whole snapshot (logical overwrite — old files stay on disk,
-    * still reachable through old manifests). Returns the new version. */
-  def commit(df: DataFrame, dir: String, append: Boolean = true,
-             txnId: Option[String] = None): Int = {
+  /** OCC publish for commits whose manifest DERIVES from the head: every
+    * attempt re-resolves the current head and rebuilds its manifest lines
+    * via `build(headVersion, headFiles)`, so a losing concurrent writer
+    * merges the winner's file list instead of republishing a stale one.
+    * Returns the committed version. */
+  private def publishOnHead(dir: String)(
+      build: (Option[Int], Seq[String]) => Seq[String]): Int = {
+    io.mkdirs(manifestDir(dir))
+    var committed = -1
+    while (committed < 0) {
+      val head = versions(dir).lastOption
+      val base = head.map(filesOf(dir, _)).getOrElse(Seq.empty)
+      val v = head.getOrElse(0) + 1
+      if (io.createExclusive(manifestPath(dir, v), build(head, base)))
+        committed = v
+    }
+    committed
+  }
+
+  /** Write `df` as one immutable batch under `data/`; returns file paths. */
+  private def writeBatch(df: DataFrame, dir: String): Seq[String] = {
     val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
     df.write.parquet(batchDir)
-    val newFiles = Files.list(Paths.get(batchDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-    val head = versions(dir).lastOption
-    val base = if (append) head.map(filesOf(dir, _)).getOrElse(Seq.empty)
-               else Seq.empty
-    publish(dir, head.getOrElse(0) + 1,
-      txnId.map(t => s"#txn=$t").toSeq ++ base ++ newFiles)
+    io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$batchDir/$n")
+  }
+
+  /** Land `df` as a new snapshot. `append = true` carries the current
+    * head's files forward plus the new ones (re-resolved on every OCC
+    * retry); `false` makes the new files the whole snapshot (logical
+    * overwrite — old files stay on disk, still reachable through old
+    * manifests). Returns the new version. */
+  def commit(df: DataFrame, dir: String, append: Boolean = true,
+             txnId: Option[String] = None): Int = {
+    val newFiles = writeBatch(df, dir)
+    val meta = txnId.map(t => s"#txn=$t").toSeq
+    if (append) publishOnHead(dir)((_, base) => meta ++ base ++ newFiles)
+    else publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
+      meta ++ newFiles)
   }
 
   /** Exactly-once commit for replayable sources (Structured Streaming's
@@ -122,8 +133,7 @@ object VersionedTable {
                  append: Boolean = true): Int =
     if (committedTxns(dir).contains(txnId)) {
       versions(dir).reverse.find { v =>
-        Files.readAllLines(manifestDir(dir).resolve(s"v$v")).asScala
-          .contains(s"#txn=$txnId")
+        io.readLines(manifestPath(dir, v)).contains(s"#txn=$txnId")
       }.get
     } else commit(df, dir, append, txnId = Some(txnId))
 
@@ -157,9 +167,8 @@ object VersionedTable {
     * per line, doubles. */
   def writeStats(spark: SparkSession, dir: String, version: Int,
                  statCols: Seq[String]): Unit =
-    Files.write(manifestDir(dir).resolve(s"s$version"),
-      statsLines(spark, filesOf(dir, version), statCols)
-        .mkString("\n").getBytes("UTF-8"))
+    io.writeLines(statsPath(dir, version),
+      statsLines(spark, filesOf(dir, version), statCols))
 
   /** One stats line per (file, col) over exactly `files` — one grouped
     * aggregate, one scan of those files. */
@@ -185,6 +194,20 @@ object VersionedTable {
       }
   }
 
+  /** Stats lines of `headVersion` restricted to the files in `base` —
+    * the carry-forward read, re-derived per OCC attempt because the head
+    * (and thus the stats file to inherit) can move under a retry. */
+  private def carriedStats(dir: String, headVersion: Option[Int],
+                           base: Seq[String]): Seq[String] =
+    headVersion.toSeq.flatMap { h =>
+      val p = statsPath(dir, h)
+      if (!io.exists(p)) Seq.empty
+      else {
+        val baseSet = base.toSet
+        io.readLines(p).filter(l => baseSet.contains(l.takeWhile(_ != '\t')))
+      }
+    }
+
   /** Commit a batch in the FULL landing shape: the batch is z-ordered on
     * `zCols` ([[Layout.writeZordered]] — quantile rank buckets → Morton
     * code → one range shuffle, so each file covers a tight hyper-box),
@@ -202,32 +225,32 @@ object VersionedTable {
     val spark = df.sparkSession
     val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
     Layout.writeZordered(df, zCols, batchDir, numFiles, bitsPerDim)
-    val newFiles = Files.list(Paths.get(batchDir)).iterator().asScala
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-    val head = versions(dir).lastOption
-    val base = if (append) head.map(filesOf(dir, _)).getOrElse(Seq.empty)
-               else Seq.empty
-    val carried: Seq[String] = (for {
-      h <- head if append
-      p = manifestDir(dir).resolve(s"s$h") if Files.exists(p)
-    } yield {
-      val baseSet = base.toSet
-      Files.readAllLines(p).asScala.toSeq
-        .filter(l => baseSet.contains(l.takeWhile(_ != '\t')))
-    }).getOrElse(Seq.empty)
-    val v = publish(dir, head.getOrElse(0) + 1, base ++ newFiles)
-    Files.write(manifestDir(dir).resolve(s"s$v"),
-      (carried ++ statsLines(spark, newFiles, statCols))
-        .mkString("\n").getBytes("UTF-8"))
-    v
+    val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$batchDir/$n")
+    // the new files' stats need a scan — do it ONCE, outside the OCC loop
+    val newStats = statsLines(spark, newFiles, statCols)
+    if (!append) {
+      val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
+        newFiles)
+      io.writeLines(statsPath(dir, v), newStats)
+      v
+    } else {
+      var carried: Seq[String] = Seq.empty
+      val v = publishOnHead(dir) { (head, base) =>
+        carried = carriedStats(dir, head, base)
+        base ++ newFiles
+      }
+      io.writeLines(statsPath(dir, v), carried ++ newStats)
+      v
+    }
   }
 
   /** (file → (min, max)) for `col` at `version`; empty if no stats. */
   private def statsOf(dir: String, version: Int,
                       column: String): Map[String, (Double, Double)] = {
-    val p = manifestDir(dir).resolve(s"s$version")
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala
+    val p = statsPath(dir, version)
+    if (!io.exists(p)) Map.empty
+    else io.readLines(p)
       .map(_.split('\t'))
       .collect { case Array(f, c, lo, hi) if c == column =>
         f -> (lo.toDouble, hi.toDouble) }
@@ -283,12 +306,16 @@ object VersionedTable {
     // manifests first: a crash mid-expire must never leave a manifest
     // pointing at deleted files
     dead.foreach { v =>
-      Files.deleteIfExists(manifestDir(dir).resolve(s"v$v"))
-      Files.deleteIfExists(manifestDir(dir).resolve(s"s$v"))
+      io.delete(manifestPath(dir, v))
+      io.delete(statsPath(dir, v))
     }
-    deadFiles.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    deadFiles.foreach(io.delete)
     deadFiles.size
   }
+}
+
+/** The default (local-filesystem) binding, plus the oracle-checked query. */
+object VersionedTable extends VersionedTableOps(TableIO.local) {
 
   /** q_time_travel — the protocol end to end: v1 lands the even half of
     * events, v2 appends the odd half, and the query reads BOTH versions
@@ -300,11 +327,11 @@ object VersionedTable {
   def qTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
-    val tmp = Files.createTempDirectory("graft_versioned_")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_versioned_")
     val dir = tmp.toString
     val v1 = commit(ev.filter(col("event_id") % 2 === 0), dir)
     val v2 = commit(ev.filter(col("event_id") % 2 === 1), dir)
-    Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
     val a = read(spark, dir, Some(v1))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_v1"),

@@ -4,95 +4,128 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-class VersionedTableSpec extends SparkSpec {
+/** Test-only delegating [[TableIO]] — lets a spec interpose on single
+  * operations (e.g. fire a concurrent winner right before a publish
+  * attempt) while every other call hits the real backend. */
+class ForwardingTableIO(inner: TableIO) extends TableIO {
+  override def mkdirs(dir: String): Unit = inner.mkdirs(dir)
+  override def exists(path: String): Boolean = inner.exists(path)
+  override def list(dir: String): Seq[String] = inner.list(dir)
+  override def readLines(path: String): Seq[String] = inner.readLines(path)
+  override def writeLines(path: String, lines: Seq[String]): Unit =
+    inner.writeLines(path, lines)
+  override def createExclusive(path: String, lines: Seq[String]): Boolean =
+    inner.createExclusive(path, lines)
+  override def delete(path: String): Unit = inner.delete(path)
+  override def size(path: String): Long = inner.size(path)
+}
+
+/** The manifest-log protocol, asserted once and run against EVERY
+  * [[TableIO]] backend ([[VersionedTableSpec]] = java.nio + hard links,
+  * [[HadoopVersionedTableSpec]] = Hadoop FileSystem) — the storage seam
+  * only earns its keep if the protocol's guarantees are backend-invariant. */
+abstract class VersionedTableBehavior extends SparkSpec {
   import spark.implicits._
+
+  def backend: TableIO
+  lazy val ops = new VersionedTableOps(backend)
+
+  test("io contract: createExclusive is first-wins, content is complete") {
+    val dir = tmpDir("io-contract")
+    assert(backend.createExclusive(s"$dir/m/one", Seq("a", "b")))
+    assert(!backend.createExclusive(s"$dir/m/one", Seq("CLOBBER")))
+    assert(backend.readLines(s"$dir/m/one") == Seq("a", "b")) // winner intact
+    assert(backend.list(s"$dir/m") == Seq("one"))
+    assert(backend.size(s"$dir/m/one") > 0)
+    backend.delete(s"$dir/m/one")
+    assert(!backend.exists(s"$dir/m/one"))
+    backend.delete(s"$dir/m/one") // missing -> no-op, not an error
+    assert(backend.list(s"$dir/nope").isEmpty)
+  }
 
   test("append commits build a version history; time travel reads each") {
     val dir = tmpDir("vt-hist")
-    val v1 = VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"),
-      dir)
-    val v2 = VersionedTable.commit(Seq((3L, "c")).toDF("id", "k"), dir)
-    assert(VersionedTable.versions(dir) == Seq(v1, v2))
-    assert(VersionedTable.read(spark, dir, Some(v1)).count() == 2)
-    assert(VersionedTable.read(spark, dir, Some(v2)).count() == 3)
-    assert(VersionedTable.read(spark, dir).count() == 3) // head
+    val v1 = ops.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir)
+    val v2 = ops.commit(Seq((3L, "c")).toDF("id", "k"), dir)
+    assert(ops.versions(dir) == Seq(v1, v2))
+    assert(ops.read(spark, dir, Some(v1)).count() == 2)
+    assert(ops.read(spark, dir, Some(v2)).count() == 3)
+    assert(ops.read(spark, dir).count() == 3) // head
   }
 
   test("snapshot isolation: a resolved reader is immune to later commits") {
     val dir = tmpDir("vt-iso")
-    VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
-    val pinned = VersionedTable.read(spark, dir) // resolved at v1
-    VersionedTable.commit(Seq((2L, "b")).toDF("id", "k"), dir)
-    VersionedTable.commit(Seq((3L, "c")).toDF("id", "k"), dir,
+    ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    val pinned = ops.read(spark, dir) // resolved at v1
+    ops.commit(Seq((2L, "b")).toDF("id", "k"), dir)
+    ops.commit(Seq((3L, "c")).toDF("id", "k"), dir,
       append = false) // logical overwrite
     assert(pinned.count() == 1) // still exactly the v1 snapshot
   }
 
   test("logical overwrite replaces content; history keeps the old files") {
     val dir = tmpDir("vt-ovw")
-    val v1 = VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"),
-      dir)
-    val v2 = VersionedTable.commit(Seq((9L, "z")).toDF("id", "k"), dir,
-      append = false)
-    assert(VersionedTable.read(spark, dir, Some(v2))
+    val v1 = ops.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir)
+    val v2 = ops.commit(Seq((9L, "z")).toDF("id", "k"), dir, append = false)
+    assert(ops.read(spark, dir, Some(v2))
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
-    assert(VersionedTable.read(spark, dir, Some(v1)).count() == 2)
+    assert(ops.read(spark, dir, Some(v1)).count() == 2)
   }
 
   test("rollback restores an old file set as a NEW inspectable version") {
     val dir = tmpDir("vt-rb")
-    val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
-    val v2 = VersionedTable.commit(Seq((2L, "BAD")).toDF("id", "k"), dir)
-    val v3 = VersionedTable.rollback(dir, v1)
+    val v1 = ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    val v2 = ops.commit(Seq((2L, "BAD")).toDF("id", "k"), dir)
+    val v3 = ops.rollback(dir, v1)
     assert(v3 > v2)
-    assert(VersionedTable.read(spark, dir).count() == 1) // head == v1 content
-    assert(VersionedTable.read(spark, dir, Some(v2)).count() == 2) // bad kept
+    assert(ops.read(spark, dir).count() == 1) // head == v1 content
+    assert(ops.read(spark, dir, Some(v2)).count() == 2) // bad kept
   }
 
   test("expire drops old manifests and unreferenced files, keeps live reads") {
     val dir = tmpDir("vt-gc")
-    val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
-    val v2 = VersionedTable.commit(Seq((2L, "b")).toDF("id", "k"), dir)
-    val v3 = VersionedTable.commit(Seq((9L, "z")).toDF("id", "k"), dir,
+    val v1 = ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    ops.commit(Seq((2L, "b")).toDF("id", "k"), dir)
+    val v3 = ops.commit(Seq((9L, "z")).toDF("id", "k"), dir,
       append = false) // v3 drops v1/v2's files from the live set
-    val deleted = VersionedTable.expire(dir, keepLast = 1)
+    val deleted = ops.expire(dir, keepLast = 1)
     assert(deleted > 0) // v1/v2's data files were referenced only by them
-    assert(VersionedTable.versions(dir) == Seq(v3))
-    assert(VersionedTable.read(spark, dir).count() == 1) // head intact
+    assert(ops.versions(dir) == Seq(v3))
+    assert(ops.read(spark, dir).count() == 1) // head intact
     intercept[IllegalArgumentException] {
-      VersionedTable.read(spark, dir, Some(v1)) // expired → loud
+      ops.read(spark, dir, Some(v1)) // expired → loud
     }
   }
 
   test("expire keeps files still referenced by a retained manifest") {
     val dir = tmpDir("vt-gc2")
-    VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
-    val v2 = VersionedTable.commit(Seq((2L, "b")).toDF("id", "k"), dir)
+    ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    val v2 = ops.commit(Seq((2L, "b")).toDF("id", "k"), dir)
     // v2 (append) references v1's files too — expiring v1 must delete NO
     // data files, only the manifest
-    val deleted = VersionedTable.expire(dir, keepLast = 1)
+    val deleted = ops.expire(dir, keepLast = 1)
     assert(deleted == 0)
-    assert(VersionedTable.read(spark, dir, Some(v2)).count() == 2)
+    assert(ops.read(spark, dir, Some(v2)).count() == 2)
   }
 
   test("manifest stats prune files; results equal the unpruned read") {
     val dir = tmpDir("vt-stats")
     // three commits with DISJOINT value ranges — each lands its own files
-    VersionedTable.commit((1 to 100).map(i => (i.toLong, i.toDouble))
+    ops.commit((1 to 100).map(i => (i.toLong, i.toDouble))
       .toDF("id", "v"), dir)
-    VersionedTable.commit((101 to 200).map(i => (i.toLong, i.toDouble))
+    ops.commit((101 to 200).map(i => (i.toLong, i.toDouble))
       .toDF("id", "v"), dir)
-    val head = VersionedTable.commit(
+    val head = ops.commit(
       (201 to 300).map(i => (i.toLong, i.toDouble)).toDF("id", "v"), dir)
-    VersionedTable.writeStats(spark, dir, head, Seq("v"))
-    val all = VersionedTable.prunedFiles(dir, head, "v", 0.0, 1e9)
-    val narrow = VersionedTable.prunedFiles(dir, head, "v", 150.0, 160.0)
+    ops.writeStats(spark, dir, head, Seq("v"))
+    val all = ops.prunedFiles(dir, head, "v", 0.0, 1e9)
+    val narrow = ops.prunedFiles(dir, head, "v", 150.0, 160.0)
     assert(narrow.nonEmpty && narrow.size < all.size,
       s"no pruning: ${narrow.size} of ${all.size}")
     // correctness: pruned read + exact predicate == full read + predicate
-    val pruned = VersionedTable.prunedRead(spark, dir, "v", 150.0, 160.0)
+    val pruned = ops.prunedRead(spark, dir, "v", 150.0, 160.0)
       .filter($"v".between(150.0, 160.0))
-    val full = VersionedTable.read(spark, dir)
+    val full = ops.read(spark, dir)
       .filter($"v".between(150.0, 160.0))
     assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
     assert(pruned.count() == 11)
@@ -100,23 +133,101 @@ class VersionedTableSpec extends SparkSpec {
 
   test("a version without stats degrades to no pruning, never to loss") {
     val dir = tmpDir("vt-nostats")
-    VersionedTable.commit((1 to 50).map(i => (i.toLong, i.toDouble))
+    ops.commit((1 to 50).map(i => (i.toLong, i.toDouble))
       .toDF("id", "v"), dir)
     // no writeStats call — prunedRead must keep every file
-    val r = VersionedTable.prunedRead(spark, dir, "v", 10.0, 20.0)
+    val r = ops.prunedRead(spark, dir, "v", 10.0, 20.0)
     assert(r.count() == 50)
   }
 
   test("expire removes dead versions' stats files too") {
     val dir = tmpDir("vt-gc-stats")
-    val v1 = VersionedTable.commit(Seq((1L, 1.0)).toDF("id", "v"), dir)
-    VersionedTable.writeStats(spark, dir, v1, Seq("v"))
-    VersionedTable.commit(Seq((2L, 2.0)).toDF("id", "v"), dir,
-      append = false)
-    VersionedTable.expire(dir, keepLast = 1)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "manifests", s"s$v1")))
+    val v1 = ops.commit(Seq((1L, 1.0)).toDF("id", "v"), dir)
+    ops.writeStats(spark, dir, v1, Seq("v"))
+    ops.commit(Seq((2L, 2.0)).toDF("id", "v"), dir, append = false)
+    ops.expire(dir, keepLast = 1)
+    assert(!backend.exists(s"$dir/manifests/s$v1"))
   }
+
+  test("optimistic concurrency: a colliding publish retries above the winner") {
+    val dir = tmpDir("vt-occ")
+    val v1 = ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    // a fixed-list publish (rollback shape) that targets the ALREADY-TAKEN
+    // v1 must land above it without touching the winner's manifest
+    val winner = backend.readLines(s"$dir/manifests/v$v1")
+    val v = ops.publish(dir, v1, Seq.empty)
+    assert(v == v1 + 1)
+    assert(backend.readLines(s"$dir/manifests/v$v1") == winner)
+    assert(ops.versions(dir) == Seq(v1, v))
+  }
+
+  test("OCC merge: a losing append's retry carries the winner's files") {
+    val dir = tmpDir("vt-occ-merge")
+    ops.commit(Seq((1L, "base")).toDF("id", "k"), dir) // v1
+    // interpose: the instant the "loser" tries to publish v2, a concurrent
+    // winner lands v2 first — the loser's attempt must fail, re-resolve,
+    // and republish the WINNER's file list plus its own (the bug class:
+    // republishing the stale base silently drops the winner's rows, and
+    // expire then deletes them)
+    @volatile var fired = false
+    val racing = new ForwardingTableIO(backend) {
+      override def createExclusive(path: String,
+                                   lines: Seq[String]): Boolean = {
+        if (!fired && path.endsWith("/v2")) {
+          fired = true
+          ops.commit(Seq((2L, "winner")).toDF("id", "k"), dir)
+        }
+        super.createExclusive(path, lines)
+      }
+    }
+    val loser = new VersionedTableOps(racing)
+    val v = loser.commit(Seq((3L, "loser")).toDF("id", "k"), dir)
+    assert(fired)
+    assert(v == 3) // lost v2, landed v3
+    // the head lineage contains ALL three commits' rows
+    assert(ops.read(spark, dir).as[(Long, String)].collect().toMap ==
+      Map(1L -> "base", 2L -> "winner", 3L -> "loser"))
+    // and expire keeps every row reachable from the head
+    ops.expire(dir, keepLast = 1)
+    assert(ops.read(spark, dir).count() == 3)
+  }
+
+  test("OCC merge under clustered commits: stats carry from the real head") {
+    val dir = tmpDir("vt-occ-clustered")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(col("id"), col("id").cast("double").as("x"))
+    ops.commitClustered(batch(0, 1000), dir, zCols = Seq("x"),
+      statCols = Seq("x"), numFiles = 2) // v1
+    @volatile var fired = false
+    val racing = new ForwardingTableIO(backend) {
+      override def createExclusive(path: String,
+                                   lines: Seq[String]): Boolean = {
+        if (!fired && path.endsWith("/v2")) {
+          fired = true
+          ops.commitClustered(batch(1000, 2000), dir, zCols = Seq("x"),
+            statCols = Seq("x"), numFiles = 2) // winner's v2
+        }
+        super.createExclusive(path, lines)
+      }
+    }
+    val loser = new VersionedTableOps(racing)
+    val v = loser.commitClustered(batch(2000, 3000), dir, zCols = Seq("x"),
+      statCols = Seq("x"), numFiles = 2)
+    assert(v == 3)
+    assert(ops.read(spark, dir).count() == 3000) // no rows dropped
+    // stats at v3 cover every live file: winner's files carried through
+    // the retry, so pruning stays a superset guarantee, and a wide-open
+    // range keeps all files
+    val allFiles = ops.prunedFiles(dir, v, "x", -1e18, 1e18)
+    val pruned = ops.prunedFiles(dir, v, "x", 0.0, 10.0)
+    assert(allFiles.size == 6)
+    assert(pruned.size < allFiles.size, "stats missing for merged files")
+  }
+}
+
+/** Local backend: java.nio + hard-link create-if-absent. */
+class VersionedTableSpec extends VersionedTableBehavior {
+  override def backend: TableIO = TableIO.local
 
   test("clustered commit: z-order + stats makes pruning bite; carry-forward") {
     val dir = tmpDir("vt-clustered")
@@ -134,35 +245,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(nx.size < all.size / 2, s"x pruning weak: ${nx.size}/${all.size}")
     assert(ny.size < all.size / 2, s"y pruning weak: ${ny.size}/${all.size}")
     // pruned read correctness
+    import spark.implicits._
     val pruned = VersionedTable.prunedRead(spark, dir, "x", 100.0, 199.0)
       .filter($"x".between(100.0, 199.0))
     val full = VersionedTable.read(spark, dir)
       .filter($"x".between(100.0, 199.0))
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
     // second clustered commit: v1's stats lines carry forward verbatim
-    val s1 = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "manifests", s"s$v1"))
+    val s1 = backend.readLines(s"$dir/manifests/s$v1")
     val v2 = VersionedTable.commitClustered(batch(30000, 40000), dir,
       zCols = Seq("x", "y"), statCols = Seq("x", "y"), numFiles = 8)
-    val s2 = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "manifests", s"s$v2"))
-    assert(s2.containsAll(s1), "carried stats lines missing")
-    assert(s2.size() == s1.size() + 8 * 2) // + (files × cols) new lines
+    val s2 = backend.readLines(s"$dir/manifests/s$v2")
+    assert(s1.forall(s2.contains), "carried stats lines missing")
+    assert(s2.size == s1.size + 8 * 2) // + (files × cols) new lines
   }
+}
 
-  test("optimistic concurrency: a colliding publish retries above the winner") {
-    val dir = tmpDir("vt-occ")
-    val v1 = VersionedTable.commit(Seq((1L, "a")).toDF("id", "k"), dir)
-    // a publish that targets the ALREADY-TAKEN v1 (the concurrent-loser
-    // shape: it resolved the head before the winner committed) must land
-    // above it without touching the winner's manifest
-    val winnerBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "manifests", s"v$v1"))
-    val v = VersionedTable.publish(dir, v1, Seq.empty)
-    assert(v == v1 + 1)
-    assert(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "manifests", s"v$v1"))
-      .sameElements(winnerBytes)) // winner untouched
-    assert(VersionedTable.versions(dir) == Seq(v1, v))
-  }
+/** Hadoop FileSystem backend (local file:// here; HDFS in a real landing —
+  * see [[HadoopTableIO]] for the per-backend atomicity notes). */
+class HadoopVersionedTableSpec extends VersionedTableBehavior {
+  override lazy val backend: TableIO =
+    new HadoopTableIO(spark.sessionState.newHadoopConf())
 }
