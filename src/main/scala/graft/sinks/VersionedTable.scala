@@ -163,23 +163,34 @@ class VersionedTableOps(protected val io: TableIO) {
     * OPTIMIZATION layer: the manifest stays the single source of truth,
     * a version without a stats file (crash between publish and stats
     * write, or a commit that didn't collect them) degrades to no pruning,
-    * never to wrong results. Format: tab-separated `path col min max`
-    * per line, doubles. */
+    * never to wrong results.
+    *
+    * Format: tab-separated `path col tag min max` per line, TYPED — the
+    * pruning keys a real landing filters on are dates and categorical
+    * strings, not doubles:
+    *  - `num`: every ordered numeric shape on one axis — integers,
+    *    floats, decimals, booleans (0/1), dates (epoch day), timestamps
+    *    (epoch micros) — compared as arbitrary-precision decimals;
+    *  - `str`: strings, URL-encoded in the file (tabs/newlines in data
+    *    must not break the format), compared decoded;
+    *  - `null`: an all-null (or non-finite-extreme) file — no usable
+    *    bound, always kept. */
   def writeStats(spark: SparkSession, dir: String, version: Int,
                  statCols: Seq[String]): Unit =
     io.writeLines(statsPath(dir, version),
       statsLines(spark, filesOf(dir, version), statCols))
 
   /** One stats line per (file, col) over exactly `files` — one grouped
-    * aggregate, one scan of those files. */
+    * aggregate, one scan of those files, min/max computed in the column's
+    * OWN type (casting dates/strings to double is how date and categorical
+    * pruning got lost before). */
   private def statsLines(spark: SparkSession, files: Seq[String],
                          statCols: Seq[String]): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
       .withColumn("__file", input_file_name())
     val aggs = statCols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"${c}__min"),
-        max(col(c).cast("double")).as(s"${c}__max"))
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
     }
     df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -188,8 +199,12 @@ class VersionedTableOps(protected val io: TableIO) {
         // the manifest's plain-path form so lookups match
         val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
         statCols.map { c =>
-          s"$path\t$c\t${r.getAs[Double](s"${c}__min")}" +
-            s"\t${r.getAs[Double](s"${c}__max")}"
+          val lo = StatValue.encodeBound(r.getAs[Any](s"${c}__min"))
+          val hi = StatValue.encodeBound(r.getAs[Any](s"${c}__max"))
+          (lo, hi) match {
+            case (Some((tag, l)), Some((_, h))) => s"$path\t$c\t$tag\t$l\t$h"
+            case _ => s"$path\t$c\tnull\t-\t-"
+          }
         }
       }
   }
@@ -245,16 +260,37 @@ class VersionedTableOps(protected val io: TableIO) {
     }
   }
 
-  /** (file → (min, max)) for `col` at `version`; empty if no stats. */
+  /** (file → (tag, min, max)) for `col` at `version`; empty if no stats.
+    * Legacy 4-field lines (untagged doubles) are ignored — absent stats
+    * degrade to keeping the file, never to a misread bound. */
   private def statsOf(dir: String, version: Int,
-                      column: String): Map[String, (Double, Double)] = {
+                      column: String): Map[String, (String, String, String)] = {
     val p = statsPath(dir, version)
     if (!io.exists(p)) Map.empty
     else io.readLines(p)
-      .map(_.split('\t'))
-      .collect { case Array(f, c, lo, hi) if c == column =>
-        f -> (lo.toDouble, hi.toDouble) }
+      .map(_.split('\t').toSeq)
+      .collect { case Seq(f, c, tag, lo, hi) if c == column =>
+        f -> ((tag, lo, hi))
+      }
       .toMap
+  }
+
+  /** Does a file with stored stats (tag, mn, mx) possibly intersect the
+    * query range [lo, hi]? Typed comparison per tag family; any mismatch
+    * (null tag, bound type vs column type, unparseable) keeps the file —
+    * the superset guarantee is the one invariant pruning must never
+    * trade away. */
+  private def mayIntersect(stat: (String, String, String),
+                           lo: Any, hi: Any): Boolean = {
+    val (tag, mnS, mxS) = stat
+    (tag, StatValue.encodeBound(lo), StatValue.encodeBound(hi)) match {
+      case ("num", Some(("num", qlo)), Some(("num", qhi))) =>
+        try BigDecimal(mxS) >= BigDecimal(qlo) && BigDecimal(mnS) <= BigDecimal(qhi)
+        catch { case _: NumberFormatException => true }
+      case ("str", Some(("str", qlo)), Some(("str", qhi))) =>
+        StatValue.decodeStr(mxS) >= qlo && StatValue.decodeStr(mnS) <= qhi
+      case _ => true
+    }
   }
 
   /** Read a snapshot with manifest-level file skipping: files whose
@@ -262,16 +298,18 @@ class VersionedTableOps(protected val io: TableIO) {
     * the scan BEFORE Spark sees them; files without stats are kept
     * (pruning must never lose rows). The caller still applies its exact
     * predicate — stats pruning is a superset guarantee, same contract as
-    * parquet row-group skipping one level up. */
+    * parquet row-group skipping one level up. Bounds are typed: numbers
+    * for numeric columns, `java.sql.Date`/`LocalDate` for dates,
+    * `Timestamp`/`Instant` for timestamps, strings for string columns. */
   def prunedRead(spark: SparkSession, dir: String, column: String,
-                 lo: Double, hi: Double,
+                 lo: Any, hi: Any,
                  version: Option[Int] = None): DataFrame = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val v = version.getOrElse(vs.last)
     val stats = statsOf(dir, v, column)
     val keep = filesOf(dir, v).filter { f =>
-      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      stats.get(f).forall(mayIntersect(_, lo, hi))
     }
     if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
     else spark.read.parquet(keep: _*)
@@ -280,11 +318,75 @@ class VersionedTableOps(protected val io: TableIO) {
   /** Files `prunedRead` would scan — exposed so specs (and operators) can
     * assert the skipping itself, not just result correctness. */
   private[graft] def prunedFiles(dir: String, version: Int, column: String,
-                                 lo: Double, hi: Double): Seq[String] = {
+                                 lo: Any, hi: Any): Seq[String] = {
     val stats = statsOf(dir, version, column)
     filesOf(dir, version).filter { f =>
-      stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      stats.get(f).forall(mayIntersect(_, lo, hi))
     }
+  }
+
+  /** The `#`-prefixed metadata header lines of a version's manifest. */
+  private def metaOf(dir: String, version: Int): Seq[String] =
+    io.readLines(manifestPath(dir, version)).filter(_.startsWith("#"))
+
+  /** Column names a version's stats file covers (empty if none). */
+  private def statColsOf(dir: String, version: Int): Seq[String] = {
+    val p = statsPath(dir, version)
+    if (!io.exists(p)) Seq.empty
+    else io.readLines(p).map(_.split('\t'))
+      .collect { case a if a.length >= 2 => a(1) }.distinct
+  }
+
+  /** Bin-pack compaction — the maintenance op a streaming landing needs
+    * most: after 10^5 [[commitOnce]] micro-batches the head manifest
+    * lists 10^5 tiny file groups, and every reader pays for them. This
+    * rewrites the head's files smaller than `targetBytes` into
+    * ~target-sized ones and publishes the result as a NEW snapshot whose
+    * manifest swaps the rewritten subset — a LOGICAL rewrite: the small
+    * files stay on disk, pinned versions still read them, and [[expire]]
+    * GCs them once no retained manifest references them (the
+    * land-then-maintain separation, same as the directory-swap
+    * [[Compaction]] but protocol-native and non-destructive).
+    *
+    * Scale shape: the rewrite is shuffle-free (`coalesce` merges read
+    * partitions in place), stats stay O(affected) — carried lines cover
+    * kept files, one scan covers the rewritten output — and the head's
+    * `#`-metadata (streaming txn ids) rides into the new manifest, so
+    * compacting never shortens the exactly-once replay ledger. OCC: a
+    * concurrent append that lands mid-compact survives, because every
+    * publish attempt re-resolves the head and keeps any file it didn't
+    * rewrite. Returns the new version (or the head unchanged when fewer
+    * than `minInputFiles` files are under target). */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long,
+              minInputFiles: Int = 2): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val head = vs.last
+    val small = filesOf(dir, head).filter(f => io.size(f) < targetBytes)
+    if (small.size < minInputFiles) return head
+    val smallSet = small.toSet
+    val numOut = math.max(1,
+      math.ceil(small.map(io.size).sum.toDouble / targetBytes).toInt)
+    val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
+    spark.read.parquet(small: _*).coalesce(numOut)
+      .write.parquet(batchDir)
+    val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$batchDir/$n")
+    val statCols = statColsOf(dir, head)
+    val newStats =
+      if (statCols.isEmpty) Seq.empty
+      else statsLines(spark, newFiles, statCols)
+    var carried: Seq[String] = Seq.empty
+    val v = publishOnHead(dir) { (h, base) =>
+      carried = carriedStats(dir, h, base)
+        .filterNot(l => smallSet.contains(l.takeWhile(_ != '\t')))
+      h.toSeq.flatMap(metaOf(dir, _)) ++
+        base.filterNot(smallSet) ++ newFiles
+    }
+    if (statCols.nonEmpty)
+      io.writeLines(statsPath(dir, v), carried ++ newStats)
+    v
   }
 
   /** Expire history: drop all but the newest `keepLast` manifests and
@@ -292,13 +394,23 @@ class VersionedTableOps(protected val io: TableIO) {
     * GC pass every manifest-log format pairs with commits (commits never
     * delete; only expiration does). Readers pinned to an expired version
     * fail loudly on their next resolve, which is the contract: retention
-    * is an operational policy, not a correctness knob. Note for
-    * [[commitOnce]] users: expiring a manifest also forgets its txn id,
-    * so retention must exceed the source's replay horizon (the same
-    * contract as Delta's txn retention). Returns the number of data files
+    * is an operational policy, not a correctness knob.
+    *
+    * For [[commitOnce]] users: expiring a manifest also forgets its txn
+    * id, so retention must exceed the source's replay horizon (the same
+    * contract as Delta's txn retention). Pass that horizon as
+    * `txnReplayHorizon` and expire REFUSES a `keepLast` below it —
+    * aggressive GC must fail loudly, not silently break exactly-once.
+    *
+    * Batch directories emptied by the deletion are removed along with
+    * their `_SUCCESS`/checksum markers. Returns the number of data files
     * deleted. */
-  def expire(dir: String, keepLast: Int): Int = {
+  def expire(dir: String, keepLast: Int, txnReplayHorizon: Int = 0): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    require(keepLast >= txnReplayHorizon,
+      s"keepLast=$keepLast is below the txn replay horizon " +
+        s"$txnReplayHorizon: expiring that deep forgets txn ids a replay " +
+        s"could redeliver, breaking exactly-once")
     val vs = versions(dir)
     val (dead, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
     val liveFiles = kept.flatMap(filesOf(dir, _)).toSet
@@ -310,8 +422,61 @@ class VersionedTableOps(protected val io: TableIO) {
       io.delete(statsPath(dir, v))
     }
     deadFiles.foreach(io.delete)
+    // hygiene: a batch dir whose parquet files are all gone keeps only
+    // write markers — drop them and the dir (leaving them accumulates
+    // 10^5 empty dirs on a streaming landing)
+    deadFiles.map(f => f.take(f.lastIndexOf('/'))).toSet[String]
+      .foreach { d =>
+        val leftover = io.list(d)
+        val junk = leftover.filter(n => n == "_SUCCESS" || n.endsWith(".crc"))
+        if ((leftover.toSet -- junk).isEmpty) {
+          junk.foreach(n => io.delete(s"$d/$n"))
+          io.delete(d)
+        }
+      }
     deadFiles.size
   }
+}
+
+/** Typed encoding of manifest-stat values. One ordered axis per family:
+  * everything numeric-like ("num" — integers, floats, decimals, booleans,
+  * dates as epoch day, timestamps as epoch micros) compares as
+  * BigDecimal; strings ("str") URL-encode for the tab-separated format
+  * and compare decoded. A value that fits neither (null, NaN/Inf — parquet
+  * min/max on non-finite floats is unreliable anyway) encodes to None and
+  * the file is kept. */
+private[sinks] object StatValue {
+
+  /** Encode a stats value or query bound by its runtime type. */
+  def encodeBound(value: Any): Option[(String, String)] = value match {
+    case null => None
+    case b: Boolean => Some(("num", if (b) "1" else "0"))
+    case n: Byte => Some(("num", n.toString))
+    case n: Short => Some(("num", n.toString))
+    case n: Int => Some(("num", n.toString))
+    case n: Long => Some(("num", n.toString))
+    case n: Float =>
+      if (java.lang.Float.isFinite(n)) Some(("num", BigDecimal(n.toDouble).toString))
+      else None
+    case n: Double =>
+      if (java.lang.Double.isFinite(n)) Some(("num", BigDecimal(n).toString))
+      else None
+    case n: java.math.BigDecimal => Some(("num", n.toPlainString))
+    case n: BigDecimal => Some(("num", n.bigDecimal.toPlainString))
+    case d: java.sql.Date => Some(("num", d.toLocalDate.toEpochDay.toString))
+    case d: java.time.LocalDate => Some(("num", d.toEpochDay.toString))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(("num", (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString))
+    case i: java.time.Instant =>
+      Some(("num", (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString))
+    case s: String =>
+      Some(("str", java.net.URLEncoder.encode(s, "UTF-8")))
+    case _ => None
+  }
+
+  def decodeStr(encoded: String): String =
+    java.net.URLDecoder.decode(encoded, "UTF-8")
 }
 
 /** The default (local-filesystem) binding, plus the oracle-checked query. */

@@ -131,6 +131,50 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(pruned.count() == 11)
   }
 
+  test("typed stats: date and string pruning; null-only files always kept") {
+    val dir = tmpDir("vt-typed")
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // three commits with disjoint date/string ranges; the last one's
+    // metric column is ALL NULL — its files must never be pruned on it
+    ops.commit(Seq((d("2024-01-01"), "apple", Option(1.0)),
+      (d("2024-01-31"), "banana", Option(2.0))).toDF("day", "name", "v"), dir)
+    ops.commit(Seq((d("2024-02-01"), "mango", Option(3.0)),
+      (d("2024-02-28"), "peach", Option(4.0))).toDF("day", "name", "v"), dir)
+    val head = ops.commit(Seq((d("2024-03-05"), "zebra",
+      Option.empty[Double])).toDF("day", "name", "v"), dir)
+    ops.writeStats(spark, dir, head, Seq("day", "name", "v"))
+    val all = ops.prunedFiles(dir, head, "day",
+      d("2000-01-01"), d("2100-01-01"))
+    // DATE pruning: only February's files survive a February range
+    val feb = ops.prunedFiles(dir, head, "day",
+      d("2024-02-01"), d("2024-02-15"))
+    assert(feb.nonEmpty && feb.size < all.size,
+      s"date pruning dead: ${feb.size}/${all.size}")
+    // STRING pruning: lexical range [mango, peach] keeps the middle commit
+    val mid = ops.prunedFiles(dir, head, "name", "mango", "peach")
+    assert(mid.nonEmpty && mid.size < all.size,
+      s"string pruning dead: ${mid.size}/${all.size}")
+    // null-only files: the head commit's files carry a "null" tag for v
+    // and survive a range that excludes every non-null value
+    val vFiles = ops.prunedFiles(dir, head, "v", 100.0, 200.0)
+    val newFiles = all.toSet -- ops.prunedFiles(dir, head - 1, "day",
+      d("2000-01-01"), d("2100-01-01")).toSet
+    assert(newFiles.nonEmpty && newFiles.subsetOf(vFiles.toSet),
+      "all-null file was pruned — superset guarantee broken")
+    // correctness parity: pruned read + exact predicate == full read
+    import spark.implicits._
+    val pruned = ops.prunedRead(spark, dir, "name", "mango", "peach")
+      .filter($"name" >= "mango" && $"name" <= "peach")
+    val full = ops.read(spark, dir)
+      .filter($"name" >= "mango" && $"name" <= "peach")
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    assert(pruned.count() == 2)
+    // mismatched bound type (string range on a date column) -> no pruning,
+    // never an exception or a lost file
+    assert(ops.prunedFiles(dir, head, "day", "a", "z").size == all.size)
+  }
+
   test("a version without stats degrades to no pruning, never to loss") {
     val dir = tmpDir("vt-nostats")
     ops.commit((1 to 50).map(i => (i.toLong, i.toDouble))
@@ -147,6 +191,79 @@ abstract class VersionedTableBehavior extends SparkSpec {
     ops.commit(Seq((2L, 2.0)).toDF("id", "v"), dir, append = false)
     ops.expire(dir, keepLast = 1)
     assert(!backend.exists(s"$dir/manifests/s$v1"))
+  }
+
+  test("compact bin-packs small files into a new snapshot; history intact") {
+    val dir = tmpDir("vt-compact")
+    import spark.implicits._
+    // six streaming-style exactly-once micro-batches, one small file each
+    (0 until 6).foreach { b =>
+      ops.commitOnce(Seq.tabulate(10)(i => (b * 10L + i, s"r$b-$i"))
+        .toDF("id", "k").coalesce(1), dir, s"q:$b")
+    }
+    val before = ops.versions(dir).last
+    val filesBefore = ops.prunedFiles(dir, before, "id", 0L, Long.MaxValue)
+    assert(filesBefore.size == 6)
+    val v = ops.compact(spark, dir, targetBytes = 1L << 20)
+    assert(v == before + 1)
+    val filesAfter = ops.prunedFiles(dir, v, "id", 0L, Long.MaxValue)
+    assert(filesAfter.size == 1, s"bin-pack left ${filesAfter.size} files")
+    // identical rows, head and pinned history both readable
+    assert(ops.read(spark, dir).as[(Long, String)].collect().sorted.toSeq ==
+      (0 until 6).flatMap(b => Seq.tabulate(10)(i => (b * 10L + i, s"r$b-$i")))
+        .sorted)
+    assert(ops.read(spark, dir, Some(before)).count() == 60)
+    // the head's txn id rode into the compacted manifest
+    assert(ops.committedTxns(dir).contains("q:5"))
+    // nothing-to-do: a second compact returns the head unchanged
+    assert(ops.compact(spark, dir, 1L << 20) == v)
+    // expire GCs the six small files AND their emptied batch directories
+    val deleted = ops.expire(dir, keepLast = 1)
+    assert(deleted == 6)
+    assert(ops.read(spark, dir).count() == 60)
+    assert(backend.list(s"$dir/data").size == 1,
+      s"emptied batch dirs left behind: ${backend.list(s"$dir/data")}")
+  }
+
+  test("compact carries stats for kept files and scans only the rewrite") {
+    val dir = tmpDir("vt-compact-stats")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(col("id"), col("id").cast("double").as("x"))
+    // one big clustered commit (files near target) + tiny appends
+    ops.commitClustered(batch(0, 20000), dir, zCols = Seq("x"),
+      statCols = Seq("x"), numFiles = 4)
+    ops.commitClustered(batch(20000, 20050), dir, zCols = Seq("x"),
+      statCols = Seq("x"), numFiles = 2)
+    val head0 = ops.versions(dir).last
+    val nFiles0 = ops.prunedFiles(dir, head0, "x", -1e18, 1e18).size
+    assert(nFiles0 == 6)
+    // target sized to catch the two tiny files, not the four real ones
+    val sizes = ops.prunedFiles(dir, head0, "x", -1e18, 1e18)
+      .map(backend.size)
+    val target = (sizes.min + sizes.max) / 2
+    val v = ops.compact(spark, dir, targetBytes = target)
+    val after = ops.prunedFiles(dir, v, "x", -1e18, 1e18)
+    assert(after.size == 5, s"expected 4 kept + 1 packed, got ${after.size}")
+    // every live file still has stats: a narrow range prunes, a wide one
+    // keeps all — no file lost its line in the swap
+    assert(ops.prunedFiles(dir, v, "x", 0.0, 100.0).size < after.size)
+    val parity = ops.prunedRead(spark, dir, "x", 19990.0, 20010.0)
+      .filter(col("x").between(19990.0, 20010.0)).count()
+    assert(parity == 21)
+  }
+
+  test("expire refuses to cut below the txn replay horizon") {
+    val dir = tmpDir("vt-horizon")
+    import spark.implicits._
+    (0 until 3).foreach { b =>
+      ops.commitOnce(Seq((b.toLong, "x")).toDF("id", "k"), dir, s"q:$b")
+    }
+    intercept[IllegalArgumentException] {
+      ops.expire(dir, keepLast = 1, txnReplayHorizon = 2)
+    }
+    assert(ops.versions(dir).size == 3) // refused -> nothing expired
+    ops.expire(dir, keepLast = 2, txnReplayHorizon = 2)
+    assert(ops.versions(dir).size == 2)
   }
 
   test("optimistic concurrency: a colliding publish retries above the winner") {

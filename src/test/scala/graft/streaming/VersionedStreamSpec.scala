@@ -53,6 +53,38 @@ class VersionedStreamSpec extends SparkSpec {
     assert(VersionedTable.committedTxns(tableDir) == Set("qa:0", "qb:0"))
   }
 
+  test("stream-land, compact, expire: the full landing lifecycle") {
+    val inDir = tmpDir("vs-life-in")
+    val tableDir = tmpDir("vs-life") + "/t"
+    val ckpt = tmpDir("vs-life-ckpt")
+    val schema = Seq((1L, "r")).toDF("id", "payload").schema
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val q = VersionedStream.writer(stream, tableDir, "vs-life", ckpt).start()
+    try {
+      // five tiny micro-batches, each its own snapshot + small file group
+      (0 until 5).foreach { b =>
+        (1L to 10L).map(i => (b * 10L + i, s"r$b-$i")).toDF("id", "payload")
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      }
+      assert(VersionedTable.read(spark, tableDir).count() == 50)
+      // maintenance: bin-pack the small files as a NEW snapshot, then GC
+      // history — but never below the source's replay horizon
+      val before = VersionedTable.versions(tableDir).size
+      VersionedTable.compact(spark, tableDir, targetBytes = 1L << 20)
+      assert(VersionedTable.versions(tableDir).size == before + 1)
+      assert(VersionedTable.read(spark, tableDir).count() == 50)
+      intercept[IllegalArgumentException] {
+        VersionedTable.expire(tableDir, keepLast = 1, txnReplayHorizon = 3)
+      }
+      VersionedTable.expire(tableDir, keepLast = 3, txnReplayHorizon = 3)
+      // the compacted head still reads everything after GC, and a replayed
+      // txn id within the horizon still no-ops
+      assert(VersionedTable.read(spark, tableDir).count() == 50)
+      assert(VersionedTable.committedTxns(tableDir).contains("vs-life:4"))
+    } finally q.stop()
+  }
+
   test("txn headers never leak into the file list") {
     val tableDir = tmpDir("vs-hdr") + "/t"
     VersionedStream.landBatch(Seq((1L, "x")).toDF("id", "payload"),
