@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.analytics.Profiling
+import graft.sinks.VersionedTable
 
 /** Streaming data-quality gate — [[graft.analytics.Profiling]] run per
   * micro-batch against a REFERENCE profile (a landed artifact from a
@@ -59,35 +60,48 @@ object ProfileGate {
     * `quarantinePath` untouched (an operator re-admits them after review
     * — data is never dropped by the gate); clean batches land at
     * `outPath`. The batch's profile is appended to `profileHistoryPath`
-    * either way, stamped with the batch id and verdict. */
+    * either way, stamped with the batch id and verdict.
+    *
+    * All three landings are [[graft.sinks.VersionedTable]] exactly-once
+    * commits keyed by `queryName:batchId` — a foreachBatch redelivery
+    * after a crash between sink write and checkpoint commit no-ops
+    * instead of double-landing rows or duplicating history entries (the
+    * same crash window [[VersionedStream]] closes; the two plain parquet
+    * appends here were the one loophole left). The verdict is a pure
+    * function of (batch, reference), so a replayed batch re-routes to
+    * the same table its first delivery chose. */
   def gateBatch(batch: DataFrame, batchId: Long, cols: Seq[String],
                 refPath: String, outPath: String, quarantinePath: String,
                 profileHistoryPath: String, maxNullRise: Double,
-                maxMeanShift: Double): Boolean = {
+                maxMeanShift: Double,
+                queryName: String = "profile-gate"): Boolean = {
     val spark = batch.sparkSession
     val profile = Profiling.profile(batch, cols)
     val report = driftReport(profile, spark.read.parquet(refPath),
       maxNullRise, maxMeanShift)
     val drifted = report.filter(col("drifted")).count() > 0
-    profile
+    val txn = s"$queryName:$batchId"
+    VersionedTable.commitOnce(profile
       .withColumn("batch_id", lit(batchId))
-      .withColumn("quarantined", lit(drifted))
-      .write.mode("append").parquet(profileHistoryPath)
-    batch.write.mode("append")
-      .parquet(if (drifted) quarantinePath else outPath)
+      .withColumn("quarantined", lit(drifted)),
+      profileHistoryPath, txn)
+    VersionedTable.commitOnce(batch,
+      if (drifted) quarantinePath else outPath, txn)
     !drifted
   }
 
-  /** foreachBatch writer: caller `.start()`s. */
+  /** foreachBatch writer: caller `.start()`s. Outputs are versioned
+    * tables — read them with [[graft.sinks.VersionedTable.read]]. */
   def writer(stream: DataFrame, cols: Seq[String], refPath: String,
              outPath: String, quarantinePath: String,
              profileHistoryPath: String, checkpoint: String,
              maxNullRise: Double = 0.05,
-             maxMeanShift: Double = 0.25): DataStreamWriter[Row] =
+             maxMeanShift: Double = 0.25,
+             queryName: String = "profile-gate"): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateBatch(batch, batchId, cols, refPath, outPath, quarantinePath,
-          profileHistoryPath, maxNullRise, maxMeanShift)
+          profileHistoryPath, maxNullRise, maxMeanShift, queryName)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.sinks.VersionedTable
 
 class ProfileGateSpec extends SparkSpec {
   import spark.implicits._
@@ -56,20 +57,46 @@ class ProfileGateSpec extends SparkSpec {
       histDir, ckpt).start()
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(outDir).count() == 500)
+      assert(VersionedTable.read(spark, outDir).count() == 500)
 
       shiftedBatch(500 until 900).write.mode("append").parquet(inDir)
       q.processAllAvailable()
       // clean landing unchanged, drifted batch quarantined whole
-      assert(spark.read.parquet(outDir).count() == 500)
-      assert(spark.read.parquet(qDir).count() == 400)
+      assert(VersionedTable.read(spark, outDir).count() == 500)
+      assert(VersionedTable.read(spark, qDir).count() == 400)
 
       // the profile history recorded both batches with their verdicts
-      val hist = spark.read.parquet(histDir)
+      val hist = VersionedTable.read(spark, histDir)
       assert(hist.count() == 2)
       assert(hist.filter(col("quarantined")).count() == 1)
       assert(hist.filter(!col("quarantined")).count() == 1)
     } finally q.stop()
+  }
+
+  test("a redelivered batch id no-ops: no double landing, no dup history") {
+    val refPath = tmpDir("gate-ref4")
+    ProfileGate.writeReference(goodBatch(0 until 1000), Seq("value"), refPath)
+    val outDir = tmpDir("gate-out4") + "/t"
+    val qDir = tmpDir("gate-quar4") + "/t"
+    val histDir = tmpDir("gate-hist4") + "/t"
+    def deliver(b: DataFrame, id: Long) =
+      ProfileGate.gateBatch(b, id, Seq("value"), refPath, outDir, qDir,
+        histDir, maxNullRise = 0.05, maxMeanShift = 0.25)
+    // crash-window replay of a clean batch: same query, same batch id
+    assert(deliver(goodBatch(0 until 200), 0L))
+    assert(deliver(goodBatch(0 until 200), 0L))
+    assert(VersionedTable.read(spark, outDir).count() == 200)
+    // and of a drifted batch
+    assert(!deliver(shiftedBatch(0 until 50), 1L))
+    assert(!deliver(shiftedBatch(0 until 50), 1L))
+    assert(VersionedTable.read(spark, qDir).count() == 50)
+    // history holds exactly one entry per batch id
+    val hist = VersionedTable.read(spark, histDir)
+    assert(hist.count() == 2)
+    assert(hist.select(col("batch_id")).distinct().count() == 2)
+    // a genuinely new batch still lands
+    assert(deliver(goodBatch(200 until 300), 2L))
+    assert(VersionedTable.read(spark, outDir).count() == 300)
   }
 
   test("quarantined data is preserved byte-complete for re-admission") {
@@ -82,7 +109,7 @@ class ProfileGateSpec extends SparkSpec {
     val pass = ProfileGate.gateBatch(bad, 7L, Seq("value"), refPath, outDir,
       qDir, histDir, maxNullRise = 0.05, maxMeanShift = 0.25)
     assert(!pass)
-    val quarantined = spark.read.parquet(qDir)
+    val quarantined = VersionedTable.read(spark, qDir)
     assert(quarantined.count() == 50)
     assert(quarantined.except(bad).isEmpty && bad.except(quarantined).isEmpty)
   }
