@@ -21,7 +21,16 @@ import graft.sources.Tables
 object TableDiff {
 
   /** Per-key verdicts: (key, verdict) for every key in either snapshot.
-    * `cols` is the compared payload (defaults to all non-key columns). */
+    * `cols` is the compared payload (defaults to all non-key columns).
+    *
+    * Null-position safety: Spark's hash expressions SKIP null inputs, so
+    * hashing the bare columns would give (null, 'x') and ('x', null) the
+    * same hash and misreport a real change as 'unchanged'. Each column is
+    * therefore interleaved with an is-null marker (never null itself), so
+    * nullness lands in the hash at the column's position. Residual risk
+    * is the raw 64-bit collision (~N²/2⁶⁵ for N differing pairs) — a
+    * colliding pair still reports 'unchanged'; callers needing certainty
+    * re-compare the flagged subset column-wise. */
   def diff(before: DataFrame, after: DataFrame, key: String,
            cols: Seq[String] = Seq.empty): DataFrame = {
     val payload =
@@ -29,7 +38,8 @@ object TableDiff {
       else before.columns.filterNot(_ == key).toSeq
     def hashed(df: DataFrame, tag: String): DataFrame =
       df.select(col(key),
-        xxhash64(payload.map(col): _*).as(s"h_$tag"))
+        xxhash64(payload.flatMap(c =>
+          Seq(col(c).isNull.cast("int"), col(c))): _*).as(s"h_$tag"))
     hashed(before, "b").join(hashed(after, "a"), Seq(key), "full_outer")
       .select(col(key),
         when(col("h_b").isNull, "added")

@@ -39,6 +39,19 @@ class TableDiffSpec extends SparkSpec {
       "added" -> 1L))
   }
 
+  test("null position matters: (null, x) vs (x, null) is a change") {
+    // Spark hash expressions skip null inputs — without explicit nullness
+    // markers these two rows hash identically and misreport 'unchanged'
+    val b = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("y"), Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val a = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option("y"), Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val d = TableDiff.diff(b, a, "k").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "changed", 2L -> "unchanged"))
+  }
+
   test("identical snapshots diff to all-unchanged") {
     val s = TableDiff.summary(before, before, "k")
       .as[(String, Long)].collect().toMap
