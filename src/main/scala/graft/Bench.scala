@@ -70,9 +70,39 @@ object Bench {
       val ok = times.filter(_ >= 0)
       (name, if (ok.nonEmpty) ok.min else -1.0, lastShuffleMb)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+    // Artifact queries (landed index / bucketed layout) are measured a
+    // second way: build ONCE per session (timed as <q>_build), then time
+    // the serve path alone (<q>_serve, min-of-N) — the per-batch number
+    // that predicts 100 TB serving, which the end-to-end q_* total hides
+    // behind its in-query artifact build. Neither extra entry counts
+    // toward the driver's round-over-round total.
+    val artifactResults = BenchArtifacts.splits.toSeq.sortBy(_._1)
+      .flatMap { case (name, split) =>
+        try {
+          val b0 = System.nanoTime()
+          val handle = split.build(spark, sfDir)
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          var serveMb = -1.0
+          val times = (1 to benchRuns).map { _ =>
+            val s0 = settledShuffleBytes()
+            val t0 = System.nanoTime()
+            split.serve(spark, sfDir, handle)
+              .write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            serveMb = (settledShuffleBytes() - s0) / 1e6
+            sec
+          }
+          Seq((s"${name}_build", buildSec, -1.0),
+            (s"${name}_serve", times.min, serveMb))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${name}_serve failed: ${e.getMessage}")
+          Seq((s"${name}_serve", -1.0, -1.0))
+        }
+      }
+    val reported = results ++ artifactResults
+    val qs = reported.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, m) => "\"" + k + f"""\":$m%.2f""" }
+    val sh = reported.map { case (k, _, m) => "\"" + k + f"""\":$m%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullLine =
