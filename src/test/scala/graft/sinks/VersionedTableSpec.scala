@@ -235,13 +235,23 @@ abstract class VersionedTableBehavior extends SparkSpec {
     ops.commitClustered(batch(20000, 20050), dir, zCols = Seq("x"),
       statCols = Seq("x"), numFiles = 2)
     val head0 = ops.versions(dir).last
-    val nFiles0 = ops.prunedFiles(dir, head0, "x", -1e18, 1e18).size
-    assert(nFiles0 == 6)
-    // target sized to catch the two tiny files, not the four real ones
-    val sizes = ops.prunedFiles(dir, head0, "x", -1e18, 1e18)
-      .map(backend.size)
-    val target = (sizes.min + sizes.max) / 2
-    val v = ops.compact(spark, dir, targetBytes = target)
+    val all0 = ops.prunedFiles(dir, head0, "x", -1e18, 1e18)
+    assert(all0.size == 6)
+    // Identify the tiny append's files STRUCTURALLY (the version diff),
+    // not by guessing a size cut — both the (min+max)/2 midpoint (a
+    // range-skewed big file can dip below it) and "just above the
+    // second-smallest" (then the tiny pair doesn't FIT one target-sized
+    // output and packs into two) failed as flakes. Target = the smallest
+    // big file: every big file is kept (>= target), every tiny file is
+    // caught, and the tiny total fits one output bin.
+    val v1Files = ops.prunedFiles(dir, ops.versions(dir).head,
+      "x", -1e18, 1e18).toSet
+    val bigMin = v1Files.toSeq.map(backend.size).min
+    val tinyTotal = (all0.toSet -- v1Files).toSeq.map(backend.size).sum
+    assert(tinyTotal < bigMin,
+      s"degenerate fixture: tiny append ($tinyTotal B) not below the " +
+        s"smallest clustered file ($bigMin B)")
+    val v = ops.compact(spark, dir, targetBytes = bigMin)
     val after = ops.prunedFiles(dir, v, "x", -1e18, 1e18)
     assert(after.size == 5, s"expected 4 kept + 1 packed, got ${after.size}")
     // every live file still has stats: a narrow range prunes, a wide one
