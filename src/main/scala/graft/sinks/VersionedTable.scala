@@ -325,6 +325,34 @@ class VersionedTableOps(protected val io: TableIO) {
     }
   }
 
+  /** Multi-predicate file skipping: a file survives only if EVERY
+    * (column, lo, hi) range may intersect its stats — the conjunctive
+    * form real scans take ("this date slice AND this id band"), and the
+    * shape that makes z-ordered landings pay off on more than one
+    * dimension at the manifest level. Same superset guarantee per
+    * predicate; an empty predicate list reads the whole snapshot. */
+  def prunedReadAll(spark: SparkSession, dir: String,
+                    predicates: Seq[(String, Any, Any)],
+                    version: Option[Int] = None): DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    val keep = prunedFilesAll(dir, v, predicates)
+    if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
+    else spark.read.parquet(keep: _*)
+  }
+
+  private[graft] def prunedFilesAll(dir: String, version: Int,
+      predicates: Seq[(String, Any, Any)]): Seq[String] = {
+    val statsByCol = predicates.map(_._1).distinct
+      .map(c => c -> statsOf(dir, version, c)).toMap
+    filesOf(dir, version).filter { f =>
+      predicates.forall { case (c, lo, hi) =>
+        statsByCol(c).get(f).forall(mayIntersect(_, lo, hi))
+      }
+    }
+  }
+
   /** The `#`-prefixed metadata header lines of a version's manifest. */
   private def metaOf(dir: String, version: Int): Seq[String] =
     io.readLines(manifestPath(dir, version)).filter(_.startsWith("#"))

@@ -193,6 +193,32 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(!backend.exists(s"$dir/manifests/s$v1"))
   }
 
+  test("conjunctive pruning: a 2-D box skips what either axis alone keeps") {
+    val dir = tmpDir("vt-multi")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi)
+      .select(col("id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("double").as("x"),
+        pmod(xxhash64(col("id"), lit(2)), lit(1000)).cast("double").as("y"))
+    val head = ops.commitClustered(batch(0, 30000), dir,
+      zCols = Seq("x", "y"), statCols = Seq("x", "y"), numFiles = 16)
+    val all = ops.prunedFilesAll(dir, head, Seq.empty)
+    val xOnly = ops.prunedFilesAll(dir, head,
+      Seq(("x", 100.0, 299.0)))
+    val box = ops.prunedFilesAll(dir, head,
+      Seq(("x", 100.0, 299.0), ("y", 100.0, 299.0)))
+    assert(all.size == 16)
+    assert(xOnly.size < all.size)
+    assert(box.size < xOnly.size,
+      s"y-axis added no pruning: box=${box.size} x-only=${xOnly.size}")
+    // correctness parity against the unpruned read
+    import spark.implicits._
+    val cond = $"x".between(100.0, 299.0) && $"y".between(100.0, 299.0)
+    val pruned = ops.prunedReadAll(spark, dir,
+      Seq(("x", 100.0, 299.0), ("y", 100.0, 299.0))).filter(cond)
+    val full = ops.read(spark, dir).filter(cond)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("compact bin-packs small files into a new snapshot; history intact") {
     val dir = tmpDir("vt-compact")
     import spark.implicits._
