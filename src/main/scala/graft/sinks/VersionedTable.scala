@@ -386,7 +386,8 @@ class VersionedTableOps(protected val io: TableIO) {
     * rewrite. Returns the new version (or the head unchanged when fewer
     * than `minInputFiles` files are under target). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-              minInputFiles: Int = 2): Int = {
+              minInputFiles: Int = 2,
+              statCols: Seq[String] = Seq.empty): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
@@ -401,10 +402,14 @@ class VersionedTableOps(protected val io: TableIO) {
       .write.parquet(batchDir)
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
-    val statCols = statColsOf(dir, head)
+    // explicit statCols let the maintenance pass ADD pruning metadata to
+    // a landing that never collected it (commitOnce streams don't);
+    // otherwise inherit whatever columns the head already tracks
+    val cols =
+      if (statCols.nonEmpty) statCols else statColsOf(dir, head)
     val newStats =
-      if (statCols.isEmpty) Seq.empty
-      else statsLines(spark, newFiles, statCols)
+      if (cols.isEmpty) Seq.empty
+      else statsLines(spark, newFiles, cols)
     var carried: Seq[String] = Seq.empty
     val v = publishOnHead(dir) { (h, base) =>
       carried = carriedStats(dir, h, base)
@@ -412,7 +417,7 @@ class VersionedTableOps(protected val io: TableIO) {
       h.toSeq.flatMap(metaOf(dir, _)) ++
         base.filterNot(smallSet) ++ newFiles
     }
-    if (statCols.nonEmpty)
+    if (cols.nonEmpty)
       io.writeLines(statsPath(dir, v), carried ++ newStats)
     v
   }
