@@ -541,8 +541,37 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
     a.join(b, "event_type").orderBy(col("event_type"))
   }
 
+  /** q_compact — the maintenance loop under the oracle gate: three
+    * exactly-once micro-batch snapshots land thirds of the events table,
+    * compact bin-packs them into one snapshot, and the query aggregates
+    * the COMPACTED head. The oracle aggregates the raw table — a hash
+    * match proves the logical rewrite preserved every row exactly once
+    * (and the pinned pre-compact version stays readable, asserted here
+    * so the gate also exercises time travel across a compaction). */
+  def qCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+    val dir = tmp.toString
+    (0 until 3).foreach { b =>
+      commitOnce(ev.filter(col("event_id") % 3 === b), dir, s"q_compact:$b")
+    }
+    val before = versions(dir).last
+    val v = compact(spark, dir, targetBytes = 1L << 30)
+    require(v == before + 1, s"compact did not publish: $v vs $before")
+    require(read(spark, dir, Some(before)).count() ==
+      read(spark, dir, Some(v)).count(), "pre-compact version torn")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, dir, Some(v))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_time_travel" -> (qTimeTravel _))
+    "q_time_travel" -> (qTimeTravel _),
+    "q_compact" -> (qCompact _))
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" ->
@@ -553,6 +582,13 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |  COUNT(*) AS n_v2,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_v2
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
