@@ -47,6 +47,10 @@ class VersionedTableOps(protected val io: TableIO) {
   private def manifestPath(dir: String, v: Int) = s"${manifestDir(dir)}/v$v"
   private def statsPath(dir: String, v: Int) = s"${manifestDir(dir)}/s$v"
 
+  /** Commit wall clock (epoch millis) — a seam so specs can inject a
+    * deterministic clock instead of sleeping around real time. */
+  protected def now(): Long = System.currentTimeMillis()
+
   /** Committed versions, ascending (empty if the table doesn't exist). */
   def versions(dir: String): Seq[Int] =
     io.list(manifestDir(dir))
@@ -115,7 +119,7 @@ class VersionedTableOps(protected val io: TableIO) {
   def commit(df: DataFrame, dir: String, append: Boolean = true,
              txnId: Option[String] = None): Int = {
     val newFiles = writeBatch(df, dir)
-    val meta = txnId.map(t => s"#txn=$t").toSeq
+    val meta = txnId.map(t => s"#txn=$t").toSeq :+ s"#ts=${now()}"
     if (append) publishOnHead(dir)((_, base) => meta ++ base ++ newFiles)
     else publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
       meta ++ newFiles)
@@ -152,7 +156,32 @@ class VersionedTableOps(protected val io: TableIO) {
   /** Roll the head back to `toVersion`'s file set — as a NEW version, so
     * the rolled-back state stays inspectable. */
   def rollback(dir: String, toVersion: Int): Int =
-    publish(dir, versions(dir).last + 1, filesOf(dir, toVersion))
+    publish(dir, versions(dir).last + 1,
+      s"#ts=${now()}" +: filesOf(dir, toVersion))
+
+  /** Commit wall-clock of a version (absent on manifests published by a
+    * pre-timestamp build). */
+  private def tsOf(dir: String, version: Int): Option[Long] =
+    io.readLines(manifestPath(dir, version))
+      .collectFirst { case l if l.startsWith("#ts=") => l.drop(4).toLong }
+
+  /** Time-travel by wall clock: read the HIGHEST version whose commit
+    * timestamp is ≤ `tsMillis` — "what did the table contain when
+    * yesterday's training job started?" asked in the job's own terms.
+    * Version numbers stay the order of record (a slow OCC loser can carry
+    * an earlier stamp than the winner below it — the stamp is taken
+    * before publish), so resolution filters on stamps but picks the max
+    * VERSION among the qualifying. Fails loudly when nothing is old
+    * enough; unstamped manifests (pre-timestamp builds) never qualify. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val stamped = versions(dir)
+      .flatMap(v => tsOf(dir, v).map(t => (v, t)))
+    val at = stamped.filter(_._2 <= tsMillis).map(_._1)
+    require(at.nonEmpty,
+      s"no version at or before $tsMillis in $dir " +
+        s"(earliest stamp: ${stamped.headOption.map(_._2)})")
+    read(spark, dir, Some(at.max))
+  }
 
   // ---- manifest-level file skipping (Iceberg-style scan planning) ----
 
@@ -246,14 +275,14 @@ class VersionedTableOps(protected val io: TableIO) {
     val newStats = statsLines(spark, newFiles, statCols)
     if (!append) {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
-        newFiles)
+        s"#ts=${now()}" +: newFiles)
       io.writeLines(statsPath(dir, v), newStats)
       v
     } else {
       var carried: Seq[String] = Seq.empty
       val v = publishOnHead(dir) { (head, base) =>
         carried = carriedStats(dir, head, base)
-        base ++ newFiles
+        s"#ts=${now()}" +: (base ++ newFiles)
       }
       io.writeLines(statsPath(dir, v), carried ++ newStats)
       v
@@ -353,6 +382,24 @@ class VersionedTableOps(protected val io: TableIO) {
     }
   }
 
+  /** Manifest-level join pruning — static DPP one storage level up: ONE
+    * tiny aggregate collects the (filtered) dimension's key range, and
+    * the fact snapshot's file list shrinks to the files whose stats may
+    * contain it BEFORE Spark ever plans the join. On a landing clustered
+    * by the join key this is the difference between scanning the table
+    * and scanning the handful of files the dimension actually touches.
+    * Intended for the inner-join shape (`fact JOIN dim ON fact.k = dim.k`):
+    * an empty dimension yields an empty read, and the join still applies
+    * the exact condition — range pruning is a superset guarantee, not a
+    * membership test. */
+  def prunedReadByDim(spark: SparkSession, factDir: String, factCol: String,
+                      dim: DataFrame, dimCol: String,
+                      version: Option[Int] = None): DataFrame = {
+    val r = dim.agg(min(col(dimCol)), max(col(dimCol))).head()
+    if (r.isNullAt(0)) read(spark, factDir, version).limit(0)
+    else prunedRead(spark, factDir, factCol, r.get(0), r.get(1), version)
+  }
+
   /** The `#`-prefixed metadata header lines of a version's manifest. */
   private def metaOf(dir: String, version: Int): Seq[String] =
     io.readLines(manifestPath(dir, version)).filter(_.startsWith("#"))
@@ -414,7 +461,10 @@ class VersionedTableOps(protected val io: TableIO) {
     val v = publishOnHead(dir) { (h, base) =>
       carried = carriedStats(dir, h, base)
         .filterNot(l => smallSet.contains(l.takeWhile(_ != '\t')))
-      h.toSeq.flatMap(metaOf(dir, _)) ++
+      // carry the head's txn ledger forward but stamp our OWN wall clock —
+      // the compacted snapshot is a new commit, not a re-dating of the old
+      h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
+        Seq(s"#ts=${now()}") ++
         base.filterNot(smallSet) ++ newFiles
     }
     if (cols.nonEmpty)

@@ -193,6 +193,61 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(!backend.exists(s"$dir/manifests/s$v1"))
   }
 
+  test("readAsOf resolves by commit wall clock (injected, no sleeps)") {
+    val dir = tmpDir("vt-asof")
+    import spark.implicits._
+    // deterministic clock: commits stamp exactly what the test dials in
+    val clocked = new VersionedTableOps(backend) {
+      var t = 0L
+      override protected def now(): Long = t
+    }
+    clocked.t = 1000L
+    clocked.commit(Seq((1L, "a")).toDF("id", "k"), dir) // v1 @ 1000
+    clocked.t = 2000L
+    clocked.commit(Seq((2L, "b")).toDF("id", "k"), dir) // v2 @ 2000
+    clocked.t = 3000L
+    clocked.commit(Seq((9L, "z")).toDF("id", "k"), dir,
+      append = false) // v3 @ 3000 (overwrite)
+    assert(clocked.readAsOf(spark, dir, 1500L).count() == 1) // v1
+    assert(clocked.readAsOf(spark, dir, 2000L).count() == 2) // v2 (<=)
+    assert(clocked.readAsOf(spark, dir, 9999L).count() == 1) // head v3
+    intercept[IllegalArgumentException] {
+      clocked.readAsOf(spark, dir, 999L) // before the first commit
+    }
+    // rollback and compact stamp their own clock: as-of after the
+    // rollback instant resolves to the restored state
+    clocked.t = 4000L
+    clocked.rollback(dir, 2)
+    assert(clocked.readAsOf(spark, dir, 3500L).count() == 1) // still v3
+    assert(clocked.readAsOf(spark, dir, 4000L).count() == 2) // rolled back
+  }
+
+  test("dim-driven pruning: the fact scan shrinks to the dim's key range") {
+    val dir = tmpDir("vt-dimprune")
+    import spark.implicits._
+    // fact landing clustered on the join key
+    val fact = spark.range(0, 30000)
+      .select(col("id").as("k"), (col("id") % 97).as("payload"))
+    ops.commitClustered(fact, dir, zCols = Seq("k"), statCols = Seq("k"),
+      numFiles = 16)
+    val head = ops.versions(dir).last
+    val all = ops.prunedFiles(dir, head, "k", Long.MinValue, Long.MaxValue)
+    // a filtered dimension touching only a narrow key band
+    val dim = spark.range(0, 30000).select(col("id").as("k"))
+      .filter(col("k").between(1000, 2500))
+    val prunedScan = ops.prunedReadByDim(spark, dir, "k", dim, "k")
+    val scanned = prunedScan.inputFiles.length
+    assert(scanned < all.size, s"no dim pruning: $scanned of ${all.size}")
+    // join parity: pruned fact ⋈ dim == full fact ⋈ dim
+    val viaPruned = prunedScan.join(dim, "k")
+    val viaFull = ops.read(spark, dir).join(dim, "k")
+    assert(viaPruned.count() == 1501 &&
+      viaFull.count() == viaPruned.count())
+    // empty dim -> empty read, not a full scan
+    assert(ops.prunedReadByDim(spark, dir, "k",
+      dim.filter(col("k") < 0), "k").count() == 0)
+  }
+
   test("conjunctive pruning: a 2-D box skips what either axis alone keeps") {
     val dir = tmpDir("vt-multi")
     def batch(lo: Int, hi: Int) = spark.range(lo, hi)
