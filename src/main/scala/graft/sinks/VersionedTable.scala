@@ -472,6 +472,23 @@ class VersionedTableOps(protected val io: TableIO) {
     v
   }
 
+  /** The table's commit log as data: one row per retained version with
+    * its wall-clock stamp, file count, and txn id (nulls where a manifest
+    * predates stamping). The operational twin of DESCRIBE HISTORY — what
+    * an operator reads before picking a rollback target or an expire
+    * horizon. Driver-side cost is the manifest listing it already does. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    versions(dir).map { v =>
+      val lines = io.readLines(manifestPath(dir, v))
+      (v,
+        lines.collectFirst { case l if l.startsWith("#ts=") =>
+          l.drop(4).toLong },
+        lines.count(l => l.nonEmpty && !l.startsWith("#")).toLong,
+        lines.collectFirst { case l if l.startsWith("#txn=") => l.drop(5) })
+    }.toDF("version", "ts_millis", "n_files", "txn_id")
+  }
+
   /** Expire history: drop all but the newest `keepLast` manifests and
     * delete data files no RETAINED manifest references — the orthogonal
     * GC pass every manifest-log format pairs with commits (commits never

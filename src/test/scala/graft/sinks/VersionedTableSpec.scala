@@ -222,6 +222,26 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(clocked.readAsOf(spark, dir, 4000L).count() == 2) // rolled back
   }
 
+  test("history exposes the commit log: version, stamp, files, txn") {
+    val dir = tmpDir("vt-history")
+    import spark.implicits._
+    val clocked = new VersionedTableOps(backend) {
+      var t = 0L
+      override protected def now(): Long = t
+    }
+    clocked.t = 1000L
+    clocked.commit(Seq((1L, "a")).toDF("id", "k").coalesce(1), dir)
+    clocked.t = 2000L
+    clocked.commitOnce(Seq((2L, "b")).toDF("id", "k").coalesce(1), dir,
+      "q:0")
+    val h = clocked.history(spark, dir)
+      .as[(Int, Option[Long], Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(h == Seq(
+      (1, Some(1000L), 1L, None),
+      (2, Some(2000L), 2L, Some("q:0"))))
+  }
+
   test("dim-driven pruning: the fact scan shrinks to the dim's key range") {
     val dir = tmpDir("vt-dimprune")
     import spark.implicits._

@@ -65,8 +65,12 @@ class ProfileGateSpec extends SparkSpec {
       assert(VersionedTable.read(spark, outDir).count() == 500)
       assert(VersionedTable.read(spark, qDir).count() == 400)
 
-      // the profile history recorded both batches with their verdicts
+      // the profile history recorded both data-bearing batches with their
+      // verdicts — filter on n_rows: the engine may slice in an extra
+      // EMPTY micro-batch under load, which legitimately logs a zero-row
+      // profile entry and must not fail the count
       val hist = VersionedTable.read(spark, histDir)
+        .filter(col("n_rows") > 0)
       assert(hist.count() == 2)
       assert(hist.filter(col("quarantined")).count() == 1)
       assert(hist.filter(!col("quarantined")).count() == 1)
