@@ -472,6 +472,35 @@ class VersionedTableOps(protected val io: TableIO) {
     v
   }
 
+  /** Incremental read: exactly the rows appended between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — what a downstream
+    * incremental consumer (a rollup maintainer, a dedup index appender)
+    * reads instead of re-scanning the table. Sound ONLY over pure append
+    * lineage: files are immutable, so new-files = new-rows iff no file was
+    * removed in between. A logical overwrite, rollback, or compaction in
+    * the range breaks that equivalence and this FAILS LOUDLY (the caller
+    * falls back to a snapshot diff — [[graft.analytics.TableDiff]]) —
+    * silently returning rewritten rows as "new" would corrupt every
+    * incremental consumer downstream. */
+  def readChanges(spark: SparkSession, dir: String,
+                  fromVersion: Int, toVersion: Int): DataFrame = {
+    val vs = versions(dir)
+    require(vs.contains(fromVersion) && vs.contains(toVersion),
+      s"versions [$fromVersion, $toVersion] not both in $vs")
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = filesOf(dir, fromVersion).toSet
+    val to = filesOf(dir, toVersion)
+    val removed = from -- to.toSet
+    require(removed.isEmpty,
+      s"non-append lineage between v$fromVersion and v$toVersion " +
+        s"(${removed.size} file(s) removed — overwrite/rollback/compaction " +
+        s"in range); incremental reads are only sound over pure appends")
+    val added = to.filterNot(from)
+    if (added.isEmpty) read(spark, dir, Some(toVersion)).limit(0)
+    else spark.read.parquet(added: _*)
+  }
+
   /** The table's commit log as data: one row per retained version with
     * its wall-clock stamp, file count, and txn id (nulls where a manifest
     * predates stamping). The operational twin of DESCRIBE HISTORY — what

@@ -222,6 +222,30 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(clocked.readAsOf(spark, dir, 4000L).count() == 2) // rolled back
   }
 
+  test("readChanges returns exactly the appended rows; loud off appends") {
+    val dir = tmpDir("vt-changes")
+    import spark.implicits._
+    val v1 = ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    val v2 = ops.commit(Seq((2L, "b"), (3L, "c")).toDF("id", "k"), dir)
+    val v3 = ops.commit(Seq((4L, "d")).toDF("id", "k"), dir)
+    assert(ops.readChanges(spark, dir, v1, v3).as[(Long, String)]
+      .collect().toSet == Set((2L, "b"), (3L, "c"), (4L, "d")))
+    assert(ops.readChanges(spark, dir, v2, v3).as[(Long, String)]
+      .collect().toSet == Set((4L, "d")))
+    assert(ops.readChanges(spark, dir, v3, v3).count() == 0) // empty range
+    // a compaction (file removal) in range must fail loudly, not return
+    // rewritten old rows as "new"
+    val v4 = ops.compact(spark, dir, targetBytes = 1L << 30)
+    assert(v4 > v3)
+    intercept[IllegalArgumentException] {
+      ops.readChanges(spark, dir, v3, v4)
+    }
+    // and a fresh append AFTER the compaction is incremental again
+    val v5 = ops.commit(Seq((5L, "e")).toDF("id", "k"), dir)
+    assert(ops.readChanges(spark, dir, v4, v5).as[(Long, String)]
+      .collect().toSet == Set((5L, "e")))
+  }
+
   test("history exposes the commit log: version, stamp, files, txn") {
     val dir = tmpDir("vt-history")
     import spark.implicits._
