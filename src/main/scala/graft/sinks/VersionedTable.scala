@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.analytics.Parity
 import graft.sources.Tables
@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   * than N") that removes files referenced by no retained manifest — the
   * same separation the real formats make.
   *
+  * Row-level deletes are merge-on-read: [[deleteWhere]] lands positional
+  * delete vectors (`#del=` manifest lines) that readers anti-join at scan
+  * time, [[compact]] materializes them into rewritten files, and [[expire]]
+  * GCs the superseded vectors — data files stay immutable throughout.
+  *
   * All metadata IO goes through a [[TableIO]]: `java.nio` + hard links
   * locally, Hadoop `FileSystem` where a real landing lives. The default
   * [[VersionedTable]] object binds the local backend; bind
@@ -62,6 +67,15 @@ class VersionedTableOps(protected val io: TableIO) {
   private def filesOf(dir: String, version: Int): Seq[String] =
     io.readLines(manifestPath(dir, version))
       .filter(_.nonEmpty).filterNot(_.startsWith("#"))
+
+  /** Positional delete files (`#del=` manifest lines) of a version —
+    * merge-on-read row deletes; see [[deleteWhere]]. */
+  private[sinks] def delFilesOf(dir: String, version: Int): Seq[String] =
+    io.readLines(manifestPath(dir, version))
+      .collect { case l if l.startsWith("#del=") => l.drop(5) }
+
+  private def delLinesOf(dir: String, version: Option[Int]): Seq[String] =
+    version.toSeq.flatMap(v => delFilesOf(dir, v).map(f => s"#del=$f"))
 
   /** Transaction ids carried by committed manifests — the replay ledger
     * for [[commitOnce]]. */
@@ -120,7 +134,11 @@ class VersionedTableOps(protected val io: TableIO) {
              txnId: Option[String] = None): Int = {
     val newFiles = writeBatch(df, dir)
     val meta = txnId.map(t => s"#txn=$t").toSeq :+ s"#ts=${now()}"
-    if (append) publishOnHead(dir)((_, base) => meta ++ base ++ newFiles)
+    // an append inherits the head's delete vectors (they reference the
+    // carried files); a logical overwrite starts clean — none of its files
+    // existed when any prior delete was computed
+    if (append) publishOnHead(dir)((h, base) =>
+      meta ++ delLinesOf(dir, h) ++ base ++ newFiles)
     else publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
       meta ++ newFiles)
   }
@@ -143,21 +161,127 @@ class VersionedTableOps(protected val io: TableIO) {
 
   /** Read a snapshot: the pinned `version`, or the head. The file list is
     * resolved HERE, once — the returned DataFrame keeps reading this exact
-    * snapshot no matter what commits after. */
+    * snapshot no matter what commits after. If the snapshot carries delete
+    * vectors, they are applied merge-on-read; a delete-free snapshot reads
+    * as a plain scan (zero overhead). */
   def read(spark: SparkSession, dir: String,
            version: Option[Int] = None): DataFrame = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    spark.read.parquet(filesOf(dir, v): _*)
+    readFiles(spark, filesOf(dir, v), delFilesOf(dir, v))
+  }
+
+  /** `file:` URIs (as `_metadata.file_path` reports them) normalized to the
+    * plain-path form manifests store, so delete-vector keys and manifest
+    * validation agree on one spelling. */
+  private def plainPath = regexp_replace(
+    col("_metadata.file_path"), "^file:/*", "/")
+
+  /** The raw scan of `files` tagged with (file, position) identity columns
+    * and with `dels` anti-joined away — the live view, keeping the identity
+    * columns so [[deleteWhere]] can address surviving rows. Position comes
+    * from parquet row index (`_metadata.row_index`): stable because data
+    * files are immutable. */
+  private def taggedLive(spark: SparkSession, files: Seq[String],
+                         dels: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(files: _*)
+    val tagged = raw.select(
+      (Seq(plainPath.as("__graft_file"),
+        col("_metadata.row_index").as("__graft_pos")) ++
+        raw.columns.map(col)): _*)
+    if (dels.isEmpty) tagged
+    else {
+      // the delete side is the small side by construction (positions of
+      // deleted rows, consolidated by compaction) — AQE broadcasts it;
+      // the data side never shuffles
+      val dd = spark.read.parquet(dels: _*)
+      tagged.join(dd,
+        tagged("__graft_file") === dd("file_path") &&
+          tagged("__graft_pos") === dd("pos"),
+        "left_anti")
+    }
+  }
+
+  private def readFiles(spark: SparkSession, files: Seq[String],
+                        dels: Seq[String]): DataFrame =
+    if (dels.isEmpty) spark.read.parquet(files: _*)
+    else taggedLive(spark, files, dels).drop("__graft_file", "__graft_pos")
+
+  /** Merge-on-read row deletes — `DELETE FROM table WHERE predicate`
+    * without rewriting a single data file, which at 100 TB is the
+    * difference between an O(matched-positions) commit and rewriting a
+    * 1 GB file to drop three rows (GDPR erasure, bad-crawl retraction).
+    *
+    * Mechanics: one scan of the head's LIVE view (existing deletes
+    * applied, so positions are never re-listed) collects the (file, pos)
+    * identity of matching rows into a positional delete file under
+    * `deletes/`; the commit publishes the SAME data files plus a `#del=`
+    * manifest line. Readers anti-join the delete vectors at scan time;
+    * [[compact]] materializes them away; [[expire]] GCs superseded ones.
+    * Positions are parquet row indexes, stable because data files are
+    * immutable.
+    *
+    * OCC: every publish attempt re-validates that each file the delete
+    * vector references is still in the head — a concurrent COMPACT that
+    * rewrote one would silently resurrect the deleted rows (positions
+    * don't transfer to rewritten files), so that race fails loudly and
+    * the caller re-runs against the new head. Concurrent APPENDS are
+    * fine: new files are never referenced by this vector.
+    *
+    * Returns the new version, or the current head unchanged when nothing
+    * matched. */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  predicate: Column): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val head = vs.last
+    val matched = taggedLive(spark, filesOf(dir, head),
+      delFilesOf(dir, head))
+      .filter(predicate)
+      .select(col("__graft_file").as("file_path"),
+        col("__graft_pos").as("pos"))
+    val delDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
+    // one vector file per delete commit: positions are two longs a row —
+    // tiny next to the data they erase — and one file keeps the manifest
+    // line count O(deletes), not O(deletes x scan partitions)
+    matched.coalesce(1).write.parquet(delDir)
+    val newDel = io.list(delDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$delDir/$n")
+    if (newDel.isEmpty || spark.read.parquet(newDel: _*).isEmpty) {
+      io.list(delDir).foreach(n => io.delete(s"$delDir/$n"))
+      io.delete(delDir)
+      return head
+    }
+    // bounded collect: distinct FILES the vector touches (≤ head file count)
+    val referenced = spark.read.parquet(newDel: _*)
+      .select("file_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    var carried: Seq[String] = Seq.empty
+    val v = publishOnHead(dir) { (h, base) =>
+      val missing = referenced -- base.toSet
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"delete vector references ${missing.size} file(s) no longer in " +
+            s"the head (concurrent compaction/overwrite rewrote them); " +
+            s"re-run deleteWhere against the new head")
+      carried = carriedStats(dir, h, base)
+      Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++
+        newDel.map(f => s"#del=$f") ++ base
+    }
+    // delete vectors never move min/max: stats stay a superset guarantee
+    if (carried.nonEmpty) io.writeLines(statsPath(dir, v), carried)
+    v
   }
 
   /** Roll the head back to `toVersion`'s file set — as a NEW version, so
-    * the rolled-back state stays inspectable. */
+    * the rolled-back state stays inspectable. Carries `toVersion`'s delete
+    * vectors too: the rolled-back STATE includes which rows were dead. */
   def rollback(dir: String, toVersion: Int): Int =
     publish(dir, versions(dir).last + 1,
-      s"#ts=${now()}" +: filesOf(dir, toVersion))
+      s"#ts=${now()}" +: (delLinesOf(dir, Some(toVersion)) ++
+        filesOf(dir, toVersion)))
 
   /** Commit wall-clock of a version (absent on manifests published by a
     * pre-timestamp build). */
@@ -282,7 +406,7 @@ class VersionedTableOps(protected val io: TableIO) {
       var carried: Seq[String] = Seq.empty
       val v = publishOnHead(dir) { (head, base) =>
         carried = carriedStats(dir, head, base)
-        s"#ts=${now()}" +: (base ++ newFiles)
+        s"#ts=${now()}" +: (delLinesOf(dir, head) ++ base ++ newFiles)
       }
       io.writeLines(statsPath(dir, v), carried ++ newStats)
       v
@@ -341,7 +465,9 @@ class VersionedTableOps(protected val io: TableIO) {
       stats.get(f).forall(mayIntersect(_, lo, hi))
     }
     if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
-    else spark.read.parquet(keep: _*)
+    // the full delete set is applied — vectors for pruned files simply
+    // match nothing (anti-join keys are file paths)
+    else readFiles(spark, keep, delFilesOf(dir, v))
   }
 
   /** Files `prunedRead` would scan — exposed so specs (and operators) can
@@ -368,7 +494,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val v = version.getOrElse(vs.last)
     val keep = prunedFilesAll(dir, v, predicates)
     if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
-    else spark.read.parquet(keep: _*)
+    else readFiles(spark, keep, delFilesOf(dir, v))
   }
 
   private[graft] def prunedFilesAll(dir: String, version: Int,
@@ -442,13 +568,36 @@ class VersionedTableOps(protected val io: TableIO) {
     val small = filesOf(dir, head).filter(f => io.size(f) < targetBytes)
     if (small.size < minInputFiles) return head
     val smallSet = small.toSet
+    val delsAtStart = delFilesOf(dir, head)
     val numOut = math.max(1,
       math.ceil(small.map(io.size).sum.toDouble / targetBytes).toInt)
     val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
-    spark.read.parquet(small: _*).coalesce(numOut)
+    // the rewrite MATERIALIZES delete vectors for the files it touches
+    // (positions don't transfer to rewritten files, so carrying them would
+    // be wrong); vectors for kept files are consolidated below
+    readFiles(spark, small, delsAtStart).coalesce(numOut)
       .write.parquet(batchDir)
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
+    // delete rows still referencing KEPT files survive, consolidated into
+    // one vector — compaction is also delete-vector maintenance
+    val survivorDel: Seq[String] =
+      if (delsAtStart.isEmpty) Seq.empty
+      else {
+        val keptSet = filesOf(dir, head).filterNot(smallSet).toSet
+        val survivors = spark.read.parquet(delsAtStart: _*)
+          .filter(col("file_path").isInCollection(
+            if (keptSet.isEmpty) Seq("") else keptSet.toSeq))
+        val sDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
+        survivors.coalesce(1).write.parquet(sDir)
+        val out = io.list(sDir).filter(_.endsWith(".parquet")).sorted
+          .map(n => s"$sDir/$n")
+        if (spark.read.parquet(out: _*).isEmpty) {
+          io.list(sDir).foreach(n => io.delete(s"$sDir/$n"))
+          io.delete(sDir)
+          Seq.empty
+        } else out
+      }
     // explicit statCols let the maintenance pass ADD pruning metadata to
     // a landing that never collected it (commitOnce streams don't);
     // otherwise inherit whatever columns the head already tracks
@@ -459,12 +608,20 @@ class VersionedTableOps(protected val io: TableIO) {
       else statsLines(spark, newFiles, cols)
     var carried: Seq[String] = Seq.empty
     val v = publishOnHead(dir) { (h, base) =>
+      // a delete that lands mid-compact references files this rewrite has
+      // already copied WITHOUT it — carrying the new vector would half-apply
+      // it, dropping it would resurrect rows; fail loudly, caller retries
+      if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
+        throw new java.util.ConcurrentModificationException(
+          "delete vectors changed during compaction; re-run compact " +
+            "against the new head")
       carried = carriedStats(dir, h, base)
         .filterNot(l => smallSet.contains(l.takeWhile(_ != '\t')))
       // carry the head's txn ledger forward but stamp our OWN wall clock —
       // the compacted snapshot is a new commit, not a re-dating of the old
       h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
         Seq(s"#ts=${now()}") ++
+        survivorDel.map(f => s"#del=$f") ++
         base.filterNot(smallSet) ++ newFiles
     }
     if (cols.nonEmpty)
@@ -496,6 +653,13 @@ class VersionedTableOps(protected val io: TableIO) {
       s"non-append lineage between v$fromVersion and v$toVersion " +
         s"(${removed.size} file(s) removed — overwrite/rollback/compaction " +
         s"in range); incremental reads are only sound over pure appends")
+    require(delFilesOf(dir, fromVersion).toSet ==
+      delFilesOf(dir, toVersion).toSet,
+      s"delete vectors changed between v$fromVersion and v$toVersion — " +
+        s"rows were REMOVED, not just appended; incremental reads are only " +
+        s"sound over pure appends (fall back to a snapshot diff)")
+    // deletes present at fromVersion reference files of fromVersion only,
+    // never the added files — the added slice needs no delete application
     val added = to.filterNot(from)
     if (added.isEmpty) read(spark, dir, Some(toVersion)).limit(0)
     else spark.read.parquet(added: _*)
@@ -514,8 +678,9 @@ class VersionedTableOps(protected val io: TableIO) {
         lines.collectFirst { case l if l.startsWith("#ts=") =>
           l.drop(4).toLong },
         lines.count(l => l.nonEmpty && !l.startsWith("#")).toLong,
+        lines.count(_.startsWith("#del=")).toLong,
         lines.collectFirst { case l if l.startsWith("#txn=") => l.drop(5) })
-    }.toDF("version", "ts_millis", "n_files", "txn_id")
+    }.toDF("version", "ts_millis", "n_files", "n_delete_files", "txn_id")
   }
 
   /** Expire history: drop all but the newest `keepLast` manifests and
@@ -542,8 +707,13 @@ class VersionedTableOps(protected val io: TableIO) {
         s"could redeliver, breaking exactly-once")
     val vs = versions(dir)
     val (dead, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
-    val liveFiles = kept.flatMap(filesOf(dir, _)).toSet
-    val deadFiles = dead.flatMap(filesOf(dir, _)).toSet -- liveFiles
+    // delete-vector files are referenced files like any other: live while
+    // any retained manifest lists them, GC'd when none does (a compaction
+    // that materialized them orphans the old vectors here)
+    val liveFiles = kept.flatMap(v =>
+      filesOf(dir, v) ++ delFilesOf(dir, v)).toSet
+    val deadFiles = dead.flatMap(v =>
+      filesOf(dir, v) ++ delFilesOf(dir, v)).toSet -- liveFiles
     // manifests first: a crash mid-expire must never leave a manifest
     // pointing at deleted files
     dead.foreach { v =>
@@ -665,9 +835,42 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_delete_vector — merge-on-read deletes under the oracle gate: two
+    * appends land the events table across two file sets, two
+    * [[deleteWhere]] commits erase disjoint-by-construction row sets (the
+    * second is computed on the LIVE view, so vectors never re-list dead
+    * positions), and the query aggregates the head with both vectors
+    * anti-joined at scan time. The oracle inlines the two predicates as a
+    * WHERE NOT — a hash match proves positional erasure across multiple
+    * files, multiple vectors, and an append boundary, with zero data-file
+    * rewrites (asserted in DeleteVectorSpec; here the pre-delete snapshot
+    * is re-read to pin time travel across a delete). */
+  def qDeleteVector(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delvec_")
+    val dir = tmp.toString
+    commit(ev.filter(col("event_id") % 2 === 0), dir)
+    val v2 = commit(ev.filter(col("event_id") % 2 === 1), dir)
+    val v3 = deleteWhere(spark, dir, col("event_id") % 7 === 3)
+    val v4 = deleteWhere(spark, dir, col("value") > 90.0)
+    require(v3 == v2 + 1 && v4 == v3 + 1,
+      s"delete commits did not publish: $v2 -> $v3 -> $v4")
+    // time travel across deletes: the pre-delete snapshot still has it all
+    require(read(spark, dir, Some(v2)).count() == ev.count(),
+      "pre-delete snapshot torn by delete commits")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, dir, Some(v4))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
-    "q_compact" -> (qCompact _))
+    "q_compact" -> (qCompact _),
+    "q_delete_vector" -> (qDeleteVector _))
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" ->
@@ -686,6 +889,14 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_delete_vector" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE NOT (event_id % 7 = 3) AND NOT (value > 90.0)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
 }

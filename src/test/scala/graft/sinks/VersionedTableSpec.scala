@@ -259,11 +259,11 @@ abstract class VersionedTableBehavior extends SparkSpec {
     clocked.commitOnce(Seq((2L, "b")).toDF("id", "k").coalesce(1), dir,
       "q:0")
     val h = clocked.history(spark, dir)
-      .as[(Int, Option[Long], Long, Option[String])]
+      .as[(Int, Option[Long], Long, Long, Option[String])]
       .collect().sortBy(_._1).toSeq
     assert(h == Seq(
-      (1, Some(1000L), 1L, None),
-      (2, Some(2000L), 2L, Some("q:0"))))
+      (1, Some(1000L), 1L, 0L, None),
+      (2, Some(2000L), 2L, 0L, Some("q:0"))))
   }
 
   test("dim-driven pruning: the fact scan shrinks to the dim's key range") {
