@@ -629,6 +629,141 @@ class VersionedTableOps(protected val io: TableIO) {
     v
   }
 
+  /** MERGE (upsert) `source` into the table by `key` — copy-on-write
+    * scoped by the manifest: a matched table row is replaced by its source
+    * row, an unmatched source row is inserted, and ONLY the files that
+    * actually contain a matched key are rewritten. At 100 TB that scoping
+    * is the whole operator: a CDC batch touching 0.1% of keys rewrites
+    * ~0.1% of files (stats-pruned, then membership-confirmed), not the
+    * table — every untouched file survives byte-identical in the new
+    * manifest.
+    *
+    * Candidate selection is two-phase, each a superset of the next:
+    * manifest stats drop files whose [min,max] can't contain any source
+    * key (free, no data read), then ONE semi-join scan of the survivors
+    * confirms actual membership — the files it names are exactly the
+    * rewrite set. The rewrite reads those files LIVE (delete vectors
+    * applied, so dead rows stay dead), anti-joins the source keys, and
+    * unions the full source: updates and inserts land in one batch.
+    *
+    * Source keys must be unique (checked; "multiple source rows matched"
+    * is a correctness error in every MERGE dialect, failed loudly here).
+    *
+    * Concurrency: vectors changing mid-merge abort (same rule as
+    * [[compact]]); a concurrent APPEND is validated — if its files contain
+    * a source key the merge aborts (its rewrite would duplicate that key:
+    * write-write conflict under serializable semantics), otherwise the
+    * append rides through the retry untouched. Returns the new version. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            key: String): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val head = vs.last
+    val filesAtStart = filesOf(dir, head)
+    val delsAtStart = delFilesOf(dir, head)
+
+    val src = source.persist()
+    try {
+      val dupes = src.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupes == 0,
+        s"source has duplicate '$key' values — a MERGE with a " +
+          s"many-to-one match is ambiguous; dedupe the source first")
+      val srcKeys = src.select(col(key))
+
+      // phase 1 (free): manifest stats — files whose key range can't
+      // intersect the source's key range are out before any data is read
+      val r = src.agg(min(col(key)), max(col(key))).head()
+      val candidates =
+        if (r.isNullAt(0)) Seq.empty[String]
+        else {
+          val stats = statsOf(dir, head, key)
+          filesAtStart.filter { f =>
+            stats.get(f).forall(mayIntersect(_, r.get(0), r.get(1)))
+          }
+        }
+      // phase 2 (one scan of the candidates): actual membership — the
+      // distinct files a semi-join against the source keys names; bounded
+      // collect (≤ file count)
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Seq.empty
+        else taggedLive(spark, candidates, delsAtStart)
+          .join(srcKeys, Seq(key), "left_semi")
+          .select("__graft_file").distinct()
+          .collect().map(_.getString(0)).toSeq
+      val touchedSet = touched.toSet
+
+      // rewrite = surviving rows of touched files + the ENTIRE source
+      // (matched rows as updates, unmatched as inserts); a no-match merge
+      // rewrites nothing and lands the source as a plain new file, in the
+      // table's column order (schema-only read, no data scanned)
+      val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
+      val tableCols = spark.read.parquet(filesAtStart.head).columns
+      val rewritten =
+        if (touched.isEmpty) src.select(tableCols.map(col).toSeq: _*)
+        else readFiles(spark, touched, delsAtStart)
+          .join(srcKeys, Seq(key), "left_anti")
+          .unionByName(src)
+          .select(tableCols.map(col).toSeq: _*)
+      // keep the table's file granularity: the rewrite replaces N files
+      // with ~N (shuffle-free merge of read partitions), and a pure-insert
+      // merge lands ONE file, not one per source partition
+      rewritten.coalesce(math.max(1, touched.size)).write.parquet(batchDir)
+      val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+        .map(n => s"$batchDir/$n")
+
+      // vectors referencing kept files survive (their rows are still
+      // dead); vectors for touched files were materialized by the rewrite
+      val survivorDel: Seq[String] =
+        if (delsAtStart.isEmpty || touchedSet.isEmpty) delsAtStart
+        else {
+          val keptSet = filesAtStart.filterNot(touchedSet).toSet
+          val survivors = spark.read.parquet(delsAtStart: _*)
+            .filter(col("file_path").isInCollection(
+              if (keptSet.isEmpty) Seq("") else keptSet.toSeq))
+          val sDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
+          survivors.coalesce(1).write.parquet(sDir)
+          val out = io.list(sDir).filter(_.endsWith(".parquet")).sorted
+            .map(n => s"$sDir/$n")
+          if (spark.read.parquet(out: _*).isEmpty) {
+            io.list(sDir).foreach(n => io.delete(s"$sDir/$n"))
+            io.delete(sDir)
+            Seq.empty
+          } else out
+        }
+
+      val cols = statColsOf(dir, head)
+      val newStats =
+        if (cols.isEmpty) Seq.empty else statsLines(spark, newFiles, cols)
+      var carried: Seq[String] = Seq.empty
+      val v = publishOnHead(dir) { (h, base) =>
+        if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
+          throw new java.util.ConcurrentModificationException(
+            "delete vectors changed during merge; re-run against the " +
+              "new head")
+        // serializable write-conflict validation: files appended since the
+        // merge's snapshot must not contain a source key — our rewrite
+        // was computed without them, so a hit would double the key
+        val appended = base.filterNot(filesAtStart.toSet)
+        if (appended.nonEmpty &&
+          spark.read.parquet(appended: _*).select(col(key))
+            .join(srcKeys, Seq(key), "left_semi").limit(1).count() > 0)
+          throw new java.util.ConcurrentModificationException(
+            "a concurrent append landed rows matching a merge source " +
+              "key; re-run the merge against the new head")
+        carried = carriedStats(dir, h, base)
+          .filterNot(l => touchedSet.contains(l.takeWhile(_ != '\t')))
+        h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
+          Seq(s"#ts=${now()}") ++
+          survivorDel.map(f => s"#del=$f") ++
+          base.filterNot(touchedSet) ++ newFiles
+      }
+      if (cols.nonEmpty)
+        io.writeLines(statsPath(dir, v), carried ++ newStats)
+      v
+    } finally src.unpersist()
+  }
+
   /** Incremental read: exactly the rows appended between `fromVersion`
     * (exclusive) and `toVersion` (inclusive) — what a downstream
     * incremental consumer (a rollup maintainer, a dedup index appender)
@@ -867,10 +1002,40 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_merge_lake — MERGE under the oracle gate: the events table lands
+    * clustered on `event_id` (so candidate files come from manifest
+    * stats), then one [[merge]] applies a CDC-shaped source — every 10th
+    * row updated (value + 1000), a disjoint tenth re-keyed past the max id
+    * as inserts — and the query aggregates the merged head. The oracle
+    * builds the same source as a CTE and takes source ∪ (table ∖ source
+    * keys): a hash match proves replace-on-match, insert-on-miss, and
+    * that the copy-on-write rewrite lost nothing (file-level scoping is
+    * asserted in MergeSpec). */
+  def qMergeLake(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_")
+    val dir = tmp.toString
+    commitClustered(ev, dir, zCols = Seq("event_id"),
+      statCols = Seq("event_id"), numFiles = 8)
+    val updates = ev.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + 1000.0)
+    val inserts = ev.filter(col("event_id") % 10 === 1)
+      .withColumn("event_id", col("event_id") + 10000000L)
+    merge(spark, dir, updates.unionByName(inserts), "event_id")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
-    "q_delete_vector" -> (qDeleteVector _))
+    "q_delete_vector" -> (qDeleteVector _),
+    "q_merge_lake" -> (qMergeLake _))
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" ->
@@ -897,6 +1062,25 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |    AS sum_value
         |FROM events
         |WHERE NOT (event_id % 7 = 3) AND NOT (value > 90.0)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_merge_lake" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type, value + 1000.0 AS value
+        |  FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS event_id, event_type, value
+        |  FROM events WHERE event_id % 10 = 1
+        |), merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT e.event_id, e.event_type, e.value FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = e.event_id)
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM merged
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
 }
