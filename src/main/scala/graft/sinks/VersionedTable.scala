@@ -414,16 +414,32 @@ class VersionedTableOps(protected val io: TableIO) {
   }
 
   /** (file → (tag, min, max)) for `col` at `version`; empty if no stats.
-    * Legacy 4-field lines (untagged doubles) are ignored — absent stats
-    * degrade to keeping the file, never to a misread bound. */
+    * Legacy 4-field lines (untagged doubles) and non-range lines (bloom
+    * filters) are ignored — absent stats degrade to keeping the file,
+    * never to a misread bound. */
   private def statsOf(dir: String, version: Int,
                       column: String): Map[String, (String, String, String)] = {
     val p = statsPath(dir, version)
     if (!io.exists(p)) Map.empty
     else io.readLines(p)
       .map(_.split('\t').toSeq)
-      .collect { case Seq(f, c, tag, lo, hi) if c == column =>
-        f -> ((tag, lo, hi))
+      .collect { case Seq(f, c, tag, lo, hi)
+        if c == column && tag != "bloom" => f -> ((tag, lo, hi))
+      }
+      .toMap
+  }
+
+  /** (file → (mBits, k, bitset)) bloom lines for `col` at `version`. */
+  private def bloomsOf(dir: String, version: Int, column: String)
+      : Map[String, (Int, Int, java.util.BitSet)] = {
+    val p = statsPath(dir, version)
+    if (!io.exists(p)) Map.empty
+    else io.readLines(p)
+      .map(_.split('\t').toSeq)
+      .collect { case Seq(f, c, "bloom", cfg, b64) if c == column =>
+        val Array(m, k) = cfg.split(':').map(_.toInt)
+        f -> ((m, k, java.util.BitSet.valueOf(
+          java.util.Base64.getDecoder.decode(b64))))
       }
       .toMap
   }
@@ -506,6 +522,120 @@ class VersionedTableOps(protected val io: TableIO) {
         statsByCol(c).get(f).forall(mayIntersect(_, lo, hi))
       }
     }
+  }
+
+  // ---- bloom-filter file skipping (point lookups / IN-lists) ----
+
+  /** Per-file bloom filters for `bloomCols`, appended to `version`'s stats
+    * file as `bloom` lines — the skipping index min/max CANNOT provide:
+    * on a high-cardinality key that isn't the clustering axis, every
+    * file's [min, max] spans the whole domain and a point lookup scans
+    * the table; a bloom answers "might this FILE contain this key?" at
+    * planning time, so `WHERE id = x` touches ~1 file out of thousands.
+    *
+    * Scale shape: ONE scan of the target files builds every filter — per
+    * row, k positions (`pmod(xxhash64(seed, col), m)`), aggregated as a
+    * bounded per-file distinct-position set (≤ m/8 bytes of state per
+    * file by construction, the map-side partial dedupes). Incremental:
+    * only files LACKING a bloom line are scanned, so the maintenance call
+    * after each append costs O(new files) — same discipline as the stats
+    * carry-forward. Size `mBits` at ~10+ bits per expected distinct per
+    * file (default suits ~10^4; a 10^7-row file wants 1 << 27).
+    *
+    * Nulls: a null key never matches an equality probe, so null positions
+    * (xxhash64 of an all-null input degrades to the seed) only cost a bit
+    * of fill, never correctness. Probing FOR null is not a bloom question
+    * (`IS NULL` is a range-stats question — the `null` tag). */
+  def writeBlooms(spark: SparkSession, dir: String, version: Int,
+                  bloomCols: Seq[String], mBits: Int = 1 << 18,
+                  k: Int = 5): Unit = {
+    require(Integer.bitCount(mBits) >= 1 && mBits >= 64,
+      s"mBits too small: $mBits")
+    val p = statsPath(dir, version)
+    val existing = if (io.exists(p)) io.readLines(p) else Seq.empty
+    val files = filesOf(dir, version)
+    val newLines = bloomCols.flatMap { c =>
+      val have = bloomsOf(dir, version, c).keySet
+      val need = files.filterNot(have)
+      if (need.isEmpty) Seq.empty
+      else {
+        val posArr = array((0 until k).map(s =>
+          pmod(xxhash64(lit(s), col(c)), lit(mBits.toLong)).cast("int")): _*)
+        spark.read.parquet(need: _*)
+          .select(plainPath.as("__file"), explode(posArr).as("pos"))
+          .groupBy(col("__file")).agg(collect_set(col("pos")).as("ps"))
+          .collect().toSeq
+          .map { r =>
+            val bits = new java.util.BitSet(mBits)
+            r.getSeq[Int](1).foreach(bits.set)
+            val b64 = java.util.Base64.getEncoder
+              .encodeToString(bits.toByteArray)
+            s"${r.getString(0)}\t$c\tbloom\t$mBits:$k\t$b64"
+          }
+      }
+    }
+    if (newLines.nonEmpty) io.writeLines(p, existing ++ newLines)
+  }
+
+  /** Files a probe for any of `values` on `column` must scan: bloom says
+    * no → skip; no bloom, or all k positions set for SOME value → keep
+    * (min/max range stats are ALSO consulted — both layers are superset
+    * guarantees and compose). Probe positions are computed by the ENGINE
+    * (one 1-row job casting each value to the column's own type), so
+    * build and probe hash identically by construction. */
+  private[graft] def prunedFilesEq(spark: SparkSession, dir: String,
+      version: Int, column: String, values: Seq[Any]): Seq[String] = {
+    require(values.nonEmpty && values.forall(_ != null),
+      "equality pruning needs non-null probe values")
+    val files = filesOf(dir, version)
+    val blooms = bloomsOf(dir, version, column)
+    val stats = statsOf(dir, version, column)
+    if (blooms.isEmpty && stats.isEmpty) return files
+    val dt = spark.read.parquet(files.head).schema(column).dataType
+    // positions per (m, k) config present among the files (configs can
+    // differ across maintenance eras); one tiny job computes them all
+    val configs = blooms.values.map(v => (v._1, v._2)).toSet.toSeq
+    val posByConfig: Map[(Int, Int), Seq[Seq[Int]]] =
+      if (configs.isEmpty) Map.empty
+      else {
+        val exprs = for {
+          (m, kk) <- configs; v <- values; s <- 0 until kk
+        } yield pmod(xxhash64(lit(s), lit(v).cast(dt)), lit(m.toLong))
+          .cast("int")
+        val row = spark.range(1).select(exprs: _*).head()
+        var i = -1
+        configs.map { case (m, kk) =>
+          (m, kk) -> values.map(_ =>
+            (0 until kk).map { _ => i += 1; row.getInt(i) })
+        }.toMap
+      }
+    files.filter { f =>
+      val rangeOk = values.exists(v =>
+        stats.get(f).forall(mayIntersect(_, v, v)))
+      val bloomOk = blooms.get(f) match {
+        case None => true
+        case Some((m, kk, bits)) =>
+          posByConfig((m, kk)).exists(_.forall(bits.get))
+      }
+      rangeOk && bloomOk
+    }
+  }
+
+  /** Point-lookup / IN-list read with bloom + range file skipping — the
+    * needle-in-100-TB scan: `WHERE key IN (...)` resolves to the handful
+    * of files whose filters admit a probe, before Spark plans anything.
+    * The caller still applies the exact predicate (superset guarantee;
+    * bloom false positives cost a file scan, never a wrong row). Delete
+    * vectors apply as in every read. */
+  def prunedReadIn(spark: SparkSession, dir: String, column: String,
+                   values: Seq[Any], version: Option[Int] = None)
+      : DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    val keep = prunedFilesEq(spark, dir, v, column, values)
+    if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
+    else readFiles(spark, keep, delFilesOf(dir, v))
   }
 
   /** Manifest-level join pruning — static DPP one storage level up: ONE
@@ -1031,11 +1161,40 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_point_lookup — bloom file skipping under the oracle gate: the
+    * events table lands hash-scattered on `event_id` (every file spans
+    * the full id range, so min/max range stats are structurally useless
+    * for a point probe — asserted), [[writeBlooms]] indexes the files,
+    * and an IN-list lookup reads only the files whose blooms admit a
+    * probe. The in-query require pins that the bloom actually pruned;
+    * the hash match against a plain WHERE..IN oracle proves the skipping
+    * never lost a matching row. */
+  def qPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_")
+    val dir = tmp.toString
+    val v = commit(ev.repartition(8, col("event_id")), dir)
+    writeStats(spark, dir, v, Seq("event_id"))
+    writeBlooms(spark, dir, v, Seq("event_id"))
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val targets: Seq[Any] = Seq(123L, 456L, 789L)
+    val kept = prunedFilesEq(spark, dir, v, "event_id", targets)
+    require(kept.size < 8,
+      s"bloom pruned nothing: ${kept.size} of 8 files kept")
+    prunedReadIn(spark, dir, "event_id", targets, Some(v))
+      .filter(col("event_id").isin(targets: _*))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value_r"))
+      .orderBy(col("event_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
     "q_delete_vector" -> (qDeleteVector _),
-    "q_merge_lake" -> (qMergeLake _))
+    "q_merge_lake" -> (qMergeLake _),
+    "q_point_lookup" -> (qPointLookup _))
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" ->
@@ -1082,5 +1241,10 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |    AS sum_value
         |FROM merged
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT event_id, event_type, ROUND(value, 2) AS value_r
+        |FROM events
+        |WHERE event_id IN (123, 456, 789)
+        |ORDER BY event_id""".stripMargin)
 }
