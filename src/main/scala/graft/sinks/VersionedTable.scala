@@ -153,11 +153,15 @@ class VersionedTableOps(protected val io: TableIO) {
     * exactly what foreachBatch guarantees per query. */
   def commitOnce(df: DataFrame, dir: String, txnId: String,
                  append: Boolean = true): Int =
-    if (committedTxns(dir).contains(txnId)) {
-      versions(dir).reverse.find { v =>
-        io.readLines(manifestPath(dir, v)).contains(s"#txn=$txnId")
-      }.get
-    } else commit(df, dir, append, txnId = Some(txnId))
+    if (committedTxns(dir).contains(txnId)) versionOfTxn(dir, txnId)
+    else commit(df, dir, append, txnId = Some(txnId))
+
+  /** The version whose manifest carries `txnId` (latest if several — a
+    * compaction copies ledgers forward, so several manifests can). */
+  private def versionOfTxn(dir: String, txnId: String): Int =
+    versions(dir).reverse.find { v =>
+      io.readLines(manifestPath(dir, v)).contains(s"#txn=$txnId")
+    }.get
 
   /** Read a snapshot: the pinned `version`, or the head. The file list is
     * resolved HERE, once — the returned DataFrame keeps reading this exact
@@ -785,25 +789,64 @@ class VersionedTableOps(protected val io: TableIO) {
     * write-write conflict under serializable semantics), otherwise the
     * append rides through the retry untouched. Returns the new version. */
   def merge(spark: SparkSession, dir: String, source: DataFrame,
-            key: String): Int = {
+            key: String, txnId: Option[String] = None): Int =
+    applyChanges(spark, dir, source, source.limit(0).select(col(key)),
+      key, txnId)
+
+  /** CDC changelog apply — [[merge]] plus row deletes, in ONE commit: the
+    * change batch carries an op column (`"u"` upsert / `"d"` delete), and
+    * a file containing a deleted key is simply part of the rewrite set
+    * (its copy omits the row). Pair with an optional `txnId` and a
+    * foreachBatch loop ([[graft.streaming.MergeStream]]) and this is
+    * exactly-once streaming CDC into the lake table. A key may appear
+    * once in the batch (fold multi-change streams to last-change-per-key
+    * first — [[graft.analytics.Cdc]] semantics) and may not be both
+    * upserted and deleted. */
+  def mergeChanges(spark: SparkSession, dir: String, changes: DataFrame,
+                   key: String, opCol: String = "op",
+                   txnId: Option[String] = None): Int = {
+    val bad = changes.filter(!col(opCol).isin("u", "d")).limit(1).count()
+    require(bad == 0, s"op column '$opCol' must be 'u' or 'd'")
+    applyChanges(spark, dir,
+      changes.filter(col(opCol) === "u").drop(opCol),
+      changes.filter(col(opCol) === "d").select(col(key)),
+      key, txnId)
+  }
+
+  /** Core of [[merge]]/[[mergeChanges]]: upsert `upserts` and delete
+    * `deleteKeys` by `key`, rewriting ONLY the files that contain an
+    * affected key. With `txnId`, the commit is exactly-once: an already
+    * committed transaction returns its version without reading anything
+    * (the manifest ledger is the replay marker, as in [[commitOnce]]). */
+  def applyChanges(spark: SparkSession, dir: String, upserts: DataFrame,
+                   deleteKeys: DataFrame, key: String,
+                   txnId: Option[String] = None): Int = {
+    if (txnId.exists(committedTxns(dir).contains))
+      return versionOfTxn(dir, txnId.get)
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
     val filesAtStart = filesOf(dir, head)
     val delsAtStart = delFilesOf(dir, head)
 
-    val src = source.persist()
+    val src = upserts.persist()
+    val delK = deleteKeys.select(col(key)).persist()
     try {
       val dupes = src.groupBy(col(key)).count()
         .filter(col("count") > 1).limit(1).count()
       require(dupes == 0,
         s"source has duplicate '$key' values — a MERGE with a " +
           s"many-to-one match is ambiguous; dedupe the source first")
-      val srcKeys = src.select(col(key))
+      require(src.select(col(key)).join(delK, Seq(key), "left_semi")
+        .limit(1).count() == 0,
+        s"a '$key' value is both upserted and deleted in one batch — " +
+          s"fold the changelog to last-change-per-key first")
+      // every key the batch affects, for file-touching and row removal
+      val affectedKeys = src.select(col(key)).unionByName(delK)
 
       // phase 1 (free): manifest stats — files whose key range can't
-      // intersect the source's key range are out before any data is read
-      val r = src.agg(min(col(key)), max(col(key))).head()
+      // intersect the batch's key range are out before any data is read
+      val r = affectedKeys.agg(min(col(key)), max(col(key))).head()
       val candidates =
         if (r.isNullAt(0)) Seq.empty[String]
         else {
@@ -813,34 +856,41 @@ class VersionedTableOps(protected val io: TableIO) {
           }
         }
       // phase 2 (one scan of the candidates): actual membership — the
-      // distinct files a semi-join against the source keys names; bounded
-      // collect (≤ file count)
+      // distinct files a semi-join against the affected keys names;
+      // bounded collect (≤ file count)
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else taggedLive(spark, candidates, delsAtStart)
-          .join(srcKeys, Seq(key), "left_semi")
+          .join(affectedKeys, Seq(key), "left_semi")
           .select("__graft_file").distinct()
           .collect().map(_.getString(0)).toSeq
       val touchedSet = touched.toSet
 
-      // rewrite = surviving rows of touched files + the ENTIRE source
-      // (matched rows as updates, unmatched as inserts); a no-match merge
-      // rewrites nothing and lands the source as a plain new file, in the
-      // table's column order (schema-only read, no data scanned)
+      // rewrite = surviving rows of touched files (minus every affected
+      // key: updated rows are replaced, deleted rows just end here) + the
+      // upserts; a no-match batch rewrites nothing and lands the upserts
+      // as a plain new file, in the table's column order (schema-only
+      // read, no data scanned)
       val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
       val tableCols = spark.read.parquet(filesAtStart.head).columns
       val rewritten =
         if (touched.isEmpty) src.select(tableCols.map(col).toSeq: _*)
         else readFiles(spark, touched, delsAtStart)
-          .join(srcKeys, Seq(key), "left_anti")
+          .join(affectedKeys, Seq(key), "left_anti")
           .unionByName(src)
           .select(tableCols.map(col).toSeq: _*)
       // keep the table's file granularity: the rewrite replaces N files
       // with ~N (shuffle-free merge of read partitions), and a pure-insert
       // merge lands ONE file, not one per source partition
-      rewritten.coalesce(math.max(1, touched.size)).write.parquet(batchDir)
-      val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
-        .map(n => s"$batchDir/$n")
+      val hasRows = touched.nonEmpty || !src.isEmpty
+      val newFiles =
+        if (!hasRows) Seq.empty[String]
+        else {
+          rewritten.coalesce(math.max(1, touched.size))
+            .write.parquet(batchDir)
+          io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+            .map(n => s"$batchDir/$n")
+        }
 
       // vectors referencing kept files survive (their rows are still
       // dead); vectors for touched files were materialized by the rewrite
@@ -864,7 +914,8 @@ class VersionedTableOps(protected val io: TableIO) {
 
       val cols = statColsOf(dir, head)
       val newStats =
-        if (cols.isEmpty) Seq.empty else statsLines(spark, newFiles, cols)
+        if (cols.isEmpty || newFiles.isEmpty) Seq.empty
+        else statsLines(spark, newFiles, cols)
       var carried: Seq[String] = Seq.empty
       val v = publishOnHead(dir) { (h, base) =>
         if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
@@ -872,18 +923,19 @@ class VersionedTableOps(protected val io: TableIO) {
             "delete vectors changed during merge; re-run against the " +
               "new head")
         // serializable write-conflict validation: files appended since the
-        // merge's snapshot must not contain a source key — our rewrite
-        // was computed without them, so a hit would double the key
+        // merge's snapshot must not contain an affected key — our rewrite
+        // was computed without them, so a hit would double (or revive) it
         val appended = base.filterNot(filesAtStart.toSet)
         if (appended.nonEmpty &&
           spark.read.parquet(appended: _*).select(col(key))
-            .join(srcKeys, Seq(key), "left_semi").limit(1).count() > 0)
+            .join(affectedKeys, Seq(key), "left_semi").limit(1).count() > 0)
           throw new java.util.ConcurrentModificationException(
             "a concurrent append landed rows matching a merge source " +
               "key; re-run the merge against the new head")
         carried = carriedStats(dir, h, base)
           .filterNot(l => touchedSet.contains(l.takeWhile(_ != '\t')))
         h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
+          txnId.map(t => s"#txn=$t").toSeq ++
           Seq(s"#ts=${now()}") ++
           survivorDel.map(f => s"#del=$f") ++
           base.filterNot(touchedSet) ++ newFiles
@@ -891,7 +943,7 @@ class VersionedTableOps(protected val io: TableIO) {
       if (cols.nonEmpty)
         io.writeLines(statsPath(dir, v), carried ++ newStats)
       v
-    } finally src.unpersist()
+    } finally { src.unpersist(); delK.unpersist() }
   }
 
   /** Incremental read: exactly the rows appended between `fromVersion`
@@ -1189,12 +1241,51 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_id"))
   }
 
+  /** q_cdc_merge — changelog apply under the oracle gate: one
+    * [[mergeChanges]] commit carries updates (every id ending in 5,
+    * value + 1000), inserts (ids ending in 1, re-keyed past the max) and
+    * DELETES (ids ending in 0) against the clustered events landing, and
+    * is then REPLAYED under the same transaction id — the require pins
+    * that the replay returns the committed version without publishing.
+    * The oracle computes the final state as a CTE (CASE for the update,
+    * anti-filter for the delete, union for the insert): a hash match
+    * proves upsert+delete-in-one-commit semantics and replay idempotence
+    * in the same breath. */
+  def qCdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdcmerge_")
+    val dir = tmp.toString
+    commitClustered(ev, dir, zCols = Seq("event_id"),
+      statCols = Seq("event_id"), numFiles = 8)
+    val changes = ev.filter(col("event_id") % 10 === 5)
+      .withColumn("value", col("value") + 1000.0)
+      .withColumn("op", lit("u"))
+      .unionByName(ev.filter(col("event_id") % 10 === 1)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("op", lit("u")))
+      .unionByName(ev.filter(col("event_id") % 10 === 0)
+        .withColumn("op", lit("d")))
+    val v1 = mergeChanges(spark, dir, changes, "event_id",
+      txnId = Some("cdc:0"))
+    val v2 = mergeChanges(spark, dir, changes, "event_id",
+      txnId = Some("cdc:0"))
+    require(v1 == v2, s"replayed txn re-published: $v1 vs $v2")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
     "q_delete_vector" -> (qDeleteVector _),
     "q_merge_lake" -> (qMergeLake _),
-    "q_point_lookup" -> (qPointLookup _))
+    "q_point_lookup" -> (qPointLookup _),
+    "q_cdc_merge" -> (qCdcMerge _))
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" ->
@@ -1246,5 +1337,21 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       """SELECT event_id, event_type, ROUND(value, 2) AS value_r
         |FROM events
         |WHERE event_id IN (123, 456, 789)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q_cdc_merge" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 10 = 5 THEN value + 1000.0 ELSE value END
+        |      AS value
+        |  FROM events WHERE event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000 AS event_id, event_type, value
+        |  FROM events WHERE event_id % 10 = 1
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM final
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }
