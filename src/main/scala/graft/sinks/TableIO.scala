@@ -45,6 +45,12 @@ trait TableIO {
 
   /** Size in bytes (for compaction bin-packing). */
   def size(path: String): Long
+
+  /** Is `path` a directory? (false for files and missing paths) */
+  def isDir(path: String): Boolean
+
+  /** Last-modified epoch millis (for vacuum grace periods); 0 if missing. */
+  def mtime(path: String): Long
 }
 
 object TableIO {
@@ -95,6 +101,14 @@ class LocalTableIO extends TableIO {
     Files.deleteIfExists(Paths.get(path))
 
   override def size(path: String): Long = Files.size(Paths.get(path))
+
+  override def isDir(path: String): Boolean =
+    Files.isDirectory(Paths.get(path))
+
+  override def mtime(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L else Files.getLastModifiedTime(p).toMillis
+  }
 }
 
 /** Hadoop `FileSystem` backend — the one a real landing uses (HDFS, ABFS,
@@ -166,5 +180,17 @@ class HadoopTableIO(conf: Configuration) extends TableIO {
 
   override def size(path: String): Long = {
     val p = new HPath(path); fs(p).getFileStatus(p).getLen
+  }
+
+  override def isDir(path: String): Boolean = {
+    val p = new HPath(path)
+    val f = fs(p)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+
+  override def mtime(path: String): Long = {
+    val p = new HPath(path)
+    val f = fs(p)
+    if (!f.exists(p)) 0L else f.getFileStatus(p).getModificationTime
   }
 }

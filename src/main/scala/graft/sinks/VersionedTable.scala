@@ -1000,6 +1000,128 @@ class VersionedTableOps(protected val io: TableIO) {
     }.toDF("version", "ts_millis", "n_files", "n_delete_files", "txn_id")
   }
 
+  // ---- write-audit-publish (zero-copy promotion) and vacuum ----
+
+  /** Zero-copy snapshot promotion — the publish half of write-audit-
+    * publish: a staging table lands and is AUDITED in isolation (profile
+    * gate, row counts, dedup checks — none of it visible to production
+    * readers), then its head is promoted into `toDir` by publishing its
+    * FILE LIST (and delete vectors) as a new version there. No byte is
+    * copied or moved: files are immutable and path-addressed, so two
+    * manifests may reference them — promotion costs one manifest write no
+    * matter how many terabytes passed the audit.
+    *
+    * `append = false` makes the staged snapshot `toDir`'s whole content
+    * (the classic WAP replace); `append = true` adds the staged files to
+    * `toDir`'s head. Stats lines ride along, so pruning works in the
+    * promoted table immediately.
+    *
+    * Ownership contract (enforced loudly, not by convention): after
+    * promotion the PROMOTED-TO table owns the shared files' lifecycle.
+    * The staging head is stamped `#promoted=`, which makes [[expire]] on
+    * the staging table REFUSE (its GC would delete files production now
+    * reads); the staging side is ended with [[retire]], which drops its
+    * manifests without touching data. Schema equality is validated when
+    * appending (a promotion is not a schema migration). */
+  def promote(spark: SparkSession, fromDir: String, toDir: String,
+              append: Boolean = true, version: Option[Int] = None): Int = {
+    val fromVs = versions(fromDir)
+    require(fromVs.nonEmpty, s"no committed version at $fromDir")
+    val fv = version.getOrElse(fromVs.last)
+    require(fromVs.contains(fv), s"version $fv not in $fromVs")
+    val fromFiles = filesOf(fromDir, fv)
+    val fromDels = delLinesOf(fromDir, Some(fv))
+    val fromStats = {
+      val p = statsPath(fromDir, fv)
+      if (io.exists(p)) io.readLines(p) else Seq.empty
+    }
+    val toExists = versions(toDir).nonEmpty
+    if (toExists && append) {
+      val a = spark.read.parquet(filesOf(toDir, versions(toDir).last).head)
+        .columns.toSet
+      val b = spark.read.parquet(fromFiles.head).columns.toSet
+      require(a == b,
+        s"schema mismatch promoting into $toDir: ${a.diff(b)} vs ${b.diff(a)}")
+    }
+    val v =
+      if (append && toExists) {
+        var carried: Seq[String] = Seq.empty
+        val v0 = publishOnHead(toDir) { (h, base) =>
+          carried = carriedStats(toDir, h, base)
+          Seq(s"#ts=${now()}") ++ delLinesOf(toDir, h) ++ fromDels ++
+            base ++ fromFiles
+        }
+        if ((carried ++ fromStats).nonEmpty)
+          io.writeLines(statsPath(toDir, v0), carried ++ fromStats)
+        v0
+      } else {
+        val v0 = publish(toDir, versions(toDir).lastOption.getOrElse(0) + 1,
+          Seq(s"#ts=${now()}") ++ fromDels ++ fromFiles)
+        if (fromStats.nonEmpty)
+          io.writeLines(statsPath(toDir, v0), fromStats)
+        v0
+      }
+    // stamp the staging head: its files now belong to toDir's lifecycle —
+    // expire() refuses on this marker, retire() is the exit
+    publish(fromDir, fromVs.last + 1,
+      Seq(s"#promoted=$toDir", s"#ts=${now()}") ++
+        delLinesOf(fromDir, Some(fv)) ++ fromFiles)
+    v
+  }
+
+  /** End a promoted staging table: drop ALL its manifests and stats,
+    * leaving data files in place (the promoted-to table references them;
+    * its own [[expire]] governs their lifetime from here). A `RETIRED`
+    * tombstone blocks [[vacuumOrphans]] from ever treating the now
+    * manifest-less directory as all-orphan. */
+  def retire(dir: String): Unit = {
+    val vs = versions(dir)
+    io.mkdirs(dir)
+    io.writeLines(s"$dir/RETIRED", Seq(s"#ts=${now()}"))
+    vs.foreach { v =>
+      io.delete(manifestPath(dir, v))
+      io.delete(statsPath(dir, v))
+    }
+  }
+
+  /** Delete data/vector files referenced by NO manifest — the debris a
+    * crashed writer leaves (batch written, publish never reached; an
+    * aborted merge/compact rewrite; an OCC loser that died mid-retry).
+    * Commits are crash-safe BECAUSE unpublished files are simply garbage;
+    * this is the sweeper that reclaims them. Only batch directories whose
+    * entire tree is older than `graceMs` are removed — an in-flight
+    * commit's files are always younger than the grace window. Refuses on
+    * retired tables (no manifests ≠ no owners: the promoted-to table
+    * holds the references). Returns the number of directories removed. */
+  def vacuumOrphans(dir: String, graceMs: Long = 3600000L): Int = {
+    require(!io.exists(s"$dir/RETIRED"),
+      s"$dir is retired: its files belong to the table it was promoted " +
+        s"into; vacuuming here would delete production data")
+    val referencedDirs = versions(dir).flatMap { v =>
+      (filesOf(dir, v) ++ delFilesOf(dir, v))
+        .map(f => f.take(f.lastIndexOf('/')))
+    }.toSet
+    val cutoff = now() - graceMs
+    var removed = 0
+    Seq(s"$dir/data", s"$dir/deletes").foreach { area =>
+      io.list(area).map(n => s"$area/$n")
+        .filter(d => io.isDir(d) && !referencedDirs.contains(d))
+        .filter(d => newestMtime(d) < cutoff)
+        .foreach { d => deleteTree(d); removed += 1 }
+    }
+    removed
+  }
+
+  private def newestMtime(path: String): Long =
+    if (!io.isDir(path)) io.mtime(path)
+    else (io.mtime(path) +: io.list(path).map(n => newestMtime(s"$path/$n")))
+      .max
+
+  private def deleteTree(path: String): Unit = {
+    if (io.isDir(path)) io.list(path).foreach(n => deleteTree(s"$path/$n"))
+    io.delete(path)
+  }
+
   /** Expire history: drop all but the newest `keepLast` manifests and
     * delete data files no RETAINED manifest references — the orthogonal
     * GC pass every manifest-log format pairs with commits (commits never
@@ -1023,6 +1145,11 @@ class VersionedTableOps(protected val io: TableIO) {
         s"$txnReplayHorizon: expiring that deep forgets txn ids a replay " +
         s"could redeliver, breaking exactly-once")
     val vs = versions(dir)
+    require(!vs.lastOption.exists(v =>
+      metaOf(dir, v).exists(_.startsWith("#promoted="))),
+      s"$dir's head is promoted: its files belong to the promoted-to " +
+        s"table now — expiring here would GC files production reads; " +
+        s"use retire() instead")
     val (dead, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
     // delete-vector files are referenced files like any other: live while
     // any retained manifest lists them, GC'd when none does (a compaction
@@ -1279,13 +1406,43 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_wap_promote — write-audit-publish under the oracle gate: the
+    * events table lands in a STAGING table, the audit rejects outliers
+    * merge-on-read (deleteWhere, a stand-in for any quality gate), and
+    * the audited snapshot is promoted into the production table by
+    * manifest reference — the in-query require pins that production's
+    * data area holds ZERO files (nothing was copied), and staging is
+    * retired. The oracle inlines the audit predicate — a hash match
+    * proves the promoted manifest captures exactly the audited snapshot,
+    * delete vectors included. */
+  def qWapPromote(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wap_")
+    val staging = s"$tmp/staging"
+    val prod = s"$tmp/prod"
+    commit(ev, staging)
+    deleteWhere(spark, staging, col("value") > 400.0) // the audit
+    promote(spark, staging, prod, append = false)
+    retire(staging)
+    require(io.list(s"$prod/data").isEmpty,
+      "promotion copied data files; it must be manifest-only")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, prod)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
     "q_delete_vector" -> (qDeleteVector _),
     "q_merge_lake" -> (qMergeLake _),
     "q_point_lookup" -> (qPointLookup _),
-    "q_cdc_merge" -> (qCdcMerge _))
+    "q_cdc_merge" -> (qCdcMerge _),
+    "q_wap_promote" -> (qWapPromote _))
 
   val oracles: Map[String, String] = Map(
     "q_time_travel" ->
@@ -1352,6 +1509,14 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
         |FROM final
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_wap_promote" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE NOT (value > 400.0)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
 }

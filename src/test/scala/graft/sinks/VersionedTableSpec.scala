@@ -18,6 +18,8 @@ class ForwardingTableIO(inner: TableIO) extends TableIO {
     inner.createExclusive(path, lines)
   override def delete(path: String): Unit = inner.delete(path)
   override def size(path: String): Long = inner.size(path)
+  override def isDir(path: String): Boolean = inner.isDir(path)
+  override def mtime(path: String): Long = inner.mtime(path)
 }
 
 /** The manifest-log protocol, asserted once and run against EVERY
