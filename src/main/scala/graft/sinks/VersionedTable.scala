@@ -1122,6 +1122,59 @@ class VersionedTableOps(protected val io: TableIO) {
     io.delete(path)
   }
 
+  /** The snapshot's file inventory as data — the `table$files` metadata
+    * view every maintenance decision reads (compaction targets, skew in
+    * file sizes, delete-vector debt per file). One row per data file:
+    * path, bytes, and how many of its rows the snapshot's vectors have
+    * erased. Cost: the manifest read plus a scan of the (tiny) vectors —
+    * no data file is opened. */
+  def filesMeta(spark: SparkSession, dir: String,
+                version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    val files = filesOf(dir, v).map(f => (f, io.size(f))).toDF("file", "size_bytes")
+    val dels = delFilesOf(dir, v)
+    if (dels.isEmpty) files.withColumn("n_deleted", lit(0L))
+    else files.join(
+      spark.read.parquet(dels: _*).groupBy(col("file_path"))
+        .agg(count(lit(1)).as("n_deleted")),
+      files("file") === col("file_path"), "left")
+      .drop("file_path")
+      .withColumn("n_deleted", coalesce(col("n_deleted"), lit(0L)))
+  }
+
+  /** The stats sidecar as data — one row per (file, column) bound the
+    * pruning layers consult, plus whether a bloom filter covers it. */
+  def fileStatsMeta(spark: SparkSession, dir: String,
+                    version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    val p = statsPath(dir, v)
+    val lines = if (io.exists(p)) io.readLines(p) else Seq.empty
+    val parsed = lines.map(_.split('\t').toSeq).collect {
+      case Seq(f, c, tag, lo, hi) => (f, c, tag, lo, hi)
+    }
+    val blooms = parsed.collect { case (f, c, "bloom", _, _) => (f, c) }.toSet
+    val ranged = parsed.filterNot(t => t._3 == "bloom")
+      .map { case (f, c, tag, lo, hi) =>
+        (f, c, tag,
+          Option(if (tag == "str") StatValue.decodeStr(lo) else lo),
+          Option(if (tag == "str") StatValue.decodeStr(hi) else hi),
+          blooms.contains((f, c)))
+      }
+    // a bloom-only (file, column) still has a row: coverage is the point
+    val bloomOnly = (blooms -- ranged.map(t => (t._1, t._2)).toSet).toSeq
+      .map { case (f, c) =>
+        (f, c, "bloom", Option.empty[String], Option.empty[String], true)
+      }
+    (ranged ++ bloomOnly)
+      .toDF("file", "column", "tag", "min", "max", "has_bloom")
+  }
+
   /** Expire history: drop all but the newest `keepLast` manifests and
     * delete data files no RETAINED manifest references — the orthogonal
     * GC pass every manifest-log format pairs with commits (commits never
