@@ -77,6 +77,46 @@ class VersionedTableOps(protected val io: TableIO) {
   private def delLinesOf(dir: String, version: Option[Int]): Seq[String] =
     version.toSeq.flatMap(v => delFilesOf(dir, v).map(f => s"#del=$f"))
 
+  /** Equality-delete entries of a version (`#eqdel=<seq>\t<col>\t<path>`
+    * manifest lines): merge-on-read delete-by-key; see [[deleteByKeys]].
+    * `seq` is the version the delete landed at — it scopes applicability
+    * to files already in the table then (Iceberg v2 sequence-number
+    * semantics: a key re-inserted AFTER the delete survives). */
+  private[sinks] def eqDelsOf(dir: String,
+                              version: Int): Seq[(Int, String, String)] =
+    io.readLines(manifestPath(dir, version)).collect {
+      case l if l.startsWith("#eqdel=") =>
+        val Array(s, c, p) = l.drop(7).split('\t')
+        (s.toInt, c, p)
+    }
+
+  private def eqDelLinesOf(dir: String, version: Option[Int]): Seq[String] =
+    version.toSeq.flatMap(v => eqDelsOf(dir, v).map {
+      case (s, c, p) => s"#eqdel=$s\t$c\t$p"
+    })
+
+  /** First retained version listing each of `files` — the applicability
+    * boundary for equality deletes (a file is subject to a delete iff it
+    * entered the table BEFORE the delete landed). Exact as long as no
+    * manifest older than an unmaterialized equality delete has been
+    * expired, which [[expire]] enforces loudly; a production-scale table
+    * would carry the add-version per file in the manifest instead of
+    * re-deriving it, but the metadata-only walk here is O(versions)
+    * driver-side reads, never a data scan. */
+  private def addedAtOf(dir: String,
+                        files: Seq[String]): Map[String, Int] = {
+    val want = files.toSet
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    val it = versions(dir).iterator
+    while (it.hasNext && out.size < want.size) {
+      val v = it.next()
+      filesOf(dir, v).foreach { f =>
+        if (want.contains(f) && !out.contains(f)) out(f) = v
+      }
+    }
+    out.toMap
+  }
+
   /** Transaction ids carried by committed manifests — the replay ledger
     * for [[commitOnce]]. */
   def committedTxns(dir: String): Set[String] =
@@ -138,7 +178,7 @@ class VersionedTableOps(protected val io: TableIO) {
     // carried files); a logical overwrite starts clean — none of its files
     // existed when any prior delete was computed
     if (append) publishOnHead(dir)((h, base) =>
-      meta ++ delLinesOf(dir, h) ++ base ++ newFiles)
+      meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++ base ++ newFiles)
     else publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
       meta ++ newFiles)
   }
@@ -174,7 +214,7 @@ class VersionedTableOps(protected val io: TableIO) {
     require(vs.nonEmpty, s"no committed version at $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    readFiles(spark, filesOf(dir, v), delFilesOf(dir, v))
+    readLive(spark, dir, v, filesOf(dir, v))
   }
 
   /** `file:` URIs (as `_metadata.file_path` reports them) normalized to the
@@ -212,6 +252,37 @@ class VersionedTableOps(protected val io: TableIO) {
                         dels: Seq[String]): DataFrame =
     if (dels.isEmpty) spark.read.parquet(files: _*)
     else taggedLive(spark, files, dels).drop("__graft_file", "__graft_pos")
+
+  /** Scan of `files` with the version's FULL row-erasure state applied:
+    * positional vectors anti-joined on (file, pos), then every equality
+    * delete that APPLIES to a file (file entered the table before the
+    * delete landed — seq scoping) anti-joined on its key column. Files
+    * are grouped by their applicable-delete set so each distinct "era"
+    * costs one scan leg; the delete sides are tiny and broadcast. A
+    * snapshot without equality deletes pays nothing here, and [[compact]]
+    * materializes them away — read cost grows with eras only between
+    * maintenance passes. Null-key semantics: a null in the delete file
+    * erases null-key rows (null-safe equality), matching the delete-by-key
+    * contract rather than SQL join semantics. */
+  private def readLive(spark: SparkSession, dir: String, version: Int,
+                       files: Seq[String]): DataFrame = {
+    val dels = delFilesOf(dir, version)
+    val eqs = eqDelsOf(dir, version)
+    if (eqs.isEmpty || files.isEmpty) readFiles(spark, files, dels)
+    else {
+      val added = addedAtOf(dir, files)
+      val groups = files.groupBy(f =>
+        eqs.filter { case (s, _, _) => added.getOrElse(f, 0) < s })
+      groups.toSeq.sortBy(_._2.head).map { case (applicable, fs) =>
+        val base = readFiles(spark, fs, dels)
+        applicable.groupBy(_._2).toSeq.sortBy(_._1)
+          .foldLeft(base) { case (acc, (c, ds)) =>
+            val keys = spark.read.parquet(ds.map(_._3): _*)
+            acc.join(keys, acc(c) <=> keys(c), "left_anti")
+          }
+      }.reduce(_ unionByName _)
+    }
+  }
 
   /** Merge-on-read row deletes — `DELETE FROM table WHERE predicate`
     * without rewriting a single data file, which at 100 TB is the
@@ -271,10 +342,61 @@ class VersionedTableOps(protected val io: TableIO) {
             s"the head (concurrent compaction/overwrite rewrote them); " +
             s"re-run deleteWhere against the new head")
       carried = carriedStats(dir, h, base)
-      Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++
+      Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
         newDel.map(f => s"#del=$f") ++ base
     }
     // delete vectors never move min/max: stats stay a superset guarantee
+    if (carried.nonEmpty) io.writeLines(statsPath(dir, v), carried)
+    v
+  }
+
+  /** Merge-on-read delete-BY-KEY — `DELETE FROM table WHERE key IN
+    * (keys)` as an O(|keys|) commit with ZERO data scanned: the keys land
+    * as an equality-delete file under `deletes/`, and readers anti-join
+    * them against every data file that was already in the table when the
+    * delete landed. That scoping (Iceberg v2 sequence numbers, carried
+    * here as the landing version in the `#eqdel=` manifest line) is the
+    * correctness half of the operator: a key legitimately RE-INSERTED
+    * after the delete is a new row and survives — an unscoped filter
+    * would silently swallow it forever.
+    *
+    * vs the siblings: [[deleteWhere]] scans the table to resolve
+    * arbitrary predicates to positions; [[merge]]/[[mergeChanges]]
+    * rewrite the affected files copy-on-write. This is the cheapest of
+    * the three — the GDPR-erasure / retraction-feed shape, where the
+    * keys are known and the table is 100 TB — at the price of a per-era
+    * anti-join at read time until [[compact]] materializes it.
+    *
+    * Normalization contract (enforced loudly elsewhere): MERGE,
+    * incremental reads, promotion, and history expiration refuse while
+    * unmaterialized equality deletes are present — run [[compact]] to
+    * fold them into the data files first. Keys are deduplicated; a null
+    * key erases null-key rows. Returns the new version (head unchanged
+    * when `keys` is empty). */
+  def deleteByKeys(spark: SparkSession, dir: String, keyCol: String,
+                   keys: DataFrame): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val delDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
+    keys.select(col(keyCol)).distinct().coalesce(1).write.parquet(delDir)
+    val out = io.list(delDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$delDir/$n")
+    if (out.isEmpty || spark.read.parquet(out: _*).isEmpty) {
+      io.list(delDir).foreach(n => io.delete(s"$delDir/$n"))
+      io.delete(delDir)
+      return vs.last
+    }
+    var carried: Seq[String] = Seq.empty
+    val v = publishOnHead(dir) { (h, base) =>
+      carried = carriedStats(dir, h, base)
+      // seq = the version being published: the delete applies to exactly
+      // the files in `base` (all added at ≤ head < seq), never to later
+      // appends — re-resolved per OCC retry like every head derivation
+      val seq = h.getOrElse(0) + 1
+      Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
+        out.map(f => s"#eqdel=$seq\t$keyCol\t$f") ++ base
+    }
+    // key erasure never moves a file's min/max: superset guarantee holds
     if (carried.nonEmpty) io.writeLines(statsPath(dir, v), carried)
     v
   }
@@ -285,6 +407,7 @@ class VersionedTableOps(protected val io: TableIO) {
   def rollback(dir: String, toVersion: Int): Int =
     publish(dir, versions(dir).last + 1,
       s"#ts=${now()}" +: (delLinesOf(dir, Some(toVersion)) ++
+        eqDelLinesOf(dir, Some(toVersion)) ++
         filesOf(dir, toVersion)))
 
   /** Commit wall-clock of a version (absent on manifests published by a
@@ -410,7 +533,8 @@ class VersionedTableOps(protected val io: TableIO) {
       var carried: Seq[String] = Seq.empty
       val v = publishOnHead(dir) { (head, base) =>
         carried = carriedStats(dir, head, base)
-        s"#ts=${now()}" +: (delLinesOf(dir, head) ++ base ++ newFiles)
+        s"#ts=${now()}" +: (delLinesOf(dir, head) ++
+          eqDelLinesOf(dir, head) ++ base ++ newFiles)
       }
       io.writeLines(statsPath(dir, v), carried ++ newStats)
       v
@@ -487,7 +611,7 @@ class VersionedTableOps(protected val io: TableIO) {
     if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
     // the full delete set is applied — vectors for pruned files simply
     // match nothing (anti-join keys are file paths)
-    else readFiles(spark, keep, delFilesOf(dir, v))
+    else readLive(spark, dir, v, keep)
   }
 
   /** Files `prunedRead` would scan — exposed so specs (and operators) can
@@ -514,7 +638,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val v = version.getOrElse(vs.last)
     val keep = prunedFilesAll(dir, v, predicates)
     if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
-    else readFiles(spark, keep, delFilesOf(dir, v))
+    else readLive(spark, dir, v, keep)
   }
 
   private[graft] def prunedFilesAll(dir: String, version: Int,
@@ -639,7 +763,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val v = version.getOrElse(vs.last)
     val keep = prunedFilesEq(spark, dir, v, column, values)
     if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
-    else readFiles(spark, keep, delFilesOf(dir, v))
+    else readLive(spark, dir, v, keep)
   }
 
   /** Manifest-level join pruning — static DPP one storage level up: ONE
@@ -703,13 +827,17 @@ class VersionedTableOps(protected val io: TableIO) {
     if (small.size < minInputFiles) return head
     val smallSet = small.toSet
     val delsAtStart = delFilesOf(dir, head)
+    val eqsAtStart = eqDelsOf(dir, head)
     val numOut = math.max(1,
       math.ceil(small.map(io.size).sum.toDouble / targetBytes).toInt)
     val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
-    // the rewrite MATERIALIZES delete vectors for the files it touches
-    // (positions don't transfer to rewritten files, so carrying them would
-    // be wrong); vectors for kept files are consolidated below
-    readFiles(spark, small, delsAtStart).coalesce(numOut)
+    // the rewrite MATERIALIZES every delete for the files it touches —
+    // positional vectors (positions don't transfer to rewritten files) AND
+    // applicable equality deletes (the rewritten files get a NEW add
+    // version, past every existing delete's seq, so carrying the lines
+    // for them would silently stop applying); deletes for kept files are
+    // consolidated/carried below
+    readLive(spark, dir, head, small).coalesce(numOut)
       .write.parquet(batchDir)
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
@@ -749,14 +877,27 @@ class VersionedTableOps(protected val io: TableIO) {
         throw new java.util.ConcurrentModificationException(
           "delete vectors changed during compaction; re-run compact " +
             "against the new head")
+      if (h.toSeq.flatMap(eqDelsOf(dir, _)).toSet != eqsAtStart.toSet)
+        throw new java.util.ConcurrentModificationException(
+          "equality deletes changed during compaction; re-run compact " +
+            "against the new head")
       carried = carriedStats(dir, h, base)
         .filterNot(l => smallSet.contains(l.takeWhile(_ != '\t')))
+      // equality deletes were materialized into the rewrite; a line
+      // survives only while it still APPLIES to a kept file (otherwise
+      // it would linger forever and keep expire refusing)
+      val kept = base.filterNot(smallSet)
+      val keptAdded = addedAtOf(dir, kept)
+      val liveEq = eqsAtStart.filter { case (s, _, _) =>
+        kept.exists(f => keptAdded.getOrElse(f, 0) < s)
+      }
       // carry the head's txn ledger forward but stamp our OWN wall clock —
       // the compacted snapshot is a new commit, not a re-dating of the old
       h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
         Seq(s"#ts=${now()}") ++
         survivorDel.map(f => s"#del=$f") ++
-        base.filterNot(smallSet) ++ newFiles
+        liveEq.map { case (s, c, p) => s"#eqdel=$s\t$c\t$p" } ++
+        kept ++ newFiles
     }
     if (cols.nonEmpty)
       io.writeLines(statsPath(dir, v), carried ++ newStats)
@@ -828,6 +969,12 @@ class VersionedTableOps(protected val io: TableIO) {
     val head = vs.last
     val filesAtStart = filesOf(dir, head)
     val delsAtStart = delFilesOf(dir, head)
+    // the rewrite's candidate selection and survivor logic reason about
+    // per-file row liveness; layering era-scoped equality deletes under
+    // that would be easy to get silently wrong — normalize first instead
+    require(eqDelsOf(dir, head).isEmpty,
+      s"$dir carries unmaterialized equality deletes; run compact() to " +
+        s"fold them into the data files before MERGE")
 
     val src = upserts.persist()
     val delK = deleteKeys.select(col(key)).persist()
@@ -922,6 +1069,10 @@ class VersionedTableOps(protected val io: TableIO) {
           throw new java.util.ConcurrentModificationException(
             "delete vectors changed during merge; re-run against the " +
               "new head")
+        if (h.toSeq.flatMap(eqDelsOf(dir, _)).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            "an equality delete landed during merge; compact, then " +
+              "re-run against the new head")
         // serializable write-conflict validation: files appended since the
         // merge's snapshot must not contain an affected key — our rewrite
         // was computed without them, so a hit would double (or revive) it
@@ -973,6 +1124,11 @@ class VersionedTableOps(protected val io: TableIO) {
     require(delFilesOf(dir, fromVersion).toSet ==
       delFilesOf(dir, toVersion).toSet,
       s"delete vectors changed between v$fromVersion and v$toVersion — " +
+        s"rows were REMOVED, not just appended; incremental reads are only " +
+        s"sound over pure appends (fall back to a snapshot diff)")
+    require(eqDelsOf(dir, fromVersion).toSet ==
+      eqDelsOf(dir, toVersion).toSet,
+      s"equality deletes changed between v$fromVersion and v$toVersion — " +
         s"rows were REMOVED, not just appended; incremental reads are only " +
         s"sound over pure appends (fall back to a snapshot diff)")
     // deletes present at fromVersion reference files of fromVersion only,
@@ -1029,6 +1185,11 @@ class VersionedTableOps(protected val io: TableIO) {
     require(fromVs.nonEmpty, s"no committed version at $fromDir")
     val fv = version.getOrElse(fromVs.last)
     require(fromVs.contains(fv), s"version $fv not in $fromVs")
+    // equality-delete seq numbers are PER-TABLE version numbers — they
+    // don't transfer across manifest logs; normalize staging first
+    require(eqDelsOf(fromDir, fv).isEmpty,
+      s"$fromDir carries unmaterialized equality deletes; run compact() " +
+        s"on staging before promoting (seq scoping does not transfer)")
     val fromFiles = filesOf(fromDir, fv)
     val fromDels = delLinesOf(fromDir, Some(fv))
     val fromStats = {
@@ -1048,7 +1209,8 @@ class VersionedTableOps(protected val io: TableIO) {
         var carried: Seq[String] = Seq.empty
         val v0 = publishOnHead(toDir) { (h, base) =>
           carried = carriedStats(toDir, h, base)
-          Seq(s"#ts=${now()}") ++ delLinesOf(toDir, h) ++ fromDels ++
+          Seq(s"#ts=${now()}") ++ delLinesOf(toDir, h) ++
+            eqDelLinesOf(toDir, h) ++ fromDels ++
             base ++ fromFiles
         }
         if ((carried ++ fromStats).nonEmpty)
@@ -1098,7 +1260,7 @@ class VersionedTableOps(protected val io: TableIO) {
       s"$dir is retired: its files belong to the table it was promoted " +
         s"into; vacuuming here would delete production data")
     val referencedDirs = versions(dir).flatMap { v =>
-      (filesOf(dir, v) ++ delFilesOf(dir, v))
+      (filesOf(dir, v) ++ delFilesOf(dir, v) ++ eqDelsOf(dir, v).map(_._3))
         .map(f => f.take(f.lastIndexOf('/')))
     }.toSet
     val cutoff = now() - graceMs
@@ -1204,13 +1366,25 @@ class VersionedTableOps(protected val io: TableIO) {
         s"table now — expiring here would GC files production reads; " +
         s"use retire() instead")
     val (dead, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
-    // delete-vector files are referenced files like any other: live while
-    // any retained manifest lists them, GC'd when none does (a compaction
-    // that materialized them orphans the old vectors here)
+    // equality-delete applicability is scoped by FIRST-APPEARANCE version
+    // (addedAtOf) — dropping manifests older than an unmaterialized delete
+    // would shift that inference forward and silently stop the delete
+    // applying in retained pinned reads; materialize first, then expire
+    require(dead.isEmpty ||
+      kept.forall(v => eqDelsOf(dir, v).isEmpty),
+      s"retained history of $dir carries unmaterialized equality " +
+        s"deletes; run compact() to fold them into the data files before " +
+        s"expiring (their file scoping is derived from manifest history)")
+    // delete files (positional vectors AND equality-delete key files) are
+    // referenced files like any other: live while any retained manifest
+    // lists them, GC'd when none does (a compaction that materialized
+    // them orphans the old ones here)
     val liveFiles = kept.flatMap(v =>
-      filesOf(dir, v) ++ delFilesOf(dir, v)).toSet
+      filesOf(dir, v) ++ delFilesOf(dir, v) ++
+        eqDelsOf(dir, v).map(_._3)).toSet
     val deadFiles = dead.flatMap(v =>
-      filesOf(dir, v) ++ delFilesOf(dir, v)).toSet -- liveFiles
+      filesOf(dir, v) ++ delFilesOf(dir, v) ++
+        eqDelsOf(dir, v).map(_._3)).toSet -- liveFiles
     // manifests first: a crash mid-expire must never leave a manifest
     // pointing at deleted files
     dead.foreach { v =>
@@ -1364,6 +1538,50 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_eq_delete — equality deletes under the oracle gate: the events
+    * table lands across two appends, one [[deleteByKeys]] commit retracts
+    * every `event_id` divisible by 9 with ZERO data scanned, and a THIRD
+    * append then re-inserts the deleted rows for one event type — the
+    * seq-scoping test: the delete landed before them, so they must
+    * survive (an unscoped key filter would swallow them). The query
+    * aggregates the head after [[compact]] materialized the delete, so
+    * the hash match proves the era-scoped read AND the materializing
+    * rewrite produce the same rows; in-query requires pin that the
+    * delete commit wrote no data file and that compaction cleared the
+    * equality-delete lines (expire would refuse otherwise). */
+  def qEqDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eqdel_")
+    val dir = tmp.toString
+    commit(ev.filter(col("event_id") % 2 === 0), dir)
+    commit(ev.filter(col("event_id") % 2 === 1), dir)
+    val dataDirsBefore = io.list(s"$dir/data").size
+    val vDel = deleteByKeys(spark, dir, "event_id",
+      ev.filter(col("event_id") % 9 === 0).select(col("event_id")))
+    require(io.list(s"$dir/data").size == dataDirsBefore,
+      "deleteByKeys wrote a data file; it must land keys only")
+    // re-insert the deleted rows for ONE type: added after the delete →
+    // must survive the era-scoped read
+    commit(ev.filter(col("event_id") % 9 === 0 &&
+      col("event_type") === "click"), dir)
+    val eraRead = read(spark, dir)
+    val vC = compact(spark, dir, targetBytes = 1L << 30)
+    require(eqDelsOf(dir, vC).isEmpty,
+      "compact left unmaterialized equality-delete lines behind")
+    require(read(spark, dir, Some(vC)).count() == eraRead.count(),
+      "materializing compaction changed the live row count")
+    require(read(spark, dir, Some(vDel))
+      .filter(col("event_id") % 9 === 0).count() == 0,
+      "pinned post-delete snapshot still shows deleted keys")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, dir, Some(vC))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_merge_lake — MERGE under the oracle gate: the events table lands
     * clustered on `event_id` (so candidate files come from manifest
     * stats), then one [[merge]] applies a CDC-shaped source — every 10th
@@ -1492,6 +1710,7 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
     "q_delete_vector" -> (qDeleteVector _),
+    "q_eq_delete" -> (qEqDelete _),
     "q_merge_lake" -> (qMergeLake _),
     "q_point_lookup" -> (qPointLookup _),
     "q_cdc_merge" -> (qCdcMerge _),
@@ -1522,6 +1741,20 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |    AS sum_value
         |FROM events
         |WHERE NOT (event_id % 7 = 3) AND NOT (value > 90.0)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_eq_delete" ->
+      """WITH final AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE NOT (event_id % 9 = 0)
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 9 = 0 AND event_type = 'click'
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM final
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q_merge_lake" ->

@@ -1,0 +1,155 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Equality deletes (merge-on-read delete-BY-KEY) on the versioned table:
+  * keys land as `#eqdel=` manifest lines + a key file, with ZERO data
+  * scanned or written, and readers anti-join them against exactly the
+  * files that were in the table when the delete landed (seq scoping —
+  * Iceberg v2 semantics). The scoping is the invariant under test: a key
+  * re-inserted AFTER the delete must survive, and every maintenance op
+  * that cannot preserve the scoping (merge, promote, expire, incremental
+  * read) must refuse loudly rather than corrupt it. */
+class EqualityDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val backend: TableIO = TableIO.local
+  private lazy val ops = new VersionedTableOps(backend)
+
+  private def ids(lo: Long, hi: Long) = spark.range(lo, hi)
+    .select(col("id"), (col("id") % 10).as("k"))
+
+  private def eqLines(dir: String, v: Int): Seq[String] =
+    backend.readLines(s"$dir/manifests/v$v")
+      .filter(_.startsWith("#eqdel="))
+
+  test("deleteByKeys erases by key with zero data files scanned or written") {
+    val dir = tmpDir("eq-basic")
+    val v1 = ops.commit(ids(0, 1000).repartition(2), dir)
+    val files = backend.readLines(s"$dir/manifests/v$v1")
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val sizes = files.map(f => f -> backend.size(f)).toMap
+    val dataDirs = backend.list(s"$dir/data").size
+
+    val v2 = ops.deleteByKeys(spark, dir, "id",
+      Seq(1L, 5L, 7L, 500L).toDF("id"))
+    assert(v2 == v1 + 1)
+    // no new data batch dir; existing files byte-identical
+    assert(backend.list(s"$dir/data").size == dataDirs)
+    assert(files.forall(f => backend.size(f) == sizes(f)))
+    assert(eqLines(dir, v2).size == 1)
+    assert(ops.read(spark, dir).count() == 996)
+    assert(ops.read(spark, dir).filter(col("id").isin(1L, 5L, 7L, 500L))
+      .count() == 0)
+    // time travel: pre-delete snapshot intact
+    assert(ops.read(spark, dir, Some(v1)).count() == 1000)
+    // empty key set is a no-op, not a commit
+    assert(ops.deleteByKeys(spark, dir, "id",
+      spark.emptyDataset[Long].toDF("id")) == v2)
+  }
+
+  test("seq scoping: a key re-inserted after the delete survives") {
+    val dir = tmpDir("eq-scope")
+    ops.commit(ids(0, 100), dir)
+    val vDel = ops.deleteByKeys(spark, dir, "id", Seq(3L, 4L).toDF("id"))
+    // re-insert key 3 AFTER the delete: new file, new era — must survive
+    val vRe = ops.commit(Seq((3L, 99L)).toDF("id", "k"), dir)
+    assert(eqLines(dir, vRe).size == 1, "append dropped the eqdel line")
+    val live = ops.read(spark, dir)
+    assert(live.count() == 99) // 100 - 2 deleted + 1 re-inserted
+    assert(live.filter(col("id") === 3L).select(col("k"))
+      .as[Long].collect().toSeq == Seq(99L))
+    assert(live.filter(col("id") === 4L).count() == 0)
+    // pinned post-delete pre-reinsert snapshot: both keys gone
+    assert(ops.read(spark, dir, Some(vDel))
+      .filter(col("id").isin(3L, 4L)).count() == 0)
+  }
+
+  test("compact materializes equality deletes and clears the lines") {
+    val dir = tmpDir("eq-compact")
+    ops.commit(ids(0, 500).repartition(2), dir)
+    ops.deleteByKeys(spark, dir, "id", Seq(10L, 20L, 30L).toDF("id"))
+    val vRe = ops.commit(Seq((10L, 42L)).toDF("id", "k"), dir)
+    val before = ops.read(spark, dir, Some(vRe)).collect().toSet
+    val vC = ops.compact(spark, dir, targetBytes = 1L << 30)
+    assert(vC == vRe + 1)
+    assert(eqLines(dir, vC).isEmpty,
+      "compact must materialize equality deletes, not carry dead lines")
+    assert(ops.read(spark, dir, Some(vC)).collect().toSet == before)
+    // the deleted keys are PHYSICALLY absent from the rewritten files now
+    val files = backend.readLines(s"$dir/manifests/v$vC")
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val raw = spark.read.parquet(files: _*)
+    assert(raw.filter(col("id").isin(20L, 30L)).count() == 0)
+    assert(raw.filter(col("id") === 10L).count() == 1) // the re-insert
+  }
+
+  test("expire refuses while unmaterialized equality deletes are retained") {
+    val dir = tmpDir("eq-expire")
+    ops.commit(ids(0, 100), dir)
+    ops.commit(ids(100, 200), dir)
+    ops.deleteByKeys(spark, dir, "id", Seq(50L).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      ops.expire(dir, keepLast = 2)
+    }
+    assert(e.getMessage.contains("equality"))
+    // materialize, then expire works and GCs the superseded key file
+    val vC = ops.compact(spark, dir, targetBytes = 1L << 30)
+    val keyFiles = ops.eqDelsOf(dir, vC - 1).map(_._3)
+    assert(keyFiles.nonEmpty && keyFiles.forall(backend.exists))
+    ops.expire(dir, keepLast = 1)
+    assert(keyFiles.forall(f => !backend.exists(f)),
+      "expire left superseded equality-delete key files behind")
+    assert(ops.read(spark, dir).count() == 199)
+  }
+
+  test("merge, promote, and readChanges refuse over unmaterialized deletes") {
+    val dir = tmpDir("eq-refuse")
+    val v1 = ops.commit(ids(0, 100), dir)
+    val v2 = ops.deleteByKeys(spark, dir, "id", Seq(7L).toDF("id"))
+    val m = intercept[IllegalArgumentException] {
+      ops.merge(spark, dir, Seq((1L, 5L)).toDF("id", "k"), "id")
+    }
+    assert(m.getMessage.contains("compact"))
+    val p = intercept[IllegalArgumentException] {
+      ops.promote(spark, dir, tmpDir("eq-refuse-prod"), append = false)
+    }
+    assert(p.getMessage.contains("equality"))
+    val rc = intercept[IllegalArgumentException] {
+      ops.readChanges(spark, dir, v1, v2)
+    }
+    assert(rc.getMessage.contains("equality"))
+  }
+
+  test("rollback across a delete restores the pre-delete state") {
+    val dir = tmpDir("eq-rollback")
+    val v1 = ops.commit(ids(0, 50), dir)
+    val v2 = ops.deleteByKeys(spark, dir, "id", Seq(9L).toDF("id"))
+    val vR = ops.rollback(dir, v1)
+    assert(eqLines(dir, vR).isEmpty)
+    assert(ops.read(spark, dir).count() == 50) // key 9 resurrects: intended
+    // rolling forward again to the post-delete state carries the line
+    val vR2 = ops.rollback(dir, v2)
+    assert(eqLines(dir, vR2).size == 1)
+    assert(ops.read(spark, dir).filter(col("id") === 9L).count() == 0)
+  }
+
+  test("pruned reads apply equality deletes; null key erases null rows") {
+    val dir = tmpDir("eq-pruned")
+    val df = spark.range(0, 100)
+      .select(when(col("id") === 13L, lit(null).cast("long"))
+        .otherwise(col("id")).as("id"), (col("id") % 10).as("k"))
+    val v1 = ops.commit(df, dir)
+    ops.writeStats(spark, dir, v1, Seq("id"))
+    ops.deleteByKeys(spark, dir, "id",
+      spark.range(2).select(when(col("id") === 0, lit(40L))
+        .otherwise(lit(null)).cast("long").as("id")))
+    val pruned = ops.prunedRead(spark, dir, "id", 0L, 50L)
+    assert(pruned.filter(col("id") === 40L).count() == 0)
+    assert(pruned.filter(col("id").isNull).count() == 0,
+      "null delete key must erase the null-key row (null-safe equality)")
+    assert(ops.read(spark, dir).count() == 98)
+  }
+}
