@@ -1156,6 +1156,152 @@ class VersionedTableOps(protected val io: TableIO) {
     }.toDF("version", "ts_millis", "n_files", "n_delete_files", "txn_id")
   }
 
+  // ---- named refs: tags (immutable) and branches (forked lineages) ----
+
+  private def tagPath(dir: String, name: String) = s"$dir/refs/tag.$name"
+  private def refName(name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name must be [A-Za-z0-9][A-Za-z0-9._-]*: '$name'")
+    name
+  }
+
+  /** Tag a committed version with an immutable name — the audit anchor
+    * ("the snapshot run X trained on") that survives head movement. A tag
+    * is a pointer, not a copy: one atomic ref-file create, re-tagging an
+    * existing name refuses (delete first — mutable names are branches).
+    * [[expire]] refuses to drop a tagged version, so a tag is also a GC
+    * pin: the files a tagged snapshot references stay alive until the
+    * tag is deleted. */
+  def tag(dir: String, name: String, version: Int): Unit = {
+    require(versions(dir).contains(version),
+      s"version $version not committed at $dir")
+    io.mkdirs(s"$dir/refs")
+    require(io.createExclusive(tagPath(dir, refName(name)),
+      Seq(version.toString)),
+      s"tag '$name' already exists at $dir (tags are immutable; " +
+        s"deleteTag first, or use a branch for a moving ref)")
+  }
+
+  /** All tags of a table: name → version. */
+  def tags(dir: String): Map[String, Int] =
+    io.list(s"$dir/refs").collect {
+      case n if n.startsWith("tag.") =>
+        n.drop(4) -> io.readLines(s"$dir/refs/$n").head.trim.toInt
+    }.toMap
+
+  def deleteTag(dir: String, name: String): Unit =
+    io.delete(tagPath(dir, name))
+
+  /** Read the snapshot a tag pins. */
+  def readTagged(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val t = tags(dir)
+    require(t.contains(name), s"no tag '$name' at $dir (have: ${t.keys})")
+    read(spark, dir, Some(t(name)))
+  }
+
+  /** A branch's table directory — a full table in its own right: commit,
+    * deleteWhere, merge, compact, read all work on it directly. */
+  def branchDir(dir: String, name: String): String =
+    s"$dir/branches/${refName(name)}"
+
+  /** Fork a branch from a committed version (default: head) — the
+    * isolation half of audit/experiment workflows that need MUTATION,
+    * not just the read pin a tag gives: rewrite history on the branch,
+    * validate it, then [[fastForward]] the parent to it (or throw it
+    * away) — production readers never see the intermediate states.
+    *
+    * Zero-copy: the branch's v1 manifest references the parent's data
+    * files by path; its own commits land under the branch directory.
+    * The parent's [[expire]] keeps branch-referenced files alive, and
+    * expire ON a branch refuses outright (a `BRANCH` marker): the fork
+    * shares parent-owned files, and a branch-local GC would delete them
+    * under production. Fork refuses over unmaterialized equality deletes
+    * (their seq scoping is per-lineage and does not transfer). */
+  def createBranch(dir: String, name: String,
+                   version: Option[Int] = None): String = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    require(eqDelsOf(dir, v).isEmpty,
+      s"$dir@v$v carries unmaterialized equality deletes; compact before " +
+        s"branching (seq scoping does not transfer across lineages)")
+    val bd = branchDir(dir, name)
+    require(versions(bd).isEmpty, s"branch '$name' already exists at $dir")
+    io.mkdirs(bd)
+    io.writeLines(s"$bd/BRANCH", Seq(s"#fork=$dir@$v", s"#ts=${now()}"))
+    publish(bd, 1, Seq(s"#fork=$v", s"#ts=${now()}") ++
+      delLinesOf(dir, Some(v)) ++ filesOf(dir, v))
+    val sp = statsPath(dir, v)
+    if (io.exists(sp)) io.writeLines(statsPath(bd, 1), io.readLines(sp))
+    bd
+  }
+
+  /** Branch names forked from this table. */
+  def branches(dir: String): Seq[String] =
+    io.list(s"$dir/branches")
+      .filter(n => io.exists(s"$dir/branches/$n/BRANCH") &&
+        !io.exists(s"$dir/branches/$n/RETIRED")).sorted
+
+  /** Publish the branch head into the parent — strictly fast-forward:
+    * the parent must not have moved since the fork (a concurrent commit
+    * makes this a MERGE, which has no universal answer — refuse loudly,
+    * the caller re-forks from the new head). One manifest create, zero
+    * bytes copied; the branch's stats ride along. On success the branch
+    * is stamped promoted (its files belong to the parent's lifecycle
+    * now — [[expire]] on it refuses; [[retireBranch]] is the exit).
+    * Returns the parent's new version. */
+  def fastForward(spark: SparkSession, dir: String, name: String): Int = {
+    val bd = branchDir(dir, name)
+    val bvs = versions(bd)
+    require(bvs.nonEmpty, s"no branch '$name' at $dir")
+    val bh = bvs.last
+    val fork = io.readLines(manifestPath(bd, bvs.head))
+      .collectFirst { case l if l.startsWith("#fork=") => l.drop(6).toInt }
+      .getOrElse(throw new IllegalArgumentException(
+        s"branch '$name' has no fork marker — not fast-forwardable"))
+    require(eqDelsOf(bd, bh).isEmpty,
+      s"branch '$name' carries unmaterialized equality deletes; compact " +
+        s"the branch before fast-forwarding")
+    require(versions(dir).last == fork,
+      s"$dir advanced past the fork point v$fork; not a fast-forward — " +
+        s"re-fork from the new head and replay the branch work")
+    io.mkdirs(manifestDir(dir))
+    val lines = Seq(s"#ts=${now()}") ++ delLinesOf(bd, Some(bh)) ++
+      filesOf(bd, bh)
+    if (!io.createExclusive(manifestPath(dir, fork + 1), lines))
+      throw new java.util.ConcurrentModificationException(
+        s"$dir advanced during fast-forward of '$name'; re-fork and replay")
+    val sp = statsPath(bd, bh)
+    if (io.exists(sp)) io.writeLines(statsPath(dir, fork + 1),
+      io.readLines(sp))
+    // ownership flip: the parent references the branch's files now
+    publish(bd, bh + 1, Seq(s"#promoted=$dir", s"#ts=${now()}") ++
+      delLinesOf(bd, Some(bh)) ++ filesOf(bd, bh))
+    fork + 1
+  }
+
+  /** Drop a branch's manifests, leaving data files to the parent's
+    * lifecycle (they are referenced there after a fast-forward; after an
+    * abandoned experiment they become [[vacuumOrphans]] debris under the
+    * branch directory). */
+  def retireBranch(dir: String, name: String): Unit =
+    retire(branchDir(dir, name))
+
+  /** Delete an ABANDONED branch entirely — manifests and branch-local
+    * data files (parent-owned files are referenced by path, never stored
+    * under the branch, so they are untouched). Refuses after a
+    * fast-forward: the parent references the branch's files then, and
+    * [[retireBranch]] is the correct exit. */
+  def dropBranch(dir: String, name: String): Unit = {
+    val bd = branchDir(dir, name)
+    require(!versions(bd).lastOption.exists(v =>
+      metaOf(bd, v).exists(_.startsWith("#promoted="))),
+      s"branch '$name' was fast-forwarded into $dir — its files are " +
+        s"production now; use retireBranch instead")
+    deleteTree(bd)
+  }
+
   // ---- write-audit-publish (zero-copy promotion) and vacuum ----
 
   /** Zero-copy snapshot promotion — the publish half of write-audit-
@@ -1259,10 +1405,15 @@ class VersionedTableOps(protected val io: TableIO) {
     require(!io.exists(s"$dir/RETIRED"),
       s"$dir is retired: its files belong to the table it was promoted " +
         s"into; vacuuming here would delete production data")
-    val referencedDirs = versions(dir).flatMap { v =>
-      (filesOf(dir, v) ++ delFilesOf(dir, v) ++ eqDelsOf(dir, v).map(_._3))
-        .map(f => f.take(f.lastIndexOf('/')))
-    }.toSet
+    // branch manifests count as references: a fork pins parent batch dirs
+    val refs = versions(dir).flatMap { v =>
+      filesOf(dir, v) ++ delFilesOf(dir, v) ++ eqDelsOf(dir, v).map(_._3)
+    } ++ branches(dir).flatMap { b =>
+      val bd = branchDir(dir, b)
+      versions(bd).flatMap(v =>
+        filesOf(bd, v) ++ delFilesOf(bd, v) ++ eqDelsOf(bd, v).map(_._3))
+    }
+    val referencedDirs = refs.map(f => f.take(f.lastIndexOf('/'))).toSet
     val cutoff = now() - graceMs
     var removed = 0
     Seq(s"$dir/data", s"$dir/deletes").foreach { area =>
@@ -1355,6 +1506,12 @@ class VersionedTableOps(protected val io: TableIO) {
     * deleted. */
   def expire(dir: String, keepLast: Int, txnReplayHorizon: Int = 0): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    // a branch shares its parent's data files; a branch-local GC would
+    // delete them under production readers — branches end via
+    // retireBranch, the PARENT's expire governs file lifetime
+    require(!io.exists(s"$dir/BRANCH"),
+      s"$dir is a branch: it references parent-owned files; expire the " +
+        s"parent table instead (retireBranch ends the branch itself)")
     require(keepLast >= txnReplayHorizon,
       s"keepLast=$keepLast is below the txn replay horizon " +
         s"$txnReplayHorizon: expiring that deep forgets txn ids a replay " +
@@ -1366,6 +1523,12 @@ class VersionedTableOps(protected val io: TableIO) {
         s"table now — expiring here would GC files production reads; " +
         s"use retire() instead")
     val (dead, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
+    // a tag is a GC pin: expiring a tagged version would turn the named
+    // audit anchor into a dangling ref — delete the tag first, loudly
+    val pinned = tags(dir).filter { case (_, v) => dead.contains(v) }
+    require(pinned.isEmpty,
+      s"expire would drop tagged version(s) ${pinned.toSeq.sorted} at " +
+        s"$dir; deleteTag first if the pin is no longer needed")
     // equality-delete applicability is scoped by FIRST-APPEARANCE version
     // (addedAtOf) — dropping manifests older than an unmaterialized delete
     // would shift that inference forward and silently stop the delete
@@ -1379,9 +1542,16 @@ class VersionedTableOps(protected val io: TableIO) {
     // referenced files like any other: live while any retained manifest
     // lists them, GC'd when none does (a compaction that materialized
     // them orphans the old ones here)
+    // live branches reference parent data files from their fork point —
+    // they pin those files even when no retained parent manifest does
+    val branchLive = branches(dir).flatMap { b =>
+      val bd = branchDir(dir, b)
+      versions(bd).flatMap(v =>
+        filesOf(bd, v) ++ delFilesOf(bd, v) ++ eqDelsOf(bd, v).map(_._3))
+    }.toSet
     val liveFiles = kept.flatMap(v =>
       filesOf(dir, v) ++ delFilesOf(dir, v) ++
-        eqDelsOf(dir, v).map(_._3)).toSet
+        eqDelsOf(dir, v).map(_._3)).toSet ++ branchLive
     val deadFiles = dead.flatMap(v =>
       filesOf(dir, v) ++ delFilesOf(dir, v) ++
         eqDelsOf(dir, v).map(_._3)).toSet -- liveFiles
@@ -1677,6 +1847,40 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_branch_ff — branch/fast-forward under the oracle gate: half the
+    * events land on main, a branch forks zero-copy, the OTHER half plus
+    * an audit delete happen on the branch (invisible to main — asserted
+    * mid-query), and fast-forward publishes the branch head back. The
+    * requires pin the isolation (main unchanged while the branch
+    * diverges) and the zero-copy contract (fast-forward adds no batch
+    * dir to main's data area); the hash match against the inlined audit
+    * predicate proves the fork → mutate → fast-forward lineage loses and
+    * invents nothing. */
+  def qBranchFf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_branch_")
+    val dir = tmp.toString
+    commit(ev.filter(col("event_id") % 2 === 0), dir)
+    val bd = createBranch(dir, "audit")
+    commit(ev.filter(col("event_id") % 2 === 1), bd)
+    deleteWhere(spark, bd, col("value") > 450.0)
+    require(read(spark, dir).count() ==
+      ev.filter(col("event_id") % 2 === 0).count(),
+      "branch mutation leaked into the parent before fast-forward")
+    val dataDirs = io.list(s"$dir/data").size
+    fastForward(spark, dir, "audit")
+    require(io.list(s"$dir/data").size == dataDirs,
+      "fast-forward copied data into the parent; it must be manifest-only")
+    retireBranch(dir, "audit")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_wap_promote — write-audit-publish under the oracle gate: the
     * events table lands in a STAGING table, the audit rejects outliers
     * merge-on-read (deleteWhere, a stand-in for any quality gate), and
@@ -1714,6 +1918,7 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
     "q_merge_lake" -> (qMergeLake _),
     "q_point_lookup" -> (qPointLookup _),
     "q_cdc_merge" -> (qCdcMerge _),
+    "q_branch_ff" -> (qBranchFf _),
     "q_wap_promote" -> (qWapPromote _))
 
   val oracles: Map[String, String] = Map(
@@ -1774,6 +1979,14 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
         |FROM merged
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_branch_ff" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE NOT (value > 450.0)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q_point_lookup" ->
