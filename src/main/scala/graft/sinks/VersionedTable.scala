@@ -173,6 +173,7 @@ class VersionedTableOps(protected val io: TableIO) {
   def commit(df: DataFrame, dir: String, append: Boolean = true,
              txnId: Option[String] = None): Int = {
     val newFiles = writeBatch(df, dir)
+    validateConstraints(df.sparkSession, dir, newFiles)
     val meta = txnId.map(t => s"#txn=$t").toSeq :+ s"#ts=${now()}"
     // an append inherits the head's delete vectors (they reference the
     // carried files); a logical overwrite starts clean — none of its files
@@ -522,6 +523,7 @@ class VersionedTableOps(protected val io: TableIO) {
     Layout.writeZordered(df, zCols, batchDir, numFiles, bitsPerDim)
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
+    validateConstraints(spark, dir, newFiles)
     // the new files' stats need a scan — do it ONCE, outside the OCC loop
     val newStats = statsLines(spark, newFiles, statCols)
     if (!append) {
@@ -1035,8 +1037,10 @@ class VersionedTableOps(protected val io: TableIO) {
         else {
           rewritten.coalesce(math.max(1, touched.size))
             .write.parquet(batchDir)
-          io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+          val fs = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
             .map(n => s"$batchDir/$n")
+          validateConstraints(spark, dir, fs)
+          fs
         }
 
       // vectors referencing kept files survive (their rows are still
@@ -1154,6 +1158,73 @@ class VersionedTableOps(protected val io: TableIO) {
         lines.count(_.startsWith("#del=")).toLong,
         lines.collectFirst { case l if l.startsWith("#txn=") => l.drop(5) })
     }.toDF("version", "ts_millis", "n_files", "n_delete_files", "txn_id")
+  }
+
+  // ---- commit-time CHECK constraints (table expectations) ----
+
+  private def constraintPath(dir: String, name: String) =
+    s"$dir/constraints/${refName(name)}"
+
+  /** Declare a CHECK constraint: `exprSql` (a boolean SQL expression over
+    * the table's columns) must hold — SQL-standard semantics, TRUE or
+    * NULL passes — for every row of every FUTURE commit, validated
+    * against the landed batch files before the manifest publishes (a
+    * violating commit never becomes visible; its files are ordinary
+    * [[vacuumOrphans]] debris). Declaration itself scans the CURRENT
+    * live table once and refuses if existing rows violate — a constraint
+    * that is born broken enforces nothing. One file per constraint,
+    * atomic create: re-declaring a name refuses. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    exprSql: String): Unit = {
+    if (versions(dir).nonEmpty) {
+      val bad = read(spark, dir)
+        .filter(!coalesce(expr(exprSql), lit(true))).count()
+      require(bad == 0,
+        s"cannot add constraint '$name' ($exprSql): $bad existing row(s) " +
+          s"violate it")
+    }
+    io.mkdirs(s"$dir/constraints")
+    require(io.createExclusive(constraintPath(dir, name), Seq(exprSql)),
+      s"constraint '$name' already exists at $dir (dropConstraint first)")
+  }
+
+  def dropConstraint(dir: String, name: String): Unit =
+    io.delete(constraintPath(dir, name))
+
+  /** Declared constraints: name → boolean SQL expression. */
+  def constraints(dir: String): Map[String, String] =
+    io.list(s"$dir/constraints")
+      .map(n => n -> io.readLines(s"$dir/constraints/$n").mkString("\n"))
+      .toMap
+
+  /** Validate freshly-written batch files against the table's
+    * constraints — ONE columnar scan of the NEW files only (never the
+    * table), all constraints folded into a single aggregate. Violations
+    * throw with per-constraint counts; the unpublished files are left
+    * for the orphan sweep, exactly like any crashed commit. */
+  private def validateConstraints(spark: SparkSession, dir: String,
+                                  newFiles: Seq[String]): Unit =
+    if (newFiles.nonEmpty)
+      validateConstraintsDf(dir, spark.read.parquet(newFiles: _*))
+
+  private def validateConstraintsDf(dir: String, batch: DataFrame): Unit = {
+    val cs = constraints(dir).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, e) =>
+      // NULL passes (SQL CHECK semantics): only a definite FALSE counts
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = batch.agg(aggs.head, aggs.tail: _*).head()
+    val violated = cs.zipWithIndex.collect {
+      // sum over an empty batch is NULL: vacuously satisfied
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'$n' ($e): ${row.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"commit to $dir rejected by CHECK constraint(s) " +
+          s"${violated.mkString("; ")} — nothing published, the batch " +
+          s"files are vacuumOrphans debris")
   }
 
   // ---- named refs: tags (immutable) and branches (forked lineages) ----
@@ -1342,6 +1413,12 @@ class VersionedTableOps(protected val io: TableIO) {
       val p = statsPath(fromDir, fv)
       if (io.exists(p)) io.readLines(p) else Seq.empty
     }
+    // a promotion lands rows the destination never validated: its CHECK
+    // constraints apply to the staged LIVE view (audit deletes applied)
+    // like any other commit — one scan, the price of constraints the
+    // staging table didn't declare
+    if (constraints(toDir).nonEmpty)
+      validateConstraintsDf(toDir, read(spark, fromDir, Some(fv)))
     val toExists = versions(toDir).nonEmpty
     if (toExists && append) {
       val a = spark.read.parquet(filesOf(toDir, versions(toDir).last).head)
@@ -1847,6 +1924,37 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_constraint_gate — CHECK constraints under the oracle gate: the
+    * in-bounds slice of events lands, a `value <= 100` constraint is
+    * declared (validated against the live table; the bound sits inside
+    * the value range at every test scale, so the violating slice is
+    * never vacuously empty), and the out-of-bounds slice is REJECTED — the requires pin that the rejection throws, that
+    * nothing published (still one version), and that the dead batch is
+    * vacuum debris. The hash match against the inlined predicate proves
+    * the gate kept exactly the declared invariant. */
+  def qConstraintGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ck_")
+    val dir = tmp.toString
+    commit(ev.filter(col("value") <= 100.0), dir)
+    addConstraint(spark, dir, "value_cap", "value <= 100.0")
+    val rejected =
+      try { commit(ev.filter(col("value") > 100.0), dir); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("value_cap") }
+    require(rejected, "violating batch was not rejected by the constraint")
+    require(versions(dir).size == 1, "a rejected commit published a version")
+    require(vacuumOrphans(dir, graceMs = 0L) == 1,
+      "rejected batch did not become vacuum debris")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    read(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_branch_ff — branch/fast-forward under the oracle gate: half the
     * events land on main, a branch forks zero-copy, the OTHER half plus
     * an audit delete happen on the branch (invisible to main — asserted
@@ -1919,6 +2027,7 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
     "q_point_lookup" -> (qPointLookup _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_branch_ff" -> (qBranchFf _),
+    "q_constraint_gate" -> (qConstraintGate _),
     "q_wap_promote" -> (qWapPromote _))
 
   val oracles: Map[String, String] = Map(
@@ -1979,6 +2088,14 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
         |FROM merged
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_constraint_gate" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE value <= 100.0
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q_branch_ff" ->
