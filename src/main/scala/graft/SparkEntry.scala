@@ -5,7 +5,7 @@ import graft.analytics.{Advanced, Cdc, Events, Funnel, GraphOps, Incremental, Pr
 import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityIvfPq, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
 import graft.pipeline.WeatherQueries
-import graft.sinks.{Bucketing, SchemaEvolution, VersionedTable}
+import graft.sinks.{Bucketing, IncrementalView, SchemaEvolution, VersionedTable}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries and oracles are assembled from the per-module maps; each module
@@ -32,7 +32,7 @@ object SparkEntry {
       SimilarityIvfPq.defs ++
       SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++ Bucketing.defs ++ SchemaEvolution.defs ++
-      VersionedTable.defs ++
+      VersionedTable.defs ++ IncrementalView.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
@@ -51,6 +51,6 @@ object SparkEntry {
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Bucketing.oracles ++ SchemaEvolution.oracles ++
-      VersionedTable.oracles ++
+      VersionedTable.oracles ++ IncrementalView.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 }

@@ -1160,6 +1160,30 @@ class VersionedTableOps(protected val io: TableIO) {
     }.toDF("version", "ts_millis", "n_files", "n_delete_files", "txn_id")
   }
 
+  /** The NEWEST transaction id riding version `v`'s manifest, if any. A
+    * merge carries the txn ledger forward (prior `#txn=` lines precede its
+    * own), so "newest" is the last line — the txn that PUBLISHED this
+    * version, which is what an incremental maintainer's head pointer
+    * means. */
+  def txnOf(dir: String, version: Int): Option[String] =
+    io.readLines(manifestPath(dir, version))
+      .filter(_.startsWith("#txn=")).lastOption.map(_.drop(5))
+
+  /** Whether `[fromVersion, toVersion]` is pure-append lineage — the
+    * exact precondition [[readChanges]] enforces loudly, exposed as a
+    * predicate so a maintainer can CHOOSE between the incremental path
+    * and a full recompute instead of pattern-matching exception text. */
+  def isPureAppend(dir: String, fromVersion: Int, toVersion: Int): Boolean = {
+    val vs = versions(dir)
+    vs.contains(fromVersion) && vs.contains(toVersion) &&
+      fromVersion <= toVersion &&
+      (filesOf(dir, fromVersion).toSet --
+        filesOf(dir, toVersion).toSet).isEmpty &&
+      delFilesOf(dir, fromVersion).toSet ==
+        delFilesOf(dir, toVersion).toSet &&
+      eqDelsOf(dir, fromVersion).toSet == eqDelsOf(dir, toVersion).toSet
+  }
+
   // ---- commit-time CHECK constraints (table expectations) ----
 
   private def constraintPath(dir: String, name: String) =
