@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.analytics.{Advanced, Cdc, Events, Funnel, GraphOps, Incremental, Profiling, Relational, RelationalExtra, ScaleOps, TableDiff}
 import graft.ext.{Curation, DedupCluster, DedupIndex, DedupOps, LangModel, LineDedup, Mixing, Multimodal, Quantize, Ranking, SemDedup, Similarity, SimilarityIvf, SimilarityIvfPq, SimilarityPq, Splits, SubstrDedup, TextAnalysis, TextNormalize}
 import graft.operators.AsOf
+import graft.sources.TableStream
 import graft.pipeline.WeatherQueries
 import graft.sinks.{Bucketing, IncrementalView, SchemaEvolution, VersionedTable}
 
@@ -32,7 +33,7 @@ object SparkEntry {
       SimilarityIvfPq.defs ++
       SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++ Bucketing.defs ++ SchemaEvolution.defs ++
-      VersionedTable.defs ++ IncrementalView.defs ++
+      VersionedTable.defs ++ IncrementalView.defs ++ TableStream.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
@@ -51,6 +52,6 @@ object SparkEntry {
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Bucketing.oracles ++ SchemaEvolution.oracles ++
-      VersionedTable.oracles ++ IncrementalView.oracles ++
+      VersionedTable.oracles ++ IncrementalView.oracles ++ TableStream.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 }

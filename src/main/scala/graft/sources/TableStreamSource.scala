@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import org.apache.spark.sql.graft.StreamingDf
+
+import graft.sinks.VersionedTable
+
+/** A [[graft.sinks.VersionedTable]] as a Structured Streaming SOURCE —
+  * `spark.readStream.format("graft-table").load(dir)` tails the table's
+  * manifest log, turning a landed table into the head of a downstream
+  * incremental pipeline (land → derive → land, each hop exactly-once when
+  * the sink is `commitOnce` / [[graft.streaming.VersionedStream]]).
+  *
+  * Offsets ARE table versions: micro-batch (start, end] reads exactly the
+  * files appended between manifest `start` and manifest `end` — the same
+  * `readChanges` contract the batch maintainers use, planned as a plain
+  * parquet scan of those files (full pushdown/pruning, no custom row
+  * reader). Tailing the MANIFEST log — not the directory — is the point:
+  * a file-stream source would see uncommitted batch directories, crash
+  * debris, and constraint-rejected files; this source sees only what a
+  * manifest published.
+  *
+  * The first batch of a fresh query is the whole snapshot at the admitted
+  * head (the landed history is data too); `startingVersion` narrows it to
+  * `>= that version's appends` for tail-only consumers. Non-append source
+  * history in a consumed range (overwrite, rollback, row deletes,
+  * compaction) fails the query LOUDLY via `readChanges` — silently
+  * re-emitting rewritten rows would corrupt every downstream aggregate;
+  * restart from a fresh checkpoint (or a `startingVersion` past the
+  * rewrite) after reconciling downstream. `maxVersionsPerTrigger` caps
+  * admission per trigger — including the first: a capped catch-up reads
+  * the snapshot AT the first admitted version, then tails deltas, so the
+  * union over batches is exactly the table regardless of the cap.
+  *
+  * V1 `Source` is the right seam here (it is how Spark's own file stream
+  * and the open lake formats expose log-tailing sources): `getBatch`
+  * returns a DataFrame over exactly the committed files, which DSv2's
+  * row-level `PartitionReader` contract cannot express without
+  * re-implementing the parquet reader.
+  */
+class TableStreamSource extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def dirOf(parameters: Map[String, String]): String =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+      .getOrElse("path", throw new IllegalArgumentException(
+        "graft-table needs a table directory: .load(dir) or option(\"path\", dir)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    ("graft-table", schema.getOrElse(
+      VersionedTable.read(sqlContext.sparkSession, dirOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new TableVersionSource(sqlContext, dirOf(parameters),
+      parameters.map { case (k, v) =>
+        k.toLowerCase(java.util.Locale.ROOT) -> v
+      })
+}
+
+/** A table version as a streaming offset. */
+private[sources] case class TableVersionOffset(v: Long) extends OffsetV1 {
+  override def json(): String = v.toString
+}
+
+private[sources] class TableVersionSource(sqlContext: SQLContext,
+    dir: String, params: Map[String, String]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val spark = sqlContext.sparkSession
+  private val ops = VersionedTable
+
+  private val startingVersion: Int =
+    params.get("startingversion").map(_.toInt).getOrElse(1)
+  private val maxVersionsPerTrigger: Option[Int] =
+    params.get("maxversionspertrigger").map { s =>
+      val m = s.toInt
+      require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+      m
+    }
+
+  override val schema: StructType = ops.read(spark, dir).schema
+
+  /** Any offset back to a version: live offsets are ours, restored ones
+    * arrive as SerializedOffset (V1) / raw json (admission path). */
+  private def versionOf(o: OffsetV2): Long = o match {
+    case TableVersionOffset(v) => v
+    case other => other.json().trim.toLong
+  }
+
+  /** Version 0 = nothing consumed (manifests start at 1). */
+  override def initialOffset(): OffsetV2 = TableVersionOffset(0L)
+  override def deserializeOffset(json: String): OffsetV2 =
+    TableVersionOffset(json.trim.toLong)
+
+  /** AvailableNow pins the drain target at query start — each trigger
+    * still admits at most `maxVersionsPerTrigger`, so a capped drain runs
+    * SEVERAL micro-batches until the pinned head is reached (the file
+    * source's semantics), instead of stopping after one capped batch. */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(ops.versions(dir).lastOption.map(_.toLong).getOrElse(0L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admission decision: from the engine-supplied consumed base,
+    * admit up to the head, capped by the per-trigger rate and the
+    * AvailableNow target. Version-granular — engine row limits don't
+    * subdivide a manifest (a version is the atomic replay unit). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // the V1 admission path passes null before anything is consumed
+    val base = Option(start).map(versionOf).getOrElse(0L)
+    val head = ops.versions(dir).lastOption.map(_.toLong).getOrElse(0L)
+    val rated = maxVersionsPerTrigger.fold(head)(m =>
+      math.min(head, base + m))
+    val admitted = availableNowTarget.fold(rated)(t =>
+      math.min(rated, math.max(t, base)))
+    TableVersionOffset(math.max(admitted, base))
+  }
+
+  /** Engine uses the admission path above; this is the plain-V1 fallback
+    * (uncapped head), kept total rather than throwing. */
+  override def getOffset: Option[OffsetV1] =
+    ops.versions(dir).lastOption.map(v => TableVersionOffset(v.toLong))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end).toInt
+    // version 0 (initialOffset) and an absent start both mean "fresh"
+    val sV = start.map(versionOf(_).toInt).getOrElse(0)
+    StreamingDf.asStreaming(
+      if (sV >= endV) ops.read(spark, dir, Some(endV)).limit(0)
+      else if (sV > 0) ops.readChanges(spark, dir, sV, endV)
+      else if (startingVersion <= 1)
+        ops.read(spark, dir, Some(endV)) // the catch-up snapshot
+      else {
+        require(startingVersion <= endV,
+          s"startingVersion $startingVersion is beyond the admitted head " +
+            s"$endV of $dir")
+        ops.readChanges(spark, dir, startingVersion - 1, endV)
+      })
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TableVersionSource[$dir]"
+}
+
+/** Driver-gate query for the table stream. */
+object TableStream {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.Trigger
+
+  import graft.analytics.Parity
+  import graft.streaming.VersionedStream
+
+  /** q_table_stream — the table→table streaming hop under the oracle
+    * gate: the events table lands in a source VersionedTable as two
+    * commits, a `graft-table` stream (capped at one version per trigger)
+    * tails it through a [[VersionedStream]] exactly-once sink into a
+    * destination table, and the DESTINATION is aggregated for the hash
+    * match. The requires pin the capped drain shape (two non-empty
+    * micro-batches — snapshot at v1, then the v2 delta) and that the
+    * destination holds exactly one row per source row (no duplicate or
+    * dropped landings across the hop). */
+  def qTableStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tstream_")
+    val src = s"$tmp/src"
+    val dst = s"$tmp/dst"
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 0), src)
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 1), src)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet()
+        VersionedStream.landBatch(b, dst, "q_table_stream", batchId)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(batches.get() == 2,
+      s"capped drain ran ${batches.get()} non-empty batches, expected 2")
+    val landed = VersionedTable.read(spark, dst)
+    require(landed.count() == ev.count(),
+      "destination row count diverged from the source table")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    landed
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_stream" -> (qTableStream _))
+
+  val oracles: Map[String, String] = Map(
+    "q_table_stream" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** The one `private[sql]` seam a V1 streaming `Source` built on batch
+  * reads needs: `getBatch` must return a DataFrame whose plan is marked
+  * streaming (MicroBatchExecution asserts `isStreaming`), but the natural
+  * way to read "exactly these committed files" is a plain batch parquet
+  * scan. Spark's own file stream and the lake-format sources mark the
+  * leaf relation streaming and hand the batch plan over; this does the
+  * same for any batch DataFrame. */
+object StreamingDf {
+
+  /** `df` with every leaf relation marked `isStreaming = true` — plan
+    * content (files, filters, projections) untouched. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+      case r: DataSourceV2Relation => r // v2 leaves handled by the engine
+    }
+    Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.SparkSpec
+import graft.sinks.VersionedTable
+import graft.streaming.VersionedStream
+
+/** The versioned table as a streaming source: catch-up snapshot + tail
+  * semantics, checkpointed restart delivering exactly the appended delta,
+  * per-trigger version capping, loud failure on non-append history, and
+  * the exactly-once table→table hop (graft-table source →
+  * VersionedStream sink). */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  private def rows(ids: Range) =
+    ids.map(i => (i.toLong, s"k${i % 5}")).toDF("id", "k")
+
+  /** Drain the table stream through foreachBatch (checkpoint-recoverable);
+    * returns (sorted ids seen this run, non-empty micro-batch count). */
+  private def drain(dir: String, checkpoint: String,
+                    options: Map[String, String] = Map.empty)
+      : (Seq[Long], Int) = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var reader = spark.readStream.format("graft-table")
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.select("id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+        if (ids.nonEmpty) batches.incrementAndGet()
+        ids.foreach(i => got.add(i))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (got.iterator().asScala.toSeq.sorted, batches.get())
+  }
+
+  test("catch-up snapshot, then checkpointed tail of exactly the delta") {
+    val tmp = tmpDir("tstream-basic")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 40), dir)
+    ops.commit(rows(40 until 70), dir)
+    // fresh query: one catch-up batch = the whole landed history
+    assert(drain(dir, ck)._1 == (0L until 70L))
+    // two more commits land; the SAME checkpoint delivers only the delta
+    ops.commit(rows(70 until 90), dir)
+    ops.commit(rows(90 until 100), dir)
+    assert(drain(dir, ck)._1 == (70L until 100L))
+    // nothing new: a re-run delivers nothing
+    assert(drain(dir, ck)._1.isEmpty)
+  }
+
+  test("startingVersion skips the snapshot for tail-only consumers") {
+    val tmp = tmpDir("tstream-sv")
+    val dir = s"$tmp/table"
+    ops.commit(rows(0 until 30), dir)
+    ops.commit(rows(30 until 50), dir)
+    assert(drain(dir, s"$tmp/ck",
+      Map("startingVersion" -> "2"))._1 == (30L until 50L))
+  }
+
+  test("maxVersionsPerTrigger caps tail batches per trigger") {
+    val tmp = tmpDir("tstream-cap")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    val cap = Map("maxVersionsPerTrigger" -> "1")
+    ops.commit(rows(0 until 10), dir)
+    assert(drain(dir, ck, cap)._1 == (0L until 10L))
+    // three appended versions, capped to one version per micro-batch
+    ops.commit(rows(10 until 20), dir)
+    ops.commit(rows(20 until 30), dir)
+    ops.commit(rows(30 until 40), dir)
+    val (ids, batches) = drain(dir, ck, cap)
+    assert(ids == (10L until 40L))
+    assert(batches == 3, s"expected 3 capped batches, saw $batches")
+  }
+
+  test("non-append history in a consumed range fails loudly") {
+    val tmp = tmpDir("tstream-nonapp")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 30), dir)
+    assert(drain(dir, ck)._1 == (0L until 30L))
+    ops.commit(rows(30 until 40), dir)
+    ops.deleteWhere(spark, dir, col("id") < 5)
+    val e = intercept[StreamingQueryException] {
+      drain(dir, ck)
+    }
+    assert(e.getCause.getMessage.contains("pure appends"),
+      s"wrong failure: ${e.getCause.getMessage}")
+  }
+
+  test("table→table hop: tail into a VersionedStream sink, exactly once") {
+    val tmp = tmpDir("tstream-hop")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 25), src)
+    def hop(): Unit = {
+      val q = VersionedStream.writer(
+        spark.readStream.format("graft-table").load(src),
+        dst, "ts_hop", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    hop()
+    assert(ops.read(spark, dst).select("id").as[Long].collect().toSeq
+      .sorted == (0L until 25L))
+    ops.commit(rows(25 until 60), src)
+    hop()
+    // the second hop landed ONLY the delta — no duplicate landings
+    assert(ops.read(spark, dst).select("id").as[Long].collect().toSeq
+      .sorted == (0L until 60L))
+    assert(ops.read(spark, dst).count() == 60)
+  }
+}
