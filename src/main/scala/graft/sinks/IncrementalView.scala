@@ -1,7 +1,8 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.analytics.Incremental
 import graft.sources.Tables
@@ -114,6 +115,51 @@ class IncrementalViewOps(ops: VersionedTableOps) {
             txnId = Some(txn))
         } finally delta.unpersist()
     }
+
+  /** Fold ONE replayable micro-batch into a keyed view, exactly once —
+    * the streaming twin of [[refreshKeyed]] for foreachBatch loops where
+    * the delta arrives AS the batch (e.g. a `graft-table` stream) instead
+    * of being pulled via readChanges. Here the txn LEDGER is the correct
+    * replay guard (unlike the refresh pointer protocol): foreachBatch
+    * guarantees a single writer with monotone batch ids per query, so a
+    * redelivered `txnId` short-circuits in
+    * [[VersionedTableOps.commitOnce]]/merge and nothing double-folds.
+    * An empty batch is skipped (replaying it is equally empty). */
+  def foldBatch(batch: DataFrame, viewDir: String, key: String,
+                partials: DataFrame => DataFrame,
+                mergeStates: (DataFrame, DataFrame) => DataFrame,
+                txnId: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val delta = partials(batch).persist()
+    try {
+      if (ops.versions(viewDir).isEmpty)
+        ops.commitOnce(delta, viewDir, txnId)
+      else {
+        val affectedOld = ops.read(spark, viewDir)
+          .join(delta.select(col(key)).distinct(), Seq(key), "left_semi")
+        ops.merge(spark, viewDir, mergeStates(affectedOld, delta), key,
+          txnId = Some(txnId))
+      }
+    } finally delta.unpersist()
+    ()
+  }
+
+  /** foreachBatch writer maintaining a keyed view from a stream; caller
+    * `.start()`s. Per-query txn namespace = foreachBatch's single-writer
+    * guarantee, same discipline as [[graft.streaming.VersionedStream]]. */
+  def maintainer(stream: DataFrame, viewDir: String, key: String,
+                 partials: DataFrame => DataFrame,
+                 mergeStates: (DataFrame, DataFrame) => DataFrame,
+                 queryName: String,
+                 checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, viewDir, key, partials, mergeStates,
+          s"$queryName:$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
 
   /** Shared refresh skeleton: resolve the pointer, pick
     * noop / initial / incremental / recompute, run `incremental` for the

@@ -116,6 +116,33 @@ class IncrementalViewSpec extends SparkSpec {
       .mode == "noop")
   }
 
+  test("streaming maintainer: graft-table stream folds into a keyed view") {
+    val tmp = tmpDir("ivm-stream")
+    val src = s"$tmp/src"; val view = s"$tmp/view"; val ck = s"$tmp/ck"
+    def kp(df: DataFrame) = partials(df).repartitionByRange(3, col("g"))
+    def drain(): Unit = {
+      val q = iv.maintainer(
+        spark.readStream.format("graft-table")
+          .option("maxVersionsPerTrigger", "1").load(src),
+        view, "g", kp, mergeStates, "ivm_stream", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ops.commit(rows(0 until 40), src)
+    drain()
+    assertSame(ops.read(spark, view), partials(rows(0 until 40)))
+    // two more source commits: the capped drain folds each as one batch
+    ops.commit(rows(40 until 70), src)
+    ops.commit(rows(70 until 100), src)
+    drain()
+    assertSame(ops.read(spark, view), partials(rows(0 until 100)))
+    // nothing new: the view does not move
+    val head = ops.versions(view).last
+    drain()
+    assert(ops.versions(view).last == head)
+  }
+
   test("empty delta commit still advances the pointer") {
     val tmp = tmpDir("ivm-empty")
     val src = s"$tmp/src"; val view = s"$tmp/view"
