@@ -1142,6 +1142,41 @@ class VersionedTableOps(protected val io: TableIO) {
     else spark.read.parquet(added: _*)
   }
 
+  /** Change-data feed between ANY two snapshots — the keyed diff
+    * [[readChanges]]'s pure-append precondition cannot cover: works
+    * across overwrites, rollbacks, row deletes, and compactions, because
+    * it compares the two LIVE views rather than trusting file lineage.
+    * One row per changed key with the table's columns plus `op`
+    * (`i` insert / `u` update / `d` delete — [[mergeChanges]]'s alphabet,
+    * so `mergeChanges(dst, feed-with-i-mapped-to-u)` replicates this
+    * table's transition into another table); `i`/`u` carry the AFTER
+    * image, `d` the BEFORE image.
+    *
+    * Scale shape: the diff itself shuffles only (key, content hash) —
+    * [[graft.analytics.TableDiff]]'s width-independent join — and the
+    * payloads are then fetched by joining the CHANGED key set back
+    * against each snapshot (churn-proportional: a low-churn feed
+    * broadcasts its key set against column-pruned scans; each snapshot
+    * is read twice, narrow then pruned-wide, which beats shuffling full
+    * payload rows for every unchanged key). `key` must be unique per
+    * snapshot (it is the downstream merge key) — duplicate keys make
+    * the diff ambiguous, same contract as [[merge]]. Hash caveat as
+    * TableDiff: a 64-bit collision reports a changed pair as unchanged. */
+  def changeFeed(spark: SparkSession, dir: String, key: String,
+                 fromVersion: Int, toVersion: Int): DataFrame = {
+    val before = read(spark, dir, Some(fromVersion))
+    val after = read(spark, dir, Some(toVersion))
+    val keyed = graft.analytics.TableDiff.diff(before, after, key)
+      .filter(col("verdict") =!= "unchanged")
+      .select(col(key),
+        when(col("verdict") === "added", "i")
+          .when(col("verdict") === "removed", "d")
+          .otherwise("u").as("op"))
+    after.join(keyed.filter(col("op") =!= "d"), Seq(key), "inner")
+      .unionByName(
+        before.join(keyed.filter(col("op") === "d"), Seq(key), "inner"))
+  }
+
   /** The table's commit log as data: one row per retained version with
     * its wall-clock stamp, file count, and txn id (nulls where a manifest
     * predates stamping). The operational twin of DESCRIBE HISTORY — what
@@ -1979,6 +2014,62 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_change_feed — snapshot CDC under the oracle gate: orders land,
+    * a deterministic vintage-2 rewrite OVERWRITES them (dropped keys,
+    * rescaled prices, synthetic inserts — non-append lineage, where the
+    * in-query require pins that [[readChanges]] refuses), and
+    * [[changeFeed]] diffs the two snapshots into i/u/d rows. The feed is
+    * then APPLIED to a replica of v1 via [[mergeChanges]] and the require
+    * pins that the replica converged to exactly the v2 snapshot —
+    * replication across a rewrite, which file-lineage CDC cannot do. The
+    * hash match against the oracle's inlined full-outer diff proves the
+    * feed's op assignment and imaging (after-image for i/u, before-image
+    * for d). */
+  def qChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(
+        o.select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("o_orderkey") % 11 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_")
+    val dir = s"$tmp/t"
+    val replica = s"$tmp/replica"
+    commit(o, dir)
+    commit(v2, dir, append = false) // logical overwrite: non-append lineage
+    val refused =
+      try { readChanges(spark, dir, 1, 2); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("pure appends") }
+    require(refused, "readChanges accepted a non-append range")
+    val feed = changeFeed(spark, dir, "o_orderkey", 1, 2).persist()
+    try {
+      // replication: applying the feed to a replica of v1 reproduces v2
+      commit(o, replica)
+      mergeChanges(spark, replica,
+        feed.withColumn("op",
+          when(col("op") === "i", "u").otherwise(col("op"))),
+        "o_orderkey")
+      val live = read(spark, replica)
+      require(live.exceptAll(v2).isEmpty && v2.exceptAll(live).isEmpty,
+        "replica after feed apply diverged from the target snapshot")
+      val out = feed.groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          round(Parity.decSum2(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("op"))
+      // 3 rows — materialize so the feed can unpersist before return
+      val local = spark.createDataFrame(out.collect().toSeq.asJava,
+        out.schema)
+      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+      local
+    } finally feed.unpersist()
+  }
+
   /** q_branch_ff — branch/fast-forward under the oracle gate: half the
     * events land on main, a branch forks zero-copy, the OTHER half plus
     * an audit delete happen on the branch (invisible to main — asserted
@@ -2051,6 +2142,7 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
     "q_point_lookup" -> (qPointLookup _),
     "q_cdc_merge" -> (qCdcMerge _),
     "q_branch_ff" -> (qBranchFf _),
+    "q_change_feed" -> (qChangeFeed _),
     "q_constraint_gate" -> (qConstraintGate _),
     "q_wap_promote" -> (qWapPromote _))
 
@@ -2114,6 +2206,33 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |FROM merged
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_change_feed" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE (o_orderkey + 100000000) % 11 = 0
+        |), feed AS (
+        |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'i'
+        |              WHEN a.o_orderkey IS NULL THEN 'd'
+        |              ELSE 'u' END AS op,
+        |         CASE WHEN a.o_orderkey IS NULL THEN b.o_totalprice
+        |              ELSE a.o_totalprice END AS o_totalprice
+        |  FROM v2 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey
+        |  WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+        |     OR a.o_orderstatus <> b.o_orderstatus
+        |     OR a.o_totalprice <> b.o_totalprice
+        |)
+        |SELECT op, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM feed GROUP BY op ORDER BY op""".stripMargin,
     "q_constraint_gate" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
