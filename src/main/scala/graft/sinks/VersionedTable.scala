@@ -2026,7 +2026,6 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
     * feed's op assignment and imaging (after-image for i/u, before-image
     * for d). */
   def qChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
@@ -2047,7 +2046,12 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       catch { case e: IllegalArgumentException =>
         e.getMessage.contains("pure appends") }
     require(refused, "readChanges accepted a non-append range")
-    val feed = changeFeed(spark, dir, "o_orderkey", 1, 2).persist()
+    val feed = changeFeed(spark, dir, "o_orderkey", 1, 2)
+    // cache only for the in-query requires; the RETURNED frame executes
+    // after the unpersist, recomputing the (codegen-resident) diff plan —
+    // a LocalRelation of collected rows would pass the hash but exempt
+    // this query from the plan-invariant gate
+    feed.persist()
     try {
       // replication: applying the feed to a replica of v1 reproduces v2
       commit(o, replica)
@@ -2058,16 +2062,12 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       val live = read(spark, replica)
       require(live.exceptAll(v2).isEmpty && v2.exceptAll(live).isEmpty,
         "replica after feed apply diverged from the target snapshot")
-      val out = feed.groupBy(col("op"))
-        .agg(count(lit(1)).as("n"),
-          round(Parity.decSum2(col("o_totalprice")), 2).as("sum_price"))
-        .orderBy(col("op"))
-      // 3 rows — materialize so the feed can unpersist before return
-      val local = spark.createDataFrame(out.collect().toSeq.asJava,
-        out.schema)
-      java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
-      local
     } finally feed.unpersist()
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    feed.groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("op"))
   }
 
   /** q_branch_ff — branch/fast-forward under the oracle gate: half the
