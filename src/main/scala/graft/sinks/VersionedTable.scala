@@ -906,6 +906,65 @@ class VersionedTableOps(protected val io: TableIO) {
     v
   }
 
+  /** OPTIMIZE ZORDER — rewrite the table's LIVE rows z-ordered on
+    * `zCols` as one logical-rewrite snapshot: the lake maintenance pass
+    * that turns an arrival-ordered landing (streaming commitOnce batches,
+    * CDC merges) into a scan-layout one, so min/max pruning on the
+    * cluster keys actually skips files. Differences from [[compact]]
+    * (which only bin-packs small files, keeping arrival order): the
+    * rewrite set is EVERY live file, the output is range-partitioned and
+    * sorted by the Morton value ([[Layout.writeZordered]] — one quantile
+    * pass + one range shuffle), and every delete (positional AND
+    * equality) is materialized — the clustered snapshot starts
+    * delete-free. Old files stay for time travel; [[expire]] GCs them.
+    *
+    * Stats for `zCols` are (re)computed alongside whatever columns the
+    * head already tracked — clustering without stats would skip nothing.
+    * The txn ledger is carried forward (replay horizons survive
+    * maintenance, same rule as compact). Concurrency: a delete landing
+    * mid-rewrite aborts loudly (it references files this rewrite copied
+    * without it); a concurrent APPEND rides through untouched — its
+    * files simply stay unclustered until the next pass. */
+  def optimizeZorder(spark: SparkSession, dir: String, zCols: Seq[String],
+                     numFiles: Int = 16, bitsPerDim: Int = 6): Int = {
+    require(zCols.nonEmpty, "optimizeZorder needs at least one cluster column")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val head = vs.last
+    val rewrite = filesOf(dir, head)
+    val rewriteSet = rewrite.toSet
+    val delsAtStart = delFilesOf(dir, head)
+    val eqsAtStart = eqDelsOf(dir, head)
+    val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
+    // live view of the WHOLE head: positional vectors anti-joined,
+    // equality deletes applied — the rewrite materializes them all
+    Layout.writeZordered(readLive(spark, dir, head, rewrite), zCols,
+      batchDir, numFiles, bitsPerDim)
+    val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$batchDir/$n")
+    val cols = (statColsOf(dir, head) ++ zCols).distinct
+    val newStats = statsLines(spark, newFiles, cols)
+    var carried: Seq[String] = Seq.empty
+    val v = publishOnHead(dir) { (h, base) =>
+      if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
+        throw new java.util.ConcurrentModificationException(
+          "delete vectors changed during optimizeZorder; re-run against " +
+            "the new head")
+      if (h.toSeq.flatMap(eqDelsOf(dir, _)).toSet != eqsAtStart.toSet)
+        throw new java.util.ConcurrentModificationException(
+          "equality deletes changed during optimizeZorder; re-run " +
+            "against the new head")
+      // concurrent appends (files beyond our rewrite set) survive as-is
+      carried = carriedStats(dir, h, base)
+        .filterNot(l => rewriteSet.contains(l.takeWhile(_ != '\t')))
+      h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
+        Seq(s"#ts=${now()}") ++
+        base.filterNot(rewriteSet) ++ newFiles
+    }
+    io.writeLines(statsPath(dir, v), carried ++ newStats)
+    v
+  }
+
   /** MERGE (upsert) `source` into the table by `key` — copy-on-write
     * scoped by the manifest: a matched table row is replaced by its source
     * row, an unmatched source row is inserted, and ONLY the files that
@@ -2060,7 +2119,9 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
           when(col("op") === "i", "u").otherwise(col("op"))),
         "o_orderkey")
       val live = read(spark, replica)
-      require(live.exceptAll(v2).isEmpty && v2.exceptAll(live).isEmpty,
+      // equal cardinality + one-sided multiset inclusion ⟹ equality
+      // (half the comparison cost of a two-sided exceptAll)
+      require(live.count() == v2.count() && live.exceptAll(v2).isEmpty,
         "replica after feed apply diverged from the target snapshot")
     } finally feed.unpersist()
     java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
