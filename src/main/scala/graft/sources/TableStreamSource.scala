@@ -136,7 +136,7 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
     val endV = versionOf(end).toInt
     // version 0 (initialOffset) and an absent start both mean "fresh"
     val sV = start.map(versionOf(_).toInt).getOrElse(0)
-    StreamingDf.asStreaming(
+    val batch =
       if (sV >= endV) ops.read(spark, dir, Some(endV)).limit(0)
       else if (sV > 0) ops.readChanges(spark, dir, sV, endV)
       else if (startingVersion <= 1)
@@ -146,7 +146,28 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
           s"startingVersion $startingVersion is beyond the admitted head " +
             s"$endV of $dir")
         ops.readChanges(spark, dir, startingVersion - 1, endV)
-      })
+      }
+    StreamingDf.asStreaming(conform(batch))
+  }
+
+  /** Schema evolution mid-stream: a batch whose files carry MORE columns
+    * than the query's pinned schema projects down to it (tolerant read —
+    * the added columns become visible on restart, same explicit-schema
+    * discipline as [[graft.sinks.SchemaEvolution]]); a batch missing a
+    * pinned column, or carrying it at another type, fails LOUDLY —
+    * splicing a narrower plan into a running query would corrupt every
+    * downstream operator bound to the old attributes. */
+  private def conform(batch: DataFrame): DataFrame = {
+    val got = batch.schema.map(f => f.name -> f.dataType).toMap
+    val missing = schema.filter(f => !got.get(f.name).contains(f.dataType))
+    require(missing.isEmpty,
+      s"table $dir changed schema mid-stream: column(s) " +
+        s"${missing.map(_.name).mkString(", ")} no longer readable at " +
+        s"their pinned type; restart the query from a fresh checkpoint " +
+        s"to pick up the new schema")
+    if (batch.schema.length == schema.length) batch
+    else batch.select(schema.map(f => org.apache.spark.sql.functions
+      .col(f.name)): _*)
   }
 
   override def commit(end: OffsetV1): Unit = ()

@@ -101,6 +101,21 @@ class TableStreamSpec extends SparkSpec {
       s"wrong failure: ${e.getCause.getMessage}")
   }
 
+  test("schema evolution mid-stream: wider projects down, narrower fails") {
+    val tmp = tmpDir("tstream-schema")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 20), dir)
+    assert(drain(dir, ck)._1 == (0L until 20L))
+    // a WIDER vintage lands: the running pinned schema projects it down
+    ops.commit(rows(20 until 30).withColumn("extra", lit(7)), dir)
+    assert(drain(dir, ck)._1 == (20L until 30L))
+    // a NARROWER vintage (drops k) fails loudly
+    ops.commit(spark.range(30, 35).select(col("id")), dir)
+    val e = intercept[StreamingQueryException] { drain(dir, ck) }
+    assert(e.getCause.getMessage.contains("changed schema mid-stream"),
+      s"wrong failure: ${e.getCause.getMessage}")
+  }
+
   test("table→table hop: tail into a VersionedStream sink, exactly once") {
     val tmp = tmpDir("tstream-hop")
     val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ck = s"$tmp/ck"
