@@ -708,5 +708,20 @@ object GraftExpressions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize",
       exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("interleave_bits",
+      exprs => interleaveBitsFn(exprs), "built-in")
+  }
+
+  /** `interleave_bits(array<int>, bitsPerDim)` — the Morton/z-value
+    * kernel with its bit width supplied as a foldable SQL literal (it
+    * parameterizes codegen, so it cannot vary per row). */
+  private[graft] def interleaveBitsFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "interleave_bits(dims array<int>, bitsPerDim int) takes 2 arguments")
+    require(exprs(1).foldable,
+      "interleave_bits: bitsPerDim must be a literal (it parameterizes " +
+        "codegen and cannot vary per row)")
+    InterleaveBits(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())
   }
 }

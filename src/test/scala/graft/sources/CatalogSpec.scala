@@ -20,4 +20,22 @@ class CatalogSpec extends SparkSpec {
     val ev = spark.sql("SELECT MIN(ts) FROM events").collect().head
     assert(!ev.isNullAt(0))
   }
+
+  test("text + layout kernels from SQL: nfc_normalize, interleave_bits") {
+    Catalog.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT nfc_normalize('Café') AS norm,
+        |  interleave_bits(array(3, 5), 3) AS z
+        |FROM region LIMIT 1""".stripMargin).collect().head
+    assert(r.getAs[String]("norm") == "Café")
+    // interleave of x=3 (011) and y=5 (101), bit b of dim d lands at
+    // position b*n + (n-1-d): x → {1,3}, y → {0,4} ⇒ 1+2+8+16 = 27
+    assert(r.getAs[Long]("z") == 27L)
+    // a per-row (non-literal) bit width is refused loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT interleave_bits(array(1), CAST(r_regionkey AS INT))" +
+        " FROM region").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
 }
