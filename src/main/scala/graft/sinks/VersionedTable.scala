@@ -906,6 +906,71 @@ class VersionedTableOps(protected val io: TableIO) {
     v
   }
 
+  /** Metadata-only COUNT(*): the live row count computed from parquet
+    * FOOTERS (per-file row counts are table metadata, written once at
+    * commit) minus the positional delete-vector rows (each vector row
+    * kills exactly one live row, and vectors only reference files of the
+    * snapshot) — no data page is read, so counting a 100 TB table costs
+    * O(files) driver-side footer reads instead of a cluster-wide scan.
+    * Unmaterialized EQUALITY deletes refuse loudly: their kill count
+    * depends on data (a key may match 0 rows, or rows already
+    * positionally dead) — run [[compact]] first. */
+  def fastCount(spark: SparkSession, dir: String,
+                version: Option[Int] = None): Long = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    require(eqDelsOf(dir, v).isEmpty,
+      s"$dir carries unmaterialized equality deletes at v$v — their row " +
+        s"count is data-dependent; compact() first or use read().count()")
+    val conf = spark.sessionState.newHadoopConf()
+    val raw = filesOf(dir, v).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    val dels = delFilesOf(dir, v)
+    val dead =
+      if (dels.isEmpty) 0L
+      else spark.read.parquet(dels: _*).count() // vector rows, not data
+    raw - dead
+  }
+
+  /** Metadata-only MIN/MAX of a stats-tracked column, folded from the
+    * manifest stats sidecar (one typed bound per file, written at commit
+    * or by [[writeStats]]). Returns `(tag, min, max)` in the sidecar's
+    * encoding — `num` bounds are decimal strings (dates as epoch days,
+    * timestamps as micros), `str` bounds are the strings themselves.
+    * All-null files contribute nothing (SQL MIN/MAX ignore nulls).
+    * Returns None — "fall back to a scan" — when any live file lacks a
+    * stats line for `column`, when every file is all-null, or when ANY
+    * delete debt exists: a delete may have killed the extremal row, so
+    * the sidecar bound is only an enclosure, not the answer. The happy
+    * path answers min/max over 100 TB without touching data. */
+  def fastMinMax(dir: String, column: String,
+                 version: Option[Int] = None)
+      : Option[(String, String, String)] = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    if (delFilesOf(dir, v).nonEmpty || eqDelsOf(dir, v).nonEmpty)
+      return None
+    val stats = statsOf(dir, v, column)
+    val files = filesOf(dir, v)
+    if (!files.forall(stats.contains)) return None
+    val bounds = files.map(stats(_)).filter(_._1 != "null")
+    bounds.map(_._1).distinct match {
+      case Seq("num") => Some(("num",
+        bounds.map(b => BigDecimal(b._2)).min.toString,
+        bounds.map(b => BigDecimal(b._3)).max.toString))
+      case Seq("str") => Some(("str",
+        bounds.map(b => StatValue.decodeStr(b._2)).min,
+        bounds.map(b => StatValue.decodeStr(b._3)).max))
+      case _ => None // all-null column, or mixed tags: scan instead
+    }
+  }
+
   /** OPTIMIZE ZORDER — rewrite the table's LIVE rows z-ordered on
     * `zCols` as one logical-rewrite snapshot: the lake maintenance pass
     * that turns an arrival-ordered landing (streaming commitOnce batches,

@@ -1,0 +1,69 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Metadata-only aggregates: COUNT(*) from parquet footers minus delete
+  * vectors, MIN/MAX folded from the stats sidecar — each cross-checked
+  * against the scan answer, with every refuse-and-fall-back edge pinned. */
+class FastStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  test("fastCount: footers minus vectors == scan count; eq-dels refuse") {
+    val dir = tmpDir("fc")
+    ops.commit((0 until 300).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      dir)
+    ops.commit((300 until 500).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      dir)
+    assert(ops.fastCount(spark, dir) == 500L)
+    // positional deletes are exact metadata: one vector row = one dead row
+    ops.deleteWhere(spark, dir, col("id") % 10 === 0)
+    assert(ops.fastCount(spark, dir) == ops.read(spark, dir).count())
+    // pinned versions count at their own vintage
+    assert(ops.fastCount(spark, dir, Some(1)) == 300L)
+    // unmaterialized equality deletes are data-dependent: refuse loudly
+    ops.deleteByKeys(spark, dir, "id", Seq(7L, 7777L).toDF("id"))
+    val e = intercept[IllegalArgumentException] { ops.fastCount(spark, dir) }
+    assert(e.getMessage.contains("equality deletes"))
+  }
+
+  test("fastMinMax: sidecar fold == scan extremes; edges fall back") {
+    val dir = tmpDir("fmm")
+    val df1 = (10 until 200).map(i => (i.toLong, s"w${i % 7}"))
+      .toDF("id", "w")
+    val df2 = (200 until 420).map(i => (i.toLong, s"w${i % 9}"))
+      .toDF("id", "w")
+    ops.commit(df1, dir)
+    ops.writeStats(spark, dir, 1, Seq("id", "w"))
+    // a file without a stats line → None (never guess)
+    ops.commit(df2, dir)
+    assert(ops.fastMinMax(dir, "id").isEmpty)
+    ops.writeStats(spark, dir, 2, Seq("id", "w"))
+    assert(ops.fastMinMax(dir, "id").contains(("num", "10", "419")))
+    val Some(("str", lo, hi)) = ops.fastMinMax(dir, "w")
+    assert(lo == "w0" && hi == "w8")
+    // delete debt makes the bound an enclosure, not the answer → None
+    ops.deleteWhere(spark, dir, col("id") === 419L)
+    assert(ops.fastMinMax(dir, "id").isEmpty)
+    // but the pinned pre-delete version still answers
+    assert(ops.fastMinMax(dir, "id", Some(2))
+      .contains(("num", "10", "419")))
+  }
+
+  test("fastMinMax ignores all-null files, refuses all-null columns") {
+    val dir = tmpDir("fmm-null")
+    ops.commit(Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "s"),
+      dir)
+    ops.commit(Seq((3L, Option.empty[String])).toDF("id", "s"), dir)
+    ops.writeStats(spark, dir, 2, Seq("s"))
+    // the all-null file contributes nothing; the answer is the other file
+    assert(ops.fastMinMax(dir, "s").contains(("str", "a", "b")))
+    val nulls = tmpDir("fmm-allnull")
+    ops.commit(Seq((1L, Option.empty[String])).toDF("id", "s"), nulls)
+    ops.writeStats(spark, nulls, 1, Seq("s"))
+    assert(ops.fastMinMax(nulls, "s").isEmpty)
+  }
+}
