@@ -150,24 +150,30 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
     StreamingDf.asStreaming(conform(batch))
   }
 
-  /** Schema evolution mid-stream: a batch whose files carry MORE columns
-    * than the query's pinned schema projects down to it (tolerant read —
-    * the added columns become visible on restart, same explicit-schema
-    * discipline as [[graft.sinks.SchemaEvolution]]); a batch missing a
-    * pinned column, or carrying it at another type, fails LOUDLY —
-    * splicing a narrower plan into a running query would corrupt every
-    * downstream operator bound to the old attributes. */
+  /** Schema conformance per micro-batch — every batch is served AT the
+    * query's pinned schema, the explicit-schema read discipline of
+    * [[graft.sinks.SchemaEvolution]]: extra columns (a wider vintage, or
+    * an old batch replayed under a newer pinned schema) are projected
+    * away; a pinned column a batch's files don't carry reads as typed
+    * NULLs (add/drop-column evolution — exactly how a pinned batch read
+    * of mixed vintages resolves it); a column present at a DIFFERENT
+    * type fails loudly — a silent cast can corrupt downstream state,
+    * and the consumer must restart to renegotiate the schema. */
   private def conform(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val got = batch.schema.map(f => f.name -> f.dataType).toMap
-    val missing = schema.filter(f => !got.get(f.name).contains(f.dataType))
-    require(missing.isEmpty,
+    val retyped = schema.filter(f =>
+      got.get(f.name).exists(_ != f.dataType))
+    require(retyped.isEmpty,
       s"table $dir changed schema mid-stream: column(s) " +
-        s"${missing.map(_.name).mkString(", ")} no longer readable at " +
-        s"their pinned type; restart the query from a fresh checkpoint " +
-        s"to pick up the new schema")
-    if (batch.schema.length == schema.length) batch
-    else batch.select(schema.map(f => org.apache.spark.sql.functions
-      .col(f.name)): _*)
+        s"${retyped.map(_.name).mkString(", ")} no longer carry their " +
+        s"pinned type; restart the query from a fresh checkpoint to pick " +
+        s"up the new schema")
+    if (batch.schema == schema) batch
+    else batch.select(schema.map { f =>
+      if (got.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   override def commit(end: OffsetV1): Unit = ()

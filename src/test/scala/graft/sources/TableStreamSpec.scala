@@ -101,16 +101,22 @@ class TableStreamSpec extends SparkSpec {
       s"wrong failure: ${e.getCause.getMessage}")
   }
 
-  test("schema evolution mid-stream: wider projects down, narrower fails") {
+  test("schema evolution mid-stream: add/drop tolerated, re-type fails") {
     val tmp = tmpDir("tstream-schema")
     val dir = s"$tmp/table"; val ck = s"$tmp/ck"
     ops.commit(rows(0 until 20), dir)
     assert(drain(dir, ck)._1 == (0L until 20L))
-    // a WIDER vintage lands: the running pinned schema projects it down
+    // a WIDER vintage lands: served at the pinned schema (projected down
+    // or, for a replayed old batch under a newer pinned schema, the
+    // added column reads as nulls) — the stream keeps flowing either way
     ops.commit(rows(20 until 30).withColumn("extra", lit(7)), dir)
     assert(drain(dir, ck)._1 == (20L until 30L))
-    // a NARROWER vintage (drops k) fails loudly
+    // a NARROWER vintage (drops k): k reads as typed nulls, ids flow
     ops.commit(spark.range(30, 35).select(col("id")), dir)
+    assert(drain(dir, ck)._1 == (30L until 35L))
+    // a RE-TYPED column fails loudly: silent casts corrupt downstream
+    ops.commit(spark.range(35, 40)
+      .select(col("id").cast("string").as("id")), dir)
     val e = intercept[StreamingQueryException] { drain(dir, ck) }
     assert(e.getCause.getMessage.contains("changed schema mid-stream"),
       s"wrong failure: ${e.getCause.getMessage}")
