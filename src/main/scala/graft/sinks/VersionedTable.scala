@@ -587,7 +587,12 @@ class VersionedTableOps(protected val io: TableIO) {
         try BigDecimal(mxS) >= BigDecimal(qlo) && BigDecimal(mnS) <= BigDecimal(qhi)
         catch { case _: NumberFormatException => true }
       case ("str", Some(("str", qlo)), Some(("str", qhi))) =>
-        StatValue.decodeStr(mxS) >= qlo && StatValue.decodeStr(mnS) <= qhi
+        // Both sides must be DECODED before ordering: URL-encoding is not
+        // order-preserving (' ' → '+', punctuation → %XX), so comparing a
+        // decoded stored bound against an encoded query bound can wrongly
+        // prune a file that contains the probed string.
+        StatValue.decodeStr(mxS) >= StatValue.decodeStr(qlo) &&
+          StatValue.decodeStr(mnS) <= StatValue.decodeStr(qhi)
       case _ => true
     }
   }
@@ -679,27 +684,37 @@ class VersionedTableOps(protected val io: TableIO) {
   def writeBlooms(spark: SparkSession, dir: String, version: Int,
                   bloomCols: Seq[String], mBits: Int = 1 << 18,
                   k: Int = 5): Unit = {
-    require(Integer.bitCount(mBits) >= 1 && mBits >= 64,
-      s"mBits too small: $mBits")
+    // pmod (not bit-masking) keeps any modulus mathematically sound, so
+    // power-of-two m is a sizing convention, not a requirement — the
+    // guard only pins the byte-array layout (whole bytes) and a floor.
+    require(mBits >= 64 && mBits % 8 == 0,
+      s"mBits must be >= 64 and a multiple of 8: $mBits")
     val p = statsPath(dir, version)
     val existing = if (io.exists(p)) io.readLines(p) else Seq.empty
     val files = filesOf(dir, version)
+    // The bitmap is OR-folded on the EXECUTORS (fixed m/8-byte buffer per
+    // file, map-side partials merge before the shuffle); the driver
+    // collects only the ~m/8-byte finished bitmap per file. Collecting
+    // position SETS instead (the obvious collect_set) approaches
+    // m/8 * 32 bits of driver transfer per near-full file — a full-table
+    // build over 10^5 files would push the whole index through one
+    // collect.
+    val bloomAgg = udaf(new BloomBitsAgg(mBits),
+      org.apache.spark.sql.Encoders.scalaLong)
     val newLines = bloomCols.flatMap { c =>
       val have = bloomsOf(dir, version, c).keySet
       val need = files.filterNot(have)
       if (need.isEmpty) Seq.empty
       else {
         val posArr = array((0 until k).map(s =>
-          pmod(xxhash64(lit(s), col(c)), lit(mBits.toLong)).cast("int")): _*)
+          pmod(xxhash64(lit(s), col(c)), lit(mBits.toLong))): _*)
         spark.read.parquet(need: _*)
           .select(plainPath.as("__file"), explode(posArr).as("pos"))
-          .groupBy(col("__file")).agg(collect_set(col("pos")).as("ps"))
+          .groupBy(col("__file")).agg(bloomAgg(col("pos")).as("bits"))
           .collect().toSeq
           .map { r =>
-            val bits = new java.util.BitSet(mBits)
-            r.getSeq[Int](1).foreach(bits.set)
             val b64 = java.util.Base64.getEncoder
-              .encodeToString(bits.toByteArray)
+              .encodeToString(r.getAs[Array[Byte]](1))
             s"${r.getString(0)}\t$c\tbloom\t$mBits:$k\t$b64"
           }
       }
@@ -1072,8 +1087,14 @@ class VersionedTableOps(protected val io: TableIO) {
   def mergeChanges(spark: SparkSession, dir: String, changes: DataFrame,
                    key: String, opCol: String = "op",
                    txnId: Option[String] = None): Int = {
-    val bad = changes.filter(!col(opCol).isin("u", "d")).limit(1).count()
-    require(bad == 0, s"op column '$opCol' must be 'u' or 'd'")
+    // A NULL op makes `!isin("u","d")` evaluate to NULL (filtered out),
+    // which would let the row pass validation and then silently match
+    // neither the upsert nor the delete branch — count "not a definite
+    // match" instead so malformed rows fail loudly rather than vanish.
+    val bad = changes
+      .filter(!coalesce(col(opCol).isin("u", "d"), lit(false)))
+      .limit(1).count()
+    require(bad == 0, s"op column '$opCol' must be 'u' or 'd' (non-null)")
     applyChanges(spark, dir,
       changes.filter(col(opCol) === "u").drop(opCol),
       changes.filter(col(opCol) === "d").select(col(key)),
@@ -1845,6 +1866,33 @@ class VersionedTableOps(protected val io: TableIO) {
   * and compare decoded. A value that fits neither (null, NaN/Inf — parquet
   * min/max on non-finite floats is unreliable anyway) encodes to None and
   * the file is kept. */
+/** Executor-side bloom bitmap fold: input is a bit position in [0, mBits),
+  * state is the finished m/8-byte bitmap itself (fixed size, mergeable by
+  * byte-wise OR). The byte layout — bit n ↔ byte n/8, bit n%8 within the
+  * byte — is exactly `java.util.BitSet.valueOf`'s, so the sidecar wire
+  * format (Base64 of the little-endian byte image) is unchanged from the
+  * driver-built era and old lines stay readable. */
+private[sinks] class BloomBitsAgg(mBits: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Byte], Array[Byte]] {
+  def zero: Array[Byte] = new Array[Byte](mBits / 8)
+  def reduce(b: Array[Byte], pos: Long): Array[Byte] = {
+    val p = pos.toInt
+    b(p >>> 3) = (b(p >>> 3) | (1 << (p & 7))).toByte
+    b
+  }
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+    a
+  }
+  def finish(r: Array[Byte]): Array[Byte] = r
+  def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
 private[sinks] object StatValue {
 
   /** Encode a stats value or query bound by its runtime type. */

@@ -42,6 +42,31 @@ class BloomSkipSpec extends SparkSpec {
     assert(got == Seq((777L, 2331L)))
   }
 
+  test("bitmaps are folded executor-side: the collected payload per file " +
+    "is the fixed m/8-byte bitmap, not a position set") {
+    // The old driver-built path collected collect_set(pos) — up to 32 bits
+    // of transfer PER SET BIT per file — then trimmed trailing zero bytes
+    // via BitSet.toByteArray. The executor-side Aggregator's state IS the
+    // finished bitmap, so every sidecar line decodes to exactly m/8 bytes
+    // regardless of fill: that fixed size is the observable pin that the
+    // driver received bitmaps, not sets.
+    val dir = tmpDir("bl-execside")
+    val mBits = 1 << 14
+    val v = scattered(dir, 5000, 4)
+    ops.writeBlooms(spark, dir, v, Seq("id"), mBits = mBits)
+    val lines = backend.readLines(s"$dir/manifests/s$v")
+      .map(_.split('\t').toSeq)
+      .collect { case Seq(_, "id", "bloom", cfg, b64) => (cfg, b64) }
+    assert(lines.size == 4, s"expected 4 bloom lines, got ${lines.size}")
+    lines.foreach { case (cfg, b64) =>
+      assert(cfg == s"$mBits:5")
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      assert(bytes.length == mBits / 8,
+        s"payload ${bytes.length}B != m/8 = ${mBits / 8}B — not the " +
+          "fixed executor-built bitmap")
+    }
+  }
+
   test("superset guarantee: every probed key is found through the pruning") {
     val dir = tmpDir("bl-superset")
     val v = scattered(dir, 20000, 16)

@@ -83,6 +83,22 @@ class MergeSpec extends SparkSpec {
     assert(ops.versions(dir) == Seq(1))
   }
 
+  test("a NULL op in a change batch fails loudly, not silently dropped") {
+    // !isin("u","d") is NULL for a null op — a naive bad-row filter drops
+    // the row, validation passes, and the row then matches neither the
+    // upsert nor the delete branch: a malformed changelog row would
+    // VANISH from the commit instead of failing.
+    val dir = tmpDir("mg-nullop")
+    ops.commit(table(0, 100), dir)
+    val changes = Seq((1L, 10L, Option("u")), (2L, 20L, Option.empty[String]))
+      .toDF("id", "payload", "op")
+    val e = intercept[IllegalArgumentException] {
+      ops.mergeChanges(spark, dir, changes, "id")
+    }
+    assert(e.getMessage.contains("op column"))
+    assert(ops.versions(dir) == Seq(1), "nothing may land on a bad batch")
+  }
+
   test("merge preserves delete vectors on kept files, bakes them into " +
     "rewritten ones") {
     val dir = tmpDir("mg-dels")

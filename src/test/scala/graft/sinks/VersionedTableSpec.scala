@@ -177,6 +177,29 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(ops.prunedFiles(dir, head, "day", "a", "z").size == all.size)
   }
 
+  test("string pruning survives URL-encoding-hostile values") {
+    // URL-encoding is not order-preserving (' ' sorts below '+', '%' maps
+    // to %25): comparing a decoded stored bound against an encoded query
+    // bound wrongly prunes a file containing the probed string. Each
+    // probe-for-own-value below must keep the file that holds it.
+    val dir = tmpDir("vt-strenc")
+    val hostile = Seq("a b", "100% done", "a+b", "café ☕", "x&y=z")
+    hostile.zipWithIndex.foreach { case (s, i) =>
+      ops.commit(Seq((i.toLong, s)).toDF("id", "name").coalesce(1), dir)
+    }
+    val head = ops.versions(dir).last
+    ops.writeStats(spark, dir, head, Seq("name"))
+    hostile.foreach { s =>
+      val got = ops.prunedRead(spark, dir, "name", s, s)
+        .filter($"name" === s).as[(Long, String)].collect()
+      assert(got.map(_._2).toSeq == Seq(s),
+        s"probe for '$s' lost its own row — encoding broke bound ordering")
+    }
+    // and pruning still prunes: a single-point probe keeps < all files
+    val all = ops.prunedFiles(dir, head, "name", "", "￿￿")
+    assert(ops.prunedFiles(dir, head, "name", "a b", "a b").size < all.size)
+  }
+
   test("a version without stats degrades to no pruning, never to loss") {
     val dir = tmpDir("vt-nostats")
     ops.commit((1 to 50).map(i => (i.toLong, i.toDouble))
