@@ -46,11 +46,42 @@ import org.apache.spark.sql.functions._
   * [[VersionedTable]] object binds the local backend; bind
   * `new VersionedTableOps(new HadoopTableIO(conf))` for the rest.
   */
+/** A maintenance-time conflict a mechanical re-run resolves: the
+  * snapshot's SHAPE moved underneath the op — vectors landed or were
+  * consolidated, equality deletes appeared that the rewrite itself can
+  * materialize. Distinct from DATA conflicts (a concurrent append
+  * touching a MERGE source key, an equality delete a MERGE must not
+  * reason about), which abort immediately and stay aborted: blindly
+  * re-running those could serialize a stale read-modify-write over newer
+  * data. Subclasses ConcurrentModificationException so callers catching
+  * the loud-abort contract keep working. */
+class SnapshotShapeConflict(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
 class VersionedTableOps(protected val io: TableIO) {
 
   protected def manifestDir(dir: String): String = s"$dir/manifests"
   private def manifestPath(dir: String, v: Int) = s"${manifestDir(dir)}/v$v"
   private def statsPath(dir: String, v: Int) = s"${manifestDir(dir)}/s$v"
+
+  /** Bounded retry-against-the-new-head for maintenance ops: every
+    * attempt starts from a fresh head resolve, so a
+    * [[SnapshotShapeConflict]] just means "go again on the new state" —
+    * a busy landing should not need operator babysitting to compact. The
+    * bound keeps a hot conflict loop from livelocking silently; the last
+    * conflict is rethrown loud. */
+  private def retryingShape[T](attempts: Int)(op: => T): T = {
+    var tries = 1
+    while (true) {
+      try return op
+      catch {
+        case e: SnapshotShapeConflict =>
+          if (tries >= attempts) throw e
+          tries += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Commit wall clock (epoch millis) — a seam so specs can inject a
     * deterministic clock instead of sleeping around real time. */
@@ -174,14 +205,30 @@ class VersionedTableOps(protected val io: TableIO) {
              txnId: Option[String] = None): Int = {
     val newFiles = writeBatch(df, dir)
     validateConstraints(df.sparkSession, dir, newFiles)
+    // per-file row counts land with EVERY commit (footers of the batch
+    // just written — O(batch), local), and the head's stats lines carry
+    // forward, so a plain append no longer silently discards the pruning
+    // metadata a clustered landing built up
+    val rowsNew = rowsLines(df.sparkSession, newFiles)
     val meta = txnId.map(t => s"#txn=$t").toSeq :+ s"#ts=${now()}"
     // an append inherits the head's delete vectors (they reference the
     // carried files); a logical overwrite starts clean — none of its files
     // existed when any prior delete was computed
-    if (append) publishOnHead(dir)((h, base) =>
-      meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++ base ++ newFiles)
-    else publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
-      meta ++ newFiles)
+    if (append) {
+      var carried: Seq[String] = Seq.empty
+      val v = publishOnHead(dir) { (h, base) =>
+        carried = carriedStats(dir, h, base,
+          extraKeep = h.toSeq.flatMap(delFilesOf(dir, _)))
+        meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++ base ++ newFiles
+      }
+      io.writeLines(statsPath(dir, v), carried ++ rowsNew)
+      v
+    } else {
+      val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
+        meta ++ newFiles)
+      io.writeLines(statsPath(dir, v), rowsNew)
+      v
+    }
   }
 
   /** Exactly-once commit for replayable sources (Structured Streaming's
@@ -309,7 +356,7 @@ class VersionedTableOps(protected val io: TableIO) {
     * Returns the new version, or the current head unchanged when nothing
     * matched. */
   def deleteWhere(spark: SparkSession, dir: String,
-                  predicate: Column): Int = {
+                  predicate: Column): Int = retryingShape(3) {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
@@ -338,16 +385,20 @@ class VersionedTableOps(protected val io: TableIO) {
     val v = publishOnHead(dir) { (h, base) =>
       val missing = referenced -- base.toSet
       if (missing.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
+        throw new SnapshotShapeConflict(
           s"delete vector references ${missing.size} file(s) no longer in " +
             s"the head (concurrent compaction/overwrite rewrote them); " +
             s"re-run deleteWhere against the new head")
-      carried = carriedStats(dir, h, base)
+      carried = carriedStats(dir, h, base,
+        extraKeep = h.toSeq.flatMap(delFilesOf(dir, _)))
       Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
         newDel.map(f => s"#del=$f") ++ base
     }
-    // delete vectors never move min/max: stats stay a superset guarantee
-    if (carried.nonEmpty) io.writeLines(statsPath(dir, v), carried)
+    // delete vectors never move min/max (stats stay a superset guarantee);
+    // the new vector's own row count lands so fastCount can subtract the
+    // dead rows from the sidecar alone
+    io.writeLines(statsPath(dir, v),
+      carried ++ rowsLines(spark, newDel))
     v
   }
 
@@ -389,7 +440,8 @@ class VersionedTableOps(protected val io: TableIO) {
     }
     var carried: Seq[String] = Seq.empty
     val v = publishOnHead(dir) { (h, base) =>
-      carried = carriedStats(dir, h, base)
+      carried = carriedStats(dir, h, base,
+        extraKeep = h.toSeq.flatMap(delFilesOf(dir, _)))
       // seq = the version being published: the delete applies to exactly
       // the files in `base` (all added at ≤ head < seq), never to later
       // appends — re-resolved per OCC retry like every head derivation
@@ -405,11 +457,18 @@ class VersionedTableOps(protected val io: TableIO) {
   /** Roll the head back to `toVersion`'s file set — as a NEW version, so
     * the rolled-back state stays inspectable. Carries `toVersion`'s delete
     * vectors too: the rolled-back STATE includes which rows were dead. */
-  def rollback(dir: String, toVersion: Int): Int =
-    publish(dir, versions(dir).last + 1,
+  def rollback(dir: String, toVersion: Int): Int = {
+    val v = publish(dir, versions(dir).last + 1,
       s"#ts=${now()}" +: (delLinesOf(dir, Some(toVersion)) ++
         eqDelLinesOf(dir, Some(toVersion)) ++
         filesOf(dir, toVersion)))
+    // the restored state's sidecar (stats bounds, blooms, row counts)
+    // describes the same immutable files — copy it so a rollback doesn't
+    // silently turn off pruning and metadata-only counts
+    val p = statsPath(dir, toVersion)
+    if (io.exists(p)) io.writeLines(statsPath(dir, v), io.readLines(p))
+    v
+  }
 
   /** Commit wall-clock of a version (absent on manifests published by a
     * pre-timestamp build). */
@@ -425,14 +484,31 @@ class VersionedTableOps(protected val io: TableIO) {
     * before publish), so resolution filters on stamps but picks the max
     * VERSION among the qualifying. Fails loudly when nothing is old
     * enough; unstamped manifests (pre-timestamp builds) never qualify. */
-  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAt(dir, tsMillis)))
+
+  /** The version [[readAsOf]] resolves `tsMillis` to — shared with the
+    * SQL catalog's `TIMESTAMP AS OF` path. */
+  private[graft] def versionAt(dir: String, tsMillis: Long): Int = {
     val stamped = versions(dir)
       .flatMap(v => tsOf(dir, v).map(t => (v, t)))
     val at = stamped.filter(_._2 <= tsMillis).map(_._1)
     require(at.nonEmpty,
       s"no version at or before $tsMillis in $dir " +
         s"(earliest stamp: ${stamped.headOption.map(_._2)})")
-    read(spark, dir, Some(at.max))
+    at.max
+  }
+
+  /** (resolved version, live data files, has delete debt) — the seam the
+    * SQL catalog plans a snapshot read through. */
+  private[graft] def snapshotInfo(dir: String,
+      version: Option[Int]): (Int, Seq[String], Boolean) = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    (v, filesOf(dir, v),
+      delFilesOf(dir, v).nonEmpty || eqDelsOf(dir, v).nonEmpty)
   }
 
   // ---- manifest-level file skipping (Iceberg-style scan planning) ----
@@ -457,9 +533,22 @@ class VersionedTableOps(protected val io: TableIO) {
     *  - `null`: an all-null (or non-finite-extreme) file — no usable
     *    bound, always kept. */
   def writeStats(spark: SparkSession, dir: String, version: Int,
-                 statCols: Seq[String]): Unit =
-    io.writeLines(statsPath(dir, version),
-      statsLines(spark, filesOf(dir, version), statCols))
+                 statCols: Seq[String]): Unit = {
+    val p = statsPath(dir, version)
+    // re-deriving range bounds must not discard the OTHER sidecar layers
+    // (bloom bitmaps, `rows` counts for data AND delete-vector files)
+    // already landed for this version. statsLines re-emits rows lines for
+    // the files it scans; keeping the originals too is harmless — a file
+    // is immutable, so duplicate rows lines agree and consumers fold maps.
+    val keep =
+      if (!io.exists(p)) Seq.empty
+      else io.readLines(p).filter { l =>
+        val a = l.split('\t')
+        a.length >= 3 && (a(1) == "#" || a(2) == "bloom")
+      }
+    io.writeLines(p,
+      keep ++ statsLines(spark, filesOf(dir, version), statCols))
+  }
 
   /** One stats line per (file, col) over exactly `files` — one grouped
     * aggregate, one scan of those files, min/max computed in the column's
@@ -470,16 +559,19 @@ class VersionedTableOps(protected val io: TableIO) {
     if (files.isEmpty) return Seq.empty
     val df = spark.read.parquet(files: _*)
       .withColumn("__file", input_file_name())
+    // the per-file row count rides in the same grouped aggregate — free
+    // here, and it is what makes [[fastCount]] a pure sidecar fold
     val aggs = statCols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
-    }
+    } :+ count(lit(1)).as("__rows")
     df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
       .flatMap { r =>
         // input_file_name is URI-formatted (file://...); normalize back to
         // the manifest's plain-path form so lookups match
         val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
-        statCols.map { c =>
+        val n = r.getAs[Long]("__rows")
+        s"$path\t#\trows\t$n\t$n" +: statCols.map { c =>
           val lo = StatValue.encodeBound(r.getAs[Any](s"${c}__min"))
           val hi = StatValue.encodeBound(r.getAs[Any](s"${c}__max"))
           (lo, hi) match {
@@ -490,16 +582,56 @@ class VersionedTableOps(protected val io: TableIO) {
       }
   }
 
+  /** Per-file row counts read from parquet FOOTERS — the commit-time
+    * fallback for paths that write files without a stats scan (plain
+    * [[commit]], delete-vector lands). O(this batch) local footer opens
+    * ONCE at commit, so [[fastCount]] never pays O(table) serial remote
+    * IO per call. The counter exists so specs can pin "zero footer opens"
+    * on the pure-sidecar path. */
+  private[sinks] val footerReads = new java.util.concurrent.atomic.AtomicLong
+  private def footerRowCounts(spark: SparkSession,
+                              files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      footerReads.incrementAndGet()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try f -> r.getRecordCount finally r.close()
+    }.toMap
+  }
+
+  /** `rows` sidecar lines for just-written `files` (data or vector). */
+  private def rowsLines(spark: SparkSession, files: Seq[String]): Seq[String] =
+    footerRowCounts(spark, files).toSeq.sortBy(_._1)
+      .map { case (f, n) => s"$f\t#\trows\t$n\t$n" }
+
+  /** (path → row count) from the `rows` sidecar lines at `version` —
+    * keyed by path, so it covers data files AND delete-vector files. */
+  private def rowsOf(dir: String, version: Int): Map[String, Long] = {
+    val p = statsPath(dir, version)
+    if (!io.exists(p)) Map.empty
+    else io.readLines(p)
+      .map(_.split('\t').toSeq)
+      .collect { case Seq(f, "#", "rows", n, _) => f -> n.toLong }
+      .toMap
+  }
+
   /** Stats lines of `headVersion` restricted to the files in `base` —
     * the carry-forward read, re-derived per OCC attempt because the head
     * (and thus the stats file to inherit) can move under a retry. */
   private def carriedStats(dir: String, headVersion: Option[Int],
-                           base: Seq[String]): Seq[String] =
+                           base: Seq[String],
+                           extraKeep: Seq[String] = Seq.empty): Seq[String] =
     headVersion.toSeq.flatMap { h =>
       val p = statsPath(dir, h)
       if (!io.exists(p)) Seq.empty
       else {
-        val baseSet = base.toSet
+        // `extraKeep` is for non-data paths whose sidecar lines ride with
+        // the manifest they are carried by — delete-vector files keep
+        // their `rows` lines exactly as long as their `#del=` lines live
+        val baseSet = base.toSet ++ extraKeep
         io.readLines(p).filter(l => baseSet.contains(l.takeWhile(_ != '\t')))
       }
     }
@@ -534,7 +666,8 @@ class VersionedTableOps(protected val io: TableIO) {
     } else {
       var carried: Seq[String] = Seq.empty
       val v = publishOnHead(dir) { (head, base) =>
-        carried = carriedStats(dir, head, base)
+        carried = carriedStats(dir, head, base,
+          extraKeep = head.toSeq.flatMap(delFilesOf(dir, _)))
         s"#ts=${now()}" +: (delLinesOf(dir, head) ++
           eqDelLinesOf(dir, head) ++ base ++ newFiles)
       }
@@ -805,12 +938,15 @@ class VersionedTableOps(protected val io: TableIO) {
   private def metaOf(dir: String, version: Int): Seq[String] =
     io.readLines(manifestPath(dir, version)).filter(_.startsWith("#"))
 
-  /** Column names a version's stats file covers (empty if none). */
+  /** Column names a version's stats file covers (empty if none). The
+    * `#` pseudo-column (per-file row counts) is table metadata, not a
+    * stats-tracked column — inheriting it into a statsLines scan would
+    * try to aggregate a column that doesn't exist. */
   private def statColsOf(dir: String, version: Int): Seq[String] = {
     val p = statsPath(dir, version)
     if (!io.exists(p)) Seq.empty
     else io.readLines(p).map(_.split('\t'))
-      .collect { case a if a.length >= 2 => a(1) }.distinct
+      .collect { case a if a.length >= 2 && a(1) != "#" => a(1) }.distinct
   }
 
   /** Bin-pack compaction — the maintenance op a streaming landing needs
@@ -835,16 +971,26 @@ class VersionedTableOps(protected val io: TableIO) {
     * than `minInputFiles` files are under target). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
               minInputFiles: Int = 2,
-              statCols: Seq[String] = Seq.empty): Int = {
+              statCols: Seq[String] = Seq.empty): Int = retryingShape(3) {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
     val small = filesOf(dir, head).filter(f => io.size(f) < targetBytes)
-    if (small.size < minInputFiles) return head
-    val smallSet = small.toSet
     val delsAtStart = delFilesOf(dir, head)
     val eqsAtStart = eqDelsOf(dir, head)
+    // minInputFiles is a bin-packing heuristic; it must not veto a
+    // debt-clearing pass — compact is the materialization path
+    // ([[deleteByKeys]]' contract sends dependent ops here, the SQL
+    // catalog refuses MOR reads until it runs), and a one-small-file
+    // table would otherwise carry its vector forever. Debt riding ONLY
+    // on over-target files still consolidates (not rewrites) them — the
+    // partial-compact contract: rewriting a huge file for one dead row
+    // is write amplification; raise targetBytes to force full
+    // materialization.
+    val debt = delsAtStart.nonEmpty || eqsAtStart.nonEmpty
+    if (small.isEmpty || (small.size < minInputFiles && !debt)) return head
+    val smallSet = small.toSet
     val numOut = math.max(1,
       math.ceil(small.map(io.size).sum.toDouble / targetBytes).toInt)
     val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
@@ -883,19 +1029,20 @@ class VersionedTableOps(protected val io: TableIO) {
     val cols =
       if (statCols.nonEmpty) statCols else statColsOf(dir, head)
     val newStats =
-      if (cols.isEmpty) Seq.empty
+      if (cols.isEmpty) rowsLines(spark, newFiles)
       else statsLines(spark, newFiles, cols)
+    val delRows = rowsLines(spark, survivorDel)
     var carried: Seq[String] = Seq.empty
     val v = publishOnHead(dir) { (h, base) =>
       // a delete that lands mid-compact references files this rewrite has
       // already copied WITHOUT it — carrying the new vector would half-apply
       // it, dropping it would resurrect rows; fail loudly, caller retries
       if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
-        throw new java.util.ConcurrentModificationException(
+        throw new SnapshotShapeConflict(
           "delete vectors changed during compaction; re-run compact " +
             "against the new head")
       if (h.toSeq.flatMap(eqDelsOf(dir, _)).toSet != eqsAtStart.toSet)
-        throw new java.util.ConcurrentModificationException(
+        throw new SnapshotShapeConflict(
           "equality deletes changed during compaction; re-run compact " +
             "against the new head")
       carried = carriedStats(dir, h, base)
@@ -916,17 +1063,19 @@ class VersionedTableOps(protected val io: TableIO) {
         liveEq.map { case (s, c, p) => s"#eqdel=$s\t$c\t$p" } ++
         kept ++ newFiles
     }
-    if (cols.nonEmpty)
-      io.writeLines(statsPath(dir, v), carried ++ newStats)
+    io.writeLines(statsPath(dir, v), carried ++ newStats ++ delRows)
     v
   }
 
-  /** Metadata-only COUNT(*): the live row count computed from parquet
-    * FOOTERS (per-file row counts are table metadata, written once at
-    * commit) minus the positional delete-vector rows (each vector row
-    * kills exactly one live row, and vectors only reference files of the
-    * snapshot) — no data page is read, so counting a 100 TB table costs
-    * O(files) driver-side footer reads instead of a cluster-wide scan.
+  /** Metadata-only COUNT(*): the live row count folded from the manifest
+    * stats sidecar's per-file `rows` lines (written by every commit path —
+    * append, clustered, merge, compact, z-order, delete — at the moment
+    * the files land) minus the delete-vector row counts recorded the same
+    * way. The happy path opens NOTHING: one sidecar read answers COUNT(*)
+    * over 100 TB, the same discipline as [[fastMinMax]]. Files a
+    * pre-upgrade manifest never counted fall back to a parquet-footer
+    * read — still no data pages, but O(uncounted files) driver IO, which
+    * is why commits record counts eagerly.
     * Unmaterialized EQUALITY deletes refuse loudly: their kill count
     * depends on data (a key may match 0 rows, or rows already
     * positionally dead) — run [[compact]] first. */
@@ -938,18 +1087,13 @@ class VersionedTableOps(protected val io: TableIO) {
     require(eqDelsOf(dir, v).isEmpty,
       s"$dir carries unmaterialized equality deletes at v$v — their row " +
         s"count is data-dependent; compact() first or use read().count()")
-    val conf = spark.sessionState.newHadoopConf()
-    val raw = filesOf(dir, v).map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
-    val dels = delFilesOf(dir, v)
-    val dead =
-      if (dels.isEmpty) 0L
-      else spark.read.parquet(dels: _*).count() // vector rows, not data
-    raw - dead
+    val rows = rowsOf(dir, v)
+    def total(files: Seq[String]): Long = {
+      val missing = files.filterNot(rows.contains)
+      files.flatMap(rows.get).sum +
+        footerRowCounts(spark, missing).values.sum
+    }
+    total(filesOf(dir, v)) - total(delFilesOf(dir, v))
   }
 
   /** Metadata-only MIN/MAX of a stats-tracked column, folded from the
@@ -1006,7 +1150,8 @@ class VersionedTableOps(protected val io: TableIO) {
     * without it); a concurrent APPEND rides through untouched — its
     * files simply stay unclustered until the next pass. */
   def optimizeZorder(spark: SparkSession, dir: String, zCols: Seq[String],
-                     numFiles: Int = 16, bitsPerDim: Int = 6): Int = {
+                     numFiles: Int = 16, bitsPerDim: Int = 6): Int =
+    retryingShape(3) {
     require(zCols.nonEmpty, "optimizeZorder needs at least one cluster column")
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
@@ -1027,11 +1172,11 @@ class VersionedTableOps(protected val io: TableIO) {
     var carried: Seq[String] = Seq.empty
     val v = publishOnHead(dir) { (h, base) =>
       if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
-        throw new java.util.ConcurrentModificationException(
+        throw new SnapshotShapeConflict(
           "delete vectors changed during optimizeZorder; re-run against " +
             "the new head")
       if (h.toSeq.flatMap(eqDelsOf(dir, _)).toSet != eqsAtStart.toSet)
-        throw new java.util.ConcurrentModificationException(
+        throw new SnapshotShapeConflict(
           "equality deletes changed during optimizeZorder; re-run " +
             "against the new head")
       // concurrent appends (files beyond our rewrite set) survive as-is
@@ -1108,9 +1253,15 @@ class VersionedTableOps(protected val io: TableIO) {
     * (the manifest ledger is the replay marker, as in [[commitOnce]]). */
   def applyChanges(spark: SparkSession, dir: String, upserts: DataFrame,
                    deleteKeys: DataFrame, key: String,
-                   txnId: Option[String] = None): Int = {
+                   txnId: Option[String] = None): Int =
     if (txnId.exists(committedTxns(dir).contains))
-      return versionOfTxn(dir, txnId.get)
+      versionOfTxn(dir, txnId.get)
+    else retryingShape(3) { applyChangesAttempt(spark, dir, upserts,
+      deleteKeys, key, txnId) }
+
+  private def applyChangesAttempt(spark: SparkSession, dir: String,
+                   upserts: DataFrame, deleteKeys: DataFrame, key: String,
+                   txnId: Option[String]): Int = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
@@ -1209,13 +1360,18 @@ class VersionedTableOps(protected val io: TableIO) {
         }
 
       val cols = statColsOf(dir, head)
+      // new data files: full stats when the head tracks columns (the scan
+      // also yields their rows lines), plain footer counts otherwise; the
+      // (possibly rewritten) survivor vector records its count too
       val newStats =
-        if (cols.isEmpty || newFiles.isEmpty) Seq.empty
+        if (newFiles.isEmpty) Seq.empty
+        else if (cols.isEmpty) rowsLines(spark, newFiles)
         else statsLines(spark, newFiles, cols)
+      val delRows = rowsLines(spark, survivorDel)
       var carried: Seq[String] = Seq.empty
       val v = publishOnHead(dir) { (h, base) =>
         if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
-          throw new java.util.ConcurrentModificationException(
+          throw new SnapshotShapeConflict(
             "delete vectors changed during merge; re-run against the " +
               "new head")
         if (h.toSeq.flatMap(eqDelsOf(dir, _)).nonEmpty)
@@ -1240,8 +1396,7 @@ class VersionedTableOps(protected val io: TableIO) {
           survivorDel.map(f => s"#del=$f") ++
           base.filterNot(touchedSet) ++ newFiles
       }
-      if (cols.nonEmpty)
-        io.writeLines(statsPath(dir, v), carried ++ newStats)
+      io.writeLines(statsPath(dir, v), carried ++ newStats ++ delRows)
       v
     } finally { src.unpersist(); delK.unpersist() }
   }
@@ -1749,8 +1904,10 @@ class VersionedTableOps(protected val io: TableIO) {
     val v = version.getOrElse(vs.last)
     val p = statsPath(dir, v)
     val lines = if (io.exists(p)) io.readLines(p) else Seq.empty
+    // the `#` rows pseudo-column is surfaced by [[filesMeta]]/[[fastCount]],
+    // not as a stats bound — this view is the PRUNING metadata
     val parsed = lines.map(_.split('\t').toSeq).collect {
-      case Seq(f, c, tag, lo, hi) => (f, c, tag, lo, hi)
+      case Seq(f, c, tag, lo, hi) if c != "#" => (f, c, tag, lo, hi)
     }
     val blooms = parsed.collect { case (f, c, "bloom", _, _) => (f, c) }.toSet
     val ranged = parsed.filterNot(t => t._3 == "bloom")

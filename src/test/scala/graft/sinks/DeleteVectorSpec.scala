@@ -137,6 +137,23 @@ class DeleteVectorSpec extends SparkSpec {
     assert(ops.read(spark, dir).as[Long].collect().toSet == live)
   }
 
+  test("compact materializes debt even when bin-packing alone would " +
+    "no-op: a single-file table sheds its vector") {
+    // minInputFiles is a bin-packing heuristic; it must never veto a
+    // debt-clearing pass — deleteByKeys/the SQL catalog send MOR
+    // snapshots to compact() as THE materialization path, and a table of
+    // one large file would otherwise carry its vector forever
+    val dir = tmpDir("dv-one")
+    ops.commit(spark.range(0, 1000).toDF("id").coalesce(1), dir) // 1 file
+    ops.deleteWhere(spark, dir, col("id") % 10 === 3)
+    val vC = ops.compact(spark, dir, targetBytes = 1L << 30)
+    assert(delFiles(dir, vC).isEmpty, "vector not materialized")
+    assert(ops.read(spark, dir).as[Long].collect().toSet ==
+      (0L until 1000L).filterNot(_ % 10 == 3).toSet)
+    // with NO debt the heuristic still applies: one file stays one file
+    assert(ops.compact(spark, dir, targetBytes = 1L << 30) == vC)
+  }
+
   test("partial compact consolidates surviving vector rows for kept files") {
     val dir = tmpDir("dv-partial")
     // one big file (kept) + two small ones (rewritten)
@@ -175,14 +192,16 @@ class DeleteVectorSpec extends SparkSpec {
     assert(ops.readChanges(spark, dir, v3, v4).count() == 100)
   }
 
-  test("a vector stranded by a concurrent compact fails loudly, not wrong") {
+  test("a vector stranded by a concurrent compact is re-derived by the " +
+    "built-in retry: the delete lands against the new head, exactly once") {
     val dir = tmpDir("dv-race")
     ops.commit(spark.range(0, 100).toDF("id").coalesce(1), dir)
     ops.commit(spark.range(100, 200).toDF("id").coalesce(1), dir)
     // interpose: the instant the delete tries to publish, a compaction
     // lands first and rewrites the very files the vector references —
-    // positions don't transfer, so the delete MUST abort (applying it
-    // would silently resurrect the rows on the rewritten copies)
+    // positions don't transfer, so applying the stale vector would
+    // silently resurrect rows. The attempt aborts internally and the
+    // bounded retry recomputes positions against the compacted head.
     @volatile var fired = false
     val racing = new ForwardingTableIO(backend) {
       override def createExclusive(path: String,
@@ -195,15 +214,14 @@ class DeleteVectorSpec extends SparkSpec {
       }
     }
     val deleter = new VersionedTableOps(racing)
-    intercept[java.util.ConcurrentModificationException] {
-      deleter.deleteWhere(spark, dir, col("id") < 50)
-    }
+    deleter.deleteWhere(spark, dir, col("id") < 50)
     assert(fired)
-    // nothing was half-applied: the head still reads every row
-    assert(ops.read(spark, dir).count() == 200)
+    assert(ops.read(spark, dir).count() == 150)
+    assert(ops.read(spark, dir).filter(col("id") < 50).count() == 0)
   }
 
-  test("a delete landing mid-compact aborts the compaction loudly") {
+  test("a delete landing mid-compact rides through the compactor's " +
+    "retry; exhausted retries stay loud") {
     val dir = tmpDir("dv-race2")
     ops.commit(spark.range(0, 100).toDF("id").coalesce(1), dir)
     ops.commit(spark.range(100, 200).toDF("id").coalesce(1), dir)
@@ -219,15 +237,30 @@ class DeleteVectorSpec extends SparkSpec {
       }
     }
     val compactor = new VersionedTableOps(racing)
-    intercept[java.util.ConcurrentModificationException] {
-      compactor.compact(spark, dir, targetBytes = 1L << 30)
-    }
+    // the retry re-runs against the post-delete head and MATERIALIZES the
+    // vector — no operator babysitting, and nothing half-applied
+    val vC = compactor.compact(spark, dir, targetBytes = 1L << 30)
     assert(fired)
-    // the delete won; its state is intact
+    assert(delFiles(dir, vC).isEmpty, "retry must materialize the vector")
     assert(ops.read(spark, dir).count() == 150)
-    // and a re-run compaction against the new head materializes it
-    val vC = ops.compact(spark, dir, targetBytes = 1L << 30)
-    assert(delFiles(dir, vC).isEmpty)
-    assert(ops.read(spark, dir).count() == 150)
+
+    // a landing hot enough to conflict on EVERY attempt exhausts the
+    // bound and aborts loudly — retries mask races, never livelock
+    var n = 210
+    val hostile = new ForwardingTableIO(backend) {
+      override def createExclusive(path: String,
+                                   lines: Seq[String]): Boolean = {
+        if (!lines.exists(_.startsWith("#del="))) {
+          ops.deleteWhere(spark, dir, col("id") === n)
+          n += 1
+        }
+        super.createExclusive(path, lines)
+      }
+    }
+    ops.commit(spark.range(200, 300).toDF("id").coalesce(1), dir)
+    intercept[java.util.ConcurrentModificationException] {
+      new VersionedTableOps(hostile).compact(spark, dir,
+        targetBytes = 1L << 30)
+    }
   }
 }

@@ -30,6 +30,38 @@ class FastStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("equality deletes"))
   }
 
+  test("fastCount is a pure sidecar fold on a counted lineage: zero " +
+    "footer opens across append, clustered, delete, compact, rollback") {
+    // Every commit path records per-file `rows` sidecar lines at the
+    // moment it writes the files, so COUNT(*) at read time must open
+    // NOTHING — at 100 TB, per-call footer IO (10^5-10^6 serial remote
+    // opens) is the difference between a metadata answer and minutes.
+    val dir = tmpDir("fc-sidecar")
+    ops.commit((0 until 300).map(i => (i.toLong, i * 2.0)).toDF("id", "v"),
+      dir)
+    ops.commitClustered(
+      (300 until 600).map(i => (i.toLong, i * 2.0)).toDF("id", "v"),
+      dir, zCols = Seq("id"), statCols = Seq("id"), numFiles = 2)
+    ops.deleteWhere(spark, dir, col("id") % 7 === 0)
+    ops.compact(spark, dir, targetBytes = 1L << 20)
+    ops.commit((600 until 700).map(i => (i.toLong, i * 2.0)).toDF("id", "v"),
+      dir)
+    val rolled = ops.rollback(dir, ops.versions(dir).last)
+    val expected = ops.read(spark, dir).count()
+    val before = ops.footerReads.get()
+    assert(ops.fastCount(spark, dir) == expected)
+    assert(ops.fastCount(spark, dir, Some(rolled)) == expected)
+    assert(ops.footerReads.get() == before,
+      s"fastCount opened ${ops.footerReads.get() - before} footer(s) on " +
+        "a fully counted lineage — the sidecar fold regressed to file IO")
+    // pre-upgrade manifests (no rows lines) still answer correctly,
+    // through the footer fallback — correctness never depends on the
+    // sidecar, only the IO profile does
+    TableIO.local.delete(s"$dir/manifests/s$rolled")
+    assert(ops.fastCount(spark, dir, Some(rolled)) == expected)
+    assert(ops.footerReads.get() > before, "fallback path not exercised")
+  }
+
   test("fastMinMax: sidecar fold == scan extremes; edges fall back") {
     val dir = tmpDir("fmm")
     val df1 = (10 until 200).map(i => (i.toLong, s"w${i % 7}"))

@@ -566,7 +566,8 @@ class VersionedTableSpec extends VersionedTableBehavior {
       zCols = Seq("x", "y"), statCols = Seq("x", "y"), numFiles = 8)
     val s2 = backend.readLines(s"$dir/manifests/s$v2")
     assert(s1.forall(s2.contains), "carried stats lines missing")
-    assert(s2.size == s1.size + 8 * 2) // + (files × cols) new lines
+    // + files × (cols + the per-file `rows` metadata line) new lines
+    assert(s2.size == s1.size + 8 * (2 + 1))
   }
 }
 
