@@ -1673,6 +1673,25 @@ class VersionedTableOps(protected val io: TableIO) {
       .filter(n => io.exists(s"$dir/branches/$n/BRANCH") &&
         !io.exists(s"$dir/branches/$n/RETIRED")).sorted
 
+  /** The directory of a LIVE branch — the validated resolver every
+    * branch-aware consumer ([[readBranch]], the `graft-table` stream's
+    * `branch` option) goes through: a misspelled or retired name fails
+    * loudly here instead of silently reading an empty table. */
+  def resolveBranch(dir: String, name: String): String = {
+    val bd = branchDir(dir, name)
+    require(io.exists(s"$bd/BRANCH") && !io.exists(s"$bd/RETIRED"),
+      s"no live branch '$name' at $dir (known: " +
+        s"${branches(dir).mkString(", ")})")
+    bd
+  }
+
+  /** Read a branch head (or a pinned branch version) — the consumption
+    * half of branch isolation: auditors read the fork's lineage while
+    * production reads the parent, same snapshot/pruning machinery. */
+  def readBranch(spark: SparkSession, dir: String, name: String,
+                 version: Option[Int] = None): DataFrame =
+    read(spark, resolveBranch(dir, name), version)
+
   /** Publish the branch head into the parent — strictly fast-forward:
     * the parent must not have moved since the fork (a concurrent commit
     * makes this a MERGE, which has no universal answer — refuse loudly,

@@ -46,10 +46,17 @@ import graft.sinks.VersionedTable
 class TableStreamSource extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
-  private def dirOf(parameters: Map[String, String]): String =
-    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-      .getOrElse("path", throw new IllegalArgumentException(
-        "graft-table needs a table directory: .load(dir) or option(\"path\", dir)"))
+  private def dirOf(parameters: Map[String, String]): String = {
+    val p = parameters.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    val dir = p.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table needs a table directory: .load(dir) or option(\"path\", dir)"))
+    // a branch is a full table lineage of its own; streaming it is just
+    // tailing the branch directory's manifest log (validated: a retired
+    // or misspelled branch fails loudly, never an empty stream)
+    p.get("branch").map(VersionedTable.resolveBranch(dir, _)).getOrElse(dir)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -233,8 +240,57 @@ object TableStream {
       .orderBy(col("event_type"))
   }
 
+  /** q_branch_read — branch-aware CONSUMPTION under the oracle gate:
+    * odd events land only on an `audit` branch, a `graft-table` stream
+    * with `option("branch", ...)` tails the BRANCH lineage (snapshot at
+    * the fork + the branch append, capped to pin two batches) into a
+    * destination table, the parent provably never sees the branch data,
+    * and after a branch-side audit delete the result is [[VersionedTable
+    * .readBranch]]'s head — a hash match proves branch reads and branch
+    * streams serve the fork's lineage, not the parent's. */
+  def qBranchRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bread_")
+    val parent = s"$tmp/t"
+    val dst = s"$tmp/dst"
+    val evens = ev.filter(col("event_id") % 2 === 0)
+    VersionedTable.commit(evens, parent)
+    val bd = VersionedTable.createBranch(parent, "audit")
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 1), bd)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft-table")
+      .option("branch", "audit")
+      .option("maxVersionsPerTrigger", "1").load(parent)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet()
+        VersionedStream.landBatch(b, dst, "q_branch_read", batchId)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(batches.get() == 2,
+      s"branch drain ran ${batches.get()} non-empty batches, expected 2 " +
+        "(fork snapshot, then the branch append)")
+    require(VersionedTable.read(spark, dst).count() == ev.count(),
+      "branch stream did not land the branch lineage exactly")
+    require(VersionedTable.read(spark, parent).count() == evens.count(),
+      "branch data leaked into the parent lineage")
+    VersionedTable.deleteWhere(spark, bd, col("value") > 450.0)
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    VersionedTable.readBranch(spark, parent, "audit")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_table_stream" -> (qTableStream _))
+    "q_table_stream" -> (qTableStream _),
+    "q_branch_read" -> (qBranchRead _))
 
   val oracles: Map[String, String] = Map(
     "q_table_stream" ->
@@ -242,6 +298,14 @@ object TableStream {
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_branch_read" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE NOT (value > 450.0)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
 }

@@ -70,6 +70,32 @@ class BranchTagSpec extends SparkSpec {
     assert(ops.read(spark, dir).collect().toSet == branchState)
   }
 
+  test("readBranch serves the branch lineage; resolveBranch rejects " +
+    "misspelled and retired names loudly") {
+    val dir = tmpDir("ref-bread")
+    ops.commit(ids(0, 100), dir)
+    val bd = ops.createBranch(dir, "exp")
+    ops.commit(ids(100, 150), bd)
+    // the convenience read is exactly the branch-directory read
+    assert(ops.readBranch(spark, dir, "exp").count() == 150)
+    assert(ops.readBranch(spark, dir, "exp").as[(Long, Long)]
+      .collect().toSet == ops.read(spark, bd).as[(Long, Long)]
+      .collect().toSet)
+    // pinned branch version
+    assert(ops.readBranch(spark, dir, "exp", Some(1)).count() == 100)
+    // a name that never existed, or a retired one, fails loudly — an
+    // empty silent read would masquerade as a valid empty branch
+    val e1 = intercept[IllegalArgumentException] {
+      ops.readBranch(spark, dir, "nope")
+    }
+    assert(e1.getMessage.contains("no live branch"))
+    ops.retireBranch(dir, "exp")
+    val e2 = intercept[IllegalArgumentException] {
+      ops.readBranch(spark, dir, "exp")
+    }
+    assert(e2.getMessage.contains("no live branch"))
+  }
+
   test("fast-forward refuses when the parent advanced past the fork") {
     val dir = tmpDir("ref-ff")
     ops.commit(ids(0, 100), dir)

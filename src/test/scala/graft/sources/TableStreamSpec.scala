@@ -63,6 +63,26 @@ class TableStreamSpec extends SparkSpec {
     assert(drain(dir, ck)._1.isEmpty)
   }
 
+  test("option(branch, ...) tails the branch lineage, not the parent; " +
+    "a dead name fails loudly") {
+    val tmp = tmpDir("tstream-branch")
+    val dir = s"$tmp/table"
+    ops.commit(rows(0 until 30), dir)
+    val bd = ops.createBranch(dir, "exp")
+    ops.commit(rows(30 until 50), bd)   // branch-only append
+    ops.commit(rows(100 until 110), dir) // parent moves independently
+    val (ids, _) = drain(dir, s"$tmp/ck",
+      Map("branch" -> "exp"))
+    assert(ids == (0L until 50L), s"branch stream saw $ids")
+    // parent stream is untouched by the branch
+    assert(drain(dir, s"$tmp/ck2")._1 == ((0L until 30L) ++ (100L until 110L)))
+    val e = intercept[Exception] {
+      drain(dir, s"$tmp/ck3", Map("branch" -> "nope"))
+    }
+    assert(e.getMessage.contains("no live branch") ||
+      Option(e.getCause).exists(_.getMessage.contains("no live branch")))
+  }
+
   test("startingVersion skips the snapshot for tail-only consumers") {
     val tmp = tmpDir("tstream-sv")
     val dir = s"$tmp/table"
