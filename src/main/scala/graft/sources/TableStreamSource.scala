@@ -37,6 +37,25 @@ import graft.sinks.VersionedTable
   * the snapshot AT the first admitted version, then tails deltas, so the
   * union over batches is exactly the table regardless of the cap.
   *
+  * **Schema-change restart recipe** (the operational half of the loud
+  * re-type failure in `conform`): when a pinned column changes TYPE
+  * upstream, the query dies by design — silent casts corrupt downstream
+  * state. To resume: (1) recover the last fully-consumed source version
+  * from the dead checkpoint with [[TableStreamSource.lastCommittedVersion]];
+  * (2) restart with a FRESH checkpoint and `startingVersion` = that
+  * version + 1 — the consumed prefix is never re-served, so nothing can
+  * double-land; (3) give the restarted query a NEW sink txn namespace
+  * (queryName) — a fresh checkpoint resets micro-batch ids to 0, so
+  * reusing the old name collides with the destination ledger's landed
+  * `queryName:batchId` txns and the first new batches silently no-op
+  * (the ledger cannot tell a renamed batch from a replayed one); (4)
+  * renegotiate the schema explicitly in the hop — cast the re-typed
+  * column back to the destination's type (or migrate the destination)
+  * so one table never accumulates mixed physical types. Exactly-once
+  * holds across the restart: the prefix is guarded by `startingVersion`,
+  * the suffix by the destination's txn ledger under the new namespace.
+  * Spec'd end-to-end in TableStreamSpec ("restart renegotiation").
+  *
   * V1 `Source` is the right seam here (it is how Spark's own file stream
   * and the open lake formats expose log-tailing sources): `getBatch`
   * returns a DataFrame over exactly the committed files, which DSv2's
@@ -71,6 +90,31 @@ class TableStreamSource extends StreamSourceProvider with DataSourceRegister {
       parameters.map { case (k, v) =>
         k.toLowerCase(java.util.Locale.ROOT) -> v
       })
+}
+
+object TableStreamSource {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.execution.streaming.checkpointing.{CommitLog, OffsetSeqLog}
+
+  /** The last source version a dead query FULLY consumed, recovered from
+    * its checkpoint — the anchor for the schema-change restart recipe
+    * (`startingVersion` = this + 1 on a fresh checkpoint). Reads Spark's
+    * own logs: the newest entry in `commits/` names the last completed
+    * micro-batch (offsets are written BEFORE a batch runs, so the bare
+    * offsets log over-counts a batch that died mid-flight); that batch's
+    * entry in `offsets/` carries this source's offset, which IS the table
+    * version. None = the query never completed a batch (restart plain).
+    */
+  def lastCommittedVersion(spark: SparkSession,
+                           checkpoint: String): Option[Long] = {
+    val commits = new CommitLog(spark, s"$checkpoint/commits")
+    val offsets = new OffsetSeqLog(spark, s"$checkpoint/offsets")
+    commits.getLatest().flatMap { case (batchId, _) =>
+      offsets.get(batchId)
+        .flatMap(_.offsets.headOption.flatten)
+        .map(_.json().trim.toLong)
+    }
+  }
 }
 
 /** A table version as a streaming offset. */

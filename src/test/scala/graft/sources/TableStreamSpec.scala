@@ -142,6 +142,54 @@ class TableStreamSpec extends SparkSpec {
       s"wrong failure: ${e.getCause.getMessage}")
   }
 
+  test("restart renegotiation: re-type → loud fail → fresh checkpoint + " +
+      "startingVersion + new txn namespace resumes exactly-once") {
+    val tmp = tmpDir("tstream-restart")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    def hop(ck: String, name: String,
+            conform: DataFrame => DataFrame = identity,
+            options: Map[String, String] = Map.empty): Unit = {
+      var reader = spark.readStream.format("graft-table")
+      options.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = VersionedStream.writer(conform(reader.load(src)),
+        dst, name, ck).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def dstIds: Seq[Long] = ops.read(spark, dst)
+      .select("id").as[Long].collect().toSeq.sorted
+    ops.commit(rows(0 until 20), src)                         // src v1
+    hop(s"$tmp/ck1", "hop")
+    ops.commit(rows(20 until 30), src)                        // src v2
+    hop(s"$tmp/ck1", "hop")
+    assert(dstIds == (0L until 30L))
+    // upstream re-types the pinned id column: the query dies LOUDLY and
+    // lands NOTHING from the failed run
+    ops.commit(rows(30 until 40)
+      .withColumn("id", col("id").cast("string")), src)       // src v3
+    val e = intercept[StreamingQueryException] { hop(s"$tmp/ck1", "hop") }
+    assert(e.getCause.getMessage.contains("changed schema mid-stream"))
+    assert(dstIds == (0L until 30L), "failed run must land nothing")
+    // recover the restart anchor from the dead checkpoint
+    val last = TableStreamSource.lastCommittedVersion(spark, s"$tmp/ck1")
+    assert(last.contains(2L), s"expected last consumed version 2, got $last")
+    // FOOTGUN the recipe exists to avoid: fresh checkpoint + OLD txn
+    // namespace — batch ids reset to 0, collide with the ledger's landed
+    // hop:0, and the new data silently no-ops instead of landing
+    hop(s"$tmp/ck-footgun", "hop",
+      df => df.withColumn("id", col("id").cast("long")),
+      Map("startingVersion" -> "3"))
+    assert(dstIds == (0L until 30L),
+      "ledger collision must no-op (this is WHY the recipe renames)")
+    // the RECIPE: fresh checkpoint, startingVersion past the consumed
+    // prefix, NEW txn namespace, explicit cast renegotiating the schema
+    hop(s"$tmp/ck2", "hop_v2",
+      df => df.withColumn("id", col("id").cast("long")),
+      Map("startingVersion" -> (last.get + 1).toString))
+    assert(dstIds == (0L until 40L),
+      "restart must deliver exactly the unconsumed suffix")
+    assert(ops.read(spark, dst).count() == 40)
+  }
+
   test("table→table hop: tail into a VersionedStream sink, exactly once") {
     val tmp = tmpDir("tstream-hop")
     val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ck = s"$tmp/ck"
