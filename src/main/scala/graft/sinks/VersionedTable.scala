@@ -196,20 +196,71 @@ class VersionedTableOps(protected val io: TableIO) {
       .map(n => s"$batchDir/$n")
   }
 
+  // ---- hidden partitioning (declared transforms, see Partitioning.scala) --
+
+  private def partitioningPath(dir: String) =
+    s"${manifestDir(dir)}/partitioning"
+
+  /** Declare the table's partition transforms ONCE; every subsequent
+    * plain [[commit]] (and therefore [[commitOnce]] — the streaming
+    * landing) clusters its batch by them and records the covering stats,
+    * so probes on the source columns prune with no manual optimize pass.
+    * Re-declaring replaces the spec for FUTURE landings only (partition
+    * evolution): already-landed files keep their stats, and pruning
+    * stays a superset guarantee either way. `numFiles` caps files per
+    * landed batch (AQE coalesces below it for small batches). */
+  def declarePartitioning(dir: String, specs: Seq[String],
+                          numFiles: Int = 8): Unit = {
+    require(specs.nonEmpty, "declarePartitioning needs at least one spec")
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val parsed = specs.map(PartitionTransform.parse) // loud on a bad spec
+    io.mkdirs(manifestDir(dir))
+    io.writeLines(partitioningPath(dir),
+      s"#files=$numFiles" +: parsed.map(_.spec))
+  }
+
+  /** The declared transforms (empty = table is unpartitioned). */
+  def partitioningOf(dir: String): Seq[PartitionTransform] = {
+    val p = partitioningPath(dir)
+    if (!io.exists(p)) Seq.empty
+    else io.readLines(p).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(PartitionTransform.parse)
+  }
+
+  private def ptNumFiles(dir: String): Int = {
+    val p = partitioningPath(dir)
+    if (!io.exists(p)) 8
+    else io.readLines(p)
+      .collectFirst { case l if l.startsWith("#files=") => l.drop(7).toInt }
+      .getOrElse(8)
+  }
+
   /** Land `df` as a new snapshot. `append = true` carries the current
     * head's files forward plus the new ones (re-resolved on every OCC
     * retry); `false` makes the new files the whole snapshot (logical
     * overwrite — old files stay on disk, still reachable through old
-    * manifests). Returns the new version. */
+    * manifests). Returns the new version. A table with declared
+    * [[declarePartitioning partitioning]] clusters the batch by its
+    * transforms (one O(batch) range shuffle) and records the covering
+    * stats instead of bare row counts — landing and layout are one step,
+    * which is what keeps a 100 TB streaming landing prunable without a
+    * separate optimize job chasing it. */
   def commit(df: DataFrame, dir: String, append: Boolean = true,
              txnId: Option[String] = None): Int = {
-    val newFiles = writeBatch(df, dir)
+    val pt = partitioningOf(dir)
+    val newFiles =
+      if (pt.isEmpty) writeBatch(df, dir)
+      else writeBatch(PartitionTransform.cluster(df, pt, ptNumFiles(dir)), dir)
     validateConstraints(df.sparkSession, dir, newFiles)
     // per-file row counts land with EVERY commit (footers of the batch
     // just written — O(batch), local), and the head's stats lines carry
     // forward, so a plain append no longer silently discards the pruning
-    // metadata a clustered landing built up
-    val rowsNew = rowsLines(df.sparkSession, newFiles)
+    // metadata a clustered landing built up. A partitioned table records
+    // full covering stats (rows lines ride in the same aggregate).
+    val rowsNew =
+      if (pt.isEmpty) rowsLines(df.sparkSession, newFiles)
+      else statsLines(df.sparkSession, newFiles,
+        pt.flatMap(_.statNames).distinct)
     val meta = txnId.map(t => s"#txn=$t").toSeq :+ s"#ts=${now()}"
     // an append inherits the head's delete vectors (they reference the
     // carried files); a logical overwrite starts clean — none of its files
@@ -557,12 +608,18 @@ class VersionedTableOps(protected val io: TableIO) {
   private def statsLines(spark: SparkSession, files: Seq[String],
                          statCols: Seq[String]): Seq[String] = {
     if (files.isEmpty) return Seq.empty
-    val df = spark.read.parquet(files: _*)
-      .withColumn("__file", input_file_name())
+    val raw = spark.read.parquet(files: _*)
+    val df = raw.withColumn("__file", input_file_name())
+    // a stats "column" is either a plain column or a declared partition
+    // TRANSFORM spec (e.g. bucket(16,user_id)) — derived stats recompute
+    // through the transform expression, so every rewrite path (compact,
+    // merge, zorder) that re-derives via statColsOf carries them forward
+    def exprOf(c: String): Column = PartitionTransform.parseOpt(c)
+      .map(t => t.expr(raw.schema(t.source).dataType)).getOrElse(col(c))
     // the per-file row count rides in the same grouped aggregate — free
     // here, and it is what makes [[fastCount]] a pure sidecar fold
     val aggs = statCols.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+      Seq(min(exprOf(c)).as(s"${c}__min"), max(exprOf(c)).as(s"${c}__max"))
     } :+ count(lit(1)).as("__rows")
     df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -656,8 +713,11 @@ class VersionedTableOps(protected val io: TableIO) {
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
     validateConstraints(spark, dir, newFiles)
-    // the new files' stats need a scan — do it ONCE, outside the OCC loop
-    val newStats = statsLines(spark, newFiles, statCols)
+    // the new files' stats need a scan — do it ONCE, outside the OCC
+    // loop; a partition-declared table keeps its transform stats too, so
+    // a z-ordered landing never silently drops bucket pruning
+    val newStats = statsLines(spark, newFiles,
+      (statCols ++ partitioningOf(dir).flatMap(_.statNames)).distinct)
     if (!append) {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
         s"#ts=${now()}" +: newFiles)
@@ -868,8 +928,28 @@ class VersionedTableOps(protected val io: TableIO) {
     val files = filesOf(dir, version)
     val blooms = bloomsOf(dir, version, column)
     val stats = statsOf(dir, version, column)
-    if (blooms.isEmpty && stats.isEmpty) return files
+    // a declared bucket transform on the probed column adds a third
+    // pruning layer: each file's derived bucket-id range admits ~1/n of
+    // the key space, with NO per-key index built — the landing's own
+    // clustering is the index
+    val bucketStats = partitioningOf(dir)
+      .collectFirst { case b: PartitionTransform.Bucket
+        if b.source == column => b }
+      .map(b => b -> statsOf(dir, version, b.spec))
+      .filter(_._2.nonEmpty)
+    if (blooms.isEmpty && stats.isEmpty && bucketStats.isEmpty) return files
     val dt = spark.read.parquet(files.head).schema(column).dataType
+    // probe bucket ids, hashed by the ENGINE through the same expression
+    // the landing clustered with — build and probe agree by construction
+    val bucketOk: String => Boolean = bucketStats match {
+      case None => _ => true
+      case Some((b, bstats)) =>
+        val row = spark.range(1).select(
+          values.map(v => pmod(hash(lit(v).cast(dt)), lit(b.n)).cast("int")): _*
+        ).head()
+        val bids = values.indices.map(row.getInt).distinct
+        f => bstats.get(f).forall(st => bids.exists(id => mayIntersect(st, id, id)))
+    }
     // positions per (m, k) config present among the files (configs can
     // differ across maintenance eras); one tiny job computes them all
     val configs = blooms.values.map(v => (v._1, v._2)).toSet.toSeq
@@ -895,7 +975,7 @@ class VersionedTableOps(protected val io: TableIO) {
         case Some((m, kk, bits)) =>
           posByConfig((m, kk)).exists(_.forall(bits.get))
       }
-      rangeOk && bloomOk
+      rangeOk && bloomOk && bucketOk(f)
     }
   }
 
@@ -2483,6 +2563,57 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_hidden_partition — hidden partitioning end to end under the
+    * oracle gate: events land as TWO plain commits into a days(ts)-
+    * declared table (no optimize pass, no partition column mentioned
+    * anywhere), and a mid-month window probe must skip files at the
+    * manifest level; a second bucket(16,user_id)-declared landing must
+    * resolve a user equality probe to a file subset whose filtered rows
+    * exactly match the full scan's. The returned aggregate is the window
+    * probe's — a hash match proves the transform-clustered landing
+    * changed LAYOUT only, never results. */
+  def qHiddenPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hpart_")
+    val days = s"$tmp/days"; val buckets = s"$tmp/buckets"
+    declarePartitioning(days, Seq("days(ts)"), numFiles = 8)
+    commit(ev.filter(col("event_id") % 2 === 0), days)
+    commit(ev.filter(col("event_id") % 2 === 1), days)
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-13T00:00:00Z")
+    val v = versions(days).last
+    val allDays = prunedFiles(days, v, "ts",
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    val kept = prunedFiles(days, v, "ts", lo, hi)
+    require(kept.size < allDays.size,
+      s"date probe kept ${kept.size} of ${allDays.size} files — " +
+        "hidden partitioning pruned nothing")
+    declarePartitioning(buckets, Seq("bucket(16,user_id)"), numFiles = 16)
+    commit(ev, buckets)
+    val vb = versions(buckets).last
+    val allB = prunedFiles(buckets, vb, "event_id",
+      Long.MinValue, Long.MaxValue) // no event_id stats → the full list
+    val keptB = prunedFilesEq(spark, buckets, vb, "user_id", Seq(42L))
+    require(keptB.size < allB.size,
+      s"bucket probe kept ${keptB.size} of ${allB.size} files")
+    val exactB = read(spark, buckets)
+      .filter(col("user_id") === 42L).count()
+    val prunedB = prunedReadIn(spark, buckets, "user_id", Seq(42L))
+      .filter(col("user_id") === 42L).count()
+    require(prunedB == exactB,
+      s"bucket-pruned read returned $prunedB rows, full scan $exactB")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    prunedRead(spark, days, "ts", lo, hi)
+      .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
@@ -2494,9 +2625,19 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
     "q_branch_ff" -> (qBranchFf _),
     "q_change_feed" -> (qChangeFeed _),
     "q_constraint_gate" -> (qConstraintGate _),
-    "q_wap_promote" -> (qWapPromote _))
+    "q_wap_promote" -> (qWapPromote _),
+    "q_hidden_partition" -> (qHiddenPartition _))
 
   val oracles: Map[String, String] = Map(
+    "q_hidden_partition" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_time_travel" ->
       """SELECT event_type,
         |  COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_v1,
