@@ -772,22 +772,113 @@ class VersionedTableOps(protected val io: TableIO) {
     * (null tag, bound type vs column type, unparseable) keeps the file —
     * the superset guarantee is the one invariant pruning must never
     * trade away. */
+  /** stored-upper >= query bound, typed per tag family; any mismatch
+    * (null tag, bound type vs column type, unparseable) keeps the file —
+    * the superset guarantee is the one invariant pruning must never
+    * trade away. Both string sides are DECODED before ordering:
+    * URL-encoding is not order-preserving (' ' → '+', punctuation →
+    * %XX), so comparing a decoded stored bound against an encoded query
+    * bound can wrongly prune a file that contains the probed string. */
+  private def boundGeq(tag: String, mxS: String, q: Any): Boolean =
+    (tag, StatValue.encodeBound(q)) match {
+      case ("num", Some(("num", qe))) =>
+        try BigDecimal(mxS) >= BigDecimal(qe)
+        catch { case _: NumberFormatException => true }
+      case ("str", Some(("str", qe))) =>
+        StatValue.decodeStr(mxS) >= StatValue.decodeStr(qe)
+      case _ => true
+    }
+
+  /** stored-lower <= query bound — the other half of [[boundGeq]]. */
+  private def boundLeq(tag: String, mnS: String, q: Any): Boolean =
+    (tag, StatValue.encodeBound(q)) match {
+      case ("num", Some(("num", qe))) =>
+        try BigDecimal(mnS) <= BigDecimal(qe)
+        catch { case _: NumberFormatException => true }
+      case ("str", Some(("str", qe))) =>
+        StatValue.decodeStr(mnS) <= StatValue.decodeStr(qe)
+      case _ => true
+    }
+
   private def mayIntersect(stat: (String, String, String),
                            lo: Any, hi: Any): Boolean = {
     val (tag, mnS, mxS) = stat
-    (tag, StatValue.encodeBound(lo), StatValue.encodeBound(hi)) match {
-      case ("num", Some(("num", qlo)), Some(("num", qhi))) =>
-        try BigDecimal(mxS) >= BigDecimal(qlo) && BigDecimal(mnS) <= BigDecimal(qhi)
-        catch { case _: NumberFormatException => true }
-      case ("str", Some(("str", qlo)), Some(("str", qhi))) =>
-        // Both sides must be DECODED before ordering: URL-encoding is not
-        // order-preserving (' ' → '+', punctuation → %XX), so comparing a
-        // decoded stored bound against an encoded query bound can wrongly
-        // prune a file that contains the probed string.
-        StatValue.decodeStr(mxS) >= StatValue.decodeStr(qlo) &&
-          StatValue.decodeStr(mnS) <= StatValue.decodeStr(qhi)
-      case _ => true
+    boundGeq(tag, mxS, lo) && boundLeq(tag, mnS, hi)
+  }
+
+  /** [[mayIntersect]] with OPTIONAL bounds — the shape SQL pushdown
+    * produces (`ts >= x` has no upper bound). A missing side constrains
+    * nothing. */
+  private def mayIntersectOpt(stat: (String, String, String),
+                              lo: Option[Any], hi: Option[Any]): Boolean = {
+    val (tag, mnS, mxS) = stat
+    lo.forall(boundGeq(tag, mxS, _)) && hi.forall(boundLeq(tag, mnS, _))
+  }
+
+  /** Manifest-level file skipping for PUSHED-DOWN predicates — the seam
+    * the SQL catalog's scan builder calls with whatever conjunctive
+    * ranges and equality probes it could translate from a query's WHERE
+    * clause. `ranges` are optionally-bounded per-column intervals (ANDed);
+    * `eqs` are per-column probe-value sets, each resolved through the
+    * full equality stack ([[prunedFilesEq]]: range stats + blooms +
+    * declared bucket transform). Untranslatable predicates simply don't
+    * appear — pruning stays a superset guarantee, Spark still evaluates
+    * the exact predicates on the surviving files. */
+  private[graft] def prunedFilesPushed(spark: SparkSession, dir: String,
+      version: Int, ranges: Seq[(String, Option[Any], Option[Any])],
+      eqs: Seq[(String, Seq[Any])]): Seq[String] = {
+    var keep = filesOf(dir, version)
+    if (ranges.nonEmpty) {
+      val statsByCol = ranges.map(_._1).distinct
+        .map(c => c -> statsOf(dir, version, c)).toMap
+      keep = keep.filter { f =>
+        ranges.forall { case (c, lo, hi) =>
+          statsByCol(c).get(f).forall(mayIntersectOpt(_, lo, hi))
+        }
+      }
     }
+    eqs.foldLeft(keep) { case (acc, (c, vs)) =>
+      val admit = prunedFilesEq(spark, dir, version, c, vs).toSet
+      acc.filter(admit)
+    }
+  }
+
+  /** Declared table schema (SQL `CREATE TABLE` writes it; a table that
+    * exists only as a declaration — no commits yet — still resolves in
+    * the catalog with this schema). Stored as one JSON line next to the
+    * manifests, behind the same [[TableIO]] seam as everything else. */
+  def declareSchema(dir: String, schemaJson: String): Unit = {
+    io.mkdirs(manifestDir(dir))
+    io.writeLines(s"${manifestDir(dir)}/schema.json", Seq(schemaJson))
+  }
+
+  def declaredSchema(dir: String): Option[String] = {
+    val p = s"${manifestDir(dir)}/schema.json"
+    if (!io.exists(p)) None else io.readLines(p).headOption
+  }
+
+  /** Schema of the table AT `version`'s vintage: inferred from the newest
+    * files INTRODUCED at or before `version` (walking back past
+    * file-less commits such as pure deletes). Whole-table parquet
+    * inference picks an ARBITRARY file's footer under mixed-vintage
+    * history — fine for uniform tables, nondeterministic the moment a
+    * column was re-typed — so anything that PINS a schema (the stream
+    * source's conformance contract) must anchor here instead. */
+  private[graft] def vintageSchema(spark: SparkSession, dir: String,
+      version: Int): org.apache.spark.sql.types.StructType = {
+    val vs = versions(dir).filter(_ <= version).reverse
+    require(vs.nonEmpty, s"no version at or before v$version of $dir")
+    val intro = vs.view.map { v =>
+      val prev = vs.find(_ < v).map(filesOf(dir, _).toSet)
+        .getOrElse(Set.empty[String])
+      filesOf(dir, v).filterNot(prev)
+    }.find(_.nonEmpty)
+    val files = intro.getOrElse {
+      val f = filesOf(dir, vs.head)
+      require(f.nonEmpty, s"no data files at or before v$version of $dir")
+      f
+    }
+    spark.read.parquet(files: _*).schema
   }
 
   /** Read a snapshot with manifest-level file skipping: files whose

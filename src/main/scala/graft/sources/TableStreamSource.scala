@@ -81,7 +81,10 @@ class TableStreamSource extends StreamSourceProvider with DataSourceRegister {
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
     ("graft-table", schema.getOrElse(
-      VersionedTable.read(sqlContext.sparkSession, dirOf(parameters)).schema))
+      TableStreamSource.pinnedSchema(sqlContext.sparkSession,
+        dirOf(parameters), parameters.map {
+          case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+        })))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -95,6 +98,25 @@ class TableStreamSource extends StreamSourceProvider with DataSourceRegister {
 object TableStreamSource {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.execution.streaming.checkpointing.{CommitLog, OffsetSeqLog}
+
+  /** The query's pinned schema: the vintage at `startingVersion` for a
+    * tail consumer, else the OLDEST retained vintage — i.e. the schema
+    * of the first data the query will serve, resolved deterministically
+    * ([[graft.sinks.VersionedTable.vintageSchema]]). Whole-table parquet
+    * inference is footer-order-dependent the moment a column was
+    * re-typed, which made the loud mid-stream failure (and the restart
+    * recipe that follows it) nondeterministic. A fresh consumer that
+    * wants an EVOLVED head schema pins it by setting `startingVersion`
+    * past the evolution point. */
+  private[sources] def pinnedSchema(spark: SparkSession, dir: String,
+      params: Map[String, String]): StructType = {
+    val sv = params.get("startingversion").map(_.toInt).getOrElse(1)
+    val anchor =
+      if (sv > 1) sv
+      else VersionedTable.versions(dir).headOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $dir"))
+    VersionedTable.vintageSchema(spark, dir, anchor)
+  }
 
   /** The last source version a dead query FULLY consumed, recovered from
     * its checkpoint — the anchor for the schema-change restart recipe
@@ -138,7 +160,8 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
       m
     }
 
-  override val schema: StructType = ops.read(spark, dir).schema
+  override val schema: StructType =
+    TableStreamSource.pinnedSchema(spark, dir, params)
 
   /** Any offset back to a version: live offsets are ours, restored ones
     * arrive as SerializedOffset (V1) / raw json (admission path). */

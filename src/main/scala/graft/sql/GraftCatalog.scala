@@ -4,16 +4,22 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame => SqlDataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,20 +73,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def snapshot(ident: Identifier, version: Option[Int]): Table = {
     val dir = dirOf(ident)
     val spark = SparkSession.active
-    val (v, files, debt) =
-      try ops.snapshotInfo(dir, version)
-      catch { case _: IllegalArgumentException =>
-        throw new NoSuchTableException(ident)
+    val declared = ops.declaredSchema(dir)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    if (ops.versions(dir).isEmpty) {
+      // a declared-but-never-committed table still resolves: CREATE TABLE
+      // then INSERT INTO is the normal SQL bootstrap order
+      declared match {
+        case Some(sc) =>
+          new GraftTable(s"$catName.$dir@v0", spark, catName, dir, 0,
+            Seq.empty, debt = false, Some(sc))
+        case None => throw new NoSuchTableException(ident)
       }
-    if (files.isEmpty) throw new NoSuchTableException(ident)
-    require(!debt,
-      s"$dir@v$v carries merge-on-read delete debt (positional vectors " +
-        s"or equality deletes); a catalog read cannot apply them — run " +
-        s"CALL $catName.compact('$dir', <target_bytes>) to materialize, " +
-        s"or read through the Scala API")
-    ParquetTable(s"$catName.$dir@v$v", spark,
-      CaseInsensitiveStringMap.empty(), files, None,
-      classOf[ParquetFileFormat])
+    } else {
+      val (v, files, debt) =
+        try ops.snapshotInfo(dir, version)
+        catch { case _: IllegalArgumentException =>
+          throw new NoSuchTableException(ident)
+        }
+      if (files.isEmpty && declared.isEmpty)
+        throw new NoSuchTableException(ident)
+      new GraftTable(s"$catName.$dir@v$v", spark, catName, dir, v,
+        files, debt, declared)
+    }
   }
 
   override def loadTable(ident: Identifier): Table = snapshot(ident, None)
@@ -101,12 +115,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // paths are the namespace; there is nothing to enumerate
 
+  /** `CREATE TABLE graft.`/dir` (…) PARTITIONED BY (days(ts),
+    * bucket(16, user_id))` — the DSv2 transform array maps ONE-TO-ONE
+    * onto [[VersionedTable.declarePartitioning]]: the standard SQL DDL
+    * for hidden partitioning IS the declaration, and every subsequent
+    * landing (INSERT INTO here, commit/commitOnce in Scala, CALL
+    * procedures) clusters by the declared transforms automatically.
+    * `TBLPROPERTIES ('files' = 'N')` caps files per landed batch. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first commit (Scala API or " +
-        "CALL graft.* procedures), not by DDL")
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (ops.versions(dir).nonEmpty || ops.declaredSchema(dir).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    val specs = partitions.toSeq.map(GraftCatalog.transformSpec)
+    val numFiles = Option(properties.get("files")).map(_.toInt).getOrElse(8)
+    if (specs.nonEmpty) ops.declarePartitioning(dir, specs, numFiles)
+    ops.declareSchema(dir, schema.json)
+    loadTable(ident)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE not supported")
   override def dropTable(ident: Identifier): Boolean =
@@ -196,6 +223,141 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .map(n => Identifier.of(Array.empty, n)).toArray
 }
 
+/** A versioned-table snapshot as a DSv2 table: reads go through a
+  * manifest-pruning scan builder (SQL WHERE reaches the file-skipping
+  * layer), writes land as plain [[VersionedTable.commit]]s (so `INSERT
+  * INTO` inherits constraints, OCC, stats and hidden partitioning — the
+  * whole landing discipline — for free via the V1 write seam).
+  *
+  * Merge-on-read delete debt refuses at SCAN time, not resolution time:
+  * an INSERT into a debt-carrying table is an ordinary append and must
+  * work; only serving rows without applying the deletes is corruption. */
+private[sql] class GraftTable(tblName: String, spark: SparkSession,
+    catName: String, dir: String, version: Int, files: Seq[String],
+    debt: Boolean, declared: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tblName
+
+  /** Declared schema if CREATE TABLE pinned one; else inferred ONCE from
+    * the snapshot's own files through the stock parquet path. */
+  override lazy val schema: StructType = declared.getOrElse(
+    ParquetTable(tblName, spark, CaseInsensitiveStringMap.empty(), files,
+      None, classOf[ParquetFileFormat]).schema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(!debt,
+      s"$dir@v$version carries merge-on-read delete debt (positional " +
+        s"vectors or equality deletes); a catalog read cannot apply them " +
+        s"— run CALL $catName.compact('$dir', <target_bytes>) to " +
+        s"materialize, or read through the Scala API")
+    new PruningScanBuilder(spark, dir, version, files, schema, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: SqlDataFrame, ignored: Boolean): Unit = {
+              VersionedTable.commit(data, dir, append = !overwrite)
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** The SQL read path's manifest pruning: Catalyst pushes the query's
+  * predicates here (the same hook the stock file sources use); they are
+  * DELEGATED verbatim to an inner parquet scan builder — parquet footer
+  * pushdown, column pruning and vectorization stay exactly stock — and
+  * TRANSLATED into range/equality probes against the manifest stats
+  * sidecar. At build() the snapshot's file list shrinks to the survivors
+  * before Spark plans the scan, composing every layer the Scala readers
+  * have (typed min/max, blooms, declared bucket transforms) under the
+  * usual superset guarantee: untranslatable predicates prune nothing and
+  * are still evaluated by Spark on the surviving files. */
+private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
+    version: Int, files: Seq[String], tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns {
+
+  private def parquetBuilder(paths: Seq[String]): FileScanBuilder =
+    ParquetTable(s"graft.$dir@v$version", spark, options, paths,
+      Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+
+  private val inner = parquetBuilder(files)
+  private var captured: Seq[CatalystExpr] = Seq.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
+    captured = filters
+    inner.pushFilters(filters)
+  }
+  override def pushedFilters(): Array[Predicate] = inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+    inner.pruneColumns(requiredSchema)
+  }
+
+  /** Pushed v1 filters → (conjunctive optional-bound ranges, equality
+    * probe sets). The filter array is a conjunction; Or/Not/IsNull/
+    * prefix filters translate to nothing and prune nothing. */
+  private def probes(fs: Seq[Filter])
+      : (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[Any])]) = {
+    val ranges = Seq.newBuilder[(String, Option[Any], Option[Any])]
+    val eqs = Seq.newBuilder[(String, Seq[Any])]
+    fs.foreach {
+      case EqualTo(c, v) if v != null =>
+        ranges += ((c, Some(v), Some(v))); eqs += ((c, Seq(v)))
+      case EqualNullSafe(c, v) if v != null =>
+        ranges += ((c, Some(v), Some(v))); eqs += ((c, Seq(v)))
+      case GreaterThan(c, v) if v != null => ranges += ((c, Some(v), None))
+      case GreaterThanOrEqual(c, v) if v != null =>
+        ranges += ((c, Some(v), None))
+      case LessThan(c, v) if v != null => ranges += ((c, None, Some(v)))
+      case LessThanOrEqual(c, v) if v != null =>
+        ranges += ((c, None, Some(v)))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        eqs += ((c, vs.toSeq))
+      case _ => () // superset guarantee: untranslated ⇒ unpruned
+    }
+    (ranges.result(), eqs.result())
+  }
+
+  override def build(): Scan = {
+    // the captured catalyst conjuncts translate through Spark's OWN v1
+    // bridge — the same translation the parquet source applies, so the
+    // manifest probes see exactly what the footers see
+    val v1Filters = captured.flatMap(
+      org.apache.spark.sql.graft.FilterBridge.translate)
+    val (ranges, eqs) = probes(v1Filters)
+    val kept =
+      if (files.isEmpty || (ranges.isEmpty && eqs.isEmpty)) files
+      else VersionedTable.prunedFilesPushed(spark, dir, version, ranges, eqs)
+    GraftCatalog.recordPrune(files.size, kept.size)
+    if (kept.size == files.size) inner.build()
+    else {
+      // rebuild over the survivors, REPLAYING the same pushdown calls so
+      // the parquet-level pruning (footers, column projection) is
+      // byte-identical to the unpruned plan's
+      val b2 = parquetBuilder(kept)
+      b2.pushFilters(captured)
+      required.foreach(b2.pruneColumns)
+      b2.build()
+    }
+  }
+}
+
 /** Oracle-gated queries proving the SQL surface returns byte-identical
   * results to the Scala API on the same tables. */
 object GraftCatalog {
@@ -204,6 +366,38 @@ object GraftCatalog {
 
   import graft.analytics.Parity
   import graft.sources.Tables
+
+  /** DSv2 partition transform → [[graft.sinks.PartitionTransform]] spec
+    * string. Loud on anything the engine has no clustering for. */
+  private[sql] def transformSpec(t: Transform): String = {
+    def ref: String = t.references() match {
+      case Array(r) => r.fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"partition transform ${t.describe()} must reference exactly one " +
+          s"column, got ${other.length}")
+    }
+    def intArg: Int = t.arguments().collectFirst {
+      case l: V2Literal[_] if l.value() != null &&
+          (l.dataType() == IntegerType || l.dataType() == LongType) =>
+        l.value().toString.toInt
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"partition transform ${t.describe()} needs an integer argument"))
+    t.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "identity" => s"identity($ref)"
+      case "days" => s"days($ref)"
+      case "bucket" => s"bucket($intArg,$ref)"
+      case "truncate" => s"truncate($intArg,$ref)"
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' (${t.describe()}); " +
+          "supported: identity(c), days(c), bucket(n, c), truncate(w, c)")
+    }
+  }
+
+  /** (snapshot files, files kept) of the most recent catalog scan build —
+    * the observability seam specs pin SQL-side manifest pruning on. */
+  @volatile private[graft] var lastScanPrune: (Int, Int) = (0, 0)
+  private[sql] def recordPrune(total: Int, kept: Int): Unit =
+    lastScanPrune = (total, kept)
 
   private def register(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
@@ -295,12 +489,66 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_ddl_insert — the full SQL lifecycle with hidden partitioning:
+    * `CREATE TABLE … PARTITIONED BY (days(ts))` declares the layout,
+    * two `INSERT INTO … SELECT` statements land the events table as
+    * transform-clustered commits, and the SELECT's WHERE window is
+    * answered after the manifest prunes the file list (gain pinned
+    * in-query via the scan-prune seam) — hash-matched against the raw
+    * table, proving DDL + DML + pruned query changed LAYOUT, not
+    * results. */
+  def qSqlDdlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlddl_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (event_id BIGINT, " +
+      "ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE) " +
+      "PARTITIONED BY (days(ts)) TBLPROPERTIES ('files' = '8')")
+    ev.createOrReplaceTempView("q_sql_ddl_src")
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT * FROM q_sql_ddl_src WHERE event_id % 2 = 0")
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT * FROM q_sql_ddl_src WHERE event_id % 2 = 1")
+    val where = "ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+      "AND ts < TIMESTAMP '2024-01-09 00:00:00'"
+    // one executed probe pins the pruning gain; the RETURNED frame stays
+    // lazy (the driver gate and plan invariants read its real plan)
+    val probed = spark.sql(
+      s"SELECT COUNT(*) FROM graft.`$dir` WHERE $where").head().getLong(0)
+    val (total, kept) = GraftCatalog.lastScanPrune
+    require(kept < total,
+      s"SQL WHERE kept $kept of $total files — manifest pruning inert")
+    require(probed ==
+      ev.filter(col("ts") >= lit(java.time.Instant.parse("2024-01-05T00:00:00Z")) &&
+        col("ts") < lit(java.time.Instant.parse("2024-01-09T00:00:00Z"))).count(),
+      "pruned SQL read lost or invented rows")
+    spark.sql(s"SELECT event_type, value FROM graft.`$dir` WHERE $where")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_time_travel" -> (qSqlTimeTravel _),
     "q_sql_merge" -> (qSqlMerge _),
-    "q_sql_delete" -> (qSqlDelete _))
+    "q_sql_delete" -> (qSqlDelete _),
+    "q_sql_ddl_insert" -> (qSqlDdlInsert _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_ddl_insert" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_time_travel" ->
       """SELECT event_type,
         |  COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_v1,
