@@ -27,20 +27,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw long ns (legacy
-    * conf) and truncate to the engine's µs TimestampType with integer
-    * division — same floor semantics as DuckDB's ns→µs read, so oracle
-    * comparisons agree. */
+  /** `events.ts` normalized to the engine's µs `TimestampType`, whatever
+    * the generator physically wrote. Seen across driver rounds:
+    * INT64 TIMESTAMP(NANOS) (Spark 4 rejects it outright —
+    * PARQUET_TYPE_ILLEGAL — so it's read as raw long ns via the legacy
+    * conf and floor-divided to µs, matching DuckDB's ns→µs floor), and
+    * plain timestamp[us] without a zone (surfaces as TIMESTAMP_NTZ; the
+    * session zone is pinned to UTC engine-wide, so the cast to
+    * TimestampType is value-preserving and oracle comparisons agree). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          // true floor division: `div` truncates toward zero, which differs
-          // from DuckDB's ns→µs floor for pre-1970 (negative) timestamps
-          org.apache.spark.sql.functions.expr(
-            "ts DIV 1000 - IF(ts < 0 AND ts % 1000 != 0, 1, 0)")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // true floor division: `div` truncates toward zero, which differs
+        // from DuckDB's ns→µs floor for pre-1970 (negative) timestamps
+        df.withColumn("ts", timestamp_micros(
+          expr("ts DIV 1000 - IF(ts < 0 AND ts % 1000 != 0, 1, 0)")))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
