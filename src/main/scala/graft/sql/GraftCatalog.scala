@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame => SqlDataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
 import org.apache.spark.sql.connector.catalog._
@@ -70,9 +70,78 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private def dirOf(ident: Identifier): String =
     (ident.namespace :+ ident.name).mkString("/")
 
-  private def snapshot(ident: Identifier, version: Option[Int]): Table = {
-    val dir = dirOf(ident)
+  /** A `#`-fragment on the identifier addresses a named ref or a
+    * metadata view of the table — the SQL spelling of the Scala readers
+    * ([[VersionedTable.readBranch]]/`readTagged`/`history`/`filesMeta`):
+    *
+    *  - `graft.`/lake/t#branch=audit``  — the branch's own lineage
+    *    (readable AND insertable: a branch is a full table)
+    *  - `graft.`/lake/t#tag=run-17``    — the snapshot an immutable tag pins
+    *  - `graft.`/lake/t#history``       — the commit log as data
+    *  - `graft.`/lake/t#files``         — the head file inventory as data
+    *
+    * Only these exact forms are recognized; any other `#` stays a
+    * literal path character. */
+  private sealed trait Ref
+  private case object RefHead extends Ref
+  private case class RefBranch(branch: String) extends Ref
+  private case class RefTag(tagName: String) extends Ref
+  private case object RefHistory extends Ref
+  private case object RefFiles extends Ref
+
+  private def parseRef(raw: String): (String, Ref) = {
+    val i = raw.lastIndexOf('#')
+    if (i <= 0) (raw, RefHead)
+    else raw.substring(i + 1) match {
+      case "history" => (raw.substring(0, i), RefHistory)
+      case "files" => (raw.substring(0, i), RefFiles)
+      case s if s.startsWith("branch=") && s.length > 7 =>
+        (raw.substring(0, i), RefBranch(s.drop(7)))
+      case s if s.startsWith("tag=") && s.length > 4 =>
+        (raw.substring(0, i), RefTag(s.drop(4)))
+      case _ => (raw, RefHead)
+    }
+  }
+
+  /** The directory whose manifest log serves `ident`'s rows, resolving a
+    * branch fragment to the branch's own table directory (a branch IS a
+    * table); a pinned `version` composes (`VERSION AS OF` on a branch
+    * reads the branch lineage). Tags and metadata views pin their own
+    * snapshot and refuse an extra version. */
+  private def resolve(ident: Identifier,
+                      version: Option[Int]): (String, Option[Int]) = {
+    val (base, ref) = parseRef(dirOf(ident))
+    ref match {
+      case RefHead => (base, version)
+      case RefBranch(b) => (ops.resolveBranch(base, b), version)
+      case RefTag(t) =>
+        require(version.isEmpty,
+          s"'#tag=$t' pins a version; VERSION/TIMESTAMP AS OF cannot re-pin")
+        val ts = ops.tags(base)
+        if (!ts.contains(t)) throw new NoSuchTableException(ident)
+        (base, Some(ts(t)))
+      case RefHistory | RefFiles =>
+        throw new UnsupportedOperationException(
+          "metadata views do not time-travel; drop the AS OF clause")
+    }
+  }
+
+  private def snapshot(ident: Identifier, pinned: Option[Int]): Table = {
     val spark = SparkSession.active
+    parseRef(dirOf(ident)) match {
+      case (base, RefHistory) =>
+        require(pinned.isEmpty, "metadata views do not time-travel")
+        if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"$catName.$base#history",
+          () => ops.history(spark, base))
+      case (base, RefFiles) =>
+        require(pinned.isEmpty, "metadata views do not time-travel")
+        if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"$catName.$base#files",
+          () => ops.filesMeta(spark, base))
+      case _ => ()
+    }
+    val (dir, version) = resolve(ident, pinned)
     val declared = ops.declaredSchema(dir)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
     if (ops.versions(dir).isEmpty) {
@@ -104,13 +173,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     snapshot(ident, Some(version.toInt))
 
   /** `TIMESTAMP AS OF ts` — Spark hands micros; the manifest stamps are
-    * millis. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    snapshot(ident,
-      Some(ops.versionAt(dirOf(ident), timestampMicros / 1000L)))
+    * millis. Resolves against the addressed lineage (a branch travels by
+    * its OWN commit clock). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (dir, _) = resolve(ident, None)
+    snapshot(ident, Some(ops.versionAt(dir, timestampMicros / 1000L)))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
-    ops.versions(dirOf(ident)).nonEmpty
+    parseRef(dirOf(ident)) match {
+      case (base, RefHead) => ops.versions(base).nonEmpty
+      case (base, RefBranch(b)) =>
+        ops.branches(base).contains(b)
+      case (base, RefTag(t)) => ops.tags(base).contains(t)
+      case (base, RefHistory | RefFiles) => ops.versions(base).nonEmpty
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // paths are the namespace; there is nothing to enumerate
@@ -134,8 +211,70 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     ops.declareSchema(dir, schema.json)
     loadTable(ident)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Metadata-only schema evolution — the declared schema IS the table
+    * schema at read time (already-landed files never rewrite):
+    *
+    *  - `ALTER TABLE … ADD COLUMNS (c T)` — the new column must be
+    *    nullable (historical files have no value for it; the stock
+    *    parquet schema-evolution read serves typed nulls), lands
+    *    appended.
+    *  - `ALTER TABLE … DROP COLUMN c` — removed from the declared
+    *    schema; files keep the bytes, reads project them away. Refuses
+    *    on a column anchoring declared partitioning (future landings
+    *    would have nothing to cluster by).
+    *
+    * Everything else (renames, type changes, repositioning) refuses
+    * loudly: a rename or re-type needs a column-id indirection the
+    * name-addressed manifest protocol does not carry, and pretending
+    * otherwise corrupts old snapshots silently. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (base, ref) = parseRef(dirOf(ident))
+    val dir = ref match {
+      case RefHead => base
+      case RefBranch(b) => ops.resolveBranch(base, b) // a branch is a table
+      case _ => throw new UnsupportedOperationException(
+        "ALTER TABLE applies to a table or branch, not a tag or metadata view")
+    }
+    // base schema: the declaration if CREATE TABLE pinned one, else the
+    // head snapshot's inferred schema (Scala-created tables evolve too)
+    val cur = ops.declaredSchema(dir)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(snapshot(ident, None).schema())
+    val partCols = ops.partitioningOf(dir).map(_.source.toLowerCase).toSet
+    val updated = changes.foldLeft(cur) { (sc, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            s"nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")
+          val n = add.fieldNames().head
+          require(!sc.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"column '$n' already exists")
+          require(add.isNullable,
+            s"ADD COLUMN '$n' must be nullable: already-landed files have " +
+              "no value for it (reads serve typed nulls)")
+          sc.add(StructField(n, add.dataType(), nullable = true))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames().length == 1,
+            s"nested DROP COLUMN unsupported: ${del.fieldNames().mkString(".")}")
+          val n = del.fieldNames().head
+          if (!sc.fieldNames.exists(_.equalsIgnoreCase(n))) {
+            require(del.ifExists(), s"no column '$n' to drop")
+            sc
+          } else {
+            require(!partCols.contains(n.toLowerCase),
+              s"column '$n' anchors declared partitioning; re-declare " +
+                "partitioning before dropping it")
+            require(sc.length > 1, "cannot drop a table's last column")
+            StructType(sc.filterNot(_.name.equalsIgnoreCase(n)))
+          }
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
+            "supported: ADD COLUMNS (nullable, top-level), DROP COLUMN")
+      }
+    }
+    ops.declareSchema(dir, updated.json)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
       "DROP TABLE not supported: history removal is expire()/vacuum")
@@ -144,12 +283,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   // ---- procedures: the mutation/maintenance surface ----
 
-  /** One-row result: the version the call committed (or resolved). */
-  private def versionRow(v: Int): util.Iterator[Scan] = {
+  /** One-row result: the version the call committed (or resolved) — or
+    * whatever other integer the procedure's contract names (`outCol`). */
+  private def versionRow(outCol: String, v: Int): util.Iterator[Scan] = {
     val scan: Scan = new LocalScan {
       override def rows(): Array[InternalRow] = Array(InternalRow(v))
       override def readSchema(): StructType =
-        StructType(Seq(StructField("version", IntegerType, nullable = false)))
+        StructType(Seq(StructField(outCol, IntegerType, nullable = false)))
     }
     util.Collections.singletonList(scan).iterator()
   }
@@ -157,7 +297,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   /** A fixed-signature procedure: `body` gets the argument row in
     * parameter order and returns the committed version. */
   private case class Proc(procName: String, argNames: Seq[String],
-      procDescription: String)(body: (SparkSession, Seq[String]) => Int)
+      procDescription: String, outCol: String = "version")(
+      body: (SparkSession, Seq[String]) => Int)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
     override def description(): String = procDescription
@@ -172,7 +313,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"'${argNames(i)}' must not be NULL")
         s.toString
       }
-      versionRow(body(SparkSession.active, args))
+      versionRow(outCol, body(SparkSession.active, args))
     }
   }
 
@@ -209,7 +350,39 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "(Re)collect per-file min/max stats for comma-separated cols")(
       (s, a) => { val d = a(0); val v = ops.versions(d).last
         ops.writeStats(s, d, v,
-          a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq); v })
+          a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq); v }),
+    Proc("create_tag", Seq("dir", "name", "at_version"),
+      "Pin a committed version ('head' or a number) under an immutable " +
+        "name; a GC anchor expire() refuses to cross")(
+      (_, a) => { val v = if (a(2) == "head") ops.versions(a(0)).last
+                          else a(2).toInt
+        ops.tag(a(0), a(1), v); v }),
+    Proc("create_branch", Seq("dir", "name", "from_version"),
+      "Zero-copy fork from 'head' or a version; read/write it as " +
+        "graft.`dir#branch=name`")(
+      (_, a) => { val bd = ops.createBranch(a(0), a(1),
+          if (a(2) == "head") None else Some(a(2).toInt))
+        ops.versions(bd).last }),
+    Proc("fast_forward", Seq("dir", "name"),
+      "Publish the branch head into the parent; refuses unless the " +
+        "parent is still at the fork point")(
+      (s, a) => ops.fastForward(s, a(0), a(1))),
+    Proc("promote", Seq("from_dir", "to_dir", "mode"),
+      "Write-audit-publish: reference the staged snapshot's files into " +
+        "to_dir ('append' or 'replace'), zero bytes copied")(
+      (s, a) => {
+        val append = a(2) match {
+          case "append" => true
+          case "replace" => false
+          case other => throw new IllegalArgumentException(
+            s"promote mode must be 'append' or 'replace': '$other'")
+        }
+        ops.promote(s, a(0), a(1), append = append)
+      }),
+    Proc("vacuum_orphans", Seq("dir", "grace_ms"), outCol = "removed",
+      procDescription = "Delete data files no retained manifest " +
+        "references, older than the grace window")(
+      (_, a) => ops.vacuumOrphans(a(0), a(1).toLong))
   ).map(p => p.procName -> p).toMap
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -270,6 +443,35 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
               ()
             }
           }
+      }
+    }
+}
+
+/** A metadata view (`#history` / `#files`) as a DSv2 table. The frame is
+  * driver-built from the manifest log alone — one row per version or per
+  * data file, no data file opened — so serving it as a LocalScan moves
+  * manifest-sized state, never table-sized. Resolution snapshots the
+  * frame once; a re-query re-resolves the identifier and sees new
+  * commits. */
+private[sql] class GraftMetaTable(tblName: String, thunk: () => SqlDataFrame)
+    extends Table with SupportsRead {
+
+  private lazy val frame = thunk()
+
+  override def name(): String = tblName
+  override lazy val schema: StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = {
+          val conv =
+            CatalystTypeConverters.createToCatalystConverter(frame.schema)
+          frame.collect().map(r => conv(r).asInstanceOf[InternalRow])
+        }
+        override def readSchema(): StructType = frame.schema
       }
     }
 }
@@ -533,11 +735,91 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_alter — metadata-only schema evolution end-to-end: half the
+    * events land, `ALTER TABLE … ADD COLUMNS (note STRING)` evolves the
+    * declared schema (no file rewritten — pinned by the pre-ALTER read
+    * refusing the column and the post-ALTER read serving typed nulls),
+    * the other half lands WITH the column, and one aggregate over the
+    * evolved table hash-matches a DuckDB oracle that reconstructs the
+    * null pattern. */
+  def qSqlAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlalter_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(event_id BIGINT, event_type STRING, value DOUBLE)")
+    ev.filter(col("event_id") % 2 === 0)
+      .createOrReplaceTempView("q_sql_alter_v1")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_alter_v1")
+    // the column must not predate the ALTER
+    require(scala.util.Try(
+      spark.sql(s"SELECT note FROM graft.`$dir`")).isFailure,
+      "'note' resolved before ALTER TABLE added it")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)")
+    // already-landed files serve typed nulls through the evolved schema
+    require(spark.sql(s"SELECT COUNT(note) FROM graft.`$dir`")
+      .head().getLong(0) == 0L,
+      "pre-ALTER rows must read the added column as NULL")
+    ev.filter(col("event_id") % 2 === 1)
+      .withColumn("note", concat(lit("t:"), col("event_type")))
+      .createOrReplaceTempView("q_sql_alter_v2")
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT event_id, event_type, value, note FROM q_sql_alter_v2")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("note")).as("n_note"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_sql_branch — the branch lifecycle driven entirely from SQL:
+    * `CALL graft.create_branch` forks, `INSERT INTO
+    * graft.`dir#branch=…`` lands on the fork (parent isolation pinned
+    * in-query), the branch fragment read serves the fork's lineage,
+    * `CALL graft.fast_forward` publishes it, and the parent head
+    * hash-matches the full-table oracle. The `#history` metadata view is
+    * pinned along the way. */
+  def qSqlBranch(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqlbranch_")
+    val even = ev.filter(col("event_id") % 2 === 0)
+    VersionedTable.commit(even, dir)
+    val res = spark.sql(s"CALL graft.create_branch('$dir', 'audit', 'head')")
+    require(res.collect().map(_.getInt(0)).toSeq == Seq(1),
+      "create_branch must return the branch head version")
+    ev.filter(col("event_id") % 2 === 1)
+      .createOrReplaceTempView("q_sql_branch_src")
+    spark.sql(s"INSERT INTO graft.`$dir#branch=audit` " +
+      "SELECT * FROM q_sql_branch_src")
+    // isolation: the parent head is untouched while the branch has all
+    val evenN = even.count()
+    require(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir`")
+      .head().getLong(0) == evenN,
+      "a branch landing leaked into the parent lineage")
+    require(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir#branch=audit`")
+      .head().getLong(0) == ev.count(),
+      "the branch fragment read did not serve the branch lineage")
+    spark.sql(s"CALL graft.fast_forward('$dir', 'audit')")
+    require(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir#history`")
+      .head().getLong(0) == 2L,
+      "#history must list the fork commit and the fast-forward")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_time_travel" -> (qSqlTimeTravel _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_delete" -> (qSqlDelete _),
-    "q_sql_ddl_insert" -> (qSqlDdlInsert _))
+    "q_sql_ddl_insert" -> (qSqlDdlInsert _),
+    "q_sql_alter" -> (qSqlAlter _),
+    "q_sql_branch" -> (qSqlBranch _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_ddl_insert" ->
@@ -585,6 +867,21 @@ object GraftCatalog {
         |    AS sum_value
         |FROM events
         |WHERE NOT (value > 90.0)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sql_alter" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_note,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sql_branch" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)
 }

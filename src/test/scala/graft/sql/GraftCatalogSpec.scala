@@ -211,6 +211,125 @@ class GraftCatalogSpec extends SparkSpec {
     assert(keptI < totalI, s"IN probe kept $keptI of $totalI files")
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the declared schema: old files " +
+      "serve typed nulls, new landings carry the column") {
+    register()
+    val dir = tmpDir("gc-alter")
+    ops.commit(spark.range(0, 50)
+      .select(col("id"), (col("id") * 2).as("v")), dir)
+    // Scala-created table (no declaration): ALTER infers from the head
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)")
+    val head = spark.sql(s"SELECT * FROM graft.`$dir`")
+    assert(head.schema.fieldNames.toSeq == Seq("id", "v", "note"))
+    assert(head.where(col("note").isNull).count() == 50)
+    spark.range(50, 60).select(col("id"), (col("id") * 2).as("v"),
+      concat(lit("n"), col("id").cast("string")).as("note"))
+      .createOrReplaceTempView("gc_alter_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM gc_alter_src")
+    assert(spark.sql(s"SELECT COUNT(note) FROM graft.`$dir`")
+      .head().getLong(0) == 10)
+    // DROP projects the column away without touching files
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN note")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`")
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 60)
+  }
+
+  test("ALTER TABLE refusals: non-nullable add, renames, partition " +
+      "anchors, the last column") {
+    register()
+    val dir = tmpDir("gc-alter-no")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, k STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (c BIGINT NOT NULL)")
+    }
+    assert(e1.getMessage.contains("must be nullable"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN id TO id2")
+    }
+    assert(e2.getMessage.contains("unsupported ALTER TABLE change"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN k")
+    }
+    assert(e3.getMessage.contains("partitioning"))
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN id")
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN k")
+    }
+    assert(e4.getMessage.contains("partitioning") ||
+      e4.getMessage.contains("last column"))
+  }
+
+  test("ref fragments address tags, branches and metadata views; " +
+      "procedures create them") {
+    register()
+    val dir = tmpDir("gc-refs")
+    ops.commit(spark.range(0, 40)
+      .select(col("id"), (col("id") * 2).as("v")), dir)
+    spark.sql(s"CALL graft.create_tag('$dir', 'audit-1', 'head')")
+    ops.commit(spark.range(40, 100)
+      .select(col("id"), (col("id") * 2).as("v")), dir)
+    // the tag pins v1 while the head moved on
+    assert(spark.sql(s"SELECT * FROM graft.`$dir#tag=audit-1`")
+      .count() == 40)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 100)
+    val eTag = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#tag=audit-1` VERSION AS OF 2")
+        .collect()
+    }
+    assert(eTag.getMessage.contains("pins a version"))
+    // branch: fork, land, read both lineages, pinned version on the fork
+    spark.sql(s"CALL graft.create_branch('$dir', 'exp', 'head')")
+    spark.range(100, 120).select(col("id"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("gc_refs_src")
+    spark.sql(s"INSERT INTO graft.`$dir#branch=exp` " +
+      "SELECT * FROM gc_refs_src")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir#branch=exp`")
+      .count() == 120)
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$dir#branch=exp` VERSION AS OF 1").count() == 100)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 100)
+    val eBr = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#branch=nope`").collect()
+    }
+    assert(eBr.getMessage.contains("no live branch"))
+    // metadata views: history rows = versions, files rows = head files
+    val hist = spark.sql(
+      s"SELECT version, n_files FROM graft.`$dir#history`")
+    assert(hist.count() == 2)
+    val files = spark.sql(s"SELECT * FROM graft.`$dir#files`")
+    assert(files.columns.toSeq ==
+      Seq("file", "size_bytes", "n_deleted"))
+    // a manifest lists the snapshot's FULL live file set, so the head
+    // inventory matches the newest history row's n_files
+    assert(files.count() ==
+      hist.orderBy(col("version").desc).head().getLong(1))
+    // fast-forward publishes the branch into the parent
+    val ff = spark.sql(s"CALL graft.fast_forward('$dir', 'exp')")
+    assert(ff.collect().head.getInt(0) == 3)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 120)
+  }
+
+  test("CALL promote / vacuum_orphans drive write-audit-publish from SQL") {
+    register()
+    val staging = tmpDir("gc-wap-stage")
+    val prod = tmpDir("gc-wap-prod")
+    ops.commit(spark.range(0, 30)
+      .select(col("id"), (col("id") * 2).as("v")), prod)
+    ops.commit(spark.range(30, 50)
+      .select(col("id"), (col("id") * 2).as("v")), staging)
+    val res = spark.sql(
+      s"CALL graft.promote('$staging', '$prod', 'append')")
+    assert(res.collect().head.getInt(0) == 2)
+    assert(spark.sql(s"SELECT * FROM graft.`$prod`").count() == 50)
+    // nothing is orphaned by a zero-copy promotion
+    val rm = spark.sql(s"CALL graft.vacuum_orphans('$prod', '0')")
+    assert(rm.collect().head.getInt(0) == 0)
+    assert(rm.schema.fieldNames.toSeq == Seq("removed"))
+    assert(spark.sql(s"SELECT * FROM graft.`$prod`").count() == 50)
+  }
+
   test("INSERT OVERWRITE truncates to a fresh snapshot; INSERT into a " +
       "MOR table works while SELECT refuses") {
     register()
