@@ -32,13 +32,17 @@ object Tables {
     * INT64 TIMESTAMP(NANOS) (Spark 4 rejects it outright —
     * PARQUET_TYPE_ILLEGAL — so it's read as raw long ns via the legacy
     * conf and floor-divided to µs, matching DuckDB's ns→µs floor), and
-    * plain timestamp[us] without a zone (surfaces as TIMESTAMP_NTZ; the
-    * session zone is pinned to UTC engine-wide, so the cast to
-    * TimestampType is value-preserving and oracle comparisons agree). */
+    * plain timestamp[us] without a zone. The no-zone form is read with
+    * NTZ inference OFF so the reader itself yields `TimestampType`
+    * (session zone is pinned to UTC engine-wide, so values match
+    * DuckDB's): no cast wraps the column, which keeps `ts` predicates
+    * pushable to the parquet scan and the manifest stats layer —
+    * a projection over the column would sacrifice both. */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
@@ -46,10 +50,7 @@ object Tables {
         // from DuckDB's ns→µs floor for pre-1970 (negative) timestamps
         df.withColumn("ts", timestamp_micros(
           expr("ts DIV 1000 - IF(ts < 0 AND ts % 1000 != 0, 1, 0)")))
-      case TimestampNTZType =>
-        df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case _ => df // timestamp[us]: already TimestampType, scan-native
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

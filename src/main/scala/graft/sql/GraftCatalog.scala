@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame => SqlDataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame => SqlDataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
@@ -19,7 +19,7 @@ import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -402,13 +402,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   * INTO` inherits constraints, OCC, stats and hidden partitioning — the
   * whole landing discipline — for free via the V1 write seam).
   *
-  * Merge-on-read delete debt refuses at SCAN time, not resolution time:
-  * an INSERT into a debt-carrying table is an ordinary append and must
-  * work; only serving rows without applying the deletes is corruption. */
+  * Merge-on-read delete debt refuses at data-serving time, not
+  * resolution or plan time: INSERTs and further DELETEs against a
+  * debt-carrying table are ordinary commits and must work; only serving
+  * rows without applying the deletes is corruption. */
 private[sql] class GraftTable(tblName: String, spark: SparkSession,
     catName: String, dir: String, version: Int, files: Seq[String],
     debt: Boolean, declared: Option[StructType])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tblName
 
@@ -422,13 +423,37 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(!debt,
-      s"$dir@v$version carries merge-on-read delete debt (positional " +
-        s"vectors or equality deletes); a catalog read cannot apply them " +
-        s"— run CALL $catName.compact('$dir', <target_bytes>) to " +
-        s"materialize, or read through the Scala API")
-    new PruningScanBuilder(spark, dir, version, files, schema, options)
+  /** The debt refusal lives at data-SERVING time (`Scan.toBatch`), not
+    * builder creation: Spark's DELETE/write planning builds and discards
+    * a scan over the relation as plan scaffolding (stacking a second
+    * `DELETE FROM` on a MOR head must work), while any plan that would
+    * actually SERVE rows from a debt-carrying snapshot still refuses
+    * with the compact instruction before a single row moves. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PruningScanBuilder(spark, dir, version, files, schema, options,
+      refuseServe = if (!debt) None else Some(
+        s"$dir@v$version carries merge-on-read delete debt (positional " +
+          s"vectors or equality deletes); a catalog read cannot apply them " +
+          s"— run CALL $catName.compact('$dir', <target_bytes>) to " +
+          s"materialize, or read through the Scala API"))
+
+  /** Native `DELETE FROM graft.`dir` WHERE …` — Spark routes a DELETE
+    * whose condition translates fully to source filters here; the engine
+    * lands positional delete vectors ([[VersionedTable.deleteWhere]]:
+    * zero data rewritten, compaction materializes), exactly like `CALL
+    * $catName.delete_where`. An untranslatable condition (expressions,
+    * subqueries) refuses via [[canDeleteWhere]] rather than silently
+    * deleting the wrong rows. A bare `DELETE FROM t` (no WHERE) is the
+    * empty conjunction: every row. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(GraftCatalog.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    VersionedTable.deleteWhere(spark, dir, cond)
+    ()
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -488,7 +513,8 @@ private[sql] class GraftMetaTable(tblName: String, thunk: () => SqlDataFrame)
   * are still evaluated by Spark on the surviving files. */
 private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     version: Int, files: Seq[String], tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    refuseServe: Option[String] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
 
@@ -547,17 +573,37 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
       if (files.isEmpty || (ranges.isEmpty && eqs.isEmpty)) files
       else VersionedTable.prunedFilesPushed(spark, dir, version, ranges, eqs)
     GraftCatalog.recordPrune(files.size, kept.size)
-    if (kept.size == files.size) inner.build()
-    else {
-      // rebuild over the survivors, REPLAYING the same pushdown calls so
-      // the parquet-level pruning (footers, column projection) is
-      // byte-identical to the unpruned plan's
-      val b2 = parquetBuilder(kept)
-      b2.pushFilters(captured)
-      required.foreach(b2.pruneColumns)
-      b2.build()
-    }
+    val built =
+      if (kept.size == files.size) inner.build()
+      else {
+        // rebuild over the survivors, REPLAYING the same pushdown calls so
+        // the parquet-level pruning (footers, column projection) is
+        // byte-identical to the unpruned plan's
+        val b2 = parquetBuilder(kept)
+        b2.pushFilters(captured)
+        required.foreach(b2.pruneColumns)
+        b2.build()
+      }
+    refuseServe.fold(built)(new DebtRefusingScan(built, _))
   }
+}
+
+/** A scan that plans (pushdown, schema, pruning bookkeeping) but refuses
+  * to SERVE: any attempt to materialize rows from a merge-on-read
+  * snapshot fails with the compact instruction. Plan scaffolding that
+  * never reads (DELETE/write planning over the relation) passes through
+  * untouched. */
+private[sql] class DebtRefusingScan(inner: Scan, msg: String) extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    throw new IllegalArgumentException(msg)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new IllegalArgumentException(msg)
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    throw new IllegalArgumentException(msg)
 }
 
 /** Oracle-gated queries proving the SQL surface returns byte-identical
@@ -593,6 +639,35 @@ object GraftCatalog {
         s"unsupported partition transform '$other' (${t.describe()}); " +
           "supported: identity(c), days(c), bucket(n, c), truncate(w, c)")
     }
+  }
+
+  /** v1 source filter → engine [[Column]] predicate, for the
+    * [[SupportsDelete]] seam: Spark hands a DELETE's condition as
+    * translated filters; the engine's deleteWhere wants a Column. None
+    * for anything without an exact Column equivalent — the caller
+    * REFUSES then (deletes must never be a superset or subset of what
+    * the user asked). */
+  private[sql] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(c) => filterToColumn(c).map(!_)
+    case And(l, r) =>
+      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+    case Or(l, r) =>
+      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 
   /** (snapshot files, files kept) of the most recent catalog scan build —

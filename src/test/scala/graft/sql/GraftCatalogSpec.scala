@@ -311,6 +311,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 120)
   }
 
+  test("native DELETE FROM lands positional vectors; untranslatable " +
+      "conditions refuse loudly") {
+    register()
+    val dir = tmpDir("gc-delfrom")
+    ops.commit(spark.range(0, 100)
+      .select(col("id"), (col("id") * 2).as("v")), dir)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 90")
+    // same MOR contract as CALL delete_where: SQL reads refuse until
+    // compaction materializes; the Scala reader serves the vectors
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir`").collect()
+    }
+    assert(ops.read(spark, dir).count() == 90)
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 90)
+    // compound conditions: IN ∪ range → ids {0,1,2} ∪ {0..5} = 6 rows
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id IN (0, 1, 2) OR v <= 10")
+    assert(ops.read(spark, dir).count() == 84)
+    // an arithmetic condition has no exact source-filter form: refuse,
+    // and the table must be untouched
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE id % 10 = 3")
+    }
+    assert(ops.read(spark, dir).count() == 84)
+    // bare DELETE FROM is the empty conjunction: every row
+    spark.sql(s"DELETE FROM graft.`$dir`")
+    assert(ops.read(spark, dir).count() == 0)
+  }
+
   test("CALL promote / vacuum_orphans drive write-audit-publish from SQL") {
     register()
     val staging = tmpDir("gc-wap-stage")
