@@ -453,6 +453,101 @@ class VersionedTableOps(protected val io: TableIO) {
     v
   }
 
+  /** Merge-on-read row UPDATE — `UPDATE table SET … WHERE predicate` as
+    * ONE atomic commit landing (a) a positional delete vector erasing the
+    * matched rows and (b) new data file(s) carrying their updated copies.
+    * Zero untouched rows rewrite: at 100 TB an update touching 0.1% of
+    * rows costs O(matched) IO, where the copy-on-write alternative
+    * ([[merge]]) rewrites every file containing a match. The updated
+    * copies land through the table's full discipline — declared
+    * partitioning clusters them, CHECK constraints validate them, their
+    * stats lines ride the same commit.
+    *
+    * `assignments` maps column name → new-value expression evaluated
+    * over the matched row (SQL `SET c = expr`; unassigned columns carry
+    * through; assigning a column the table lacks refuses).
+    *
+    * OCC mirrors [[deleteWhere]] (vector-referenced files must still be
+    * in the head) plus the check the append half makes necessary: the
+    * head's row-erasure state must not have changed since the matched
+    * rows were scanned — a concurrent delete overlapping the match would
+    * be silently RESURRECTED by our updated copies otherwise. Either
+    * conflict throws [[SnapshotShapeConflict]] and auto-retries against
+    * the new head (bounded), re-scanning the matches.
+    *
+    * Unmaterialized equality deletes refuse at entry ([[compact]] first):
+    * their seq scoping orders against data files, and the update's
+    * appended file would re-order that history. Returns the new version
+    * (head unchanged when nothing matched). */
+  def updateWhere(spark: SparkSession, dir: String, predicate: Column,
+                  assignments: Map[String, Column]): Int = retryingShape(3) {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val head = vs.last
+    require(eqDelsOf(dir, head).isEmpty,
+      s"$dir carries unmaterialized equality deletes; compact() before " +
+        "updateWhere (their seq scoping does not order against the " +
+        "update's appended rows)")
+    val files = filesOf(dir, head)
+    if (files.isEmpty) return head
+    val headDels = delFilesOf(dir, head)
+    // matched rows serve BOTH halves (positions out, updated copies out):
+    // one scan, cached for the second pass
+    val matched = taggedLive(spark, files, headDels).filter(predicate).persist()
+    try {
+      val dataCols = matched.columns.drop(2).toSeq // after (file, pos) tags
+      val bad = assignments.keySet -- dataCols.toSet
+      require(bad.isEmpty,
+        s"updateWhere assigns unknown column(s): ${bad.mkString(", ")}")
+      if (matched.isEmpty) return head
+      val delDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
+      matched.select(col("__graft_file").as("file_path"),
+        col("__graft_pos").as("pos")).coalesce(1).write.parquet(delDir)
+      val newDel = io.list(delDir).filter(_.endsWith(".parquet")).sorted
+        .map(n => s"$delDir/$n")
+      val updated = matched.select(dataCols.map(c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      val pt = partitioningOf(dir)
+      val newFiles =
+        if (pt.isEmpty) writeBatch(updated, dir)
+        else writeBatch(
+          PartitionTransform.cluster(updated, pt, ptNumFiles(dir)), dir)
+      validateConstraints(spark, dir, newFiles)
+      val rowsNew =
+        if (pt.isEmpty) rowsLines(spark, newFiles)
+        else statsLines(spark, newFiles, pt.flatMap(_.statNames).distinct)
+      val referenced = spark.read.parquet(newDel: _*)
+        .select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+      var carried: Seq[String] = Seq.empty
+      val v = publishOnHead(dir) { (h, base) =>
+        val missing = referenced -- base.toSet
+        if (missing.nonEmpty)
+          throw new SnapshotShapeConflict(
+            s"update vector references ${missing.size} file(s) no longer " +
+              "in the head (concurrent compaction/overwrite); re-running " +
+              "updateWhere against the new head")
+        val curDels = h.toSeq.flatMap(delFilesOf(dir, _))
+        if (curDels.toSet != headDels.toSet ||
+            h.toSeq.flatMap(eqDelsOf(dir, _)).nonEmpty)
+          throw new SnapshotShapeConflict(
+            "row-erasure state changed during updateWhere (concurrent " +
+              "delete); re-running against the new head so updated copies " +
+              "cannot resurrect concurrently-deleted rows")
+        carried = carriedStats(dir, h, base, extraKeep = curDels)
+        Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++
+          newDel.map(f => s"#del=$f") ++ base ++ newFiles
+      }
+      io.writeLines(statsPath(dir, v),
+        carried ++ rowsLines(spark, newDel) ++ rowsNew)
+      v
+    } finally {
+      matched.unpersist()
+      ()
+    }
+  }
+
   /** Merge-on-read delete-BY-KEY — `DELETE FROM table WHERE key IN
     * (keys)` as an O(|keys|) commit with ZERO data scanned: the keys land
     * as an equality-delete file under `deletes/`, and readers anti-join

@@ -62,6 +62,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    // configuring the catalog is the opt-in for the whole SQL front
+    // door: the DML strategy (UPDATE / MERGE INTO / expression DELETE)
+    // rides along so the statements work without a separate install call
+    SparkSession.getActiveSession.foreach(GraftDml.install)
   }
   override def name(): String = catName
 
@@ -141,6 +145,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           () => ops.filesMeta(spark, base))
       case _ => ()
     }
+    // a tag-pinned handle is read-only: a "write to a tag" would land on
+    // the head while the reader keeps seeing the pin — refuse the
+    // capability instead
+    val ro = parseRef(dirOf(ident))._2.isInstanceOf[RefTag]
     val (dir, version) = resolve(ident, pinned)
     val declared = ops.declaredSchema(dir)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
@@ -150,7 +158,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       declared match {
         case Some(sc) =>
           new GraftTable(s"$catName.$dir@v0", spark, catName, dir, 0,
-            Seq.empty, debt = false, Some(sc))
+            Seq.empty, debt = false, Some(sc), readOnly = ro)
         case None => throw new NoSuchTableException(ident)
       }
     } else {
@@ -162,7 +170,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       if (files.isEmpty && declared.isEmpty)
         throw new NoSuchTableException(ident)
       new GraftTable(s"$catName.$dir@v$v", spark, catName, dir, v,
-        files, debt, declared)
+        files, debt, declared, readOnly = ro)
     }
   }
 
@@ -408,10 +416,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   * rows without applying the deletes is corruption. */
 private[sql] class GraftTable(tblName: String, spark: SparkSession,
     catName: String, dir: String, version: Int, files: Seq[String],
-    debt: Boolean, declared: Option[StructType])
+    debt: Boolean, declared: Option[StructType],
+    readOnly: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tblName
+
+  /** The manifest-log directory this table serves — a branch fragment
+    * resolves to the branch's own directory, so DML through the catalog
+    * lands on the addressed lineage. */
+  private[sql] def tableDir: String = dir
+
+  /** True for snapshots that must never accept a mutation through this
+    * handle — a `#tag=` fragment pins history; writing "to a tag" would
+    * silently land on the head instead. */
+  private[sql] def isReadOnly: Boolean = readOnly
 
   /** Declared schema if CREATE TABLE pinned one; else inferred ONCE from
     * the snapshot's own files through the stock parquet path. */
@@ -420,7 +439,8 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
       None, classOf[ParquetFileFormat]).schema)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** The debt refusal lives at data-SERVING time (`Scan.toBatch`), not
@@ -446,7 +466,8 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     * deleting the wrong rows. A bare `DELETE FROM t` (no WHERE) is the
     * empty conjunction: every row. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
+    !readOnly &&
+      filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.toSeq.flatMap(GraftCatalog.filterToColumn)
@@ -888,13 +909,35 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_update — the native `UPDATE` statement end-to-end: the DML
+    * strategy routes it to [[VersionedTable.updateWhere]] (ONE
+    * merge-on-read commit: delete vector + updated copies; pinned
+    * in-query by the single new version), compaction materializes, and
+    * the head hash-matches an oracle that recomputes the assignment. */
+  def qSqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqlupd_")
+    VersionedTable.commit(ev, dir)
+    spark.sql(s"UPDATE graft.`$dir` SET value = value + 1000.0 " +
+      "WHERE event_id % 10 = 0")
+    require(VersionedTable.versions(dir) == Seq(1, 2),
+      "UPDATE must land exactly one merge-on-read commit")
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_time_travel" -> (qSqlTimeTravel _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_delete" -> (qSqlDelete _),
     "q_sql_ddl_insert" -> (qSqlDdlInsert _),
     "q_sql_alter" -> (qSqlAlter _),
-    "q_sql_branch" -> (qSqlBranch _))
+    "q_sql_branch" -> (qSqlBranch _),
+    "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_ddl_insert" ->
@@ -956,6 +999,14 @@ object GraftCatalog {
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sql_update" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN event_id % 10 = 0
+        |    THEN value + 1000.0 ELSE value END AS DECIMAL(18,2)))
+        |    AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin)

@@ -1,0 +1,176 @@
+package graft.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.PlanDf
+
+import graft.sinks.VersionedTable
+
+/** Native SQL DML statements on graft tables — the planner strategy that
+  * routes `UPDATE`, `MERGE INTO`, and expression-predicate `DELETE FROM`
+  * to the engine's own row-level operators instead of Spark's
+  * `SupportsRowLevelOperations` rewrite (whose group-based path rewrites
+  * whole tables; the engine's operators are merge-on-read / file-scoped):
+  *
+  *  - `UPDATE graft.`dir` SET c = expr, … [WHERE p]` →
+  *    [[VersionedTable.updateWhere]] — ONE commit landing a positional
+  *    delete vector plus the updated copies; untouched rows never
+  *    rewrite.
+  *  - `DELETE FROM graft.`dir` WHERE p` with a predicate Spark cannot
+  *    translate to source filters (arithmetic, functions) →
+  *    [[VersionedTable.deleteWhere]], which resolves arbitrary
+  *    predicates by scanning. Translatable predicates never reach this
+  *    strategy — the optimizer rewrites them to the
+  *    [[GraftTable.deleteWhere SupportsDelete]] metadata path first; the
+  *    two compose into full DELETE coverage.
+  *  - `MERGE INTO graft.`dir` t USING s ON t.k = s.k WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` (the upsert shape,
+  *    star or fully column-aligned) → [[VersionedTable.merge]] — the
+  *    file-scoped copy-on-write merge. Other clause combinations don't
+  *    match and fall through to Spark's loud "not supported" error; their
+  *    semantics have no engine equivalent and a silent approximation
+  *    would corrupt.
+  *
+  * The statements are `Command`s, so Spark executes the strategy's exec
+  * nodes eagerly at `sql()` time, like every other DML. Conditions or
+  * values carrying subqueries don't match (the re-anchored expression
+  * could not bind them) and fall through to Spark's error. Tag-pinned
+  * handles (`#tag=`) never match — mutating "a tag" would land on the
+  * head while readers keep the pin. */
+object GraftDmlStrategy extends SparkStrategy {
+
+  /** The graft table a DML statement targets, looking through the alias
+    * Spark leaves on a named target and through the pushed scan relation
+    * the optimizer substitutes before planning. Read-only handles don't
+    * match. */
+  private def graftTarget(p: LogicalPlan): Option[GraftTable] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftTable if !g.isReadOnly => Some(g)
+      case _ => None
+    }
+    case r: DataSourceV2ScanRelation => graftTarget(r.relation)
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case _ => None
+  }
+
+  /** Re-anchor a resolved expression by NAME so the engine can apply it
+    * over its own scan of the same table (fresh attribute ids). */
+  private def byName(e: Expression): Column =
+    PlanDf.toColumn(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def clean(e: Expression): Boolean =
+    e.resolved && e.deterministic && !SubqueryExpression.hasSubquery(e)
+
+  /** The single-key upsert shape [[VersionedTable.merge]] implements:
+    * `ON t.k = s.k`, one WHEN MATCHED UPDATE covering the row, one WHEN
+    * NOT MATCHED INSERT covering the row (star, or explicit assignments
+    * that are exactly name-aligned column copies). */
+  private def upsertKey(m: MergeIntoTable): Option[String] = {
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    def colToCol(as: Seq[Assignment]): Boolean = as.nonEmpty && as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        k.name.equalsIgnoreCase(v.name) && tOut.contains(k) && sOut.contains(v)
+      case _ => false
+    }
+    val okMatched = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => true
+      case Seq(UpdateAction(None, as, _)) => colToCol(as)
+      case _ => false
+    }
+    val okNotMatched = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, as)) => colToCol(as)
+      case _ => false
+    }
+    if (!okMatched || !okNotMatched) None
+    else m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            ((tOut.contains(a) && sOut.contains(b)) ||
+              (tOut.contains(b) && sOut.contains(a))) =>
+        Some(a.name)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case u @ UpdateTable(t, assignments, condition)
+        if u.childrenResolved && graftTarget(t).isDefined &&
+          condition.forall(clean) && assignments.nonEmpty &&
+          assignments.forall(a =>
+            a.key.isInstanceOf[AttributeReference] && clean(a.value)) =>
+      GraftUpdateExec(graftTarget(t).get.tableDir,
+        condition.map(byName),
+        assignments.map(a =>
+          a.key.asInstanceOf[AttributeReference].name -> byName(a.value))) :: Nil
+
+    case DeleteFromTable(t, condition)
+        if graftTarget(t).isDefined && clean(condition) =>
+      GraftDeleteExec(graftTarget(t).get.tableDir, byName(condition)) :: Nil
+
+    case m: MergeIntoTable
+        if m.childrenResolved && !m.withSchemaEvolution &&
+          m.notMatchedBySourceActions.isEmpty &&
+          clean(m.mergeCondition) &&
+          graftTarget(m.targetTable).isDefined && upsertKey(m).isDefined =>
+      GraftMergeExec(graftTarget(m.targetTable).get.tableDir,
+        m.sourceTable, upsertKey(m).get) :: Nil
+
+    case _ => Nil
+  }
+}
+
+private[sql] trait GraftDmlExec extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  protected def run(spark: SparkSession): Unit
+  override protected def doExecute(): RDD[InternalRow] = {
+    run(SparkSession.active)
+    sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+private[sql] case class GraftUpdateExec(dir: String, cond: Option[Column],
+    assigns: Seq[(String, Column)]) extends GraftDmlExec {
+  override protected def run(spark: SparkSession): Unit = {
+    VersionedTable.updateWhere(spark, dir,
+      cond.getOrElse(lit(true)), assigns.toMap)
+    ()
+  }
+}
+
+private[sql] case class GraftDeleteExec(dir: String, cond: Column)
+    extends GraftDmlExec {
+  override protected def run(spark: SparkSession): Unit = {
+    VersionedTable.deleteWhere(spark, dir, cond)
+    ()
+  }
+}
+
+private[sql] case class GraftMergeExec(dir: String, source: LogicalPlan,
+    key: String) extends GraftDmlExec {
+  override protected def run(spark: SparkSession): Unit = {
+    VersionedTable.merge(spark, dir, PlanDf.ofPlan(spark, source), key)
+    ()
+  }
+}
+
+/** Per-session installation (idempotent, the [[graft.operators.AsOf]]
+  * pattern); [[GraftCatalog.initialize]] installs it automatically, so
+  * configuring the catalog is enough to get the DML statements. */
+object GraftDml {
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(GraftDmlStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ GraftDmlStrategy
+  }
+}

@@ -27,3 +27,21 @@ object StreamingDf {
       plan)
   }
 }
+
+/** A resolved logical plan back as a DataFrame — the seam a planner
+  * strategy that hands a statement's SOURCE subtree to engine code (the
+  * native MERGE INTO interception) needs. Same `Dataset.ofRows` the
+  * session's own sql() uses. Also re-exports the classic Column factory,
+  * which is `private[sql]` and thus invisible to the graft.sql catalog
+  * package. */
+object PlanDf {
+  def ofPlan(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def toColumn(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+}

@@ -311,8 +311,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 120)
   }
 
-  test("native DELETE FROM lands positional vectors; untranslatable " +
-      "conditions refuse loudly") {
+  test("native DELETE FROM lands positional vectors for translatable AND " +
+      "expression predicates") {
     register()
     val dir = tmpDir("gc-delfrom")
     ops.commit(spark.range(0, 100)
@@ -329,15 +329,81 @@ class GraftCatalogSpec extends SparkSpec {
     // compound conditions: IN ∪ range → ids {0,1,2} ∪ {0..5} = 6 rows
     spark.sql(s"DELETE FROM graft.`$dir` WHERE id IN (0, 1, 2) OR v <= 10")
     assert(ops.read(spark, dir).count() == 84)
-    // an arithmetic condition has no exact source-filter form: refuse,
-    // and the table must be untouched
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.`$dir` WHERE id % 10 = 3")
-    }
-    assert(ops.read(spark, dir).count() == 84)
+    // an arithmetic condition has no source-filter form — the DML
+    // strategy routes it through the scanning deleteWhere instead:
+    // live ids 6..89, id%10=3 → {13,23,…,83} = 8 rows
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id % 10 = 3")
+    assert(ops.read(spark, dir).count() == 76)
     // bare DELETE FROM is the empty conjunction: every row
     spark.sql(s"DELETE FROM graft.`$dir`")
     assert(ops.read(spark, dir).count() == 0)
+  }
+
+  test("native UPDATE is one merge-on-read commit: delete vector plus " +
+      "updated copies, untouched rows never rewritten") {
+    register()
+    val dir = tmpDir("gc-upd")
+    ops.commit(spark.range(0, 100).select(col("id"),
+      (col("id") * 2).as("v"), lit("x").as("k")), dir)
+    spark.sql(
+      s"UPDATE graft.`$dir` SET v = v + 1000, k = 'y' WHERE id % 10 = 0")
+    // ONE new version carries the whole statement
+    assert(ops.versions(dir) == Seq(1, 2))
+    // merge-on-read: the Scala reader serves it, the SQL read refuses
+    // until compaction (same contract as DELETE)
+    val got = ops.read(spark, dir)
+    assert(got.count() == 100)
+    assert(got.filter(col("k") === "y").count() == 10)
+    assert(got.filter(col("id") === 40)
+      .select(col("v")).head().getLong(0) == 1080)
+    assert(got.filter(col("id") === 41)
+      .select(col("v")).head().getLong(0) == 82)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir`").collect()
+    }
+    // a no-match UPDATE publishes nothing
+    spark.sql(s"UPDATE graft.`$dir` SET v = 0 WHERE id > 100000")
+    assert(ops.versions(dir) == Seq(1, 2))
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')")
+    assert(spark.sql(s"SELECT SUM(v) FROM graft.`$dir`").head().getLong(0) ==
+      (0L until 100L).map(i => if (i % 10 == 0) i * 2 + 1000 else i * 2).sum)
+  }
+
+  test("native MERGE INTO upsert routes to the engine's file-scoped " +
+      "merge; unsupported clause shapes refuse loudly") {
+    register()
+    val dir = tmpDir("gc-mrg")
+    ops.commit(spark.range(0, 100)
+      .select(col("id"), (col("id") * 2).as("payload")), dir)
+    spark.range(0, 5).select(col("id"), (col("id") * 100).as("payload"))
+      .unionByName(spark.range(500, 505)
+        .select(col("id"), (col("id") * 2).as("payload")))
+      .createOrReplaceTempView("gc_mrg_src")
+    spark.sql(s"MERGE INTO graft.`$dir` t USING gc_mrg_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val got = spark.sql(s"SELECT * FROM graft.`$dir`")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 105)
+    assert((0L until 5L).forall(i => got(i) == i * 100))
+    assert((5L until 100L).forall(i => got(i) == i * 2))
+    assert((500L until 505L).forall(i => got(i) == i * 2))
+    // the explicit column-aligned spelling matches too
+    spark.range(0, 3).select(col("id"), lit(7L).as("payload"))
+      .createOrReplaceTempView("gc_mrg_src2")
+    spark.sql(s"MERGE INTO graft.`$dir` t USING gc_mrg_src2 s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET t.id = s.id, t.payload = s.payload " +
+      "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES (s.id, s.payload)")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE payload = 7")
+      .count() == 3)
+    // clause shapes with no engine equivalent refuse rather than
+    // silently approximating
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$dir` t USING gc_mrg_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("MERGE INTO"))
   }
 
   test("CALL promote / vacuum_orphans drive write-audit-publish from SQL") {
