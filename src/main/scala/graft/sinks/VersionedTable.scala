@@ -952,6 +952,37 @@ class VersionedTableOps(protected val io: TableIO) {
     if (!io.exists(p)) None else io.readLines(p).headOption
   }
 
+  /** Retired-column ledger — one `<id>\t<physical>` line per column ever
+    * DROPped from the declared schema. ADD COLUMNS consults it so a new
+    * column never re-addresses a physical name whose bytes still sit in
+    * landed files (drop-then-re-add must serve typed nulls, not the
+    * dropped column's stale values), and ids are never recycled. */
+  private def retiredPath(dir: String) = s"${manifestDir(dir)}/retired"
+
+  def retiredColumns(dir: String): Seq[(Long, String)] = {
+    val p = retiredPath(dir)
+    if (!io.exists(p)) Seq.empty
+    else io.readLines(p).filter(_.nonEmpty).map { l =>
+      val Array(id, phys) = l.split('\t')
+      (id.toLong, phys)
+    }
+  }
+
+  def retireColumn(dir: String, id: Long, physical: String): Unit = {
+    io.mkdirs(manifestDir(dir))
+    io.writeLines(retiredPath(dir),
+      retiredColumns(dir).map { case (i, p) => s"$i\t$p" } :+
+        s"$id\t$physical")
+  }
+
+  /** Whether any head-version file carries a bloom sidecar line for
+    * `column` — the gate ALTER COLUMN TYPE widening checks: bloom
+    * positions hash the column's VALUE BYTES by type, so a widened probe
+    * (long vs the int the filter was built from) would silently stop
+    * matching and pruning would drop live files. */
+  def hasBloomStats(dir: String, column: String): Boolean =
+    versions(dir).lastOption.exists(v => bloomsOf(dir, v, column).nonEmpty)
+
   /** Schema of the table AT `version`'s vintage: inferred from the newest
     * files INTRODUCED at or before `version` (walking back past
     * file-less commits such as pure deletes). Whole-table parquet

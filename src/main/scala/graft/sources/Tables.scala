@@ -40,17 +40,36 @@ object Tables {
     * a projection over the column would sacrifice both. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = load(s, d, "events")
-    df.schema("ts").dataType match {
-      case LongType =>
-        // true floor division: `div` truncates toward zero, which differs
-        // from DuckDB's ns→µs floor for pre-1970 (negative) timestamps
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // The two legacy confs are consulted by the parquet CONVERTERS at
+    // execution time too, not just at inference — so they cannot be
+    // save/restored around this call (the returned plan is lazy; it
+    // would execute under the restored values and fail or shift
+    // semantics). Instead, probe the file's actual shape first and set a
+    // conf ONLY when this generator vintage needs it: the common
+    // timestamp[us] case mutates nothing session-wide.
+    val probe = scala.util.Try(load(s, d, "events"))
+    probe.map(_.schema("ts").dataType) match {
+      case scala.util.Success(TimestampNTZType) =>
+        // no-zone µs: read with NTZ inference OFF so the reader itself
+        // yields TimestampType (session zone pinned UTC → DuckDB-equal),
+        // keeping ts predicates pushable (no cast wrapper)
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        load(s, d, "events")
+      case scala.util.Success(_) =>
+        probe.get // timestamp[us]: already TimestampType, scan-native
+      case scala.util.Failure(_) =>
+        // INT64 TIMESTAMP(NANOS): Spark 4 rejects it outright
+        // (PARQUET_TYPE_ILLEGAL) — read as raw long ns via the legacy
+        // conf and floor-divide to µs, matching DuckDB's ns→µs floor.
+        // True floor division: `div` truncates toward zero, which
+        // differs from DuckDB's floor for pre-1970 (negative) stamps.
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = load(s, d, "events")
+        require(df.schema("ts").dataType == LongType,
+          s"events.ts: unexpected type ${df.schema("ts").dataType}")
         df.withColumn("ts", timestamp_micros(
           expr("ts DIV 1000 - IF(ts < 0 AND ts % 1000 != 0, 1, 0)")))
-      case _ => df // timestamp[us]: already TimestampType, scan-native
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

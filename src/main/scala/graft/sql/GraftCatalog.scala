@@ -210,31 +210,56 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // CREATE TABLE targets a base table: a ref fragment would declare the
+    // schema at the literal '#'-containing path while reads re-parse the
+    // fragment and resolve elsewhere — an inconsistent state, so refuse
+    require(parseRef(dirOf(ident))._2 == RefHead,
+      "CREATE TABLE targets a base table, not a ref or metadata view " +
+        s"('${ident.name}' carries a '#' fragment)")
     val dir = dirOf(ident)
     if (ops.versions(dir).nonEmpty || ops.declaredSchema(dir).isDefined)
       throw new TableAlreadyExistsException(ident)
     val specs = partitions.toSeq.map(GraftCatalog.transformSpec)
     val numFiles = Option(properties.get("files")).map(_.toInt).getOrElse(8)
     if (specs.nonEmpty) ops.declarePartitioning(dir, specs, numFiles)
-    ops.declareSchema(dir, schema.json)
+    // every column gets its stable field id + physical name at birth —
+    // the indirection RENAME/widening resolve through (ColumnMapping)
+    ops.declareSchema(dir, ColumnMapping.assign(schema, Seq.empty).json)
     loadTable(ident)
   }
   /** Metadata-only schema evolution — the declared schema IS the table
-    * schema at read time (already-landed files never rewrite):
+    * schema at read time (already-landed files never rewrite), resolved
+    * through the [[ColumnMapping column-id indirection]] every declared
+    * field carries:
     *
     *  - `ALTER TABLE … ADD COLUMNS (c T)` — the new column must be
     *    nullable (historical files have no value for it; the stock
     *    parquet schema-evolution read serves typed nulls), lands
-    *    appended.
+    *    appended with a FRESH physical name that avoids every name the
+    *    table ever addressed — so `DROP COLUMN c` then `ADD COLUMNS
+    *    (c T)` serves nulls, never the dropped column's stale bytes.
+    *    Positioned adds (`FIRST` / `AFTER x`) refuse: repositioning is
+    *    unsupported, and silently appending would contradict the policy.
     *  - `ALTER TABLE … DROP COLUMN c` — removed from the declared
-    *    schema; files keep the bytes, reads project them away. Refuses
-    *    on a column anchoring declared partitioning (future landings
-    *    would have nothing to cluster by).
+    *    schema and recorded in the retired ledger; files keep the bytes,
+    *    reads project them away. Refuses on a column anchoring declared
+    *    partitioning (future landings would have nothing to cluster by).
+    *  - `ALTER TABLE … RENAME COLUMN a TO b` — METADATA-ONLY: the
+    *    logical name changes, the physical name (what files and stats
+    *    sidecars carry) never does; writers rename logical→physical on
+    *    landing, readers translate back, so zero files rewrite and old
+    *    snapshots stay correct. Renaming a partition-anchored column is
+    *    safe for the same reason (transforms anchor the physical name).
+    *  - `ALTER TABLE … ALTER COLUMN c TYPE T` — safe WIDENING only
+    *    (byte→short→int→long, float→double): the declared type changes,
+    *    old files keep the narrow bytes and the parquet reader promotes
+    *    per file (SPARK-40876). Refuses when the column anchors a
+    *    declared bucket transform or carries bloom sidecars — both hash
+    *    the value's TYPE-SPECIFIC bytes, so a widened probe would
+    *    silently stop matching and pruning would drop live files.
     *
-    * Everything else (renames, type changes, repositioning) refuses
-    * loudly: a rename or re-type needs a column-id indirection the
-    * name-addressed manifest protocol does not carry, and pretending
-    * otherwise corrupts old snapshots silently. */
+    * Everything else (narrowing, string↔number re-types, repositioning,
+    * nested paths) refuses loudly — no silent approximation. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (base, ref) = parseRef(dirOf(ident))
     val dir = ref match {
@@ -244,40 +269,90 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "ALTER TABLE applies to a table or branch, not a tag or metadata view")
     }
     // base schema: the declaration if CREATE TABLE pinned one, else the
-    // head snapshot's inferred schema (Scala-created tables evolve too)
-    val cur = ops.declaredSchema(dir)
-      .map(DataType.fromJson(_).asInstanceOf[StructType])
-      .getOrElse(snapshot(ident, None).schema())
-    val partCols = ops.partitioningOf(dir).map(_.source.toLowerCase).toSet
+    // head snapshot's inferred schema (Scala-created tables evolve too);
+    // either way every field has ids after `assign`
+    val cur = ColumnMapping.assign(
+      ops.declaredSchema(dir)
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(snapshot(ident, None).schema()),
+      ops.retiredColumns(dir).map(_._1))
+    val partPhys = ops.partitioningOf(dir).map(_.source.toLowerCase).toSet
+    def one(names: Array[String], what: String): String = {
+      require(names.length == 1,
+        s"nested $what unsupported: ${names.mkString(".")}")
+      names.head
+    }
+    def fieldOf(sc: StructType, n: String, what: String): StructField =
+      sc.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(s"$what: no column '$n'"))
+    val widenings: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set(ShortType, IntegerType, LongType),
+      ShortType -> Set(IntegerType, LongType),
+      IntegerType -> Set(LongType),
+      FloatType -> Set(DoubleType))
     val updated = changes.foldLeft(cur) { (sc, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
-          require(add.fieldNames().length == 1,
-            s"nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")
-          val n = add.fieldNames().head
+          val n = one(add.fieldNames(), "ADD COLUMN")
           require(!sc.fieldNames.exists(_.equalsIgnoreCase(n)),
             s"column '$n' already exists")
           require(add.isNullable,
             s"ADD COLUMN '$n' must be nullable: already-landed files have " +
               "no value for it (reads serve typed nulls)")
-          sc.add(StructField(n, add.dataType(), nullable = true))
+          require(add.position() == null,
+            s"ADD COLUMN '$n' FIRST/AFTER unsupported: columns append at " +
+              "the end (repositioning is not supported)")
+          ColumnMapping.addField(sc, n, add.dataType(),
+            ops.retiredColumns(dir))
         case del: TableChange.DeleteColumn =>
-          require(del.fieldNames().length == 1,
-            s"nested DROP COLUMN unsupported: ${del.fieldNames().mkString(".")}")
-          val n = del.fieldNames().head
+          val n = one(del.fieldNames(), "DROP COLUMN")
           if (!sc.fieldNames.exists(_.equalsIgnoreCase(n))) {
             require(del.ifExists(), s"no column '$n' to drop")
             sc
           } else {
-            require(!partCols.contains(n.toLowerCase),
+            val f = fieldOf(sc, n, "DROP COLUMN")
+            require(!partPhys.contains(ColumnMapping.physOf(f).toLowerCase),
               s"column '$n' anchors declared partitioning; re-declare " +
                 "partitioning before dropping it")
             require(sc.length > 1, "cannot drop a table's last column")
+            ops.retireColumn(dir, ColumnMapping.idOf(f).get,
+              ColumnMapping.physOf(f))
             StructType(sc.filterNot(_.name.equalsIgnoreCase(n)))
           }
+        case rn: TableChange.RenameColumn =>
+          val n = one(rn.fieldNames(), "RENAME COLUMN")
+          val to = rn.newName()
+          val f = fieldOf(sc, n, "RENAME COLUMN")
+          require(!sc.fieldNames.exists(c =>
+            c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(n)),
+            s"RENAME COLUMN '$n' TO '$to': target name already exists")
+          StructType(sc.fields.map(x =>
+            if (x.name.equalsIgnoreCase(n)) f.copy(name = to) else x))
+        case ut: TableChange.UpdateColumnType =>
+          val n = one(ut.fieldNames(), "ALTER COLUMN TYPE")
+          val f = fieldOf(sc, n, "ALTER COLUMN TYPE")
+          val nt = ut.newDataType()
+          require(widenings.get(f.dataType).exists(_.contains(nt)),
+            s"ALTER COLUMN '$n' TYPE ${nt.simpleString}: only safe " +
+              s"widenings are supported (${f.dataType.simpleString} " +
+              "allows: " + widenings.getOrElse(f.dataType, Set.empty)
+                .map(_.simpleString).mkString(", ") + ")")
+          val phys = ColumnMapping.physOf(f)
+          require(!ops.partitioningOf(dir).exists {
+            case b: graft.sinks.PartitionTransform.Bucket => b.source == phys
+            case _ => false
+          }, s"column '$n' anchors a declared bucket transform, which " +
+            "hashes type-specific bytes; re-declare partitioning before " +
+            "widening")
+          require(!ops.hasBloomStats(dir, phys),
+            s"column '$n' carries bloom sidecars built over the narrow " +
+              "type; rebuild blooms (write_blooms) after widening instead")
+          StructType(sc.fields.map(x =>
+            if (x.name.equalsIgnoreCase(n)) f.copy(dataType = nt) else x))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
-            "supported: ADD COLUMNS (nullable, top-level), DROP COLUMN")
+            "supported: ADD COLUMNS (nullable, top-level), DROP COLUMN, " +
+            "RENAME COLUMN, ALTER COLUMN TYPE (safe widening)")
       }
     }
     ops.declareSchema(dir, updated.json)
@@ -438,6 +513,12 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     ParquetTable(tblName, spark, CaseInsensitiveStringMap.empty(), files,
       None, classOf[ParquetFileFormat]).schema)
 
+  /** logical → physical renames from the declared column mapping (empty
+    * for tables that never renamed — every path below short-circuits). */
+  private[sql] lazy val renames: Map[String, String] =
+    declared.map(ColumnMapping.renames).getOrElse(Map.empty)
+  private def physOfName(n: String): String = renames.getOrElse(n, n)
+
   override def capabilities(): util.Set[TableCapability] =
     if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
@@ -451,6 +532,7 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     * with the compact instruction before a single row moves. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PruningScanBuilder(spark, dir, version, files, schema, options,
+      renames = renames,
       refuseServe = if (!debt) None else Some(
         s"$dir@v$version carries merge-on-read delete debt (positional " +
           s"vectors or equality deletes); a catalog read cannot apply them " +
@@ -467,10 +549,17 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     * empty conjunction: every row. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !readOnly &&
-      filters.forall(f => GraftCatalog.filterToColumn(f).isDefined)
+      filters.forall(f => GraftCatalog.filterToColumn(f, physOfName).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val cond = filters.toSeq.flatMap(GraftCatalog.filterToColumn)
+    // fail loudly on an untranslatable filter HERE, not only at the
+    // canDeleteWhere gate: 'never delete more than asked' is enforced at
+    // the mutation site, so contract drift across Spark versions cannot
+    // silently widen a delete
+    val cond = filters.toSeq.map(f =>
+      GraftCatalog.filterToColumn(f, physOfName).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE filter $f has no exact engine translation")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     VersionedTable.deleteWhere(spark, dir, cond)
@@ -485,7 +574,13 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: SqlDataFrame, ignored: Boolean): Unit = {
-              VersionedTable.commit(data, dir, append = !overwrite)
+              // land under PHYSICAL names: Spark has already resolved the
+              // insert to the table schema (logical names, positional), so
+              // the rename is a pure positional relabel
+              val out = if (renames.isEmpty) data
+                else data.toDF(schema.fields.map(f =>
+                  renames.getOrElse(f.name, f.name)).toIndexedSeq: _*)
+              VersionedTable.commit(out, dir, append = !overwrite)
               ()
             }
           }
@@ -535,13 +630,40 @@ private[sql] class GraftMetaTable(tblName: String, thunk: () => SqlDataFrame)
 private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     version: Int, files: Seq[String], tableSchema: StructType,
     options: CaseInsensitiveStringMap,
+    renames: Map[String, String] = Map.empty,
     refuseServe: Option[String] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
 
+  // Column-mapping translation: data files, footers and stats sidecars
+  // all carry PHYSICAL names, so the inner parquet builder operates
+  // physically and the logical names exist only at this seam. Soundness
+  // rests on InternalRow being POSITIONAL: the physical schema is the
+  // table schema with fields renamed in place (same order, same declared
+  // types), so the physical scan's rows serve the logical attributes
+  // unchanged — only readSchema's names need mapping back.
+  private val backNames: Map[String, String] = renames.map(_.swap)
+  private def toPhys(s: StructType): StructType =
+    if (renames.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name))))
+  private def toLogical(s: StructType): StructType =
+    if (renames.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = backNames.getOrElse(f.name, f.name))))
+  // exprId is preserved by withName, so residual predicates translated
+  // back still bind to the plan's original attributes
+  private def renameAttrs(e: CatalystExpr,
+                          m: Map[String, String]): CatalystExpr =
+    if (m.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if m.contains(a.name) => a.withName(m(a.name))
+    }
+
   private def parquetBuilder(paths: Seq[String]): FileScanBuilder =
     ParquetTable(s"graft.$dir@v$version", spark, options, paths,
-      Some(tableSchema), classOf[ParquetFileFormat])
+      Some(toPhys(tableSchema)), classOf[ParquetFileFormat])
       .newScanBuilder(options).asInstanceOf[FileScanBuilder]
 
   private val inner = parquetBuilder(files)
@@ -549,13 +671,13 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   private var required: Option[StructType] = None
 
   override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
-    captured = filters
-    inner.pushFilters(filters)
+    captured = filters.map(renameAttrs(_, renames))
+    inner.pushFilters(captured).map(renameAttrs(_, backNames))
   }
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    required = Some(requiredSchema)
-    inner.pruneColumns(requiredSchema)
+    required = Some(toPhys(requiredSchema))
+    inner.pruneColumns(required.get)
   }
 
   /** Pushed v1 filters → (conjunctive optional-bound ranges, equality
@@ -605,8 +727,29 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
         required.foreach(b2.pruneColumns)
         b2.build()
       }
-    refuseServe.fold(built)(new DebtRefusingScan(built, _))
+    // a renamed table's physical scan serves the logical attributes
+    // positionally; only the reported schema needs the names mapped back
+    val named =
+      if (renames.isEmpty) built else new RenamingScan(built, toLogical _)
+    refuseServe.fold(named)(new DebtRefusingScan(named, _))
   }
+}
+
+/** A scan that reports LOGICAL column names over a physically-named
+  * inner scan — sound because DSv2 rows are positional and the mapping
+  * renames fields in place (same order, same types). */
+private[sql] class RenamingScan(inner: Scan,
+    toLogical: StructType => StructType) extends Scan {
+  override def readSchema(): StructType = toLogical(inner.readSchema())
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    inner.toMicroBatchStream(checkpointLocation)
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    inner.toContinuousStream(checkpointLocation)
 }
 
 /** A scan that plans (pushdown, schema, pruning bookkeeping) but refuses
@@ -664,28 +807,32 @@ object GraftCatalog {
 
   /** v1 source filter → engine [[Column]] predicate, for the
     * [[SupportsDelete]] seam: Spark hands a DELETE's condition as
-    * translated filters; the engine's deleteWhere wants a Column. None
-    * for anything without an exact Column equivalent — the caller
-    * REFUSES then (deletes must never be a superset or subset of what
-    * the user asked). */
-  private[sql] def filterToColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
-    case Not(c) => filterToColumn(c).map(!_)
+    * translated filters (LOGICAL names); the engine's deleteWhere wants
+    * a Column over the table's raw files (PHYSICAL names) — `ren`
+    * translates. None for anything without an exact Column equivalent —
+    * the caller REFUSES then (deletes must never be a superset or
+    * subset of what the user asked). */
+  private[sql] def filterToColumn(f: Filter,
+      ren: String => String = identity): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(ren(a)) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(ren(a)) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(ren(a)) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(ren(a)) >= lit(v))
+    case LessThan(a, v) => Some(col(ren(a)) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(ren(a)) <= lit(v))
+    case In(a, vs) => Some(col(ren(a)).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(ren(a)).isNull)
+    case IsNotNull(a) => Some(col(ren(a)).isNotNull)
+    case StringStartsWith(a, v) => Some(col(ren(a)).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(ren(a)).endsWith(v))
+    case StringContains(a, v) => Some(col(ren(a)).contains(v))
+    case Not(c) => filterToColumn(c, ren).map(!_)
     case And(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      for (a <- filterToColumn(l, ren); b <- filterToColumn(r, ren))
+        yield a && b
     case Or(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      for (a <- filterToColumn(l, ren); b <- filterToColumn(r, ren))
+        yield a || b
     case AlwaysTrue() => Some(lit(true))
     case AlwaysFalse() => Some(lit(false))
     case _ => None
@@ -930,7 +1077,56 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_rename — column-id indirection end-to-end: a table created
+    * with a NARROW int key lands half the events, `ALTER COLUMN TYPE
+    * BIGINT` widens and `RENAME COLUMN` re-names it — both metadata-only
+    * (pinned in-query: the `#files` inventory is byte-identical across
+    * the ALTERs, and the old name refuses) — then the other half lands
+    * under the NEW name with values only a genuine 64-bit column can
+    * carry. One aggregate over the evolved table hash-matches a DuckDB
+    * oracle reconstructing the widen+rename arithmetic: old narrow files
+    * and new wide files provably serve through one logical schema. */
+  def qSqlRename(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlrename_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(eid INT, event_type STRING, value DOUBLE)")
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id").cast("int").as("eid"),
+        col("event_type"), col("value"))
+      .createOrReplaceTempView("q_sql_rename_v1")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_rename_v1")
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN eid TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN eid TO event_id")
+    val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    require(filesAfter == filesBefore,
+      "widen+rename must be metadata-only (zero files rewritten)")
+    require(scala.util.Try(
+      spark.sql(s"SELECT eid FROM graft.`$dir`").collect()).isFailure,
+      "the old column name must not resolve after RENAME")
+    ev.filter(col("event_id") % 2 === 1)
+      .select((col("event_id") + 10000000000L).as("event_id"),
+        col("event_type"), col("value"))
+      .createOrReplaceTempView("q_sql_rename_v2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_rename_v2")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_id") > 2147483647L, 1)).as("n_wide"),
+        max(col("event_id")).as("max_id"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_rename" -> (qSqlRename _),
     "q_sql_time_travel" -> (qSqlTimeTravel _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -940,6 +1136,16 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_rename" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_wide,
+        |  MAX(CASE WHEN event_id % 2 = 1 THEN event_id + 10000000000
+        |      ELSE event_id END) AS max_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_ddl_insert" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)

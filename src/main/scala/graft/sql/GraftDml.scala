@@ -61,10 +61,15 @@ object GraftDmlStrategy extends SparkStrategy {
   }
 
   /** Re-anchor a resolved expression by NAME so the engine can apply it
-    * over its own scan of the same table (fresh attribute ids). */
-  private def byName(e: Expression): Column =
+    * over its own scan of the same table (fresh attribute ids). The
+    * engine scans raw files, which carry PHYSICAL names — `ren` is the
+    * target table's logical→physical column mapping (identity for tables
+    * that never renamed). */
+  private def byName(e: Expression,
+                     ren: Map[String, String] = Map.empty): Column =
     PlanDf.toColumn(e.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference =>
+        UnresolvedAttribute.quoted(ren.getOrElse(a.name, a.name))
     })
 
   private def clean(e: Expression): Boolean =
@@ -109,22 +114,27 @@ object GraftDmlStrategy extends SparkStrategy {
           condition.forall(clean) && assignments.nonEmpty &&
           assignments.forall(a =>
             a.key.isInstanceOf[AttributeReference] && clean(a.value)) =>
-      GraftUpdateExec(graftTarget(t).get.tableDir,
-        condition.map(byName),
-        assignments.map(a =>
-          a.key.asInstanceOf[AttributeReference].name -> byName(a.value))) :: Nil
+      val g = graftTarget(t).get
+      GraftUpdateExec(g.tableDir,
+        condition.map(byName(_, g.renames)),
+        assignments.map { a =>
+          val k = a.key.asInstanceOf[AttributeReference].name
+          g.renames.getOrElse(k, k) -> byName(a.value, g.renames)
+        }) :: Nil
 
     case DeleteFromTable(t, condition)
         if graftTarget(t).isDefined && clean(condition) =>
-      GraftDeleteExec(graftTarget(t).get.tableDir, byName(condition)) :: Nil
+      val g = graftTarget(t).get
+      GraftDeleteExec(g.tableDir, byName(condition, g.renames)) :: Nil
 
     case m: MergeIntoTable
         if m.childrenResolved && !m.withSchemaEvolution &&
           m.notMatchedBySourceActions.isEmpty &&
           clean(m.mergeCondition) &&
           graftTarget(m.targetTable).isDefined && upsertKey(m).isDefined =>
-      GraftMergeExec(graftTarget(m.targetTable).get.tableDir,
-        m.sourceTable, upsertKey(m).get) :: Nil
+      val g = graftTarget(m.targetTable).get
+      GraftMergeExec(g.tableDir, m.sourceTable,
+        upsertKey(m).get, g.renames) :: Nil
 
     case _ => Nil
   }
@@ -157,9 +167,17 @@ private[sql] case class GraftDeleteExec(dir: String, cond: Column)
 }
 
 private[sql] case class GraftMergeExec(dir: String, source: LogicalPlan,
-    key: String) extends GraftDmlExec {
+    key: String, renames: Map[String, String] = Map.empty)
+    extends GraftDmlExec {
   override protected def run(spark: SparkSession): Unit = {
-    VersionedTable.merge(spark, dir, PlanDf.ofPlan(spark, source), key)
+    // the engine merges against raw files (physical names); a renamed
+    // table's source arrives with logical names — relabel first
+    val src0 = PlanDf.ofPlan(spark, source)
+    val src = if (renames.isEmpty) src0
+      else src0.toDF(src0.columns.map(c =>
+        renames.getOrElse(c, c)).toIndexedSeq: _*)
+    VersionedTable.merge(spark, dir, src,
+      renames.getOrElse(key, key))
     ()
   }
 }

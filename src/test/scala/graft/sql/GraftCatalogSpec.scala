@@ -235,8 +235,9 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 60)
   }
 
-  test("ALTER TABLE refusals: non-nullable add, renames, partition " +
-      "anchors, the last column") {
+  test("ALTER TABLE refusals: non-nullable add, partition " +
+      "anchors, the last column (renames are now metadata-only legal — " +
+      "RenameWidenSpec)") {
     register()
     val dir = tmpDir("gc-alter-no")
     spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, k STRING) " +
@@ -245,17 +246,18 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (c BIGINT NOT NULL)")
     }
     assert(e1.getMessage.contains("must be nullable"))
-    val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN id TO id2")
-    }
-    assert(e2.getMessage.contains("unsupported ALTER TABLE change"))
+    // RENAME COLUMN is supported since the column-id indirection landed —
+    // including on a partition-anchored column (transforms anchor the
+    // PHYSICAL name); the partition-drop refusal keys on it regardless
+    // of the current logical spelling
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN k TO kk")
     val e3 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN k")
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN kk")
     }
     assert(e3.getMessage.contains("partitioning"))
     spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN id")
     val e4 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN k")
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN kk")
     }
     assert(e4.getMessage.contains("partitioning") ||
       e4.getMessage.contains("last column"))

@@ -1,0 +1,198 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.VersionedTable
+
+/** Column-id indirection: ALTER TABLE RENAME COLUMN and safe type
+  * widening are METADATA-ONLY — zero files rewrite, old snapshots stay
+  * correct, and the drop-then-re-add resurrection hazard is structurally
+  * impossible (a re-added column addresses a fresh physical name). */
+class RenameWidenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  private def register(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  private def filesOf(dir: String): Set[String] =
+    spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .as[String].collect().toSet
+
+  test("RENAME COLUMN is metadata-only: old files serve the new name, " +
+    "no file rewrites, inserts land under the fixed physical name") {
+    register()
+    val dir = tmpDir("rw-ren") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE)")
+    spark.range(0, 10).select(col("id"), (col("id") * 2.0).as("v"))
+      .createOrReplaceTempView("rw_ren_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_ren_src")
+    val before = filesOf(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO amount")
+    // metadata-only: the file inventory is byte-identical
+    assert(filesOf(dir) == before, "RENAME rewrote files")
+    // old files serve the new logical name
+    val got = spark.sql(s"SELECT id, amount FROM graft.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 10 && (0L until 10L).forall(i => got(i) == i * 2.0))
+    // the old name is gone
+    assert(scala.util.Try(
+      spark.sql(s"SELECT v FROM graft.`$dir`").collect()).isFailure)
+    // a post-rename insert lands under the SAME physical name, so both
+    // vintages serve through one schema
+    spark.range(10, 15).select(col("id"), (col("id") * 2.0).as("amount"))
+      .createOrReplaceTempView("rw_ren_src2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_ren_src2")
+    assert(spark.sql(s"SELECT SUM(amount) FROM graft.`$dir`")
+      .head().getDouble(0) == (0 until 15).map(_ * 2.0).sum)
+    // predicate pushdown + filtering still work through the mapping
+    assert(spark.sql(
+      s"SELECT id FROM graft.`$dir` WHERE amount = 8.0")
+      .as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("ALTER COLUMN TYPE widens int -> long and float -> double; old " +
+    "narrow files promote per file; out-of-int-range values land") {
+    register()
+    val dir = tmpDir("rw-wide") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (k INT, x FLOAT)")
+    spark.range(0, 5).select(col("id").cast("int").as("k"),
+        (col("id") * 1.5).cast("float").as("x"))
+      .createOrReplaceTempView("rw_wide_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_wide_src")
+    val before = filesOf(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN x TYPE DOUBLE")
+    assert(filesOf(dir) == before, "widening rewrote files")
+    val sc = spark.sql(s"SELECT * FROM graft.`$dir`").schema
+    assert(sc("k").dataType.simpleString == "bigint")
+    assert(sc("x").dataType.simpleString == "double")
+    // beyond-int-range rows only a genuine long column can carry
+    Seq((10000000000L, 2.25d)).toDF("k", "x")
+      .createOrReplaceTempView("rw_wide_src2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_wide_src2")
+    val got = spark.sql(s"SELECT k, x FROM graft.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 6)
+    assert(got(10000000000L) == 2.25)
+    assert(got(3L) == 4.5) // float 4.5 is exact; promotes cleanly
+    // range-stats pruning still applies across vintages (num tag is
+    // type-agnostic), and the filter is exact
+    assert(spark.sql(s"SELECT k FROM graft.`$dir` WHERE k > 100")
+      .as[Long].collect().toSeq == Seq(10000000000L))
+  }
+
+  test("rename composes with widen; DML (UPDATE/DELETE/MERGE) resolves " +
+    "through the mapping") {
+    register()
+    val dir = tmpDir("rw-dml") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE)")
+    spark.range(0, 10).select(col("id"), lit(1.0).as("v"))
+      .createOrReplaceTempView("rw_dml_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_dml_src")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO score")
+    spark.sql(s"UPDATE graft.`$dir` SET score = score + 10.0 WHERE id < 3")
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE score > 10.5 AND id = 0")
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')")
+    spark.range(8, 12).select(col("id"), lit(7.0).as("score"))
+      .createOrReplaceTempView("rw_dml_merge")
+    spark.sql(s"MERGE INTO graft.`$dir` t USING rw_dml_merge s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val got = spark.sql(s"SELECT id, score FROM graft.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(!got.contains(0L), "DELETE through the mapping missed")
+    assert(got(1L) == 11.0 && got(2L) == 11.0,
+      "UPDATE through the mapping missed")
+    assert((8L to 11L).forall(got(_) == 7.0),
+      "MERGE through the mapping missed")
+    assert(got.size == 11)
+  }
+
+  test("DROP then re-ADD the same name serves typed nulls, never the " +
+    "dropped column's stale bytes") {
+    register()
+    val dir = tmpDir("rw-readd") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, note STRING)")
+    spark.range(0, 4).select(col("id"), concat(lit("old-"), col("id")).as("note"))
+      .createOrReplaceTempView("rw_readd_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_readd_src")
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN note")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)")
+    // the re-added column addresses a FRESH physical name: pre-existing
+    // files must serve NULL, not the retired bytes still in the files
+    assert(spark.sql(s"SELECT COUNT(note) FROM graft.`$dir`")
+      .head().getLong(0) == 0L,
+      "re-added column resurrected dropped values")
+    Seq((100L, "new")).toDF("id", "note")
+      .createOrReplaceTempView("rw_readd_src2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_readd_src2")
+    val notes = spark.sql(s"SELECT note FROM graft.`$dir` WHERE note IS NOT NULL")
+      .as[String].collect().toSeq
+    assert(notes == Seq("new"))
+  }
+
+  test("unsound ALTERs refuse loudly: narrowing, re-type, rename onto an " +
+    "existing name, positioned ADD, widening a bucket-anchored column") {
+    register()
+    val dir = tmpDir("rw-refuse") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, k INT, j INT, " +
+      "s STRING) PARTITIONED BY (bucket(4, k))")
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected failure containing '$frag', got: ${msgs(e).mkString(" | ")}")
+    }
+    // narrowing / re-typing refuses in Spark's own analyzer (canUpCast
+    // gate) before the catalog sees it — still loud, different voice
+    refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN id TYPE INT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN s TYPE BIGINT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    // int -> double upcasts for Spark but is NOT in the engine's parquet
+    // promotion allowlist — the catalog's own refusal fires
+    refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN j TYPE DOUBLE",
+      "safe widenings")
+    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN s TO id",
+      "already exists")
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (z INT FIRST)",
+      "FIRST/AFTER")
+    refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN k TYPE BIGINT",
+      "bucket transform")
+  }
+
+  test("CREATE TABLE refuses ref fragments (branch/tag/metadata views)") {
+    register()
+    val dir = tmpDir("rw-frag") + "/t"
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir#branch=b` (id BIGINT)")
+    }
+    assert(e.getMessage.contains("base table"))
+  }
+
+  test("manifest stats pruning follows the physical name after a rename") {
+    register()
+    val dir = tmpDir("rw-prune") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, grp BIGINT) " +
+      "PARTITIONED BY (identity(grp)) TBLPROPERTIES ('files' = '4')")
+    spark.range(0, 400)
+      .select(col("id"), (col("id") % 4).as("grp"))
+      .createOrReplaceTempView("rw_prune_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_prune_src")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN grp TO bucket_no")
+    val n = spark.sql(
+      s"SELECT COUNT(*) FROM graft.`$dir` WHERE bucket_no = 2")
+      .head().getLong(0)
+    assert(n == 100)
+    val (total, kept) = GraftCatalog.lastScanPrune
+    assert(kept < total,
+      s"renamed-column probe kept $kept of $total files — manifest " +
+        "pruning lost the physical mapping")
+  }
+}
