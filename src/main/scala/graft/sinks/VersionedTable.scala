@@ -58,6 +58,19 @@ import org.apache.spark.sql.functions._
 class SnapshotShapeConflict(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
+/** One action of a [[VersionedTableOps.mergeInto]] WHEN clause.
+  * Assignment values and clause conditions address the joined row as
+  * `__t_<col>` (target) / `__s_<col>` (source); assignment keys are
+  * plain target column names. */
+sealed trait MergeAction
+final case class MergeUpdate(set: Map[String, Column]) extends MergeAction
+case object MergeDelete extends MergeAction
+final case class MergeInsert(values: Map[String, Column]) extends MergeAction
+
+/** `WHEN <kind> [AND condition] THEN <action>` — clauses apply in order,
+  * first satisfied condition wins (None = unconditional). */
+final case class MergeClause(condition: Option[Column], action: MergeAction)
+
 class VersionedTableOps(protected val io: TableIO) {
 
   protected def manifestDir(dir: String): String = s"$dir/manifests"
@@ -1696,6 +1709,248 @@ class VersionedTableOps(protected val io: TableIO) {
       io.writeLines(statsPath(dir, v), carried ++ newStats ++ delRows)
       v
     } finally { src.unpersist(); delK.unpersist() }
+  }
+
+  /** Full-clause MERGE — the CDC shapes [[merge]]'s single-key upsert
+    * cannot express: ordered conditional `WHEN MATCHED [AND cond] THEN
+    * UPDATE/DELETE`, conditional `WHEN NOT MATCHED [AND cond] THEN
+    * INSERT`, and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    * UPDATE/DELETE`, with standard first-satisfied-clause-wins
+    * semantics (a NULL condition matches nothing, like SQL).
+    *
+    * Expression contract: clause conditions and assignment values are
+    * evaluated over the joined row with target columns addressed as
+    * `__t_<col>` and source columns as `__s_<col>` (the SQL strategy
+    * rewrites `t.c` / `s.c` to exactly these; Scala callers use the
+    * same spelling). Assignment KEYS are plain target column names.
+    * Unassigned columns carry the target value through an UPDATE; an
+    * INSERT must assign every table column.
+    *
+    * Scale shape: without BY-SOURCE clauses this is [[applyChanges]]'s
+    * file-scoped rewrite — manifest stats prune candidate files by the
+    * source key range, one membership semi-join names the touched
+    * files, and ONLY those rewrite (plus one appended file for
+    * surviving inserts). BY-SOURCE clauses quantify over every target
+    * row by definition, so they rewrite the whole head — that cost is
+    * the semantics, not the implementation; the commit is still one
+    * atomic publish. OCC mirrors [[applyChanges]]: concurrent vector
+    * changes, equality deletes, and appends carrying affected keys (or
+    * ANY append, under BY-SOURCE) abort loudly and auto-retry bounded
+    * against the new head. Unmaterialized equality deletes refuse at
+    * entry (compact first). Source keys must be unique ([[merge]]'s
+    * many-to-one ambiguity contract). */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                targetKey: String, sourceKey: String,
+                matched: Seq[MergeClause],
+                notMatched: Seq[MergeClause],
+                notMatchedBySource: Seq[MergeClause] = Seq.empty): Int =
+    retryingShape(3) { mergeIntoAttempt(spark, dir, source, targetKey,
+      sourceKey, matched, notMatched, notMatchedBySource) }
+
+  private def mergeIntoAttempt(spark: SparkSession, dir: String,
+      source: DataFrame, targetKey: String, sourceKey: String,
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause]): Int = {
+    matched.foreach(c => require(!c.action.isInstanceOf[MergeInsert],
+      "WHEN MATCHED supports UPDATE/DELETE"))
+    notMatched.foreach(c => require(c.action.isInstanceOf[MergeInsert],
+      "WHEN NOT MATCHED supports INSERT"))
+    notMatchedBySource.foreach(c =>
+      require(!c.action.isInstanceOf[MergeInsert],
+        "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE"))
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val head = vs.last
+    val filesAtStart = filesOf(dir, head)
+    require(filesAtStart.nonEmpty, s"$dir head has no data files")
+    val delsAtStart = delFilesOf(dir, head)
+    require(eqDelsOf(dir, head).isEmpty,
+      s"$dir carries unmaterialized equality deletes; run compact() to " +
+        s"fold them into the data files before MERGE")
+    val bySource = notMatchedBySource.nonEmpty
+    val src = source.persist()
+    try {
+      val dupes = src.groupBy(col(sourceKey)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupes == 0,
+        s"source has duplicate '$sourceKey' values — a MERGE with a " +
+          s"many-to-one match is ambiguous; dedupe the source first")
+      val tschema = spark.read.parquet(filesAtStart.head).schema
+      val tcols = tschema.fieldNames.toSeq
+      notMatched.foreach { c =>
+        val vals = c.action.asInstanceOf[MergeInsert].values
+        require(vals.keySet == tcols.toSet,
+          s"INSERT must assign every table column; missing " +
+            s"${(tcols.toSet -- vals.keySet).mkString(", ")}" +
+            (if ((vals.keySet -- tcols.toSet).nonEmpty)
+              s"; unknown ${(vals.keySet -- tcols.toSet).mkString(", ")}"
+            else ""))
+      }
+      matched.foreach {
+        case MergeClause(_, MergeUpdate(set)) =>
+          require((set.keySet -- tcols.toSet).isEmpty,
+            s"UPDATE assigns unknown column(s): " +
+              (set.keySet -- tcols.toSet).mkString(", "))
+        case _ => ()
+      }
+      notMatchedBySource.foreach {
+        case MergeClause(_, MergeUpdate(set)) =>
+          require((set.keySet -- tcols.toSet).isEmpty,
+            s"BY SOURCE UPDATE assigns unknown column(s): " +
+              (set.keySet -- tcols.toSet).mkString(", "))
+        case _ => ()
+      }
+
+      // touched files: every file under BY-SOURCE quantification, else
+      // stats-pruned candidates narrowed by one membership semi-join
+      val touched: Seq[String] =
+        if (bySource) filesAtStart
+        else {
+          val r = src.agg(min(col(sourceKey)), max(col(sourceKey))).head()
+          val candidates =
+            if (r.isNullAt(0)) Seq.empty[String]
+            else {
+              val stats = statsOf(dir, head, targetKey)
+              filesAtStart.filter { f =>
+                stats.get(f).forall(mayIntersect(_, r.get(0), r.get(1)))
+              }
+            }
+          if (candidates.isEmpty) Seq.empty
+          else taggedLive(spark, candidates, delsAtStart)
+            .join(src.select(col(sourceKey).as(targetKey)),
+              Seq(targetKey), "left_semi")
+            .select("__graft_file").distinct()
+            .collect().map(_.getString(0)).toSeq
+        }
+      val touchedSet = touched.toSet
+
+      // the joined frame: live target rows of touched files as __t_*,
+      // source rows as __s_*, presence markers on both sides
+      val t0 = readFiles(spark, touched, delsAtStart)
+      val t = t0.select(tcols.map(c => col(c).as(s"__t_$c")) :+
+        lit(true).as("__t_present"): _*)
+      val s0 = src.select(src.columns.toSeq.map(c =>
+        col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+      val joined =
+        if (touched.isEmpty)
+          // nothing matched: no target scan at all — inserts only
+          s0.select((tcols.map(c => lit(null).cast(tschema(c).dataType)
+            .as(s"__t_$c")) :+ lit(false).as("__t_present")) ++
+            s0.columns.toSeq.map(col): _*)
+        else t.join(s0,
+          t(s"__t_$targetKey") === s0(s"__s_$sourceKey"), "full_outer")
+
+      // first-satisfied-clause-wins chains; an unconditional clause
+      // terminates its chain (later clauses are unreachable, as in SQL)
+      def chain(cs: Seq[(Option[Column], Column)], default: Column): Column =
+        cs.foldRight(default) { case ((cond, v), acc) =>
+          cond.map(c => when(c, v).otherwise(acc)).getOrElse(v)
+        }
+      def keepOf(cs: Seq[MergeClause], default: Column): Column =
+        chain(cs.map(c => c.condition ->
+          lit(!c.action.isInstanceOf[MergeDelete.type])), default)
+      def valOf(cs: Seq[MergeClause], c: String, carry: Column): Column =
+        chain(cs.map(cl => cl.condition -> (cl.action match {
+          case MergeUpdate(set) => set.getOrElse(c, carry)
+          case MergeDelete => carry // dropped by keep, value irrelevant
+          case MergeInsert(vals) => vals(c)
+        })), carry)
+
+      val isMatched = coalesce(col("__t_present"), lit(false)) &&
+        coalesce(col("__s_present"), lit(false))
+      val isTargetOnly = coalesce(col("__t_present"), lit(false)) &&
+        !coalesce(col("__s_present"), lit(false))
+      val keep =
+        when(isMatched, keepOf(matched, lit(true)))
+          .when(isTargetOnly, keepOf(notMatchedBySource, lit(true)))
+          .otherwise(keepOf(notMatched, lit(false)))
+      def outCol(c: String): Column = {
+        val carry = col(s"__t_$c")
+        when(isMatched, valOf(matched, c, carry))
+          .when(isTargetOnly, valOf(notMatchedBySource, c, carry))
+          .otherwise(valOf(notMatched, c,
+            lit(null).cast(tschema(c).dataType)))
+          .cast(tschema(c).dataType).as(c)
+      }
+      val rewritten = joined.filter(keep).select(tcols.map(outCol): _*)
+
+      val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
+      val hasRows = touched.nonEmpty || !src.isEmpty
+      val newFiles =
+        if (!hasRows) Seq.empty[String]
+        else {
+          rewritten.coalesce(math.max(1, touched.size))
+            .write.parquet(batchDir)
+          val fs = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
+            .map(n => s"$batchDir/$n")
+          validateConstraints(spark, dir, fs)
+          fs
+        }
+
+      // vectors referencing kept files survive, consolidated; vectors for
+      // touched files were materialized by the rewrite
+      val survivorDel: Seq[String] =
+        if (delsAtStart.isEmpty || touchedSet.isEmpty) delsAtStart
+        else {
+          val keptSet = filesAtStart.filterNot(touchedSet).toSet
+          val survivors = spark.read.parquet(delsAtStart: _*)
+            .filter(col("file_path").isInCollection(
+              if (keptSet.isEmpty) Seq("") else keptSet.toSeq))
+          val sDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
+          survivors.coalesce(1).write.parquet(sDir)
+          val out = io.list(sDir).filter(_.endsWith(".parquet")).sorted
+            .map(n => s"$sDir/$n")
+          if (spark.read.parquet(out: _*).isEmpty) {
+            io.list(sDir).foreach(n => io.delete(s"$sDir/$n"))
+            io.delete(sDir)
+            Seq.empty
+          } else out
+        }
+
+      val cols = statColsOf(dir, head)
+      val newStats =
+        if (newFiles.isEmpty) Seq.empty
+        else if (cols.isEmpty) rowsLines(spark, newFiles)
+        else statsLines(spark, newFiles, cols)
+      val delRows = rowsLines(spark, survivorDel)
+      var carried: Seq[String] = Seq.empty
+      val v = publishOnHead(dir) { (h, base) =>
+        if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
+          throw new SnapshotShapeConflict(
+            "delete vectors changed during merge; re-run against the " +
+              "new head")
+        if (h.toSeq.flatMap(eqDelsOf(dir, _)).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            "an equality delete landed during merge; compact, then " +
+              "re-run against the new head")
+        val appended = base.filterNot(filesAtStart.toSet)
+        if (appended.nonEmpty) {
+          // under BY-SOURCE every target row is quantified over — any
+          // concurrent append invalidates the rewrite; otherwise only
+          // appends carrying an affected (source) key conflict
+          if (bySource)
+            throw new SnapshotShapeConflict(
+              "a concurrent append landed during a BY-SOURCE merge " +
+                "(which quantifies over every target row); re-running " +
+                "against the new head")
+          if (spark.read.parquet(appended: _*)
+            .select(col(targetKey))
+            .join(src.select(col(sourceKey).as(targetKey)),
+              Seq(targetKey), "left_semi").limit(1).count() > 0)
+            throw new java.util.ConcurrentModificationException(
+              "a concurrent append landed rows matching a merge source " +
+                "key; re-run the merge against the new head")
+        }
+        carried = carriedStats(dir, h, base)
+          .filterNot(l => touchedSet.contains(l.takeWhile(_ != '\t')))
+        h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
+          Seq(s"#ts=${now()}") ++
+          survivorDel.map(f => s"#del=$f") ++
+          base.filterNot(touchedSet) ++ newFiles
+      }
+      io.writeLines(statsPath(dir, v), carried ++ newStats ++ delRows)
+      v
+    } finally { src.unpersist(); () }
   }
 
   /** Incremental read: exactly the rows appended between `fromVersion`

@@ -1125,8 +1125,42 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_merge_full — the full MERGE clause set in ONE statement over
+    * the events lake table: conditional `WHEN MATCHED … UPDATE`, bare
+    * `WHEN MATCHED … DELETE`, conditional `WHEN NOT MATCHED … INSERT`,
+    * and `WHEN NOT MATCHED BY SOURCE … DELETE` — routed to the engine's
+    * general merge (one atomic commit, pinned in-query) and hash-matched
+    * against a DuckDB CTE encoding the same clause semantics on the same
+    * tables. */
+  def qSqlMergeFull(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqlmf_")
+    VersionedTable.commitClustered(ev, dir, zCols = Seq("event_id"),
+      statCols = Seq("event_id"), numFiles = 8)
+    val matchedSide = ev.filter(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") + 500.0)
+    val insertSide = ev.filter(col("event_id") % 7 === 3)
+      .withColumn("event_id", col("event_id") + 20000000L)
+    matchedSide.unionByName(insertSide)
+      .createOrReplaceTempView("q_sql_merge_full_src")
+    spark.sql(s"MERGE INTO graft.`$dir` t USING q_sql_merge_full_src s " +
+      "ON t.event_id = s.event_id " +
+      "WHEN MATCHED AND s.value > 560.0 THEN UPDATE SET value = s.value " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED AND s.event_type = 'click' THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.value < 5.0 THEN DELETE")
+    require(VersionedTable.versions(dir) == Seq(1, 2),
+      "a full-clause MERGE must land exactly one commit")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_rename" -> (qSqlRename _),
+    "q_sql_merge_full" -> (qSqlMergeFull _),
     "q_sql_time_travel" -> (qSqlTimeTravel _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -1136,6 +1170,37 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_merge_full" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type, value + 500.0 AS value
+        |  FROM events WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 20000000 AS event_id, event_type, value
+        |  FROM events WHERE event_id % 7 = 3
+        |), merged AS (
+        |  -- WHEN MATCHED AND s.value > 560 THEN UPDATE; else DELETE
+        |  SELECT t.event_id, t.event_type, s.value
+        |  FROM events t JOIN src s USING (event_id)
+        |  WHERE COALESCE(s.value > 560.0, FALSE)
+        |  UNION ALL
+        |  -- WHEN NOT MATCHED BY SOURCE AND t.value < 5 THEN DELETE
+        |  SELECT t.event_id, t.event_type, t.value FROM events t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s
+        |                    WHERE s.event_id = t.event_id)
+        |    AND NOT COALESCE(t.value < 5.0, FALSE)
+        |  UNION ALL
+        |  -- WHEN NOT MATCHED AND s.event_type = 'click' THEN INSERT *
+        |  SELECT s.event_id, s.event_type, s.value FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM events t
+        |                    WHERE t.event_id = s.event_id)
+        |    AND COALESCE(s.event_type = 'click', FALSE)
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM merged
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_rename" ->
       """SELECT event_type, COUNT(*) AS n,
         |  COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_wide,

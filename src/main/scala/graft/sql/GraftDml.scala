@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.PlanDf
 
-import graft.sinks.VersionedTable
+import graft.sinks.{MergeClause, MergeDelete, MergeInsert, MergeUpdate, VersionedTable}
 
 /** Native SQL DML statements on graft tables — the planner strategy that
   * routes `UPDATE`, `MERGE INTO`, and expression-predicate `DELETE FROM`
@@ -108,6 +108,91 @@ object GraftDmlStrategy extends SparkStrategy {
     }
   }
 
+  /** Translate a full-clause MERGE into the engine's [[MergeClause]]
+    * alphabet: target attribute references become `__t_<physical>`,
+    * source references `__s_<name>` — the spelling
+    * [[VersionedTable.mergeInto]] evaluates over its joined frame.
+    * None for any shape without a sound engine mapping (untranslatable
+    * expressions, non-equality or multi-key ON, exotic actions): the
+    * statement then falls through to Spark's loud error rather than a
+    * silent approximation. */
+  private def translateMerge(m: MergeIntoTable, g: GraftTable)
+      : Option[(String, String, Seq[MergeClause], Seq[MergeClause],
+        Seq[MergeClause])] = {
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    def ph(n: String): String = g.renames.getOrElse(n, n)
+    def trans(e: Expression): Option[Column] =
+      if (!clean(e)) None
+      else {
+        var ok = true
+        val t = e.transform {
+          case a: AttributeReference =>
+            if (tOut.contains(a))
+              UnresolvedAttribute.quoted(s"__t_${ph(a.name)}")
+            else if (sOut.contains(a))
+              UnresolvedAttribute.quoted(s"__s_${a.name}")
+            else { ok = false; a }
+        }
+        if (ok) Some(PlanDf.toColumn(t)) else None
+      }
+    def cond(c: Option[Expression]): Option[Option[Column]] = c match {
+      case None => Some(None)
+      case Some(e) => trans(e).map(Some(_))
+    }
+    val tcols = g.schema.fields.map(_.name).toSeq // logical order
+    // SET * / INSERT *: target.c := source.c by LOGICAL name
+    def starSet: Map[String, Column] =
+      tcols.map(c => ph(c) ->
+        org.apache.spark.sql.functions.col(s"__s_$c")).toMap
+    def assigns(as: Seq[Assignment]): Option[Map[String, Column]] = {
+      val out = as.map {
+        case Assignment(k: AttributeReference, v) if tOut.contains(k) =>
+          trans(v).map(ph(k.name) -> _)
+        case _ => None
+      }
+      if (out.forall(_.isDefined)) Some(out.flatten.toMap) else None
+    }
+    // a partial INSERT fills unassigned columns with typed NULLs (the
+    // engine requires full coverage; NULL is the SQL semantics)
+    def insertFull(set: Map[String, Column]): Map[String, Column] =
+      tcols.map { c =>
+        val p = ph(c)
+        p -> set.getOrElse(p, lit(null))
+      }.toMap
+    def updClause(a: MergeAction): Option[MergeClause] = a match {
+      case UpdateStarAction(c) =>
+        cond(c).map(MergeClause(_, MergeUpdate(starSet)))
+      case UpdateAction(c, as, _) =>
+        for (cc <- cond(c); s <- assigns(as))
+          yield MergeClause(cc, MergeUpdate(s))
+      case DeleteAction(c) => cond(c).map(MergeClause(_, MergeDelete))
+      case _ => None
+    }
+    def insClause(a: MergeAction): Option[MergeClause] = a match {
+      case InsertStarAction(c) =>
+        cond(c).map(MergeClause(_, MergeInsert(starSet)))
+      case InsertAction(c, as) =>
+        for (cc <- cond(c); s <- assigns(as))
+          yield MergeClause(cc, MergeInsert(insertFull(s)))
+      case _ => None
+    }
+    def all[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+      if (xs.forall(_.isDefined)) Some(xs.flatten) else None
+    m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val tk = Seq(a, b).find(tOut.contains)
+        val sk = Seq(a, b).find(sOut.contains)
+        for {
+          t <- tk; s <- sk
+          mc <- all(m.matchedActions.map(updClause))
+          nc <- all(m.notMatchedActions.map(insClause))
+          bc <- all(m.notMatchedBySourceActions.map(updClause))
+        } yield (ph(t.name), s.name, mc, nc, bc)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case u @ UpdateTable(t, assignments, condition)
         if u.childrenResolved && graftTarget(t).isDefined &&
@@ -135,6 +220,20 @@ object GraftDmlStrategy extends SparkStrategy {
       val g = graftTarget(m.targetTable).get
       GraftMergeExec(g.tableDir, m.sourceTable,
         upsertKey(m).get, g.renames) :: Nil
+
+    // full clause coverage: conditional WHEN MATCHED UPDATE/DELETE,
+    // conditional NOT MATCHED INSERT, NOT MATCHED BY SOURCE — routed to
+    // the engine's general merge when every clause translates; anything
+    // else falls through to Spark's loud "not supported"
+    case m: MergeIntoTable
+        if m.childrenResolved && !m.withSchemaEvolution &&
+          clean(m.mergeCondition) &&
+          graftTarget(m.targetTable).isDefined =>
+      val g = graftTarget(m.targetTable).get
+      translateMerge(m, g).map { case (tKey, sKey, mc, nc, bc) =>
+        GraftMergeFullExec(g.tableDir, m.sourceTable,
+          tKey, sKey, mc, nc, bc): SparkPlan
+      }.toSeq
 
     case _ => Nil
   }
@@ -178,6 +277,17 @@ private[sql] case class GraftMergeExec(dir: String, source: LogicalPlan,
         renames.getOrElse(c, c)).toIndexedSeq: _*)
     VersionedTable.merge(spark, dir, src,
       renames.getOrElse(key, key))
+    ()
+  }
+}
+
+private[sql] case class GraftMergeFullExec(dir: String,
+    source: LogicalPlan, targetKey: String, sourceKey: String,
+    matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+    bySource: Seq[MergeClause]) extends GraftDmlExec {
+  override protected def run(spark: SparkSession): Unit = {
+    VersionedTable.mergeInto(spark, dir, PlanDf.ofPlan(spark, source),
+      targetKey, sourceKey, matched, notMatched, bySource)
     ()
   }
 }
