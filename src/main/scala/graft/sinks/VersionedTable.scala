@@ -1158,28 +1158,45 @@ class VersionedTableOps(protected val io: TableIO) {
     val files = filesOf(dir, version)
     val blooms = bloomsOf(dir, version, column)
     val stats = statsOf(dir, version, column)
-    // a declared bucket transform on the probed column adds a third
-    // pruning layer: each file's derived bucket-id range admits ~1/n of
-    // the key space, with NO per-key index built — the landing's own
-    // clustering is the index
-    val bucketStats = partitioningOf(dir)
-      .collectFirst { case b: PartitionTransform.Bucket
-        if b.source == column => b }
-      .map(b => b -> statsOf(dir, version, b.spec))
-      .filter(_._2.nonEmpty)
+    // a bucket transform on the probed column adds a third pruning
+    // layer: each file's derived bucket-id range admits ~1/n of the key
+    // space, with NO per-key index built — the landing's own clustering
+    // is the index. Partition-spec EVOLUTION makes this per-file: the
+    // candidate transforms are the currently-declared bucket PLUS every
+    // bucket spec the stats sidecar itself records for this column, so
+    // files landed under an old bucket(8,k) keep pruning by THEIR
+    // vintage after the table re-declares bucket(16,k) — each file is
+    // tested only against specs it has stats for (superset otherwise).
+    val bucketSpecs: Seq[PartitionTransform.Bucket] =
+      (partitioningOf(dir).collect { case b: PartitionTransform.Bucket
+        if b.source == column => b } ++
+        statColsOf(dir, version).flatMap(PartitionTransform.parseOpt)
+          .collect { case b: PartitionTransform.Bucket
+            if b.source == column => b }).distinct
+    val bucketStats: Seq[(PartitionTransform.Bucket,
+        Map[String, (String, String, String)])] =
+      bucketSpecs.map(b => b -> statsOf(dir, version, b.spec))
+        .filter(_._2.nonEmpty)
     if (blooms.isEmpty && stats.isEmpty && bucketStats.isEmpty) return files
     val dt = spark.read.parquet(files.head).schema(column).dataType
-    // probe bucket ids, hashed by the ENGINE through the same expression
-    // the landing clustered with — build and probe agree by construction
-    val bucketOk: String => Boolean = bucketStats match {
-      case None => _ => true
-      case Some((b, bstats)) =>
-        val row = spark.range(1).select(
-          values.map(v => pmod(hash(lit(v).cast(dt)), lit(b.n)).cast("int")): _*
-        ).head()
-        val bids = values.indices.map(row.getInt).distinct
-        f => bstats.get(f).forall(st => bids.exists(id => mayIntersect(st, id, id)))
-    }
+    // probe bucket ids per spec vintage, hashed by the ENGINE through
+    // the same expression each landing clustered with — build and probe
+    // agree by construction; ONE tiny job covers every (spec, value)
+    val bucketOk: String => Boolean =
+      if (bucketStats.isEmpty) _ => true
+      else {
+        val exprs = for { (b, _) <- bucketStats; v <- values }
+          yield pmod(hash(lit(v).cast(dt)), lit(b.n)).cast("int")
+        val row = spark.range(1).select(exprs: _*).head()
+        val bidsBySpec: Seq[(Map[String, (String, String, String)], Seq[Int])] =
+          bucketStats.zipWithIndex.map { case ((_, bstats), i) =>
+            bstats -> values.indices
+              .map(j => row.getInt(i * values.size + j)).distinct
+          }
+        f => bidsBySpec.forall { case (bstats, bids) =>
+          bstats.get(f).forall(st => bids.exists(id => mayIntersect(st, id, id)))
+        }
+      }
     // positions per (m, k) config present among the files (configs can
     // differ across maintenance eras); one tiny job computes them all
     val configs = blooms.values.map(v => (v._1, v._2)).toSet.toSeq

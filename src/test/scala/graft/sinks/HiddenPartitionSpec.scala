@@ -121,4 +121,34 @@ class HiddenPartitionSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("absent from the batch"))
   }
+
+  test("partition-spec evolution composes per file: after re-declaring " +
+      "bucket(4) -> bucket(8), equality probes prune BOTH vintages, each " +
+      "by its own spec") {
+    val dir = tmpDir("hp-evolve")
+    ops.declarePartitioning(dir, Seq("bucket(4,key)"), numFiles = 4)
+    ops.commit(tsDf(0 until 400), dir)
+    val oldVintage = ops.filesMeta(spark, dir)
+      .select("file").as[String].collect().toSet
+    ops.declarePartitioning(dir, Seq("bucket(8,key)"), numFiles = 8)
+    ops.commit(tsDf(400 until 800), dir)
+    val v = ops.versions(dir).last
+    val all = ops.filesMeta(spark, dir).select("file").as[String]
+      .collect().toSet
+    val newVintage = all -- oldVintage
+    assert(oldVintage.nonEmpty && newVintage.nonEmpty)
+    val kept = ops.prunedFilesEq(spark, dir, v, "key", Seq("u7")).toSet
+    // each vintage prunes by ITS spec — a probe that kept a whole
+    // vintage would mean evolution silently disabled that era's index
+    assert((oldVintage -- kept).nonEmpty,
+      s"old-vintage files all kept (${oldVintage.size}) — the retired " +
+        "bucket(4) spec no longer prunes")
+    assert((newVintage -- kept).nonEmpty,
+      s"new-vintage files all kept (${newVintage.size}) — the declared " +
+        "bucket(8) spec does not prune")
+    // correctness: superset guarantee across mixed vintages
+    val exact = ops.read(spark, dir).filter(col("key") === "u7").count()
+    assert(ops.prunedReadIn(spark, dir, "key", Seq("u7"))
+      .filter(col("key") === "u7").count() == exact && exact > 0)
+  }
 }
