@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, W
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -465,7 +465,50 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     Proc("vacuum_orphans", Seq("dir", "grace_ms"), outCol = "removed",
       procDescription = "Delete data files no retained manifest " +
         "references, older than the grace window")(
-      (_, a) => ops.vacuumOrphans(a(0), a(1).toLong))
+      (_, a) => ops.vacuumOrphans(a(0), a(1).toLong)),
+    // ---- the LLM-pipeline (ext/) surface as CALL procedures: each lands
+    // its result THROUGH the table protocol (out_dir becomes a versioned
+    // table readable as graft.`out_dir`) and returns the committed
+    // version — results never collect to the driver, so the procedures
+    // scale exactly as their Scala twins do ----
+    Proc("dedup_ngram", Seq("docs_view", "out_dir", "k", "max_df"),
+      "Land all n-gram Jaccard near-dup pairs (id_a, id_b, common, " +
+        "jaccard) of a (doc_id, text) view; max_df <= 0 disables the " +
+        "stop-shingle cutoff (oracle parity only)")(
+      (s, a) => {
+        val maxDf = if (a(3).toInt <= 0) None else Some(a(3).toInt)
+        ops.commit(graft.ext.DedupOps.jaccardPairs(
+          s.table(a(0)), a(2).toInt, maxDf), a(1), append = false)
+      }),
+    Proc("minhash_dedup", Seq("docs_view", "out_dir", "k", "threshold"),
+      "Land the SURVIVORS of MinHash-LSH near-dedup: candidates from " +
+        "banded signatures, exact-Jaccard verified >= threshold, greedy " +
+        "smaller-id-wins keep rule")(
+      (s, a) => {
+        val docs = s.table(a(0))
+        val verified = graft.ext.DedupOps.verifyJaccard(
+          graft.ext.DedupOps.minhashCandidates(
+            graft.ext.DedupOps.minhashSignatures(docs, a(2).toInt)),
+          docs, a(2).toInt)
+          .filter(col("jaccard") >= a(3).toDouble)
+        ops.commit(docs.join(verified.select(col("id_b").as("doc_id"))
+          .distinct(), Seq("doc_id"), "left_anti"), a(1), append = false)
+      }),
+    Proc("topk_similar", Seq("queries_view", "corpus_view", "out_dir", "k"),
+      "Land exact cosine top-k neighbors (query_id, vec_id, score, rank) " +
+        "of (vec_id, embedding) views; the brute baseline of the ANN stack")(
+      (s, a) => ops.commit(graft.ext.Similarity.bruteForceTopK(
+        s.table(a(0)), s.table(a(1)), a(3).toInt), a(2), append = false)),
+    Proc("curate", Seq("docs_view", "eval_view", "out_dir", "threshold",
+      "max_df"),
+      "Land per-doc curation survival flags (q_ok, is_dup, is_cont) — " +
+        "quality gate, near-dedup, decontamination vs the eval view")(
+      (s, a) => {
+        val maxDf = if (a(4).toInt <= 0) None else Some(a(4).toInt)
+        ops.commit(graft.ext.Curation.survivalFlags(
+          s.table(a(0)), s.table(a(1)), maxDf, a(3).toDouble),
+          a(2), append = false)
+      })
   ).map(p => p.procName -> p).toMap
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -1158,9 +1201,83 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  private def extTmp(prefix: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    s"$tmp/out"
+  }
+
+  /** q_sql_dedup — the ext/ dedup surface driven from SQL: `CALL
+    * graft.dedup_ngram` lands the full Jaccard pair table through the
+    * lake protocol, the catalog reads it back, and the top-20 selection
+    * hash-matches q_dedup_ngram's own DuckDB oracle — the CALL provably
+    * computes the identical pairs the Scala API does (pinned in-query by
+    * an except() parity check against the direct call). */
+  def qSqlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("q_sql_dedup_docs")
+    val out = extTmp("graft_sqldedup_")
+    spark.sql(
+      s"CALL graft.dedup_ngram('q_sql_dedup_docs', '$out', '3', '0')")
+    val landed = spark.sql(s"SELECT * FROM graft.`$out`")
+    val direct = graft.ext.DedupOps.jaccardPairs(docs, k = 3, maxDf = None)
+      .select(landed.columns.map(col).toIndexedSeq: _*)
+    require(landed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(landed).isEmpty,
+      "CALL dedup_ngram landed different pairs than the Scala API")
+    landed.select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** q_sql_topk — `CALL graft.topk_similar` lands exact cosine top-5 for
+    * the probe set as a lake table; the read-back hash-matches
+    * q_sim_brute's oracle. */
+  def qSqlTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") < 10)
+      .createOrReplaceTempView("q_sql_topk_queries")
+    emb.createOrReplaceTempView("q_sql_topk_corpus")
+    val out = extTmp("graft_sqltopk_")
+    spark.sql("CALL graft.topk_similar('q_sql_topk_queries', " +
+      s"'q_sql_topk_corpus', '$out', '5')")
+    spark.sql(s"SELECT * FROM graft.`$out`")
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q_sql_curate — `CALL graft.curate` lands the per-doc survival flags
+    * as a lake table; the funnel aggregate over the read-back
+    * hash-matches q_curation_funnel's oracle. */
+  def qSqlCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val all = Tables.documents(spark, sfDir)
+    all.filter(col("doc_id") >= 2)
+      .createOrReplaceTempView("q_sql_curate_docs")
+    all.filter(col("doc_id") < 2)
+      .createOrReplaceTempView("q_sql_curate_eval")
+    val out = extTmp("graft_sqlcurate_")
+    spark.sql("CALL graft.curate('q_sql_curate_docs', " +
+      s"'q_sql_curate_eval', '$out', '0.5', '0')")
+    spark.sql(s"SELECT * FROM graft.`$out`")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("q_ok").cast("long")).as("n_quality"),
+        sum((col("q_ok") && !col("is_dup")).cast("long")).as("n_dedup"),
+        sum((col("q_ok") && !col("is_dup") && !col("is_cont")).cast("long"))
+          .as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_rename" -> (qSqlRename _),
     "q_sql_merge_full" -> (qSqlMergeFull _),
+    "q_sql_dedup" -> (qSqlDedup _),
+    "q_sql_topk" -> (qSqlTopk _),
+    "q_sql_curate" -> (qSqlCurate _),
     "q_sql_time_travel" -> (qSqlTimeTravel _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -1170,6 +1287,12 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    // the CALL-procedure queries reproduce their Scala twins' surfaces
+    // exactly, so they share the twins' oracles verbatim — one oracle,
+    // two provably-identical paths
+    "q_sql_dedup" -> graft.ext.DedupOps.oracles("q_dedup_ngram"),
+    "q_sql_topk" -> graft.ext.Similarity.oracles("q_sim_brute"),
+    "q_sql_curate" -> graft.ext.Curation.oracles("q_curation_funnel"),
     "q_sql_merge_full" ->
       """WITH src AS (
         |  SELECT event_id, event_type, value + 500.0 AS value

@@ -399,11 +399,16 @@ class GraftCatalogSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT (id, payload) VALUES (s.id, s.payload)")
     assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE payload = 7")
       .count() == 3)
-    // clause shapes with no engine equivalent refuse rather than
-    // silently approximating
+    // WHEN MATCHED DELETE routes through the general full-clause merge
+    // since round 9 (MergeFullSpec pins its semantics)
+    spark.sql(s"MERGE INTO graft.`$dir` t USING gc_mrg_src2 s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` WHERE id < 3").count() == 0)
+    // clause shapes with no engine equivalent (non-equality ON) refuse
+    // rather than silently approximating
     val e = intercept[Exception] {
       spark.sql(s"MERGE INTO graft.`$dir` t USING gc_mrg_src s " +
-        "ON t.id = s.id WHEN MATCHED THEN DELETE")
+        "ON t.id < s.id WHEN MATCHED THEN DELETE")
     }
     assert(e.getMessage.contains("MERGE INTO"))
   }
@@ -450,5 +455,30 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM gc_ow_src")
     spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')")
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 35)
+  }
+
+  test("CALL minhash_dedup lands the same survivors as the Scala " +
+    "MinHash-LSH pipeline; results live in the lake, not the driver") {
+    register()
+    import graft.ext.DedupOps
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("gc_mh_docs")
+    val out = tmpDir("gc-mh") + "/out"
+    val res = spark.sql(
+      s"CALL graft.minhash_dedup('gc_mh_docs', '$out', '3', '0.5')")
+    assert(res.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val landed = spark.sql(s"SELECT doc_id FROM graft.`$out`")
+      .as[Long].collect().toSet
+    val verified = DedupOps.verifyJaccard(
+      DedupOps.minhashCandidates(DedupOps.minhashSignatures(docs, 3)),
+      docs, 3).filter(col("jaccard") >= 0.5)
+    val dropIds = verified.select("id_b").distinct()
+      .as[Long].collect().toSet
+    val expect = docs.select("doc_id").as[Long].collect().toSet -- dropIds
+    assert(landed == expect,
+      s"survivors differ: extra=${(landed -- expect).size} " +
+        s"missing=${(expect -- landed).size}")
+    assert(dropIds.nonEmpty, "test corpus has no near-dups — inert test")
   }
 }
