@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import org.apache.spark.sql.graft.StreamingDf
@@ -62,8 +64,50 @@ import graft.sinks.VersionedTable
   * row-level `PartitionReader` contract cannot express without
   * re-implementing the parquet reader.
   */
-class TableStreamSource extends StreamSourceProvider with DataSourceRegister {
+class TableStreamSource extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-table"
+
+  /** The SINK half of the format — `stream.writeStream
+    * .format("graft-table").start(dir)` lands every micro-batch as one
+    * atomic exactly-once snapshot commit, carrying the transaction
+    * ledger INSIDE the engine ([[VersionedTable.commitOnce]]) so the
+    * foreachBatch + [[graft.streaming.VersionedStream]] recipe's
+    * single-writer caveat moves out of user code entirely.
+    *
+    * Txn namespace: `option("txn", ...)` when given, else the query's
+    * CHECKPOINT LOCATION — which makes the schema-change restart recipe
+    * one step shorter by construction: a fresh checkpoint (whose batch
+    * ids restart at 0) automatically lands under a fresh namespace, so
+    * the old ledger can never swallow the new query's first batches.
+    *
+    * Output modes: Append lands each batch as a snapshot append;
+    * Complete REPLACES the head per batch (a streaming aggregate
+    * maintaining a whole result table — the logical-overwrite commit);
+    * Update refuses loudly (keyed upserts are [[graft.streaming
+    * .MergeStream]]'s contract — a blind append would duplicate keys).
+    * Explicit partitionBy refuses: layout is the TABLE's declared
+    * (hidden) partitioning, applied by every commit already. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: use the table's declared (hidden) partitioning, " +
+        "not partitionBy — every commit clusters by it automatically")
+    require(outputMode != OutputMode.Update(),
+      "graft-table sink supports Append (snapshot appends) and Complete " +
+        "(logical overwrite per batch); Update-mode keyed upserts are the " +
+        "MergeStream recipe")
+    val p = parameters.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    val dir = dirOf(parameters)
+    val txn = p.get("txn").orElse(p.get("checkpointlocation")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-table sink needs a transaction namespace: set " +
+          "option(\"txn\", ...) or a checkpointLocation"))
+    new TableVersionSink(dir, txn, append = outputMode != OutputMode.Complete())
+  }
 
   private def dirOf(parameters: Map[String, String]): String = {
     val p = parameters.map {
@@ -137,6 +181,26 @@ object TableStreamSource {
         .map(_.json().trim.toLong)
     }
   }
+}
+
+/** The exactly-once streaming sink: one micro-batch = one atomic
+  * [[VersionedTable.commitOnce]] under `txnNamespace:batchId`. A batch
+  * redelivered after a crash between the data commit and Spark's offset
+  * commit finds its txn already in the manifest ledger and no-ops — the
+  * manifest publish IS the replay marker, so there is no window in
+  * which a replay double-lands. */
+private[sources] class TableVersionSink(dir: String, txnNamespace: String,
+    append: Boolean) extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is the incremental execution's plan; run it once
+    // and re-wrap as a batch frame (ForeachBatchSink's discipline) so the
+    // engine's own parquet write can re-plan it
+    val batch = org.apache.spark.sql.graft.PlanDf.asBatch(data)
+    VersionedTable.commitOnce(batch, dir, s"$txnNamespace:$batchId",
+      append = append)
+    ()
+  }
+  override def toString: String = s"TableVersionSink[$dir]"
 }
 
 /** A table version as a streaming offset. */

@@ -44,4 +44,16 @@ object PlanDf {
   def toColumn(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** A streaming micro-batch frame as a BATCH frame — ForeachBatchSink's
+    * own discipline (`LogicalRDD.fromDataset(qe.toRdd, ds, isStreaming =
+    * false)`): the incremental execution runs once into an RDD and the
+    * wrapper plans as ordinary batch data, so a V1 Sink can hand it to
+    * engine code that re-plans (e.g. a parquet write). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val d = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      d.queryExecution.toRdd, d, isStreaming = false)
+    Dataset.ofRows(d.sparkSession, node)
+  }
 }

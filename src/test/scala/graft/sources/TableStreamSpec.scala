@@ -212,4 +212,77 @@ class TableStreamSpec extends SparkSpec {
       .sorted == (0L until 60L))
     assert(ops.read(spark, dst).count() == 60)
   }
+
+  test("native sink: stream→table→stream round trip through " +
+    "writeStream.format(graft-table), exactly-once without foreachBatch") {
+    val tmp = tmpDir("tsink-rt")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 25), src)
+    def hop(): Unit = {
+      val q = spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    hop()
+    assert(ops.read(spark, dst).select("id").as[Long].collect().toSeq
+      .sorted == (0L until 25L))
+    // landed through the ledger: one txn per micro-batch, namespaced by
+    // the checkpoint location (fresh checkpoint => fresh namespace)
+    assert(ops.committedTxns(dst).exists(_.startsWith(ck)))
+    ops.commit(rows(25 until 60), src)
+    hop()
+    assert(ops.read(spark, dst).select("id").as[Long].collect().toSeq
+      .sorted == (0L until 60L))
+    // ...and the destination tails onward as a source (round trip)
+    val (ids, _) = drain(dst, s"$tmp/ck2")
+    assert(ids == (0L until 60L))
+  }
+
+  test("native sink: a redelivered batch id no-ops (the manifest ledger " +
+    "is the replay marker)") {
+    val tmp = tmpDir("tsink-replay")
+    val dst = s"$tmp/dst"
+    val sink = new TableStreamSource().createSink(spark.sqlContext,
+      Map("path" -> dst, "txn" -> "replay-spec"), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0, rows(0 until 10))
+    sink.addBatch(0, rows(0 until 10)) // crash-replay of the same batch
+    sink.addBatch(1, rows(10 until 15))
+    assert(ops.versions(dst) == Seq(1, 2),
+      "a redelivered batch must not land a second commit")
+    assert(ops.read(spark, dst).count() == 15)
+  }
+
+  test("native sink: Complete mode replaces the head per batch; Update " +
+    "and partitionBy refuse; missing txn namespace refuses") {
+    val tmp = tmpDir("tsink-modes")
+    val dst = s"$tmp/dst"
+    val provider = new TableStreamSource()
+    val complete = provider.createSink(spark.sqlContext,
+      Map("path" -> dst, "txn" -> "complete-spec"), Seq.empty,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    complete.addBatch(0, rows(0 until 10))
+    complete.addBatch(1, rows(0 until 4)) // the new whole-result table
+    assert(ops.read(spark, dst).count() == 4,
+      "Complete mode must serve only the latest batch's rows")
+    assert(ops.versions(dst) == Seq(1, 2),
+      "history stays inspectable: each Complete batch is a snapshot")
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext,
+        Map("path" -> dst, "txn" -> "x"), Seq.empty,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext,
+        Map("path" -> dst, "txn" -> "x"), Seq("k"),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext, Map("path" -> dst),
+        Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
 }
