@@ -232,6 +232,49 @@ class VersionedTableOps(protected val io: TableIO) {
       s"#files=$numFiles" +: parsed.map(_.spec))
   }
 
+  // ---- table properties (k=v lines next to the manifests) ----
+
+  private def propertiesPath(dir: String) = s"${manifestDir(dir)}/properties"
+
+  /** Durable per-table key=value properties — maintenance knobs the
+    * table carries instead of every caller re-passing them. Known keys:
+    * `eqdel.compact.threshold` (auto-materialize once this many
+    * equality-delete entries accumulate — see [[deleteByKeys]]) and
+    * `compact.target.bytes` (the bin size such an automatic pass uses;
+    * default 128 MiB). */
+  def setTableProperty(dir: String, key: String, value: String): Unit = {
+    require(!key.contains('=') && key.nonEmpty, s"bad property key '$key'")
+    io.mkdirs(manifestDir(dir))
+    val cur = tableProperties(dir) + (key -> value)
+    io.writeLines(propertiesPath(dir),
+      cur.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+  }
+
+  def tableProperties(dir: String): Map[String, String] = {
+    val p = propertiesPath(dir)
+    if (!io.exists(p)) Map.empty
+    else io.readLines(p).filter(_.contains('=')).map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+  }
+
+  /** Materialize merge-on-read debt if any is present, else no-op — the
+    * "make the metadata path usable again" convenience: positional
+    * vectors and equality deletes fold into rewritten files
+    * ([[compact]]), after which [[fastCount]]/[[fastMinMax]] and catalog
+    * reads serve again. Returns the head (new or unchanged). */
+  def compactIfDebt(spark: SparkSession, dir: String,
+                    targetBytes: Long = DefaultCompactTargetBytes): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val head = vs.last
+    if (delFilesOf(dir, head).isEmpty && eqDelsOf(dir, head).isEmpty) head
+    else compact(spark, dir, targetBytes)
+  }
+
+  private[sinks] val DefaultCompactTargetBytes: Long = 128L << 20
+
   /** The declared transforms (empty = table is unpartitioned). */
   def partitioningOf(dir: String): Seq[PartitionTransform] = {
     val p = partitioningPath(dir)
@@ -610,7 +653,20 @@ class VersionedTableOps(protected val io: TableIO) {
     }
     // key erasure never moves a file's min/max: superset guarantee holds
     if (carried.nonEmpty) io.writeLines(statsPath(dir, v), carried)
-    v
+    // auto-materialize on threshold (the `eqdel.compact.threshold` table
+    // property): a CDC-heavy table's eras would otherwise pile up until
+    // an operator remembers to compact — with the property set, the
+    // delete that crosses the line pays the materialization itself, and
+    // the metadata paths (fastCount, catalog reads, MERGE) stay usable
+    // without babysitting. Read cost between passes stays O(eras).
+    tableProperties(dir).get("eqdel.compact.threshold")
+      .map(_.toInt).filter(_ > 0) match {
+      case Some(t) if eqDelsOf(dir, v).size >= t =>
+        compact(spark, dir,
+          tableProperties(dir).get("compact.target.bytes").map(_.toLong)
+            .getOrElse(DefaultCompactTargetBytes))
+      case _ => v
+    }
   }
 
   /** Roll the head back to `toVersion`'s file set — as a NEW version, so

@@ -466,6 +466,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       procDescription = "Delete data files no retained manifest " +
         "references, older than the grace window")(
       (_, a) => ops.vacuumOrphans(a(0), a(1).toLong)),
+    Proc("set_property", Seq("dir", "key", "value"),
+      "Set a durable table property (e.g. eqdel.compact.threshold, " +
+        "compact.target.bytes)")(
+      (_, a) => { ops.setTableProperty(a(0), a(1), a(2))
+        ops.versions(a(0)).lastOption.getOrElse(0) }),
+    Proc("compact_if_debt", Seq("dir", "target_bytes"),
+      "Materialize merge-on-read debt if present, else no-op; restores " +
+        "fastCount/catalog reads on CDC-heavy tables")(
+      (s, a) => ops.compactIfDebt(s, a(0), a(1).toLong)),
     // ---- the LLM-pipeline (ext/) surface as CALL procedures: each lands
     // its result THROUGH the table protocol (out_dir becomes a versioned
     // table readable as graft.`out_dir`) and returns the committed
@@ -1064,9 +1073,13 @@ object GraftCatalog {
   /** q_sql_branch — the branch lifecycle driven entirely from SQL:
     * `CALL graft.create_branch` forks, `INSERT INTO
     * graft.`dir#branch=…`` lands on the fork (parent isolation pinned
-    * in-query), the branch fragment read serves the fork's lineage,
-    * `CALL graft.fast_forward` publishes it, and the parent head
-    * hash-matches the full-table oracle. The `#history` metadata view is
+    * in-query), a native `UPDATE` against the SAME branch fragment
+    * mutates the branch lineage only (the parent's manifest log is
+    * byte-level untouched — pinned), the branch fragment read serves
+    * the fork's lineage, `CALL graft.fast_forward` publishes it
+    * (carrying the update's delete vectors), `CALL graft.compact`
+    * materializes, and the parent head hash-matches an oracle that
+    * reconstructs insert + update. The `#history` metadata view is
     * pinned along the way. */
   def qSqlBranch(spark: SparkSession, sfDir: String): DataFrame = {
     register(spark)
@@ -1088,10 +1101,19 @@ object GraftCatalog {
     require(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir#branch=audit`")
       .head().getLong(0) == ev.count(),
       "the branch fragment read did not serve the branch lineage")
+    // DML through the branch fragment lands on the BRANCH lineage only:
+    // the parent's manifest log must not gain a version
+    spark.sql(s"UPDATE graft.`$dir#branch=audit` " +
+      "SET value = value + 1000.0 WHERE event_id % 10 = 7")
+    require(VersionedTable.versions(dir) == Seq(1),
+      "branch-fragment UPDATE leaked a commit into the parent lineage")
     spark.sql(s"CALL graft.fast_forward('$dir', 'audit')")
+    // the published head carries the branch update's merge-on-read
+    // vectors; materialize before serving through the catalog
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')")
     require(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir#history`")
-      .head().getLong(0) == 2L,
-      "#history must list the fork commit and the fast-forward")
+      .head().getLong(0) == 3L,
+      "#history must list the fork commit, fast-forward, and compaction")
     spark.sql(s"SELECT * FROM graft.`$dir`")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -1391,8 +1413,9 @@ object GraftCatalog {
         |ORDER BY event_type""".stripMargin,
     "q_sql_branch" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
-        |    AS sum_value
+        |  ROUND(CAST(SUM(CAST(CASE WHEN event_id % 10 = 7
+        |    THEN value + 1000.0 ELSE value END AS DECIMAL(18,2)))
+        |    AS DOUBLE), 2) AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -50,6 +50,42 @@ class EqualityDeleteSpec extends SparkSpec {
       spark.emptyDataset[Long].toDF("id")) == v2)
   }
 
+  test("eqdel.compact.threshold auto-materializes: the delete that " +
+    "crosses the line pays the compaction, and fastCount serves again") {
+    val dir = tmpDir("eq-auto")
+    ops.commit(ids(0, 1000).repartition(2), dir)
+    ops.setTableProperty(dir, "eqdel.compact.threshold", "2")
+    ops.setTableProperty(dir, "compact.target.bytes", (1L << 30).toString)
+    // first delete: below threshold — debt stays, fastCount refuses
+    ops.deleteByKeys(spark, dir, "id", Seq(1L, 2L).toDF("id"))
+    assert(eqLines(dir, ops.versions(dir).last).size == 1)
+    val e = intercept[IllegalArgumentException] {
+      ops.fastCount(spark, dir)
+    }
+    assert(e.getMessage.contains("equality deletes"))
+    // second delete crosses the threshold: THIS call materializes
+    val v = ops.deleteByKeys(spark, dir, "id", Seq(3L, 4L).toDF("id"))
+    assert(eqLines(dir, v).isEmpty,
+      "threshold crossing must leave a debt-free head")
+    assert(ops.fastCount(spark, dir) == 996L)
+    assert(ops.read(spark, dir).filter(col("id").isin(1L, 2L, 3L, 4L))
+      .count() == 0)
+  }
+
+  test("compactIfDebt: no-op on a clean head, materializes positional " +
+    "and equality debt otherwise") {
+    val dir = tmpDir("eq-ifdebt")
+    ops.commit(ids(0, 100), dir)
+    val clean = ops.compactIfDebt(spark, dir)
+    assert(clean == ops.versions(dir).last && eqLines(dir, clean).isEmpty)
+    assert(ops.versions(dir) == Seq(1), "clean-head compactIfDebt committed")
+    ops.deleteByKeys(spark, dir, "id", Seq(10L).toDF("id"))
+    ops.deleteWhere(spark, dir, col("id") === 20L)
+    val v = ops.compactIfDebt(spark, dir)
+    assert(eqLines(dir, v).isEmpty)
+    assert(ops.fastCount(spark, dir) == 98L)
+  }
+
   test("seq scoping: a key re-inserted after the delete survives") {
     val dir = tmpDir("eq-scope")
     ops.commit(ids(0, 100), dir)

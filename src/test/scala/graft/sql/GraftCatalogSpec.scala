@@ -457,6 +457,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 35)
   }
 
+  test("DML through a #branch= fragment mutates the branch lineage " +
+    "only: UPDATE, DELETE and MERGE leave the parent untouched") {
+    register()
+    val dir = tmpDir("gc-branch-dml")
+    ops.commit(spark.range(0, 20).select(col("id"), (col("id") * 2).as("v")),
+      dir)
+    spark.sql(s"CALL graft.create_branch('$dir', 'work', 'head')")
+    val bd = ops.resolveBranch(dir, "work")
+    val parentVersions = ops.versions(dir)
+    // UPDATE on the branch
+    spark.sql(s"UPDATE graft.`$dir#branch=work` SET v = v + 100 " +
+      "WHERE id < 3")
+    // DELETE on the branch (translatable predicate -> SupportsDelete path)
+    spark.sql(s"DELETE FROM graft.`$dir#branch=work` WHERE id = 10")
+    // MERGE on the branch
+    spark.range(18, 22).select(col("id"), lit(-1L).as("v"))
+      .createOrReplaceTempView("gc_bdml_src")
+    spark.sql(s"MERGE INTO graft.`$dir#branch=work` t USING gc_bdml_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    // parent lineage: not one new version, not one changed row
+    assert(ops.versions(dir) == parentVersions,
+      "branch DML landed a commit on the parent")
+    val parent = ops.read(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(parent.size == 20 && (0L until 20L).forall(i => parent(i) == i * 2))
+    // branch lineage carries all three mutations
+    ops.compactIfDebt(spark, bd)
+    val branch = ops.read(spark, bd).as[(Long, Long)].collect().toMap
+    assert((0L until 3L).forall(i => branch(i) == i * 2 + 100),
+      "branch UPDATE missing")
+    assert(!branch.contains(10L), "branch DELETE missing")
+    assert((18L to 21L).forall(branch(_) == -1L), "branch MERGE missing")
+    assert(branch.size == 21)
+  }
+
   test("CALL minhash_dedup lands the same survivors as the Scala " +
     "MinHash-LSH pipeline; results live in the lake, not the driver") {
     register()
