@@ -116,12 +116,20 @@ object Bench {
     val outPath = sys.props.get("graft.bench.out")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("target/bench_full.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: $e")
+    // BENCH_full_latest.json additionally lands at the repo root so the
+    // per-query seconds SURVIVE the round: target/ is gitignored scratch
+    // and the driver's tail capture keeps only the compact line, which
+    // made round-over-round per-query trending impossible twice (r7→r8).
+    // The next round commits it as BENCH_full_r{N}.json.
+    (Seq(outPath, "BENCH_full_latest.json")).foreach { path =>
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (p.getParent != null)
+          java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $path: $e")
+      }
     }
     // The full line above now exceeds the driver's tail-capture window (67
     // per-query timings + shuffle map truncate its head -> unparseable), so

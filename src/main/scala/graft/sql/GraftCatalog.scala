@@ -466,6 +466,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       procDescription = "Delete data files no retained manifest " +
         "references, older than the grace window")(
       (_, a) => ops.vacuumOrphans(a(0), a(1).toLong)),
+    Proc("write_blooms", Seq("dir", "cols", "m_bits"),
+      "(Re)build per-file bloom filters for comma-separated cols at the " +
+        "head version (e.g. after widening a probed column)")(
+      (s, a) => { val d = a(0); val v = ops.versions(d).last
+        ops.writeBlooms(s, d, v,
+          a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          a(2).toInt); v }),
     Proc("set_property", Seq("dir", "key", "value"),
       "Set a durable table property (e.g. eqdel.compact.threshold, " +
         "compact.target.bytes)")(

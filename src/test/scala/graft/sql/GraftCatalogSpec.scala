@@ -457,6 +457,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 35)
   }
 
+  test("CALL write_blooms builds point-lookup skipping from SQL (the " +
+    "post-widening rebuild path the ALTER refusal names)") {
+    register()
+    val dir = tmpDir("gc-blooms")
+    ops.commitClustered(spark.range(0, 4000)
+      .select((col("id") * 7919 % 4000).as("k"), col("id").as("v")),
+      dir, zCols = Seq("v"), statCols = Seq("v"), numFiles = 8)
+    spark.sql(s"CALL graft.write_blooms('$dir', 'k', '${1 << 16}')")
+    val v = ops.versions(dir).last
+    val kept = ops.prunedFilesEq(spark, dir, v, "k", Seq(42L))
+    val all = ops.filesMeta(spark, dir).count()
+    assert(kept.size < all,
+      s"bloom probe kept ${kept.size} of $all files — write_blooms inert")
+    assert(ops.prunedReadIn(spark, dir, "k", Seq(42L))
+      .filter(col("k") === 42L).count() ==
+      ops.read(spark, dir).filter(col("k") === 42L).count())
+  }
+
   test("DML through a #branch= fragment mutates the branch lineage " +
     "only: UPDATE, DELETE and MERGE leave the parent untouched") {
     register()
