@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,6 +117,43 @@ object PartitionTransform {
     * range → tight per-file stats), rows sorted within partitions so
     * parquet row groups cluster too. AQE may coalesce small ranges —
     * contiguity, and therefore pruning, survives coalescing. */
+  /** Exact clustering for a PURE `bucket(n, k)` spec: every output
+    * partition IS one bucket (partition index = bucket id, a
+    * deterministic [[org.apache.spark.Partitioner]]), so every landed
+    * file provably holds a single bucket — the invariant
+    * storage-partitioned joins hang on ([[graft.sinks
+    * .VersionedTableOps.bucketLayout]]). Range clustering cannot give
+    * this: sampled boundaries may straddle a bucket, and one straddling
+    * file forfeits the whole table's shuffle-free join. Also CHEAPER at
+    * scale than the range path: a hash partitioner needs no sampling
+    * pass over the batch. Lands exactly `n` files per landing (empty
+    * buckets write nothing); the declared numFiles is a range-path
+    * knob and does not apply. */
+  def clusterExactBuckets(df: DataFrame, b: Bucket): DataFrame = {
+    require(df.columns.contains(b.source),
+      s"partition transform ${b.spec} references column '${b.source}' " +
+        s"absent from the batch (${df.columns.mkString(", ")})")
+    val spark = df.sparkSession
+    val dt = df.schema(b.source).dataType
+    val schema = df.schema
+    val keyed = df.withColumn("__bucket", b.expr(dt)).rdd
+      .map(r => (r.getAs[Int]("__bucket"), Row.fromSeq(r.toSeq.dropRight(1))))
+    val byBucket = keyed.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = b.n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).values
+    spark.createDataFrame(byBucket, schema)
+  }
+
+  /** The landing-path dispatcher: a pure single-bucket spec clusters
+    * exactly (see [[clusterExactBuckets]] — partition = bucket, the SPJ
+    * invariant); everything else takes the sampled range shuffle. */
+  def clusterFor(df: DataFrame, transforms: Seq[PartitionTransform],
+                 numFiles: Int): DataFrame = transforms match {
+    case Seq(b: Bucket) => clusterExactBuckets(df, b)
+    case _ => cluster(df, transforms, numFiles)
+  }
+
   def cluster(df: DataFrame, transforms: Seq[PartitionTransform],
               numFiles: Int): DataFrame = {
     val exprs = transforms.map { t =>

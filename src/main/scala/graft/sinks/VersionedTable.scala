@@ -306,7 +306,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val pt = partitioningOf(dir)
     val newFiles =
       if (pt.isEmpty) writeBatch(df, dir)
-      else writeBatch(PartitionTransform.cluster(df, pt, ptNumFiles(dir)), dir)
+      else writeBatch(PartitionTransform.clusterFor(df, pt, ptNumFiles(dir)), dir)
     validateConstraints(df.sparkSession, dir, newFiles)
     // per-file row counts land with EVERY commit (footers of the batch
     // just written — O(batch), local), and the head's stats lines carry
@@ -568,7 +568,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newFiles =
         if (pt.isEmpty) writeBatch(updated, dir)
         else writeBatch(
-          PartitionTransform.cluster(updated, pt, ptNumFiles(dir)), dir)
+          PartitionTransform.clusterFor(updated, pt, ptNumFiles(dir)), dir)
       validateConstraints(spark, dir, newFiles)
       val rowsNew =
         if (pt.isEmpty) rowsLines(spark, newFiles)
@@ -797,7 +797,17 @@ class VersionedTableOps(protected val io: TableIO) {
           val hi = StatValue.encodeBound(r.getAs[Any](s"${c}__max"))
           (lo, hi) match {
             case (Some((tag, l)), Some((_, h))) => s"$path\t$c\t$tag\t$l\t$h"
-            case _ => s"$path\t$c\tnull\t-\t-"
+            case _ =>
+              // distinguish "no rows to bound" from "rows whose extreme
+              // has no encodable bound": an all-null file (`null`) can
+              // be skipped by min/max consumers — SQL MIN/MAX ignore
+              // nulls — but a ±Infinity/NaN float extreme or an
+              // unsupported type (`wild`) may BE the answer, so wild
+              // files must block metadata-only min/max, not vanish
+              val mn = r.getAs[Any](s"${c}__min")
+              val mx = r.getAs[Any](s"${c}__max")
+              val t = if (mn == null && mx == null) "null" else "wild"
+              s"$path\t$c\t$t\t-\t-"
           }
         }
       }
@@ -1501,7 +1511,13 @@ class VersionedTableOps(protected val io: TableIO) {
     val stats = statsOf(dir, v, column)
     val files = filesOf(dir, v)
     if (!files.forall(stats.contains)) return None
-    val bounds = files.map(stats(_)).filter(_._1 != "null")
+    val all = files.map(stats(_))
+    // a `wild` file has rows whose extreme could not be bounded
+    // (±Infinity/NaN float, unsupported type) — unlike an all-null file
+    // it cannot be skipped, because the unencodable extreme may BE the
+    // table's min or max; any wild file forces the scan path
+    if (all.exists(_._1 == "wild")) return None
+    val bounds = all.filter(_._1 != "null")
     bounds.map(_._1).distinct match {
       case Seq("num") => Some(("num",
         bounds.map(b => BigDecimal(b._2)).min.toString,
@@ -1512,6 +1528,85 @@ class VersionedTableOps(protected val io: TableIO) {
       case _ => None // all-null column, or mixed tags: scan instead
     }
   }
+
+  /** On-disk bytes of `files` through the IO seam — the DSv2 statistics
+    * `sizeInBytes` source (compressed parquet bytes, the same convention
+    * Spark's own file sources report). A file that vanished under a
+    * concurrent expire counts zero — statistics are estimates, never a
+    * correctness surface. */
+  private[graft] def fileBytes(files: Seq[String]): Long =
+    files.iterator.map(f => if (io.exists(f)) io.size(f) else 0L).sum
+
+  /** Exact live row count at `version` from the sidecar ALONE — the
+    * plan-time twin of [[fastCount]]: planning must never pay per-file
+    * IO, so there is no footer fallback, and instead of a loud require
+    * this returns None on eq-delete debt or incomplete `rows` coverage
+    * (the caller reports "unknown", Spark falls back to size-based
+    * estimates). */
+  private[graft] def statNumRows(dir: String, version: Int): Option[Long] = {
+    // a declared-but-never-committed table has no manifest to fold; the
+    // caller treats None as "unknown" (planning must never throw)
+    if (!io.exists(manifestPath(dir, version))) {
+      return if (version == 0) Some(0L) else None
+    }
+    if (eqDelsOf(dir, version).nonEmpty) return None
+    val rows = rowsOf(dir, version)
+    val data = filesOf(dir, version)
+    val dels = delFilesOf(dir, version)
+    if (!(data.iterator ++ dels.iterator).forall(rows.contains)) None
+    else Some(data.iterator.map(rows).sum - dels.iterator.map(rows).sum)
+  }
+
+  /** Source columns with ANY manifest pruning handle at `version` —
+    * typed range stats, bloom bitmaps, or a declared transform's DERIVED
+    * stat (`bucket(16,k)` answers equality probes on `k`). This is the
+    * runtime-filter attribute set the SQL scan advertises: naming a
+    * column here invites Spark to ship DPP join-key probe sets for it at
+    * execution time, each answered from the sidecar without opening a
+    * file. */
+  private[graft] def pruneHandleColumns(dir: String,
+                                        version: Int): Set[String] =
+    statColsOf(dir, version)
+      .map(c => PartitionTransform.parseOpt(c).map(_.source).getOrElse(c))
+      .toSet
+
+  /** Whether `version` carries any merge-on-read delete debt (positional
+    * vectors or equality deletes). */
+  private[graft] def hasDeleteDebt(dir: String, version: Int): Boolean =
+    delFilesOf(dir, version).nonEmpty || eqDelsOf(dir, version).nonEmpty
+
+  /** The storage-partitioned-join layout at `version`: when the table
+    * declares exactly one bucket transform and EVERY live file's derived
+    * bucket stat under the CURRENT spec is single-valued, returns
+    * `(bucket, file → bucket id)` — the proof each file holds one bucket
+    * of the key space, so a scan can serve its files key-grouped and a
+    * co-bucketed join (or a group-by on the key) needs NO shuffle at
+    * all. None the moment any file breaks the invariant (pre-spec
+    * vintages, an old-vintage compaction that merged buckets): the scan
+    * silently reports unknown partitioning and Spark shuffles as usual —
+    * misreporting a layout would produce wrong joins, so the gate is
+    * all-or-nothing. */
+  private[graft] def bucketLayout(dir: String, version: Int)
+      : Option[(PartitionTransform.Bucket, Map[String, Int])] =
+    partitioningOf(dir).collect {
+      case b: PartitionTransform.Bucket => b
+    } match {
+      case Seq(b) =>
+        if (!io.exists(manifestPath(dir, version))) return None
+        val stats = statsOf(dir, version, b.spec)
+        val files = filesOf(dir, version)
+        if (files.isEmpty) None
+        else {
+          val ids = files.flatMap { f =>
+            stats.get(f).collect {
+              case ("num", lo, hi) if lo == hi =>
+                f -> scala.math.BigDecimal(lo).toIntExact
+            }
+          }.toMap
+          if (ids.size == files.size) Some((b, ids)) else None
+        }
+      case _ => None
+    }
 
   /** OPTIMIZE ZORDER — rewrite the table's LIVE rows z-ordered on
     * `zCols` as one logical-rewrite snapshot: the lake maintenance pass
@@ -2540,6 +2635,57 @@ class VersionedTableOps(protected val io: TableIO) {
 
   /** The stats sidecar as data — one row per (file, column) bound the
     * pruning layers consult, plus whether a bloom filter covers it. */
+  /** The snapshot's PARTITION inventory as data — the `table$partitions`
+    * view a maintenance operator reads before deciding what to compact
+    * or where skew lives: one row per (declared transform, partition
+    * value) with file count, live rows and bytes, folded ENTIRELY from
+    * the manifest + stats sidecar (no data file opened). A file whose
+    * bounds straddle partition values reports as `mixed(lo..hi)` — an
+    * honest layout signal (it is exactly the file a probe cannot skip),
+    * never a guess. Rows are data rows (delete-vector debt is per-file,
+    * not per-partition — [[filesMeta]] carries that axis). */
+  def partitionsMeta(spark: SparkSession, dir: String,
+                     version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    val files = filesOf(dir, v)
+    val rows = rowsOf(dir, v)
+    val pts = partitioningOf(dir)
+    def dayOf(micros: BigDecimal): String =
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(micros.toLong, 86400000000L)).toString
+    val out = pts.flatMap { t =>
+      val statName = t.statNames.head
+      val stats = statsOf(dir, v, statName)
+      def valueOf(f: String): String = stats.get(f) match {
+        case None | Some(("null", _, _)) | Some(("wild", _, _)) => "unknown"
+        case Some((tag, lo, hi)) =>
+          // render the TRANSFORMED bound; equal ends = one partition
+          def tv(b: String): String = t match {
+            case _: PartitionTransform.Days if tag == "num" =>
+              dayOf(BigDecimal(b))
+            case PartitionTransform.Truncate(w, _) if tag == "str" =>
+              StatValue.decodeStr(b).take(w)
+            case PartitionTransform.Truncate(w, _) if tag == "num" =>
+              val n = BigDecimal(b)
+              (n - (((n % w) + w) % w)).toBigInt.toString
+            case _ if tag == "str" => StatValue.decodeStr(b)
+            case _ => b
+          }
+          val (lv, hv) = (tv(lo), tv(hi))
+          if (lv == hv) lv else s"mixed($lv..$hv)"
+      }
+      files.groupBy(valueOf).toSeq.map { case (value, fs) =>
+        (t.spec, value, fs.size.toLong,
+          fs.flatMap(rows.get).sum, fileBytes(fs))
+      }
+    }
+    out.toDF("transform", "value", "files", "rows", "bytes")
+      .orderBy(col("transform"), col("value"))
+  }
+
   def fileStatsMeta(spark: SparkSession, dir: String,
                     version: Option[Int] = None): DataFrame = {
     import spark.implicits._

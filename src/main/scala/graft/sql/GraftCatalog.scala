@@ -6,13 +6,17 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame => SqlDataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr, GenericInternalRow}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
@@ -54,9 +58,25 @@ import graft.sinks.VersionedTable
   * need the anti-join the Scala reader applies, and silently returning
   * dead rows through SQL is worse than a clear instruction to `compact`
   * first — the same normalization contract MERGE and promotion enforce. */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with FunctionCatalog {
 
   private var catName = "graft"
+
+  /** The engine's partition-transform functions, exposed so Spark can
+    * resolve a scan's reported `bucket(n, k)` partitioning to a bound
+    * function identity — the compatibility anchor storage-partitioned
+    * joins hang on (two scans co-partition exactly when their bound
+    * transforms share a canonical name and bucket count). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      org.apache.spark.sql.graft.Spj.BucketFunction
+    else throw new NoSuchFunctionException(ident)
   private def ops = VersionedTable
 
   override def initialize(name: String,
@@ -83,6 +103,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     *  - `graft.`/lake/t#tag=run-17``    — the snapshot an immutable tag pins
     *  - `graft.`/lake/t#history``       — the commit log as data
     *  - `graft.`/lake/t#files``         — the head file inventory as data
+    *  - `graft.`/lake/t#partitions``    — per-partition files/rows/bytes
     *
     * Only these exact forms are recognized; any other `#` stays a
     * literal path character. */
@@ -92,6 +113,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private case class RefTag(tagName: String) extends Ref
   private case object RefHistory extends Ref
   private case object RefFiles extends Ref
+  private case object RefPartitions extends Ref
 
   private def parseRef(raw: String): (String, Ref) = {
     val i = raw.lastIndexOf('#')
@@ -99,6 +121,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     else raw.substring(i + 1) match {
       case "history" => (raw.substring(0, i), RefHistory)
       case "files" => (raw.substring(0, i), RefFiles)
+      case "partitions" => (raw.substring(0, i), RefPartitions)
       case s if s.startsWith("branch=") && s.length > 7 =>
         (raw.substring(0, i), RefBranch(s.drop(7)))
       case s if s.startsWith("tag=") && s.length > 4 =>
@@ -124,7 +147,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         val ts = ops.tags(base)
         if (!ts.contains(t)) throw new NoSuchTableException(ident)
         (base, Some(ts(t)))
-      case RefHistory | RefFiles =>
+      case RefHistory | RefFiles | RefPartitions =>
         throw new UnsupportedOperationException(
           "metadata views do not time-travel; drop the AS OF clause")
     }
@@ -143,6 +166,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
         return new GraftMetaTable(s"$catName.$base#files",
           () => ops.filesMeta(spark, base))
+      case (base, RefPartitions) =>
+        require(pinned.isEmpty, "metadata views do not time-travel")
+        if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"$catName.$base#partitions",
+          () => ops.partitionsMeta(spark, base))
       case _ => ()
     }
     // a tag-pinned handle is read-only: a "write to a tag" would land on
@@ -194,7 +222,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case (base, RefBranch(b)) =>
         ops.branches(base).contains(b)
       case (base, RefTag(t)) => ops.tags(base).contains(t)
-      case (base, RefHistory | RefFiles) => ops.versions(base).nonEmpty
+      case (base, RefHistory | RefFiles | RefPartitions) =>
+        ops.versions(base).nonEmpty
     }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -692,7 +721,7 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     renames: Map[String, String] = Map.empty,
     refuseServe: Option[String] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   // Column-mapping translation: data files, footers and stats sidecars
   // all carry PHYSICAL names, so the inner parquet builder operates
@@ -735,8 +764,89 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   }
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // once an aggregation is pushed the scan's schema IS the aggregate
+    // schema — Spark does not prune further, but guard against contract
+    // drift: those synthetic fields must never reach the parquet builder
+    if (agged.isDefined) return
     required = Some(toPhys(requiredSchema))
     inner.pruneColumns(required.get)
+  }
+
+  // ---- aggregate pushdown: COUNT(*) / MIN / MAX served from the
+  // manifest sidecar alone — the SQL twin of fastCount/fastMinMax.
+  private var agged: Option[(StructType, InternalRow)] = None
+  private var aggCache: Option[(Aggregation, Option[(StructType, InternalRow)])] = None
+
+  /** Metadata-served aggregation, or None to decline to the scan path.
+    * Sound only when the scan would serve the WHOLE snapshot exactly:
+    * Spark only pushes aggregates when no post-scan Filter remains, but
+    * the no-residual-predicate guard is re-checked here rather than
+    * trusted; GROUP BY declines.
+    * COUNT(*) folds the per-file `rows` sidecar lines; MIN/MAX folds the
+    * typed range stats — which are exact, not truncated — declining on
+    * delete vectors (the extremal row may be dead), missing/wild/all-null
+    * stats, nested references, or a type the sidecar cannot round-trip.
+    * An EMPTY snapshot is served directly: count 0, null extremes. */
+  private def serveAgg(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    // NOT gated on refuseServe: COUNT(*) under POSITIONAL delete debt is
+    // exactly the fastCount contract (live = data rows − vector rows,
+    // both in the sidecar), so it serves while row-reads refuse; every
+    // agg that can't be answered exactly declines per-part below, and a
+    // declined aggregation lands on the scan path, which still refuses
+    if (captured.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    def minMaxPart(e: V2Expression, isMin: Boolean)
+        : Option[(StructField, Any)] = e match {
+      case ref: NamedReference if ref.fieldNames.length == 1 =>
+        val logical = ref.fieldNames.head
+        tableSchema.fields.find(_.name.equalsIgnoreCase(logical)).flatMap { f =>
+          val field = StructField(
+            s"${if (isMin) "min" else "max"}($logical)", f.dataType)
+          // a provably-empty snapshot (no files, or all files 0-row with
+          // no debt) has null extremes by SQL semantics
+          if (files.isEmpty ||
+              (!VersionedTable.hasDeleteDebt(dir, version) &&
+                VersionedTable.statNumRows(dir, version).contains(0L)))
+            Some((field, null))
+          else VersionedTable.fastMinMax(dir,
+              renames.getOrElse(f.name, f.name), Some(version))
+            .flatMap { case (tag, lo, hi) =>
+              GraftCatalog.statBoundToCatalyst(
+                tag, if (isMin) lo else hi, f.dataType) }
+            .map(v => (field, v))
+        }
+      case _ => None
+    }
+    val parts: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          // statNumRows, not fastCount: planning must never pay
+          // per-file footer IO, so incomplete sidecar coverage declines
+          VersionedTable.statNumRows(dir, version).map(n =>
+            (StructField("count(*)", LongType, nullable = false), n))
+        case m: V2Min => minMaxPart(m.column, isMin = true)
+        case m: V2Max => minMaxPart(m.column, isMin = false)
+        case _ => None // COUNT(col)/SUM/AVG need data the sidecar lacks
+      }
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val ps = parts.flatten
+      Some((StructType(ps.map(_._1)),
+        new GenericInternalRow(ps.map(_._2).toArray)))
+    }
+  }
+
+  private def servable(agg: Aggregation): Option[(StructType, InternalRow)] =
+    aggCache match {
+      case Some((a, r)) if a == agg => r
+      case _ =>
+        val r = serveAgg(agg); aggCache = Some((agg, r)); r
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    servable(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    agged = servable(agg)
+    agged.isDefined
   }
 
   /** Pushed v1 filters → (conjunctive optional-bound ranges, equality
@@ -764,69 +874,184 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     (ranges.result(), eqs.result())
   }
 
-  override def build(): Scan = {
-    // the captured catalyst conjuncts translate through Spark's OWN v1
-    // bridge — the same translation the parquet source applies, so the
-    // manifest probes see exactly what the footers see
-    val v1Filters = captured.flatMap(
-      org.apache.spark.sql.graft.FilterBridge.translate)
-    val (ranges, eqs) = probes(v1Filters)
-    val kept =
-      if (files.isEmpty || (ranges.isEmpty && eqs.isEmpty)) files
-      else VersionedTable.prunedFilesPushed(spark, dir, version, ranges, eqs)
-    GraftCatalog.recordPrune(files.size, kept.size)
-    val built =
-      if (kept.size == files.size) inner.build()
+  override def build(): Scan = agged match {
+    case Some((aggSchema, row)) =>
+      // a pushed aggregation IS the scan: one local row, zero files
+      // opened — `SELECT count(*) FROM graft.t` over 100 TB moves one
+      // sidecar read, exactly like the Scala fastCount
+      new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = aggSchema
+        override def description(): String =
+          s"GraftAggScan($dir@v$version, ${aggSchema.fieldNames.mkString(", ")})"
+      }
+    case None =>
+      // the captured catalyst conjuncts translate through Spark's OWN v1
+      // bridge — the same translation the parquet source applies, so the
+      // manifest probes see exactly what the footers see
+      val v1Filters = captured.flatMap(
+        org.apache.spark.sql.graft.FilterBridge.translate)
+      val (ranges, eqs) = probes(v1Filters)
+      val kept =
+        if (files.isEmpty || (ranges.isEmpty && eqs.isEmpty)) files
+        else VersionedTable.prunedFilesPushed(spark, dir, version, ranges, eqs)
+      GraftCatalog.recordPrune(files.size, kept.size)
+      new GraftScan(kept)
+  }
+
+  /** The row-serving scan: a stock parquet scan over the manifest-pruned
+    * file list, carrying the three planner contracts that matter at
+    * 100 TB —
+    *  - '''statistics''' ([[SupportsReportStatistics]]): sizeInBytes from
+    *    the surviving files and an EXACT row count from the `rows`
+    *    sidecar when the scan serves the whole snapshot, so a small graft
+    *    table auto-broadcasts in SQL joins instead of defaulting to
+    *    sort-merge under `defaultSizeInBytes`;
+    *  - '''runtime filtering''' ([[SupportsRuntimeV2Filtering]]): DPP
+    *    join-key probe sets re-prune the file list AT EXECUTION time
+    *    through the same sidecar stack (range stats, blooms, bucket
+    *    transforms) the static WHERE pruning uses — a fact-dim join ships
+    *    the dim's keys here and never opens the fact files those keys
+    *    cannot touch;
+    *  - '''column mapping''': the physical scan serves logical attributes
+    *    positionally; only the reported schema maps names back.
+    * Rebuilds after a runtime filter REPLAY the original pushdown calls,
+    * so parquet-level pruning stays byte-identical to the static plan's. */
+  private[sql] class GraftScan(initialKept: Seq[String]) extends Scan
+      with SupportsReportStatistics with SupportsRuntimeV2Filtering
+      with SupportsReportPartitioning {
+
+    private var kept: Seq[String] = initialKept
+    private var current: Scan = buildOver(kept)
+
+    // ---- storage-partitioned layout: when the table declares ONE
+    // bucket transform and every live file provably holds a single
+    // bucket, the scan serves key-grouped partitions and a co-bucketed
+    // SQL join (v2 bucketing on) plans with ZERO Exchange on this side.
+    // gate BOTH the report and the regrouping on Spark's v2-bucketing
+    // switch: with it off the report would be ignored anyway, and
+    // regrouping would cost split parallelism on every plain read
+    private def v2BucketingOn: Boolean = spark.conf
+      .get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    private lazy val spjLayout =
+      if (!v2BucketingOn) None
+      else VersionedTable.bucketLayout(dir, version)
+    // the partition-KEY set is frozen at first planning: runtime (DPP)
+    // filtering that empties a bucket must yield an EMPTY partition, not
+    // a changed key set (BatchScanExec rejects key drift)
+    private lazy val reportedBuckets: Seq[Int] = spjLayout
+      .map { case (_, ids) => kept.map(ids).distinct.sorted }
+      .getOrElse(Seq.empty)
+
+    private def buildOver(paths: Seq[String]): Scan =
+      if (paths.size == files.size) inner.build()
       else {
-        // rebuild over the survivors, REPLAYING the same pushdown calls so
-        // the parquet-level pruning (footers, column projection) is
-        // byte-identical to the unpruned plan's
-        val b2 = parquetBuilder(kept)
+        val b2 = parquetBuilder(paths)
         b2.pushFilters(captured)
         required.foreach(b2.pruneColumns)
         b2.build()
       }
-    // a renamed table's physical scan serves the logical attributes
-    // positionally; only the reported schema needs the names mapped back
-    val named =
-      if (renames.isEmpty) built else new RenamingScan(built, toLogical _)
-    refuseServe.fold(named)(new DebtRefusingScan(named, _))
+
+    private def refuse[T](serve: => T): T = refuseServe match {
+      case Some(msg) => throw new IllegalArgumentException(msg)
+      case None => serve
+    }
+
+    override def readSchema(): StructType = toLogical(current.readSchema())
+    override def description(): String = current.description()
+
+    /** The scan's clustering, in the connector grammar: `bucket(n, k)`
+      * over the LOGICAL key name, resolved by Spark against this
+      * catalog's own FunctionCatalog (`bucket`), so two graft scans with
+      * the same layout are provably shuffle-compatible. Unknown the
+      * moment the layout proof fails — misreporting would corrupt joins,
+      * under-reporting only costs a shuffle. */
+    override def outputPartitioning(): V2Partitioning = spjLayout match {
+      case Some((b, _)) if reportedBuckets.nonEmpty =>
+        new V2KeyGroupedPartitioning(
+          Array(Expressions.bucket(b.n,
+            backNames.getOrElse(b.source, b.source))),
+          reportedBuckets.size)
+      case _ => new UnknownPartitioning(0)
+    }
+
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      refuse(spjLayout match {
+        case Some((_, ids)) if reportedBuckets.nonEmpty =>
+          org.apache.spark.sql.graft.Spj.groupByBucket(
+            current.toBatch, reportedBuckets, ids)
+        case _ => current.toBatch
+      })
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      refuse(current.toMicroBatchStream(checkpointLocation))
+    override def toContinuousStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+      refuse(current.toContinuousStream(checkpointLocation))
+
+    override def estimateStatistics(): V2Statistics = {
+      // size: delegate to the inner FileScan (file bytes × the session's
+      // compression factor — the stock convention join planning expects)
+      val size = current match {
+        case s: SupportsReportStatistics => s.estimateStatistics().sizeInBytes
+        case _ => java.util.OptionalLong.of(VersionedTable.fileBytes(kept))
+      }
+      // rows: EXACT from the sidecar, but only when this scan serves the
+      // whole snapshot — under residual predicates or runtime pruning the
+      // count would overestimate, so report unknown rather than a lie
+      val rows =
+        if (captured.isEmpty && kept.size == files.size &&
+            refuseServe.isEmpty)
+          VersionedTable.statNumRows(dir, version)
+        else None
+      new V2Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = size
+        override def numRows(): java.util.OptionalLong =
+          rows.fold(java.util.OptionalLong.empty())(
+            java.util.OptionalLong.of)
+      }
+    }
+
+    override def filterAttributes(): Array[NamedReference] =
+      VersionedTable.pruneHandleColumns(dir, version)
+        .map(p => org.apache.spark.sql.graft.FilterBridge.fieldRef(
+          backNames.getOrElse(p, p)))
+        .toArray
+
+    override def filter(predicates: Array[Predicate]): Unit = {
+      // DPP hands the dim side's join-key values as IN/EqualTo predicate
+      // sets over LOGICAL names; translate through Spark's own v1 bridge,
+      // relabel to physical, and re-prune through the full sidecar stack.
+      // Untranslatable predicates prune nothing (superset guarantee —
+      // Spark re-applies the join itself, runtime pruning is only a skip)
+      val v1 = predicates.flatMap(p =>
+        org.apache.spark.sql.graft.FilterBridge.predicateToV1(p)).toSeq
+      val (ranges0, eqs0) = probes(v1)
+      def ren(c: String) = renames.getOrElse(c, c)
+      val ranges = ranges0.map { case (c, lo, hi) => (ren(c), lo, hi) }
+      // bound the driver-side probe fan-out: bloom/bucket probing is
+      // O(values × files); past this a skip is no longer worth planning
+      val eqs = eqs0.map { case (c, vs) => (ren(c), vs) }
+        .filter(_._2.size <= PruningScanBuilder.MaxRuntimeProbeValues)
+      if (ranges.nonEmpty || eqs.nonEmpty) {
+        val admit = VersionedTable
+          .prunedFilesPushed(spark, dir, version, ranges, eqs).toSet
+        val survivors = kept.filter(admit)
+        GraftCatalog.recordRuntimePrune(kept.size, survivors.size)
+        if (survivors.size < kept.size) {
+          kept = survivors
+          current = buildOver(kept)
+        }
+      }
+    }
   }
 }
 
-/** A scan that reports LOGICAL column names over a physically-named
-  * inner scan — sound because DSv2 rows are positional and the mapping
-  * renames fields in place (same order, same types). */
-private[sql] class RenamingScan(inner: Scan,
-    toLogical: StructType => StructType) extends Scan {
-  override def readSchema(): StructType = toLogical(inner.readSchema())
-  override def description(): String = inner.description()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    inner.toBatch
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    inner.toMicroBatchStream(checkpointLocation)
-  override def toContinuousStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
-    inner.toContinuousStream(checkpointLocation)
-}
-
-/** A scan that plans (pushdown, schema, pruning bookkeeping) but refuses
-  * to SERVE: any attempt to materialize rows from a merge-on-read
-  * snapshot fails with the compact instruction. Plan scaffolding that
-  * never reads (DELETE/write planning over the relation) passes through
-  * untouched. */
-private[sql] class DebtRefusingScan(inner: Scan, msg: String) extends Scan {
-  override def readSchema(): StructType = inner.readSchema()
-  override def description(): String = inner.description()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    throw new IllegalArgumentException(msg)
-  override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    throw new IllegalArgumentException(msg)
-  override def toContinuousStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
-    throw new IllegalArgumentException(msg)
+private[sql] object PruningScanBuilder {
+  /** Per-column cap on runtime equality probe values — past this the
+    * driver-side sidecar probing (O(values × files)) costs more than the
+    * skip saves, and a huge key set seldom prunes anyway. */
+  val MaxRuntimeProbeValues = 10000
 }
 
 /** Oracle-gated queries proving the SQL surface returns byte-identical
@@ -902,6 +1127,39 @@ object GraftCatalog {
   @volatile private[graft] var lastScanPrune: (Int, Int) = (0, 0)
   private[sql] def recordPrune(total: Int, kept: Int): Unit =
     lastScanPrune = (total, kept)
+
+  /** (files before, files after) of the most recent RUNTIME (DPP) prune —
+    * the observability seam specs pin execution-time file skipping on. */
+  @volatile private[graft] var lastRuntimePrune: (Int, Int) = (0, 0)
+  private[sql] def recordRuntimePrune(before: Int, after: Int): Unit =
+    lastRuntimePrune = (before, after)
+
+  /** Decode a sidecar stat bound back to the CATALYST-internal value of
+    * `dt` — the aggregate-pushdown seam. Every `num` encoding is exact
+    * for its source type (ints verbatim, floats through their exact
+    * decimal expansion, dates as epoch days, timestamps as epoch micros),
+    * so the round trip reproduces the column value bit-for-bit; `str`
+    * bounds are the full strings (never truncated). None for any
+    * (tag, type) pair the sidecar cannot round-trip — the caller falls
+    * back to scanning. */
+  private[sql] def statBoundToCatalyst(tag: String, bound: String,
+                                       dt: DataType): Option[Any] =
+    try (tag, dt) match {
+      case ("num", BooleanType) => Some(bound == "1")
+      case ("num", ByteType) => Some(BigDecimal(bound).toByteExact)
+      case ("num", ShortType) => Some(BigDecimal(bound).toShortExact)
+      case ("num", IntegerType) => Some(BigDecimal(bound).toIntExact)
+      case ("num", LongType) => Some(BigDecimal(bound).toLongExact)
+      case ("num", FloatType) => Some(java.lang.Float.parseFloat(bound))
+      case ("num", DoubleType) => Some(java.lang.Double.parseDouble(bound))
+      case ("num", d: DecimalType) =>
+        val dec = Decimal(BigDecimal(bound))
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+      case ("num", DateType) => Some(BigDecimal(bound).toIntExact)
+      case ("num", TimestampType) => Some(BigDecimal(bound).toLongExact)
+      case ("str", StringType) => Some(UTF8String.fromString(bound))
+      case _ => None
+    } catch { case _: ArithmeticException | _: NumberFormatException => None }
 
   private def register(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
@@ -1301,7 +1559,140 @@ object GraftCatalog {
       .orderBy(col("source"))
   }
 
+  /** q_sql_fastagg — metadata-only aggregates from SQL: a bare
+    * COUNT(*)/MIN/MAX over a landed table answers from the stats sidecar
+    * as a one-row LocalScan (the SQL twin of fastCount/fastMinMax),
+    * pinned in-query by refusing any plan that contains a real scan. At
+    * 100 TB this is one sidecar read versus a full-table pass. */
+  def qSqlFastAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqlfastagg_")
+    val v = VersionedTable.commit(ev, dir)
+    VersionedTable.writeStats(spark, dir, v,
+      Seq("event_id", "event_type", "value"))
+    val q = spark.sql(s"SELECT count(*) AS n, min(event_id) AS min_id, " +
+      s"max(event_id) AS max_id, min(event_type) AS min_type, " +
+      s"max(event_type) AS max_type, min(value) AS min_value, " +
+      s"max(value) AS max_value FROM graft.`$dir`")
+    val plan = q.queryExecution.sparkPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"aggregates were not served from the sidecar:\n$plan")
+    q
+  }
+
+  /** q_sql_dpp — runtime (DPP) file skipping on the SQL surface: the
+    * fact table is hidden-bucket-partitioned on the join key, the dim
+    * side's surviving keys arrive as a runtime IN-filter after its
+    * selective predicate evaluates, and the scan re-prunes its file list
+    * through the bucket transform's derived stats BEFORE opening
+    * anything — pinned in-query (files after < files before). The fact
+    * side never pays for buckets the dim cannot touch, which at 100 TB
+    * is the entire fact-dim join discipline. */
+  def qSqlDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqldpp_")
+    VersionedTable.declarePartitioning(dir, Seq("bucket(8,event_type)"),
+      numFiles = 8)
+    VersionedTable.commit(ev, dir)
+    // dim: every event type, keep-flagged only for the lexicographic min
+    // and max — deterministic, and re-derivable by the oracle. Written
+    // as parquet: a literal dim constant-folds to a LocalRelation whose
+    // filter pre-evaluates away, and no DPP subquery gets built
+    val b = ev.agg(min(col("event_type")), max(col("event_type")))
+      .collect()(0)
+    val (mn, mx) = (b.getString(0), b.getString(1))
+    val dimTmp = java.nio.file.Files.createTempDirectory("graft_sqldpp_dim_")
+    java.nio.file.Files.walk(dimTmp).forEach(p => p.toFile.deleteOnExit())
+    ev.select(col("event_type")).distinct()
+      .withColumn("keep",
+        (col("event_type") === mn || col("event_type") === mx).cast("int"))
+      .write.mode("overwrite").parquet(dimTmp.toString)
+    spark.read.parquet(dimTmp.toString)
+      .createOrReplaceTempView("q_sql_dpp_dim")
+    val q = spark.sql(
+      s"""SELECT g.event_type AS event_type, count(*) AS n,
+         |  ROUND(CAST(SUM(CAST(g.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         |    AS sum_value
+         |FROM graft.`$dir` g JOIN q_sql_dpp_dim d
+         |  ON g.event_type = d.event_type
+         |WHERE d.keep = 1
+         |GROUP BY g.event_type ORDER BY event_type""".stripMargin)
+    // drive one execution under a deterministic benefit estimate and pin
+    // that the runtime filter actually skipped files
+    val old = spark.conf.getOption(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      GraftCatalog.recordRuntimePrune(0, 0)
+      q.collect()
+      val (before, after) = GraftCatalog.lastRuntimePrune
+      require(before > 0 && after < before,
+        s"runtime filter pruned nothing: $before -> $after files")
+    } finally old.fold(spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats"))(
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", _))
+    q
+  }
+
+  /** q_sql_spj — storage-partitioned join: two tables landed under the
+    * same `bucket(16, event_id)` hidden partitioning join in SQL with
+    * ZERO Exchange (pinned in-query on the executed join plan, broadcast
+    * disabled for the probe so the shuffle question is actually asked).
+    * Every file holds exactly one bucket (the exact-partitioner landing),
+    * both scans report the layout as KeyGroupedPartitioning resolved
+    * against the catalog's own `bucket` function, and Spark's v2
+    * bucketing aligns them. At 100 TB this is the fact-fact join without
+    * the two table-sized shuffles — the one plan shape `broadcast()`
+    * cannot rescue. */
+  def qSqlSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dirA) = eventsTmp(spark, sfDir, "graft_sqlspj_a_")
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_sqlspj_b_")
+    java.nio.file.Files.walk(tmpB).forEach(p => p.toFile.deleteOnExit())
+    val dirB = tmpB.toString
+    VersionedTable.declarePartitioning(dirA, Seq("bucket(16,event_id)"))
+    VersionedTable.declarePartitioning(dirB, Seq("bucket(16,event_id)"))
+    VersionedTable.commit(ev, dirA)
+    VersionedTable.commit(
+      ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), (col("value") * 2).as("boost")), dirB)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT a.event_type, b.boost
+           |FROM graft.`$dirA` a JOIN graft.`$dirB` b
+           |  ON a.event_id = b.event_id""".stripMargin)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected a partitioned join:\n$plan")
+      require(!plan.contains("Exchange"),
+        s"co-bucketed SQL join still shuffled:\n$plan")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(
+      s"""SELECT a.event_type AS event_type, count(*) AS n,
+         |  ROUND(CAST(SUM(CAST(b.boost AS DECIMAL(18,2))) AS DOUBLE), 2)
+         |    AS sum_boost
+         |FROM graft.`$dirA` a JOIN graft.`$dirB` b
+         |  ON a.event_id = b.event_id
+         |GROUP BY a.event_type ORDER BY event_type""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_spj" -> (qSqlSpj _),
+    "q_sql_fastagg" -> (qSqlFastAgg _),
+    "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_rename" -> (qSqlRename _),
     "q_sql_merge_full" -> (qSqlMergeFull _),
     "q_sql_dedup" -> (qSqlDedup _),
@@ -1316,6 +1707,31 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_spj" ->
+      """WITH b AS (SELECT event_id, value * 2 AS boost FROM events
+        |           WHERE event_id % 3 = 0)
+        |SELECT e.event_type AS event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(b.boost AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_boost
+        |FROM events e JOIN b ON e.event_id = b.event_id
+        |GROUP BY e.event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sql_fastagg" ->
+      """SELECT COUNT(*) AS n, MIN(event_id) AS min_id,
+        |  MAX(event_id) AS max_id, MIN(event_type) AS min_type,
+        |  MAX(event_type) AS max_type, MIN(value) AS min_value,
+        |  MAX(value) AS max_value
+        |FROM events""".stripMargin,
+    "q_sql_dpp" ->
+      """WITH b AS (SELECT MIN(event_type) AS mn, MAX(event_type) AS mx
+        |           FROM events)
+        |SELECT e.event_type AS event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events e, b
+        |WHERE e.event_type = b.mn OR e.event_type = b.mx
+        |GROUP BY e.event_type
+        |ORDER BY event_type""".stripMargin,
     // the CALL-procedure queries reproduce their Scala twins' surfaces
     // exactly, so they share the twins' oracles verbatim — one oracle,
     // two provably-identical paths

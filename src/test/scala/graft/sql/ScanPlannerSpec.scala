@@ -1,0 +1,307 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.VersionedTable
+
+/** The SQL scan's three planner contracts at scale:
+  *  - aggregate pushdown — COUNT(*)/MIN/MAX served from the manifest
+  *    sidecar as a one-row LocalScan, zero data files opened (the SQL
+  *    twin of fastCount/fastMinMax, same refusal envelope);
+  *  - statistics — exact sidecar row counts and real file bytes reach
+  *    join planning, so a small graft table auto-broadcasts instead of
+  *    sort-merging under the unknown-size default;
+  *  - runtime (DPP) filtering — a join's dim-side key set re-prunes the
+  *    fact file list at execution time through the same stats/bloom/
+  *    bucket stack as static WHERE pruning. */
+class ScanPlannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  private def register(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  private def assertMetadataOnly(df: DataFrame): Unit = {
+    val p = planOf(df)
+    assert(p.contains("LocalTableScan") && !p.contains("BatchScan"),
+      s"aggregate not served from the sidecar:\n$p")
+  }
+
+  private def assertScans(df: DataFrame): Unit = {
+    val p = planOf(df)
+    assert(p.contains("BatchScan"), s"expected a real scan:\n$p")
+  }
+
+  test("COUNT(*)/MIN/MAX fold the sidecar: LocalTableScan, exact values") {
+    register()
+    val dir = tmpDir("sp-agg")
+    ops.commit((0 until 500).map(i =>
+      (i.toLong, s"k${i % 7}", i * 1.5)).toDF("id", "k", "v"), dir)
+    ops.commit((500 until 900).map(i =>
+      (i.toLong, s"k${i % 7}", i * 1.5)).toDF("id", "k", "v"), dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("id", "k", "v"))
+    val q = spark.sql(s"SELECT count(*) AS n, min(id) AS mn, " +
+      s"max(id) AS mx, min(k) AS ks, max(v) AS vx FROM graft.`$dir`")
+    assertMetadataOnly(q)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 900L && r.getLong(1) == 0L &&
+      r.getLong(2) == 899L && r.getString(3) == "k0" &&
+      r.getDouble(4) == 899 * 1.5)
+  }
+
+  test("WHERE, GROUP BY, or an unsupported function falls back to a scan") {
+    register()
+    val dir = tmpDir("sp-fallback")
+    ops.commit((0 until 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v"),
+      dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("id", "v"))
+    val filtered =
+      spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` WHERE id < 10")
+    assertScans(filtered)
+    assert(filtered.collect()(0).getLong(0) == 10L)
+    val summed = spark.sql(s"SELECT sum(v) AS s FROM graft.`$dir`")
+    assertScans(summed)
+    assert(summed.collect()(0).getDouble(0) == (0 until 100).map(_ * 2.0).sum)
+    val grouped = spark.sql(
+      s"SELECT id % 2 AS g, count(*) AS n FROM graft.`$dir` GROUP BY 1")
+    assertScans(grouped)
+    assert(grouped.collect().map(_.getLong(1)).sum == 100L)
+  }
+
+  test("typed bounds round-trip: timestamp and date min/max are exact") {
+    register()
+    val dir = tmpDir("sp-typed")
+    val df = (1 to 60).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(
+          f"2026-03-${(i % 28) + 1}%02d 10:30:${i % 60}%02d.$i%03d"),
+        java.sql.Date.valueOf(f"2026-04-${(i % 28) + 1}%02d"))
+    }.toDF("id", "ts", "d")
+    ops.commit(df, dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("id", "ts", "d"))
+    val q = spark.sql(s"SELECT min(ts) AS a, max(ts) AS b, min(d) AS c, " +
+      s"max(d) AS e FROM graft.`$dir`")
+    assertMetadataOnly(q)
+    val byScan = ops.read(spark, dir)
+      .agg(min("ts"), max("ts"), min("d"), max("d")).collect()(0)
+    assert(q.collect()(0) == byScan)
+  }
+
+  test("non-finite float extremes are `wild`, not null: metadata min/max " +
+    "refuses and the scan path serves the Infinity") {
+    register()
+    val dir = tmpDir("sp-wild")
+    ops.commit(Seq((1L, 1.5), (2L, Double.PositiveInfinity), (3L, -7.0))
+      .toDF("id", "v"), dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("id", "v"))
+    // the sidecar cannot bound the +Inf extreme — fastMinMax must refuse
+    // rather than answer from the OTHER files' bounds (max would be 1.5)
+    assert(ops.fastMinMax(dir, "v").isEmpty)
+    val q = spark.sql(s"SELECT max(v) AS mx FROM graft.`$dir`")
+    assertScans(q)
+    assert(q.collect()(0).getDouble(0).isPosInfinity)
+    // id is untouched by the wild column — still metadata-served
+    val idq = spark.sql(s"SELECT max(id) AS mx FROM graft.`$dir`")
+    assertMetadataOnly(idq)
+    assert(idq.collect()(0).getLong(0) == 3L)
+  }
+
+  test("COUNT(*) stays metadata-only under positional delete debt; " +
+    "MIN/MAX declines to the (refusing) scan — the fastCount contract") {
+    register()
+    val dir = tmpDir("sp-mor")
+    ops.commit((0 until 200).map(i => (i.toLong, i * 3.0)).toDF("id", "v"),
+      dir)
+    ops.deleteWhere(spark, dir, col("id") >= 150)
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+    assertMetadataOnly(q)
+    assert(q.collect()(0).getLong(0) == 150L)
+    // min/max can't trust bounds whose extremal row may be dead: the
+    // aggregation declines, and the row-serving path refuses MOR debt
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT max(v) AS mx FROM graft.`$dir`").collect()
+    }
+    assert(e.getMessage.contains("compact"))
+  }
+
+  test("empty snapshot serves count 0 and null extremes, no scan") {
+    register()
+    val dir = tmpDir("sp-empty")
+    ops.commit(Seq.empty[(Long, String)].toDF("id", "k"), dir)
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(id) AS mn, max(k) AS mk FROM graft.`$dir`")
+    assertMetadataOnly(q)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("statistics: the scan reports exact sidecar rows and file bytes, " +
+    "and a small graft table auto-broadcasts in a SQL join") {
+    register()
+    val dir = tmpDir("sp-stats")
+    ops.commit((0 until 300).map(i => (i.toLong, s"u${i % 50}"))
+      .toDF("id", "k"), dir)
+    val scan = spark.sql(s"SELECT * FROM graft.`$dir`")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.get
+    val st = scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(st.numRows.getAsLong == 300L, "sidecar row count must be exact")
+    assert(st.sizeInBytes.getAsLong > 0L &&
+      st.sizeInBytes.getAsLong < (10L << 20))
+    // join against a side big enough to never broadcast: without real
+    // stats a v2 relation defaults to unknown/huge and this would plan
+    // as a sort-merge join; with them the graft side broadcasts
+    spark.range(0, 2000000).select(col("id"), (col("id") % 50).as("m"))
+      .createOrReplaceTempView("sp_big")
+    val j = spark.sql(
+      s"SELECT count(*) AS n FROM sp_big b JOIN graft.`$dir` g ON b.id = g.id")
+    assert(planOf(j).contains("BroadcastHashJoin"),
+      s"small graft table did not broadcast:\n${planOf(j)}")
+    assert(j.collect()(0).getLong(0) == 300L)
+    // and the estimate is honest: shrink the threshold below the table's
+    // size and the broadcast disappears
+    withConf("spark.sql.autoBroadcastJoinThreshold", "64") {
+      val nb = spark.sql(
+        s"SELECT count(*) AS n FROM sp_big b JOIN graft.`$dir` g ON b.id = g.id")
+      assert(!planOf(nb).contains("BroadcastHashJoin"),
+        s"64-byte threshold still broadcast:\n${planOf(nb)}")
+    }
+  }
+
+  test("runtime (DPP) filtering: the dim's join keys prune fact files " +
+    "at execution through the declared bucket transform") {
+    register()
+    val dir = tmpDir("sp-dpp")
+    ops.declarePartitioning(dir, Seq("bucket(8,k)"), numFiles = 8)
+    ops.commit((0 until 4000).map(i => (i.toLong, s"u${i % 40}", i * 2.0))
+      .toDF("id", "k", "v"), dir)
+    // the dim must be a real source: a literal Seq constant-folds to a
+    // LocalRelation, its filter pre-evaluates away, and PartitionPruning
+    // sees no selective predicate to build a DPP subquery from
+    val dimPath = tmpDir("sp-dpp-dim")
+    Seq(("u7", 1), ("u13", 1), ("u21", 0)).toDF("k", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("sp_dim")
+    withConf("spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "false") {
+      GraftCatalog.recordRuntimePrune(0, 0)
+      val q = spark.sql(
+        s"""SELECT g.k AS k, count(*) AS n
+           |FROM graft.`$dir` g JOIN sp_dim d ON g.k = d.k
+           |WHERE d.flag = 1 GROUP BY g.k ORDER BY k""".stripMargin)
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("u13", 100L), ("u7", 100L)))
+      val (before, after) = GraftCatalog.lastRuntimePrune
+      assert(before > 0 && after < before,
+        s"runtime filter pruned nothing: $before -> $after")
+    }
+  }
+
+  test("storage-partitioned join: two co-bucketed graft tables join " +
+    "with ZERO Exchange; a bucket-merging compact falls back loudly-free") {
+    register()
+    val a = tmpDir("spj-a")
+    val bt = tmpDir("spj-b")
+    ops.declarePartitioning(a, Seq("bucket(8,k)"), numFiles = 8)
+    ops.declarePartitioning(bt, Seq("bucket(8,k)"), numFiles = 8)
+    ops.commit((0 until 400).map(i => (s"u${i % 40}", i.toLong))
+      .toDF("k", "v"), a)
+    ops.commit((0 until 200).map(i => (s"u${i % 40}", i * 10.0))
+      .toDF("k", "w"), bt)
+    val sql =
+      s"SELECT a.k AS k, a.v AS v, b.w AS w FROM graft.`$a` a " +
+        s"JOIN graft.`$bt` b ON a.k = b.k"
+    val expected = ops.read(spark, a).join(
+      ops.read(spark, bt).withColumnRenamed("k", "k2"),
+      col("k") === col("k2")).count()
+    // EnsureRequirements inserts Exchanges AFTER sparkPlan, so the pin
+    // must read the EXECUTED plan; broadcast is disabled or the small
+    // sides would sidestep the shuffle question entirely
+    def finalPlan(df: DataFrame): String = {
+      assert(df.count() == expected)
+      df.queryExecution.executedPlan.toString
+    }
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      withConf("spark.sql.sources.v2.bucketing.enabled", "true") {
+        withConf("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "true") {
+          val plan = finalPlan(spark.sql(sql))
+          assert(plan.contains("SortMergeJoin") ||
+            plan.contains("ShuffledHashJoin"), plan)
+          assert(!plan.contains("Exchange"),
+            s"co-bucketed join still shuffles:\n$plan")
+        }
+        // a compact large enough to merge buckets breaks the per-file
+        // single-bucket proof: the scan reports unknown partitioning,
+        // the join shuffles as usual, and results stay correct
+        ops.compact(spark, a, targetBytes = 1L << 30)
+        val p2 = finalPlan(spark.sql(sql))
+        assert(p2.contains("Exchange"),
+          s"merged-bucket layout must not claim key grouping:\n$p2")
+      }
+      // with v2 bucketing off, nothing is reported or regrouped
+      val p3 = finalPlan(spark.sql(sql))
+      assert(p3.contains("Exchange"))
+    }
+  }
+
+  test("#partitions metadata view: per-value files/rows/bytes folded " +
+    "from the sidecar; exact bucket landings are never `mixed`") {
+    register()
+    val dir = tmpDir("sp-parts")
+    ops.declarePartitioning(dir, Seq("bucket(4,k)"))
+    ops.commit((0 until 400).map(i => (i.toLong, s"u${i % 20}"))
+      .toDF("id", "k"), dir)
+    val rows = spark.sql(s"SELECT * FROM graft.`$dir#partitions`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows.nonEmpty && rows.forall(_._1 == "bucket(4,k)"))
+    assert(rows.map(_._4).sum == 400L, "sidecar rows must cover the table")
+    assert(rows.forall(r => !r._2.startsWith("mixed")),
+      s"exact bucket landing produced a straddling file: $rows")
+    assert(rows.forall(_._5 > 0L))
+    // a days table whose files straddle days reports mixed honestly
+    val dd = tmpDir("sp-parts-days")
+    ops.declarePartitioning(dd, Seq("days(ts)"), numFiles = 2)
+    ops.commit((0 until 100).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2026-05-${(i % 10) + 1}%02d 08:00:00"))
+    }.toDF("id", "ts"), dd)
+    val drows = spark.sql(
+      s"SELECT value, rows FROM graft.`$dd#partitions`").collect()
+    assert(drows.map(_.getLong(1)).sum == 100L)
+  }
+
+  test("GROUP BY the bucket key over one bucketed table: the aggregate " +
+    "rides the key-grouped layout with no shuffle") {
+    register()
+    val dir = tmpDir("sp-spjagg")
+    ops.declarePartitioning(dir, Seq("bucket(8,k)"))
+    ops.commit((0 until 800).map(i => (s"u${i % 40}", i.toLong))
+      .toDF("k", "v"), dir)
+    withConf("spark.sql.sources.v2.bucketing.enabled", "true") {
+      val q = spark.sql(
+        s"SELECT k, sum(v) AS s FROM graft.`$dir` GROUP BY k")
+      assert(q.collect().length == 40)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"group-by on the bucket key still shuffled:\n$plan")
+    }
+  }
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+}
