@@ -76,6 +76,247 @@ class VersionedTableOps(protected val io: TableIO) {
   protected def manifestDir(dir: String): String = s"$dir/manifests"
   private def manifestPath(dir: String, v: Int) = s"${manifestDir(dir)}/v$v"
   private def statsPath(dir: String, v: Int) = s"${manifestDir(dir)}/s$v"
+  private def segsDir(dir: String) = s"${manifestDir(dir)}/segs"
+
+  // ── Segmented metadata ────────────────────────────────────────────────
+  // A manifest (v{N}) or stats sidecar (s{N}) may reference immutable
+  // SEGMENT files (`#seg=<path>` lines, one level deep — segments never
+  // nest) instead of inlining every bulk line. This is what keeps commit
+  // metadata O(batch) instead of O(table): at 100 TB / ~1M files, an
+  // inline manifest is a million-line rewrite PER APPEND, and the whole
+  // metadata path collapses under its own weight long before the data
+  // does (the same reason Iceberg splits snapshots into manifest files
+  // behind a manifest list). Rules:
+  //  - segments carry ONLY bulk payload (data-file path lines in manifest
+  //    segments; stats lines in sidecar segments) — every `#`-prefixed
+  //    header (#txn/#ts/#del/#eqdel/#fork/#promoted) stays inline in the
+  //    version file, so prefix parsers read the tiny version file raw;
+  //  - segments are content-immutable and UUID-named: shared freely
+  //    across versions and lineages (a branch fork is O(pointers)), and
+  //    safe to cache by path;
+  //  - a pure append / merge-on-read delete carries the head's pointers
+  //    verbatim and adds ONE new segment; shape-changing rewrites
+  //    (compact, COW merge, overwrite) write their file list inline and
+  //    the next append folds it into a segment;
+  //  - GC: [[expire]] deletes segments referenced by no retained version
+  //    (branch refs pin), [[vacuumOrphans]] sweeps never-published ones.
+  private val SegPrefix = "#seg="
+  private def segRef(l: String): Boolean = l.startsWith(SegPrefix)
+
+  /** Per-commit fold thresholds (overridable per table via properties
+    * `manifest.fold.inline` / `manifest.fold.segs`): inline bulk lines
+    * at/over the first fold into one segment; a pointer list at/over the
+    * second folds ALL segments into one — so manifest size is bounded by
+    * O(fold.segs) pointers and the amortized fold cost per commit is
+    * O(files / fold.segs) lines, not O(files). */
+  private def foldInlineAt(dir: String): Int =
+    tableProperties(dir).get("manifest.fold.inline").map(_.toInt)
+      .getOrElse(128)
+  private def foldSegsAt(dir: String): Int =
+    tableProperties(dir).get("manifest.fold.segs").map(_.toInt)
+      .getOrElse(64)
+
+  /** Segments are immutable from birth (UUID-named, written before any
+    * pointer publishes), so a by-path cache is sound forever; bounded by
+    * wholesale clear — entries are re-readable from disk. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val SegCacheMax = 4096
+
+  private def readSegment(path: String): Seq[String] = {
+    val hit = segCache.get(path)
+    if (hit != null) hit
+    else {
+      val lines = io.readLines(path)
+      if (segCache.size >= SegCacheMax) segCache.clear()
+      segCache.put(path, lines)
+      lines
+    }
+  }
+
+  /** Write `lines` as a new immutable segment of `dir`; returns its path.
+    * Crash after this write but before any pointer publish leaves an
+    * unreferenced file [[vacuumOrphans]] sweeps — same contract as an
+    * unpublished data batch. */
+  private def writeSegment(dir: String, lines: Seq[String]): String = {
+    require(!lines.exists(segRef), "segments must not nest")
+    io.mkdirs(segsDir(dir))
+    val p = s"${segsDir(dir)}/${java.util.UUID.randomUUID}"
+    io.writeLines(p, lines)
+    segCache.put(p, lines)
+    p
+  }
+
+  /** A pointer line's fields: the segment path, then OPTIONAL covering
+    * ranges — `(col, tag, lo, hi)` groups of four, tab-separated after
+    * the path. A cover is a TRUE enclosure of every payload file's range
+    * for that column (the Iceberg manifest-list summary): planning may
+    * drop the whole segment unread when a cover is provably disjoint
+    * with a pushed predicate, which is what turns selective planning
+    * from O(table files) into O(matching segments). Absent cover =
+    * always expand — the superset guarantee never depends on covers. */
+  private def segPath(l: String): String =
+    l.drop(SegPrefix.length).takeWhile(_ != '\t')
+  private def segCovers(l: String): Map[String, (String, String, String)] =
+    l.drop(SegPrefix.length).split('\t').drop(1).grouped(4).collect {
+      case Array(c, tag, lo, hi) => c -> ((tag, lo, hi))
+    }.toMap
+
+  private def coverSuffix(covers: Map[String, (String, String, String)])
+      : String =
+    covers.toSeq.sortBy(_._1).map { case (c, (tag, lo, hi)) =>
+      s"\t$c\t$tag\t$lo\t$hi"
+    }.mkString
+
+  /** Covering ranges of a stats payload: `col → (tag, lo, hi)` for every
+    * column where EVERY distinct data-file path in the payload carries a
+    * usable (`num`|`str`, single-tag) range line — a file with a `null`/
+    * `wild` tag or no line for the column voids that column's cover (its
+    * values are unbounded as far as the summary can claim). Paths under
+    * `deletes/` are vector files, not data — they void covers too (their
+    * presence means the payload mixes kinds; stay conservative). */
+  private def coversOf(payload: Seq[String])
+      : Map[String, (String, String, String)] = {
+    val parsed = payload.map(_.split('\t'))
+    val paths = parsed.collect { case a if a.length >= 3 => a(0) }.distinct
+    if (paths.isEmpty || paths.exists(_.contains("/deletes/")))
+      return Map.empty
+    val byCol = parsed.collect {
+      case a if a.length == 5 && a(1) != "#" && a(2) != "bloom" =>
+        (a(1), (a(0), a(2), a(3), a(4)))
+    }.groupBy(_._1)
+    byCol.flatMap { case (c, entries) =>
+      val rows = entries.map(_._2)
+      val tags = rows.map(_._2).distinct
+      if (rows.map(_._1).distinct.size != paths.size) None
+      else tags match {
+        case Seq("num") =>
+          try Some(c -> (("num",
+            rows.map(r => BigDecimal(r._3)).min.toString,
+            rows.map(r => BigDecimal(r._4)).max.toString)))
+          catch { case _: NumberFormatException => None }
+        case Seq("str") =>
+          Some(c -> (("str",
+            rows.map(_._3).minBy(StatValue.decodeStr),
+            rows.map(_._4).maxBy(StatValue.decodeStr))))
+        case _ => None
+      }
+    }
+  }
+
+  /** Union of pointer covers — the fold-time summary: valid only when
+    * every folded pointer covers the column (with one tag); any inline
+    * line (unknown files) voids everything. */
+  private def unionCovers(ptrs: Seq[String], hasInline: Boolean)
+      : Map[String, (String, String, String)] = {
+    if (hasInline || ptrs.isEmpty) return Map.empty
+    val all = ptrs.map(segCovers)
+    val shared = all.map(_.keySet).reduce(_ intersect _)
+    shared.flatMap { c =>
+      val cs = all.map(_(c))
+      cs.map(_._1).distinct match {
+        case Seq("num") =>
+          try Some(c -> (("num",
+            cs.map(x => BigDecimal(x._2)).min.toString,
+            cs.map(x => BigDecimal(x._3)).max.toString)))
+          catch { case _: NumberFormatException => None }
+        case Seq("str") =>
+          Some(c -> (("str",
+            cs.map(_._2).minBy(StatValue.decodeStr),
+            cs.map(_._3).maxBy(StatValue.decodeStr))))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Splice segment payloads in place of their pointers (one level). */
+  private def expandSegs(lines: Seq[String]): Seq[String] =
+    if (!lines.exists(segRef)) lines
+    else lines.flatMap { l =>
+      if (segRef(l)) readSegment(segPath(l)) else Seq(l)
+    }
+
+  /** The version's manifest with segments spliced in — what every
+    * file-list consumer reads. Prefix parsers (#txn/#del/…) keep reading
+    * the raw version file: headers never live in segments. */
+  private[graft] def manifestLines(dir: String, v: Int): Seq[String] =
+    expandSegs(io.readLines(manifestPath(dir, v)))
+
+  /** The version's stats sidecar with segments spliced in (empty when
+    * absent) — what every stats consumer reads. */
+  private[graft] def sidecarLines(dir: String, v: Int): Seq[String] = {
+    val p = statsPath(dir, v)
+    if (!io.exists(p)) Seq.empty else expandSegs(io.readLines(p))
+  }
+
+  /** Segment paths version `v` references (manifest AND sidecar) — the
+    * GC reference set. */
+  private def segRefsOf(dir: String, v: Int): Seq[String] = {
+    val m = io.readLines(manifestPath(dir, v))
+      .collect { case l if segRef(l) => segPath(l) }
+    val sp = statsPath(dir, v)
+    val s = if (!io.exists(sp)) Seq.empty
+      else io.readLines(sp)
+        .collect { case l if segRef(l) => segPath(l) }
+    m ++ s
+  }
+
+  /** RAW carry of the head's bulk manifest content — existing `#seg=`
+    * pointers verbatim plus inline data-file lines, folding per the
+    * table's thresholds. Sound exactly when the new snapshot keeps EVERY
+    * head data file (appends, merge-on-read deletes); a rewrite that
+    * drops or replaces files must build its list inline instead. */
+  private def carryManifest(dir: String, h: Option[Int]): Seq[String] =
+    h.toSeq.flatMap { hv =>
+      val raw = io.readLines(manifestPath(dir, hv))
+      foldCarry(dir,
+        raw.filter(segRef),
+        raw.filter(l => l.nonEmpty && !l.startsWith("#")))
+    }
+
+  /** RAW carry of the head's sidecar (pointers + inline payload, folded).
+    * Same soundness condition as [[carryManifest]]: nothing removed. */
+  private def carrySidecar(dir: String, h: Option[Int]): Seq[String] =
+    h.toSeq.flatMap { hv =>
+      val sp = statsPath(dir, hv)
+      if (!io.exists(sp)) Seq.empty
+      else {
+        val raw = io.readLines(sp)
+        foldCarry(dir, raw.filter(segRef),
+          raw.filterNot(l => segRef(l) || l.isEmpty))
+      }
+    }
+
+  private def foldCarry(dir: String, segs: Seq[String],
+                        inline: Seq[String]): Seq[String] = {
+    // folded-inline covers come from the payload itself (stats lines
+    // yield real covers; bare file paths yield none — coversOf is shape-
+    // aware), so folding never loses what pruning could still skip
+    val inl =
+      if (inline.nonEmpty && inline.length >= foldInlineAt(dir))
+        Seq(SegPrefix + writeSegment(dir, inline) +
+          coverSuffix(coversOf(inline)))
+      else inline
+    val carry = segs ++ inl
+    if (carry.count(segRef) >= foldSegsAt(dir)) {
+      val hasInline = carry.exists(l => !segRef(l))
+      val merged = expandSegs(carry).filter(_.nonEmpty)
+      val cov =
+        if (hasInline) coversOf(merged)
+        else unionCovers(carry.filter(segRef), hasInline = false)
+      Seq(SegPrefix + writeSegment(dir, merged) + coverSuffix(cov))
+    } else carry
+  }
+
+  /** Bulk payload of one fresh batch as a pointer line (payload lands in
+    * a new segment) — the O(batch) half of a segmented commit. `covers`
+    * ride the pointer so planning can skip the segment unread. Empty
+    * payload stays inline-empty (no zero-line segments). */
+  private def segLine(dir: String, payload: Seq[String],
+                      covers: Map[String, (String, String, String)] =
+                        Map.empty): Seq[String] =
+    if (payload.isEmpty) Seq.empty
+    else Seq(SegPrefix + writeSegment(dir, payload) + coverSuffix(covers))
 
   /** Bounded retry-against-the-new-head for maintenance ops: every
     * attempt starts from a fresh head resolve, so a
@@ -109,7 +350,7 @@ class VersionedTableOps(protected val io: TableIO) {
   // `#`-prefixed manifest lines are metadata headers (e.g. the transaction
   // id a streaming commit carries), never file paths
   private def filesOf(dir: String, version: Int): Seq[String] =
-    io.readLines(manifestPath(dir, version))
+    manifestLines(dir, version)
       .filter(_.nonEmpty).filterNot(_.startsWith("#"))
 
   /** Positional delete files (`#del=` manifest lines) of a version —
@@ -322,13 +563,21 @@ class VersionedTableOps(protected val io: TableIO) {
     // carried files); a logical overwrite starts clean — none of its files
     // existed when any prior delete was computed
     if (append) {
-      var carried: Seq[String] = Seq.empty
-      val v = publishOnHead(dir) { (h, base) =>
-        carried = carriedStats(dir, h, base,
-          extraKeep = h.toSeq.flatMap(delFilesOf(dir, _)))
-        meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++ base ++ newFiles
+      // the batch's bulk lines land in NEW segments ONCE, outside the OCC
+      // loop (they don't depend on the head); the head's bulk carries as
+      // raw pointers — an append removes nothing, so pointer reuse is
+      // sound and the manifest write is O(batch + pointers), never
+      // O(table files)
+      val cov = coversOf(rowsNew)
+      val newSeg = segLine(dir, newFiles, cov)
+      val newStatsSeg = segLine(dir, rowsNew, cov)
+      var headAt: Option[Int] = None
+      val v = publishOnHead(dir) { (h, _) =>
+        headAt = h
+        meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
+          carryManifest(dir, h) ++ newSeg
       }
-      io.writeLines(statsPath(dir, v), carried ++ rowsNew)
+      io.writeLines(statsPath(dir, v), carrySidecar(dir, headAt) ++ newStatsSeg)
       v
     } else {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
@@ -488,7 +737,8 @@ class VersionedTableOps(protected val io: TableIO) {
     val referenced = spark.read.parquet(newDel: _*)
       .select("file_path").distinct()
       .collect().map(_.getString(0)).toSet
-    var carried: Seq[String] = Seq.empty
+    // merge-on-read: every head data file stays — pointer carry is sound
+    var headAt: Option[Int] = None
     val v = publishOnHead(dir) { (h, base) =>
       val missing = referenced -- base.toSet
       if (missing.nonEmpty)
@@ -496,16 +746,15 @@ class VersionedTableOps(protected val io: TableIO) {
           s"delete vector references ${missing.size} file(s) no longer in " +
             s"the head (concurrent compaction/overwrite rewrote them); " +
             s"re-run deleteWhere against the new head")
-      carried = carriedStats(dir, h, base,
-        extraKeep = h.toSeq.flatMap(delFilesOf(dir, _)))
+      headAt = h
       Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
-        newDel.map(f => s"#del=$f") ++ base
+        newDel.map(f => s"#del=$f") ++ carryManifest(dir, h)
     }
     // delete vectors never move min/max (stats stay a superset guarantee);
     // the new vector's own row count lands so fastCount can subtract the
     // dead rows from the sidecar alone
     io.writeLines(statsPath(dir, v),
-      carried ++ rowsLines(spark, newDel))
+      carrySidecar(dir, headAt) ++ rowsLines(spark, newDel))
     v
   }
 
@@ -576,7 +825,11 @@ class VersionedTableOps(protected val io: TableIO) {
       val referenced = spark.read.parquet(newDel: _*)
         .select("file_path").distinct()
         .collect().map(_.getString(0)).toSet
-      var carried: Seq[String] = Seq.empty
+      // merge-on-read update: all head files carry, plus the updated
+      // copies — pointer carry + one new segment, like an append
+      val newSeg = segLine(dir, newFiles, coversOf(rowsNew))
+      val newStatsSeg = segLine(dir, rowsLines(spark, newDel) ++ rowsNew)
+      var headAt: Option[Int] = None
       val v = publishOnHead(dir) { (h, base) =>
         val missing = referenced -- base.toSet
         if (missing.nonEmpty)
@@ -591,12 +844,12 @@ class VersionedTableOps(protected val io: TableIO) {
             "row-erasure state changed during updateWhere (concurrent " +
               "delete); re-running against the new head so updated copies " +
               "cannot resurrect concurrently-deleted rows")
-        carried = carriedStats(dir, h, base, extraKeep = curDels)
+        headAt = h
         Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++
-          newDel.map(f => s"#del=$f") ++ base ++ newFiles
+          newDel.map(f => s"#del=$f") ++ carryManifest(dir, h) ++ newSeg
       }
       io.writeLines(statsPath(dir, v),
-        carried ++ rowsLines(spark, newDel) ++ rowsNew)
+        carrySidecar(dir, headAt) ++ newStatsSeg)
       v
     } finally {
       matched.unpersist()
@@ -640,18 +893,19 @@ class VersionedTableOps(protected val io: TableIO) {
       io.delete(delDir)
       return vs.last
     }
-    var carried: Seq[String] = Seq.empty
-    val v = publishOnHead(dir) { (h, base) =>
-      carried = carriedStats(dir, h, base,
-        extraKeep = h.toSeq.flatMap(delFilesOf(dir, _)))
+    // merge-on-read: all head files carry — pointer carry, like deleteWhere
+    var headAt: Option[Int] = None
+    val v = publishOnHead(dir) { (h, _) =>
+      headAt = h
       // seq = the version being published: the delete applies to exactly
-      // the files in `base` (all added at ≤ head < seq), never to later
+      // the head's files (all added at ≤ head < seq), never to later
       // appends — re-resolved per OCC retry like every head derivation
       val seq = h.getOrElse(0) + 1
       Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
-        out.map(f => s"#eqdel=$seq\t$keyCol\t$f") ++ base
+        out.map(f => s"#eqdel=$seq\t$keyCol\t$f") ++ carryManifest(dir, h)
     }
     // key erasure never moves a file's min/max: superset guarantee holds
+    val carried = carrySidecar(dir, headAt)
     if (carried.nonEmpty) io.writeLines(statsPath(dir, v), carried)
     // auto-materialize on threshold (the `eqdel.compact.threshold` table
     // property): a CDC-heavy table's eras would otherwise pile up until
@@ -676,10 +930,11 @@ class VersionedTableOps(protected val io: TableIO) {
     val v = publish(dir, versions(dir).last + 1,
       s"#ts=${now()}" +: (delLinesOf(dir, Some(toVersion)) ++
         eqDelLinesOf(dir, Some(toVersion)) ++
-        filesOf(dir, toVersion)))
+        carryManifest(dir, Some(toVersion))))
     // the restored state's sidecar (stats bounds, blooms, row counts)
-    // describes the same immutable files — copy it so a rollback doesn't
-    // silently turn off pruning and metadata-only counts
+    // describes the same immutable files — copy it (pointers and all:
+    // segments are immutable and GC-pinned by this new reference) so a
+    // rollback doesn't silently turn off pruning and metadata-only counts
     val p = statsPath(dir, toVersion)
     if (io.exists(p)) io.writeLines(statsPath(dir, v), io.readLines(p))
     v
@@ -756,8 +1011,7 @@ class VersionedTableOps(protected val io: TableIO) {
     // the files it scans; keeping the originals too is harmless — a file
     // is immutable, so duplicate rows lines agree and consumers fold maps.
     val keep =
-      if (!io.exists(p)) Seq.empty
-      else io.readLines(p).filter { l =>
+      sidecarLines(dir, version).filter { l =>
         val a = l.split('\t')
         a.length >= 3 && (a(1) == "#" || a(2) == "bloom")
       }
@@ -840,14 +1094,11 @@ class VersionedTableOps(protected val io: TableIO) {
 
   /** (path → row count) from the `rows` sidecar lines at `version` —
     * keyed by path, so it covers data files AND delete-vector files. */
-  private def rowsOf(dir: String, version: Int): Map[String, Long] = {
-    val p = statsPath(dir, version)
-    if (!io.exists(p)) Map.empty
-    else io.readLines(p)
+  private def rowsOf(dir: String, version: Int): Map[String, Long] =
+    sidecarLines(dir, version)
       .map(_.split('\t').toSeq)
       .collect { case Seq(f, "#", "rows", n, _) => f -> n.toLong }
       .toMap
-  }
 
   /** Stats lines of `headVersion` restricted to the files in `base` —
     * the carry-forward read, re-derived per OCC attempt because the head
@@ -856,15 +1107,12 @@ class VersionedTableOps(protected val io: TableIO) {
                            base: Seq[String],
                            extraKeep: Seq[String] = Seq.empty): Seq[String] =
     headVersion.toSeq.flatMap { h =>
-      val p = statsPath(dir, h)
-      if (!io.exists(p)) Seq.empty
-      else {
-        // `extraKeep` is for non-data paths whose sidecar lines ride with
-        // the manifest they are carried by — delete-vector files keep
-        // their `rows` lines exactly as long as their `#del=` lines live
-        val baseSet = base.toSet ++ extraKeep
-        io.readLines(p).filter(l => baseSet.contains(l.takeWhile(_ != '\t')))
-      }
+      // `extraKeep` is for non-data paths whose sidecar lines ride with
+      // the manifest they are carried by — delete-vector files keep
+      // their `rows` lines exactly as long as their `#del=` lines live
+      val baseSet = base.toSet ++ extraKeep
+      sidecarLines(dir, h)
+        .filter(l => baseSet.contains(l.takeWhile(_ != '\t')))
     }
 
   /** Commit a batch in the FULL landing shape: the batch is z-ordered on
@@ -898,14 +1146,19 @@ class VersionedTableOps(protected val io: TableIO) {
       io.writeLines(statsPath(dir, v), newStats)
       v
     } else {
-      var carried: Seq[String] = Seq.empty
-      val v = publishOnHead(dir) { (head, base) =>
-        carried = carriedStats(dir, head, base,
-          extraKeep = head.toSeq.flatMap(delFilesOf(dir, _)))
+      // same segmented-append shape as [[commit]]: batch bulk in new
+      // segments once, head bulk carried as pointers
+      val cov = coversOf(newStats)
+      val newSeg = segLine(dir, newFiles, cov)
+      val newStatsSeg = segLine(dir, newStats, cov)
+      var headAt: Option[Int] = None
+      val v = publishOnHead(dir) { (head, _) =>
+        headAt = head
         s"#ts=${now()}" +: (delLinesOf(dir, head) ++
-          eqDelLinesOf(dir, head) ++ base ++ newFiles)
+          eqDelLinesOf(dir, head) ++ carryManifest(dir, head) ++ newSeg)
       }
-      io.writeLines(statsPath(dir, v), carried ++ newStats)
+      io.writeLines(statsPath(dir, v),
+        carrySidecar(dir, headAt) ++ newStatsSeg)
       v
     }
   }
@@ -915,23 +1168,18 @@ class VersionedTableOps(protected val io: TableIO) {
     * filters) are ignored — absent stats degrade to keeping the file,
     * never to a misread bound. */
   private def statsOf(dir: String, version: Int,
-                      column: String): Map[String, (String, String, String)] = {
-    val p = statsPath(dir, version)
-    if (!io.exists(p)) Map.empty
-    else io.readLines(p)
+                      column: String): Map[String, (String, String, String)] =
+    sidecarLines(dir, version)
       .map(_.split('\t').toSeq)
       .collect { case Seq(f, c, tag, lo, hi)
         if c == column && tag != "bloom" => f -> ((tag, lo, hi))
       }
       .toMap
-  }
 
   /** (file → (mBits, k, bitset)) bloom lines for `col` at `version`. */
   private def bloomsOf(dir: String, version: Int, column: String)
-      : Map[String, (Int, Int, java.util.BitSet)] = {
-    val p = statsPath(dir, version)
-    if (!io.exists(p)) Map.empty
-    else io.readLines(p)
+      : Map[String, (Int, Int, java.util.BitSet)] =
+    sidecarLines(dir, version)
       .map(_.split('\t').toSeq)
       .collect { case Seq(f, c, "bloom", cfg, b64) if c == column =>
         val Array(m, k) = cfg.split(':').map(_.toInt)
@@ -939,7 +1187,6 @@ class VersionedTableOps(protected val io: TableIO) {
           java.util.Base64.getDecoder.decode(b64))))
       }
       .toMap
-  }
 
   /** Does a file with stored stats (tag, mn, mx) possibly intersect the
     * query range [lo, hi]? Typed comparison per tag family; any mismatch
@@ -1001,16 +1248,7 @@ class VersionedTableOps(protected val io: TableIO) {
   private[graft] def prunedFilesPushed(spark: SparkSession, dir: String,
       version: Int, ranges: Seq[(String, Option[Any], Option[Any])],
       eqs: Seq[(String, Seq[Any])]): Seq[String] = {
-    var keep = filesOf(dir, version)
-    if (ranges.nonEmpty) {
-      val statsByCol = ranges.map(_._1).distinct
-        .map(c => c -> statsOf(dir, version, c)).toMap
-      keep = keep.filter { f =>
-        ranges.forall { case (c, lo, hi) =>
-          statsByCol(c).get(f).forall(mayIntersectOpt(_, lo, hi))
-        }
-      }
-    }
+    val keep = rangePruned(dir, version, ranges)
     eqs.foldLeft(keep) { case (acc, (c, vs)) =>
       val admit = prunedFilesEq(spark, dir, version, c, vs).toSet
       acc.filter(admit)
@@ -1100,25 +1338,67 @@ class VersionedTableOps(protected val io: TableIO) {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val v = version.getOrElse(vs.last)
-    val stats = statsOf(dir, v, column)
-    val keep = filesOf(dir, v).filter { f =>
-      stats.get(f).forall(mayIntersect(_, lo, hi))
-    }
+    val keep = prunedFiles(dir, v, column, lo, hi)
     if (keep.isEmpty) read(spark, dir, Some(v)).limit(0)
     // the full delete set is applied — vectors for pruned files simply
     // match nothing (anti-join keys are file paths)
     else readLive(spark, dir, v, keep)
   }
 
+  /** Candidate file lines of a version with SEGMENT-LEVEL skipping: a
+    * pointer whose recorded cover satisfies `drop` loses its whole
+    * segment UNREAD — the manifest-list move that makes selective
+    * planning O(matching segments + headers) instead of O(table files).
+    * `drop` must be sound against a TRUE cover (covers enclose every
+    * payload file's range by construction), so dropping never violates
+    * the superset guarantee. */
+  private def coverPrunedFiles(dir: String, version: Int,
+      drop: Map[String, (String, String, String)] => Boolean)
+      : Seq[String] =
+    io.readLines(manifestPath(dir, version)).flatMap { l =>
+      if (segRef(l)) {
+        if (drop(segCovers(l))) Seq.empty else readSegment(segPath(l))
+      } else Seq(l)
+    }.filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** Range-pruned files: segment-level cover skip, then per-file stats
+    * refinement — the sidecar's disjoint segments are skipped by the
+    * same covers (their files are already out of the candidate list). */
+  private def rangePruned(dir: String, version: Int,
+      ranges: Seq[(String, Option[Any], Option[Any])]): Seq[String] = {
+    def disjoint(covers: Map[String, (String, String, String)]): Boolean =
+      ranges.exists { case (c, lo, hi) =>
+        covers.get(c).exists(cov => !mayIntersectOpt(cov, lo, hi))
+      }
+    val candidates = coverPrunedFiles(dir, version, disjoint)
+    if (ranges.isEmpty) return candidates
+    val sp = statsPath(dir, version)
+    val statLines =
+      if (!io.exists(sp)) Seq.empty
+      else io.readLines(sp).flatMap { l =>
+        if (segRef(l)) {
+          if (disjoint(segCovers(l))) Seq.empty else readSegment(segPath(l))
+        } else Seq(l)
+      }
+    val cols = ranges.map(_._1).toSet
+    val statsByCol = statLines.map(_.split('	').toSeq).collect {
+      case Seq(f, c, tag, lo, hi) if cols.contains(c) && tag != "bloom" =>
+        (c, f, (tag, lo, hi))
+    }.groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(x => (x._2, x._3)).toMap }
+    candidates.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        statsByCol.get(c).flatMap(_.get(f))
+          .forall(mayIntersectOpt(_, lo, hi))
+      }
+    }
+  }
+
   /** Files `prunedRead` would scan — exposed so specs (and operators) can
     * assert the skipping itself, not just result correctness. */
   private[graft] def prunedFiles(dir: String, version: Int, column: String,
-                                 lo: Any, hi: Any): Seq[String] = {
-    val stats = statsOf(dir, version, column)
-    filesOf(dir, version).filter { f =>
-      stats.get(f).forall(mayIntersect(_, lo, hi))
-    }
-  }
+                                 lo: Any, hi: Any): Seq[String] =
+    rangePruned(dir, version, Seq((column, Option(lo), Option(hi))))
 
   /** Multi-predicate file skipping: a file survives only if EVERY
     * (column, lo, hi) range may intersect its stats — the conjunctive
@@ -1138,15 +1418,9 @@ class VersionedTableOps(protected val io: TableIO) {
   }
 
   private[graft] def prunedFilesAll(dir: String, version: Int,
-      predicates: Seq[(String, Any, Any)]): Seq[String] = {
-    val statsByCol = predicates.map(_._1).distinct
-      .map(c => c -> statsOf(dir, version, c)).toMap
-    filesOf(dir, version).filter { f =>
-      predicates.forall { case (c, lo, hi) =>
-        statsByCol(c).get(f).forall(mayIntersect(_, lo, hi))
-      }
-    }
-  }
+      predicates: Seq[(String, Any, Any)]): Seq[String] =
+    rangePruned(dir, version,
+      predicates.map { case (c, lo, hi) => (c, Option(lo), Option(hi)) })
 
   // ---- bloom-filter file skipping (point lookups / IN-lists) ----
 
@@ -1221,7 +1495,13 @@ class VersionedTableOps(protected val io: TableIO) {
       version: Int, column: String, values: Seq[Any]): Seq[String] = {
     require(values.nonEmpty && values.forall(_ != null),
       "equality pruning needs non-null probe values")
-    val files = filesOf(dir, version)
+    // segment-level skip first: a segment whose cover excludes EVERY
+    // probe value cannot hold a match — dropped unread, same soundness
+    // as the range path (covers are true enclosures)
+    val files = coverPrunedFiles(dir, version, covers =>
+      covers.get(column).exists(cov =>
+        values.forall(v => !mayIntersect(cov, v, v))))
+    if (files.isEmpty) return files
     val blooms = bloomsOf(dir, version, column)
     val stats = statsOf(dir, version, column)
     // a bucket transform on the probed column adds a third pruning
@@ -1327,20 +1607,19 @@ class VersionedTableOps(protected val io: TableIO) {
     else prunedRead(spark, factDir, factCol, r.get(0), r.get(1), version)
   }
 
-  /** The `#`-prefixed metadata header lines of a version's manifest. */
+  /** The `#`-prefixed metadata header lines of a version's manifest
+    * (segment pointers are storage layout, not headers — excluded). */
   private def metaOf(dir: String, version: Int): Seq[String] =
-    io.readLines(manifestPath(dir, version)).filter(_.startsWith("#"))
+    io.readLines(manifestPath(dir, version))
+      .filter(l => l.startsWith("#") && !segRef(l))
 
   /** Column names a version's stats file covers (empty if none). The
     * `#` pseudo-column (per-file row counts) is table metadata, not a
     * stats-tracked column — inheriting it into a statsLines scan would
     * try to aggregate a column that doesn't exist. */
-  private def statColsOf(dir: String, version: Int): Seq[String] = {
-    val p = statsPath(dir, version)
-    if (!io.exists(p)) Seq.empty
-    else io.readLines(p).map(_.split('\t'))
+  private def statColsOf(dir: String, version: Int): Seq[String] =
+    sidecarLines(dir, version).map(_.split('\t'))
       .collect { case a if a.length >= 2 && a(1) != "#" => a(1) }.distinct
-  }
 
   /** Bin-pack compaction — the maintenance op a streaming landing needs
     * most: after 10^5 [[commitOnce]] micro-batches the head manifest
@@ -2209,7 +2488,10 @@ class VersionedTableOps(protected val io: TableIO) {
       (v,
         lines.collectFirst { case l if l.startsWith("#ts=") =>
           l.drop(4).toLong },
-        lines.count(l => l.nonEmpty && !l.startsWith("#")).toLong,
+        // file count needs the spliced view — data-file lines may live in
+        // segments; every header this view reports stays inline
+        manifestLines(dir, v)
+          .count(l => l.nonEmpty && !l.startsWith("#")).toLong,
         lines.count(_.startsWith("#del=")).toLong,
         lines.collectFirst { case l if l.startsWith("#txn=") => l.drop(5) })
     }.toDF("version", "ts_millis", "n_files", "n_delete_files", "txn_id")
@@ -2380,8 +2662,11 @@ class VersionedTableOps(protected val io: TableIO) {
     require(versions(bd).isEmpty, s"branch '$name' already exists at $dir")
     io.mkdirs(bd)
     io.writeLines(s"$bd/BRANCH", Seq(s"#fork=$dir@$v", s"#ts=${now()}"))
+    // pointer carry across lineages: segments are absolute-pathed and
+    // immutable, so a fork is O(pointers) — the parent's [[expire]] pins
+    // segments any live branch still references, exactly like data files
     publish(bd, 1, Seq(s"#fork=$v", s"#ts=${now()}") ++
-      delLinesOf(dir, Some(v)) ++ filesOf(dir, v))
+      delLinesOf(dir, Some(v)) ++ carryManifest(dir, Some(v)))
     val sp = statsPath(dir, v)
     if (io.exists(sp)) io.writeLines(statsPath(bd, 1), io.readLines(sp))
     bd
@@ -2436,14 +2721,27 @@ class VersionedTableOps(protected val io: TableIO) {
       s"$dir advanced past the fork point v$fork; not a fast-forward — " +
         s"re-fork from the new head and replay the branch work")
     io.mkdirs(manifestDir(dir))
-    val lines = Seq(s"#ts=${now()}") ++ delLinesOf(bd, Some(bh)) ++
-      filesOf(bd, bh)
+    // ownership boundary: the branch's metadata may reference BRANCH-local
+    // segments, which retireBranch will delete — expand and re-segment
+    // into the PARENT's segment store so the promoted head owns its
+    // metadata outright (one O(branch-metadata) copy at promote time)
+    val bhFiles = filesOf(bd, bh)
+    val fileLines =
+      if (bhFiles.length >= foldInlineAt(dir))
+        Seq(SegPrefix + writeSegment(dir, bhFiles))
+      else bhFiles
+    val lines = Seq(s"#ts=${now()}") ++ delLinesOf(bd, Some(bh)) ++ fileLines
     if (!io.createExclusive(manifestPath(dir, fork + 1), lines))
       throw new java.util.ConcurrentModificationException(
         s"$dir advanced during fast-forward of '$name'; re-fork and replay")
-    val sp = statsPath(bd, bh)
-    if (io.exists(sp)) io.writeLines(statsPath(dir, fork + 1),
-      io.readLines(sp))
+    val bhStats = sidecarLines(bd, bh)
+    if (bhStats.nonEmpty) {
+      val statLines =
+        if (bhStats.length >= foldInlineAt(dir))
+          Seq(SegPrefix + writeSegment(dir, bhStats))
+        else bhStats
+      io.writeLines(statsPath(dir, fork + 1), statLines)
+    }
     // ownership flip: the parent references the branch's files now
     publish(bd, bh + 1, Seq(s"#promoted=$dir", s"#ts=${now()}") ++
       delLinesOf(bd, Some(bh)) ++ filesOf(bd, bh))
@@ -2507,10 +2805,9 @@ class VersionedTableOps(protected val io: TableIO) {
         s"on staging before promoting (seq scoping does not transfer)")
     val fromFiles = filesOf(fromDir, fv)
     val fromDels = delLinesOf(fromDir, Some(fv))
-    val fromStats = {
-      val p = statsPath(fromDir, fv)
-      if (io.exists(p)) io.readLines(p) else Seq.empty
-    }
+    // EXPANDED copy, not pointer carry: retire() deletes the staging
+    // table's segment files, so the promoted-to sidecar must own its lines
+    val fromStats = sidecarLines(fromDir, fv)
     // a promotion lands rows the destination never validated: its CHECK
     // constraints apply to the staged LIVE view (audit deletes applied)
     // like any other commit — one scan, the price of constraints the
@@ -2565,6 +2862,14 @@ class VersionedTableOps(protected val io: TableIO) {
       io.delete(manifestPath(dir, v))
       io.delete(statsPath(dir, v))
     }
+    // metadata segments die with the manifests that referenced them —
+    // promotion and fast-forward both copy EXPANDED (or re-segmented
+    // destination-owned) metadata, so nothing outside this directory can
+    // point at them
+    io.list(segsDir(dir)).foreach { n =>
+      val p = s"${segsDir(dir)}/$n"
+      segCache.remove(p); io.delete(p)
+    }
   }
 
   /** Delete data/vector files referenced by NO manifest — the debris a
@@ -2597,6 +2902,18 @@ class VersionedTableOps(protected val io: TableIO) {
         .filter(d => newestMtime(d) < cutoff)
         .foreach { d => deleteTree(d); removed += 1 }
     }
+    // metadata-segment debris: a segment written for a publish that never
+    // happened (crashed commit, OCC-retry fold) is referenced by no
+    // manifest/sidecar of this table or its branches — sweep like data.
+    // Branch refs matter here too: a fork points at parent-dir segments.
+    val segRefs = (versions(dir).flatMap(v => segRefsOf(dir, v)) ++
+      branches(dir).flatMap { b =>
+        val bd = branchDir(dir, b)
+        versions(bd).flatMap(v => segRefsOf(bd, v))
+      }).toSet
+    io.list(segsDir(dir)).map(n => s"${segsDir(dir)}/$n")
+      .filter(p => !segRefs.contains(p) && io.mtime(p) < cutoff)
+      .foreach { p => segCache.remove(p); io.delete(p); removed += 1 }
     removed
   }
 
@@ -2692,8 +3009,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val v = version.getOrElse(vs.last)
-    val p = statsPath(dir, v)
-    val lines = if (io.exists(p)) io.readLines(p) else Seq.empty
+    val lines = sidecarLines(dir, v)
     // the `#` rows pseudo-column is surfaced by [[filesMeta]]/[[fastCount]],
     // not as a stats bound — this view is the PRUNING metadata
     val parsed = lines.map(_.split('\t').toSeq).collect {
@@ -2783,12 +3099,21 @@ class VersionedTableOps(protected val io: TableIO) {
     val deadFiles = dead.flatMap(v =>
       filesOf(dir, v) ++ delFilesOf(dir, v) ++
         eqDelsOf(dir, v).map(_._3)).toSet -- liveFiles
+    // metadata segments GC exactly like data files: live while any
+    // retained manifest/sidecar (or a live branch's) points at them
+    val branchSegs = branches(dir).flatMap { b =>
+      val bd = branchDir(dir, b)
+      versions(bd).flatMap(v => segRefsOf(bd, v))
+    }.toSet
+    val liveSegs = kept.flatMap(v => segRefsOf(dir, v)).toSet ++ branchSegs
+    val deadSegs = dead.flatMap(v => segRefsOf(dir, v)).toSet -- liveSegs
     // manifests first: a crash mid-expire must never leave a manifest
     // pointing at deleted files
     dead.foreach { v =>
       io.delete(manifestPath(dir, v))
       io.delete(statsPath(dir, v))
     }
+    deadSegs.foreach { p => segCache.remove(p); io.delete(p) }
     deadFiles.foreach(io.delete)
     // hygiene: a batch dir whose parquet files are all gone keeps only
     // write markers — drop them and the dir (leaving them accumulates

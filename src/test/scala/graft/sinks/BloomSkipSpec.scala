@@ -54,7 +54,7 @@ class BloomSkipSpec extends SparkSpec {
     val mBits = 1 << 14
     val v = scattered(dir, 5000, 4)
     ops.writeBlooms(spark, dir, v, Seq("id"), mBits = mBits)
-    val lines = backend.readLines(s"$dir/manifests/s$v")
+    val lines = ops.sidecarLines(dir, v)
       .map(_.split('\t').toSeq)
       .collect { case Seq(_, "id", "bloom", cfg, b64) => (cfg, b64) }
     assert(lines.size == 4, s"expected 4 bloom lines, got ${lines.size}")

@@ -16,10 +16,10 @@ class DeleteVectorSpec extends SparkSpec {
   private val backend: TableIO = TableIO.local
   private lazy val ops = new VersionedTableOps(backend)
 
-  /** Data-file lines of a version's manifest, read raw — the spec asserts
-    * on the protocol artifact itself, not through the API under test. */
+  /** Data-file lines of a version's manifest — the spliced protocol view
+    * (bulk lines may live in `#seg=` segments; headers stay inline). */
   private def manifestFiles(dir: String, v: Int): Seq[String] =
-    backend.readLines(s"$dir/manifests/v$v")
+    ops.manifestLines(dir, v)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
   private def delFiles(dir: String, v: Int): Seq[String] =

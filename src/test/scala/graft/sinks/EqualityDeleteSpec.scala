@@ -28,7 +28,7 @@ class EqualityDeleteSpec extends SparkSpec {
   test("deleteByKeys erases by key with zero data files scanned or written") {
     val dir = tmpDir("eq-basic")
     val v1 = ops.commit(ids(0, 1000).repartition(2), dir)
-    val files = backend.readLines(s"$dir/manifests/v$v1")
+    val files = ops.manifestLines(dir, v1)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
     val sizes = files.map(f => f -> backend.size(f)).toMap
     val dataDirs = backend.list(s"$dir/data").size
@@ -115,7 +115,7 @@ class EqualityDeleteSpec extends SparkSpec {
       "compact must materialize equality deletes, not carry dead lines")
     assert(ops.read(spark, dir, Some(vC)).collect().toSet == before)
     // the deleted keys are PHYSICALLY absent from the rewritten files now
-    val files = backend.readLines(s"$dir/manifests/v$vC")
+    val files = ops.manifestLines(dir, vC)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
     val raw = spark.read.parquet(files: _*)
     assert(raw.filter(col("id").isin(20L, 30L)).count() == 0)

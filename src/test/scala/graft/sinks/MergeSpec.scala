@@ -16,7 +16,7 @@ class MergeSpec extends SparkSpec {
   private lazy val ops = new VersionedTableOps(backend)
 
   private def manifestFiles(dir: String, v: Int): Seq[String] =
-    backend.readLines(s"$dir/manifests/v$v")
+    ops.manifestLines(dir, v)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
   private def delFiles(dir: String, v: Int): Seq[String] =

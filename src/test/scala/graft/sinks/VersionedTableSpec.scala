@@ -561,10 +561,10 @@ class VersionedTableSpec extends VersionedTableBehavior {
       .filter($"x".between(100.0, 199.0))
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
     // second clustered commit: v1's stats lines carry forward verbatim
-    val s1 = backend.readLines(s"$dir/manifests/s$v1")
+    val s1 = VersionedTable.sidecarLines(dir, v1)
     val v2 = VersionedTable.commitClustered(batch(30000, 40000), dir,
       zCols = Seq("x", "y"), statCols = Seq("x", "y"), numFiles = 8)
-    val s2 = backend.readLines(s"$dir/manifests/s$v2")
+    val s2 = VersionedTable.sidecarLines(dir, v2)
     assert(s1.forall(s2.contains), "carried stats lines missing")
     // + files × (cols + the per-file `rows` metadata line) new lines
     assert(s2.size == s1.size + 8 * (2 + 1))

@@ -37,7 +37,7 @@ class MergeStreamSpec extends SparkSpec {
     ops.commitClustered(
       spark.range(0, 8000).select(col("id"), (col("id") * 2).as("payload")),
       dir, zCols = Seq("id"), statCols = Seq("id"), numFiles = 8)
-    val before = backend.readLines(s"$dir/manifests/v1")
+    val before = ops.manifestLines(dir, 1)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
     // changes confined to the low-id band: update 0..20, delete 30..50
     val changes = spark.range(0, 20)
@@ -46,7 +46,7 @@ class MergeStreamSpec extends SparkSpec {
         .select(col("id"), lit(0L).as("payload"), lit("d").as("op")))
     val v = ops.mergeChanges(spark, dir, changes, "id")
     assert(ops.versions(dir) == Seq(1, v), "must be exactly one commit")
-    val after = backend.readLines(s"$dir/manifests/v$v")
+    val after = ops.manifestLines(dir, v)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
     assert(before.filter(after.contains).size == before.size - 1,
       "changes in one file's range must rewrite one file")
