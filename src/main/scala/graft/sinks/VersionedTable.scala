@@ -2412,6 +2412,20 @@ class VersionedTableOps(protected val io: TableIO) {
     * incremental consumer downstream. */
   def readChanges(spark: SparkSession, dir: String,
                   fromVersion: Int, toVersion: Int): DataFrame = {
+    val added = changedFiles(dir, fromVersion, toVersion)
+    if (added.isEmpty) read(spark, dir, Some(toVersion)).limit(0)
+    else spark.read.parquet(added: _*)
+  }
+
+  /** The files APPENDED between `fromVersion` (exclusive) and
+    * `toVersion` (inclusive), with [[readChanges]]'s pure-append
+    * soundness checks enforced loudly — the resolution seam the SQL
+    * `#changes=` fragment shares with the Scala API, so both surfaces
+    * refuse the same rewrites identically. Deletes present at
+    * fromVersion reference fromVersion's files only, never the added
+    * slice — the result needs no delete application. */
+  private[graft] def changedFiles(dir: String, fromVersion: Int,
+                                  toVersion: Int): Seq[String] = {
     val vs = versions(dir)
     require(vs.contains(fromVersion) && vs.contains(toVersion),
       s"versions [$fromVersion, $toVersion] not both in $vs")
@@ -2434,11 +2448,7 @@ class VersionedTableOps(protected val io: TableIO) {
       s"equality deletes changed between v$fromVersion and v$toVersion — " +
         s"rows were REMOVED, not just appended; incremental reads are only " +
         s"sound over pure appends (fall back to a snapshot diff)")
-    // deletes present at fromVersion reference files of fromVersion only,
-    // never the added files — the added slice needs no delete application
-    val added = to.filterNot(from)
-    if (added.isEmpty) read(spark, dir, Some(toVersion)).limit(0)
-    else spark.read.parquet(added: _*)
+    to.filterNot(from)
   }
 
   /** Change-data feed between ANY two snapshots — the keyed diff

@@ -114,6 +114,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private case object RefHistory extends Ref
   private case object RefFiles extends Ref
   private case object RefPartitions extends Ref
+  private case class RefChanges(from: Int, to: Int) extends Ref
 
   private def parseRef(raw: String): (String, Ref) = {
     val i = raw.lastIndexOf('#')
@@ -126,6 +127,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         (raw.substring(0, i), RefBranch(s.drop(7)))
       case s if s.startsWith("tag=") && s.length > 4 =>
         (raw.substring(0, i), RefTag(s.drop(4)))
+      case s if s.startsWith("changes=") =>
+        // `#changes=A..B`: the rows appended between version A
+        // (exclusive) and B (inclusive) — a malformed range refuses
+        // loudly rather than degrading to a silent whole-table read
+        s.drop(8).split("""\.\.""", -1) match {
+          case Array(a, b) if a.nonEmpty && b.nonEmpty &&
+              a.forall(_.isDigit) && b.forall(_.isDigit) =>
+            (raw.substring(0, i), RefChanges(a.toInt, b.toInt))
+          case _ => throw new IllegalArgumentException(
+            s"malformed changes fragment '#$s' — expected " +
+              "'#changes=<fromVersion>..<toVersion>'")
+        }
       case _ => (raw, RefHead)
     }
   }
@@ -150,6 +163,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case RefHistory | RefFiles | RefPartitions =>
         throw new UnsupportedOperationException(
           "metadata views do not time-travel; drop the AS OF clause")
+      case RefChanges(_, _) =>
+        throw new UnsupportedOperationException(
+          "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
     }
   }
 
@@ -171,6 +187,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
         return new GraftMetaTable(s"$catName.$base#partitions",
           () => ops.partitionsMeta(spark, base))
+      case (base, RefChanges(a, b)) =>
+        require(pinned.isEmpty,
+          "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
+        if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
+        // the appended slice is a plain file list: serve it through the
+        // SAME pruning scan as any snapshot (pushdown, stats skipping,
+        // covers — scoped to version B's sidecar), read-only. The
+        // pure-append soundness checks live in changedFiles and refuse
+        // identically to the Scala readChanges.
+        val added = ops.changedFiles(base, a, b)
+        val declaredC = ops.declaredSchema(base)
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        if (added.isEmpty)
+          return new GraftMetaTable(s"$catName.$base#changes=$a..$b",
+            () => ops.read(spark, base, Some(b)).limit(0))
+        return new GraftTable(s"$catName.$base#changes=$a..$b", spark,
+          catName, base, b, added, debt = false, declaredC,
+          readOnly = true)
       case _ => ()
     }
     // a tag-pinned handle is read-only: a "write to a tag" would land on
@@ -224,6 +258,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case (base, RefTag(t)) => ops.tags(base).contains(t)
       case (base, RefHistory | RefFiles | RefPartitions) =>
         ops.versions(base).nonEmpty
+      case (base, RefChanges(a, b)) =>
+        val vs = ops.versions(base)
+        vs.contains(a) && vs.contains(b)
     }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -544,6 +581,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         "of (vec_id, embedding) views; the brute baseline of the ANN stack")(
       (s, a) => ops.commit(graft.ext.Similarity.bruteForceTopK(
         s.table(a(0)), s.table(a(1)), a(3).toInt), a(2), append = false)),
+    Proc("change_feed", Seq("src_dir", "out_dir", "key", "from_version",
+      "to_version"),
+      "Land the keyed CDC diff between two snapshots (op = i/u/d, " +
+        "after-image for i/u, before-image for d) as out_dir's new " +
+        "snapshot — works across overwrites/deletes/compactions, " +
+        "unlike the pure-append '#changes=' fragment")(
+      (s, a) => ops.commit(
+        ops.changeFeed(s, a(0), a(2), a(3).toInt, a(4).toInt),
+        a(1), append = false)),
     Proc("curate", Seq("docs_view", "eval_view", "out_dir", "threshold",
       "max_df"),
       "Land per-doc curation survival flags (q_ok, is_dup, is_cont) — " +
@@ -1689,7 +1735,77 @@ object GraftCatalog {
          |GROUP BY a.event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q_sql_changes — incremental consumption from SQL: the
+    * `#changes=A..B` ref fragment serves exactly the rows appended
+    * between two pinned versions, through the SAME pruning scan builder
+    * as any snapshot (pushdown + file skipping against version B's
+    * sidecar), read-only. In-query pins: an empty range serves zero
+    * rows, and a lineage with an overwrite in range REFUSES with the
+    * same pure-append message as the Scala [[VersionedTable.readChanges]]
+    * — silently serving rewritten rows as "new" would corrupt every
+    * downstream incremental consumer. */
+  def qSqlChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqlchg_")
+    VersionedTable.commit(ev.filter(col("event_id") % 3 === 0), dir)
+    VersionedTable.commit(ev.filter(col("event_id") % 3 === 1), dir)
+    VersionedTable.commit(ev.filter(col("event_id") % 3 === 2), dir)
+    require(spark.sql(s"SELECT * FROM graft.`$dir#changes=2..2`")
+      .count() == 0, "an empty changes range must serve zero rows")
+    val (ev2, dir2) = eventsTmp(spark, sfDir, "graft_sqlchg2_")
+    VersionedTable.commit(ev2.filter(col("event_id") % 100 === 0), dir2)
+    VersionedTable.commit(ev2.filter(col("event_id") % 100 === 1), dir2,
+      append = false) // overwrite: non-append lineage
+    val refused = scala.util.Try(
+      spark.sql(s"SELECT * FROM graft.`$dir2#changes=1..2`").collect())
+    require(refused.isFailure &&
+      refused.failed.get.getMessage.contains("pure appends"),
+      "a non-append range must refuse through SQL like readChanges does")
+    spark.sql(s"SELECT * FROM graft.`$dir#changes=1..3`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q_sql_change_feed — q_change_feed's snapshot CDC driven through
+    * `CALL graft.change_feed`: the keyed i/u/d diff between two
+    * snapshots (after-images for i/u, before-image for d — across an
+    * overwrite, which the pure-append `#changes=` fragment rightly
+    * refuses) lands as a table, and the feed reads back through the
+    * catalog — same oracle as the Scala twin. */
+  def qSqlChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(
+        o.select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+          .filter(col("o_orderkey") % 11 === 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcdf_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    val out = s"$tmp/feed"
+    VersionedTable.commit(o, dir)
+    VersionedTable.commit(v2, dir, append = false)
+    val res = spark.sql(
+      s"CALL graft.change_feed('$dir', '$out', 'o_orderkey', '1', '2')")
+    require(res.collect().map(_.getInt(0)).toSeq == Seq(1),
+      "change_feed must return the out table's committed version")
+    spark.sql(s"SELECT * FROM graft.`$out`")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("op"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_changes" -> (qSqlChanges _),
+    "q_sql_change_feed" -> (qSqlChangeFeed _),
     "q_sql_spj" -> (qSqlSpj _),
     "q_sql_fastagg" -> (qSqlFastAgg _),
     "q_sql_dpp" -> (qSqlDpp _),
@@ -1707,6 +1823,16 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_changes" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE event_id % 3 <> 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // the CALL drives the exact q_change_feed surface — shared oracle
+    "q_sql_change_feed" -> VersionedTable.oracles("q_change_feed"),
     "q_sql_spj" ->
       """WITH b AS (SELECT event_id, value * 2 AS boost FROM events
         |           WHERE event_id % 3 = 0)

@@ -535,4 +535,60 @@ class GraftCatalogSpec extends SparkSpec {
         s"missing=${(expect -- landed).size}")
     assert(dropIds.nonEmpty, "test corpus has no near-dups — inert test")
   }
+
+  test("'#changes=A..B' serves the appended slice read-only; refusals " +
+    "mirror readChanges") {
+    register()
+    val dir = tmpDir("gc-changes")
+    ops.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir)
+    ops.commit(Seq((3L, "c")).toDF("id", "k"), dir)
+    ops.commit(Seq((4L, "d"), (5L, "e")).toDF("id", "k"), dir)
+    // the slice: rows of v2+v3, never v1's
+    val got = spark.sql(s"SELECT id FROM graft.`$dir#changes=1..3`")
+      .as[Long].collect().toSet
+    assert(got == Set(3L, 4L, 5L))
+    // empty range
+    assert(spark.sql(s"SELECT * FROM graft.`$dir#changes=2..2`")
+      .count() == 0)
+    // AS OF cannot re-pin a pinned range
+    val asOf = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#changes=1..3` VERSION AS OF 2")
+        .collect()
+    }
+    assert(asOf.getMessage.contains("pins both endpoints"))
+    // the handle is read-only: INSERT must refuse rather than land on
+    // some surprise lineage
+    val ins = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir#changes=1..3` VALUES (9, 'z')")
+    }
+    assert(ins.getMessage.toLowerCase.contains("read-only") ||
+      ins.getMessage.toLowerCase.contains("does not support"))
+    // malformed range refuses loudly instead of degrading to a head read
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#changes=1..`").collect()
+    }
+    assert(bad.getMessage.contains("malformed changes fragment"))
+    // non-append lineage refuses with the Scala API's message
+    val dir2 = tmpDir("gc-changes-ow")
+    ops.commit(Seq((1L, "a")).toDF("id", "k"), dir2)
+    ops.commit(Seq((2L, "b")).toDF("id", "k"), dir2, append = false)
+    val ow = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir2#changes=1..2`").collect()
+    }
+    assert(ow.getMessage.contains("pure appends"))
+  }
+
+  test("CALL change_feed lands the keyed i/u/d diff as a table") {
+    register()
+    val dir = tmpDir("gc-cdf")
+    val out = tmpDir("gc-cdf-out") + "/feed"
+    ops.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), dir)
+    ops.commit(Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("id", "v"), dir,
+      append = false) // update 2, delete 3, insert 4 — across an overwrite
+    spark.sql(s"CALL graft.change_feed('$dir', '$out', 'id', '1', '2')")
+    val feed = spark.sql(s"SELECT id, v, op FROM graft.`$out`")
+      .as[(Long, Double, String)].collect().toSet
+    assert(feed == Set((2L, 25.0, "u"), (3L, 30.0, "d"), (4L, 40.0, "i")),
+      s"feed mismatch: $feed")
+  }
 }
