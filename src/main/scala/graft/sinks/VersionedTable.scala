@@ -140,6 +140,9 @@ class VersionedTableOps(protected val io: TableIO) {
     * unpublished data batch. */
   private def writeSegment(dir: String, lines: Seq[String]): String = {
     require(!lines.exists(segRef), "segments must not nest")
+    require(!lines.exists(_.startsWith("#rows=")),
+      "row-total headers live in the raw sidecar only (readers never " +
+        "open segments to find them)")
     io.mkdirs(segsDir(dir))
     val p = s"${segsDir(dir)}/${java.util.UUID.randomUUID}"
     io.writeLines(p, lines)
@@ -242,11 +245,15 @@ class VersionedTableOps(protected val io: TableIO) {
   private[graft] def manifestLines(dir: String, v: Int): Seq[String] =
     expandSegs(io.readLines(manifestPath(dir, v)))
 
-  /** The version's stats sidecar with segments spliced in (empty when
-    * absent) — what every stats consumer reads. */
+  /** The version's stats sidecar PAYLOAD with segments spliced in (empty
+    * when absent) — what every stats consumer reads. The `#rows=` totals
+    * header is metadata about the payload, not payload: it is excluded
+    * here and read via [[rowsHeaderOf]] (raw, O(1)) instead. */
   private[graft] def sidecarLines(dir: String, v: Int): Seq[String] = {
     val p = statsPath(dir, v)
-    if (!io.exists(p)) Seq.empty else expandSegs(io.readLines(p))
+    if (!io.exists(p)) Seq.empty
+    else expandSegs(io.readLines(p))
+      .filterNot(_.startsWith("#rows="))
   }
 
   /** Segment paths version `v` references (manifest AND sidecar) — the
@@ -281,7 +288,10 @@ class VersionedTableOps(protected val io: TableIO) {
       val sp = statsPath(dir, hv)
       if (!io.exists(sp)) Seq.empty
       else {
+        // the row-total header NEVER carries implicitly: the committing
+        // op re-emits a freshly-maintained one or none at all
         val raw = io.readLines(sp)
+          .filterNot(_.startsWith(RowsHeaderPrefix))
         foldCarry(dir, raw.filter(segRef),
           raw.filterNot(l => segRef(l) || l.isEmpty))
       }
@@ -317,6 +327,73 @@ class VersionedTableOps(protected val io: TableIO) {
                         Map.empty): Seq[String] =
     if (payload.isEmpty) Seq.empty
     else Seq(SegPrefix + writeSegment(dir, payload) + coverSuffix(covers))
+
+  // ── Snapshot row totals ───────────────────────────────────────────────
+  // `#rows=<dataRows>\t<delRows>` sidecar header: the snapshot's exact
+  // live-count ingredients, maintained INCREMENTALLY by every commit path
+  // (append adds its batch, a delete adds its vector's rows, a rewrite
+  // re-derives from the complete stats it already holds) — the snapshot-
+  // summary move. COUNT(*) and plan-time statistics then read ONE raw
+  // header line instead of folding O(table-files) rows lines. The header
+  // lives ONLY in the raw sidecar (never inside a segment), is stripped
+  // by every carry (a stale total must never ride implicitly), and its
+  // ABSENCE is always legal: legacy tables and incomplete rows coverage
+  // fall back to the per-file fold, exactness preserved either way.
+  private val RowsHeaderPrefix = "#rows="
+  private def rowsHeaderLine(data: Long, del: Long): String =
+    s"$RowsHeaderPrefix$data\t$del"
+
+  /** The recorded (dataRows, delVectorRows) totals of a version, if its
+    * sidecar carries the header. Raw read — O(pointers), no segment IO. */
+  private[graft] def rowsHeaderOf(dir: String, v: Int): Option[(Long, Long)] = {
+    val p = statsPath(dir, v)
+    if (!io.exists(p)) None
+    else io.readLines(p).collectFirst {
+      case l if l.startsWith(RowsHeaderPrefix) =>
+        val a = l.drop(RowsHeaderPrefix.length).split('\t')
+        (a(0).toLong, a(1).toLong)
+    }
+  }
+
+  /** Totals of a head being carried forward: the recorded header, or —
+    * for a pre-header table — ONE upgrade fold over the sidecar when its
+    * rows coverage is complete (None otherwise; never footer IO here, an
+    * append must stay metadata-cheap). */
+  private def headerOrUpgrade(dir: String,
+                              h: Option[Int]): Option[(Long, Long)] =
+    h.flatMap { hv =>
+      rowsHeaderOf(dir, hv).orElse {
+        val rows = rowsOf(dir, hv)
+        val fs = filesOf(dir, hv)
+        val dels = delFilesOf(dir, hv)
+        if ((fs.iterator ++ dels.iterator).forall(rows.contains))
+          Some((fs.iterator.map(rows).sum, dels.iterator.map(rows).sum))
+        else None
+      }
+    }
+
+  /** Sum of the `rows` pseudo-column lines in a stats payload. */
+  private def sumRows(lines: Seq[String]): Long =
+    lines.iterator.map(_.split('\t').toSeq).collect {
+      case Seq(_, "#", "rows", n, _) => n.toLong
+    }.sum
+
+  /** Header for a REWRITE path's freshly-built sidecar `lines`: derived
+    * iff they cover every data and delete file of the just-published
+    * version (they do whenever stats maintenance is intact; absence
+    * degrades to the fold, never to a wrong count). */
+  private def derivedHeader(dir: String, v: Int,
+                            lines: Seq[String]): Seq[String] = {
+    val rows = lines.iterator.map(_.split('\t').toSeq).collect {
+      case Seq(f, "#", "rows", n, _) => f -> n.toLong
+    }.toMap
+    val fs = filesOf(dir, v)
+    val dels = delFilesOf(dir, v)
+    if ((fs.iterator ++ dels.iterator).forall(rows.contains))
+      Seq(rowsHeaderLine(fs.iterator.map(rows).sum,
+        dels.iterator.map(rows).sum))
+    else Seq.empty
+  }
 
   /** Bounded retry-against-the-new-head for maintenance ops: every
     * attempt starts from a fresh head resolve, so a
@@ -577,12 +654,20 @@ class VersionedTableOps(protected val io: TableIO) {
         meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
           carryManifest(dir, h) ++ newSeg
       }
-      io.writeLines(statsPath(dir, v), carrySidecar(dir, headAt) ++ newStatsSeg)
+      val hdr = (headAt match {
+        case None => Some((0L, 0L)) // first commit: totals start at zero
+        case some => headerOrUpgrade(dir, some)
+      }).map { case (d, del) =>
+        rowsHeaderLine(d + sumRows(rowsNew), del)
+      }.toSeq
+      io.writeLines(statsPath(dir, v),
+        hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
       v
     } else {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
         meta ++ newFiles)
-      io.writeLines(statsPath(dir, v), rowsNew)
+      io.writeLines(statsPath(dir, v),
+        rowsHeaderLine(sumRows(rowsNew), 0L) +: rowsNew)
       v
     }
   }
@@ -753,8 +838,12 @@ class VersionedTableOps(protected val io: TableIO) {
     // delete vectors never move min/max (stats stay a superset guarantee);
     // the new vector's own row count lands so fastCount can subtract the
     // dead rows from the sidecar alone
+    val delRowLines = rowsLines(spark, newDel)
+    val hdr = headerOrUpgrade(dir, headAt).map { case (d, del) =>
+      rowsHeaderLine(d, del + sumRows(delRowLines))
+    }.toSeq
     io.writeLines(statsPath(dir, v),
-      carrySidecar(dir, headAt) ++ rowsLines(spark, newDel))
+      hdr ++ carrySidecar(dir, headAt) ++ delRowLines)
     v
   }
 
@@ -828,7 +917,8 @@ class VersionedTableOps(protected val io: TableIO) {
       // merge-on-read update: all head files carry, plus the updated
       // copies — pointer carry + one new segment, like an append
       val newSeg = segLine(dir, newFiles, coversOf(rowsNew))
-      val newStatsSeg = segLine(dir, rowsLines(spark, newDel) ++ rowsNew)
+      val delRowLines = rowsLines(spark, newDel)
+      val newStatsSeg = segLine(dir, delRowLines ++ rowsNew)
       var headAt: Option[Int] = None
       val v = publishOnHead(dir) { (h, base) =>
         val missing = referenced -- base.toSet
@@ -848,8 +938,11 @@ class VersionedTableOps(protected val io: TableIO) {
         Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++
           newDel.map(f => s"#del=$f") ++ carryManifest(dir, h) ++ newSeg
       }
+      val hdr = headerOrUpgrade(dir, headAt).map { case (d, del) =>
+        rowsHeaderLine(d + sumRows(rowsNew), del + sumRows(delRowLines))
+      }.toSeq
       io.writeLines(statsPath(dir, v),
-        carrySidecar(dir, headAt) ++ newStatsSeg)
+        hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
       v
     } finally {
       matched.unpersist()
@@ -904,8 +997,13 @@ class VersionedTableOps(protected val io: TableIO) {
       Seq(s"#ts=${now()}") ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
         out.map(f => s"#eqdel=$seq\t$keyCol\t$f") ++ carryManifest(dir, h)
     }
-    // key erasure never moves a file's min/max: superset guarantee holds
-    val carried = carrySidecar(dir, headAt)
+    // key erasure never moves a file's min/max: superset guarantee holds;
+    // the totals carry unchanged — equality deletes are data-dependent
+    // debt (fastCount refuses on them until compact materializes)
+    val hdr = headerOrUpgrade(dir, headAt).map { case (d, del) =>
+      rowsHeaderLine(d, del)
+    }.toSeq
+    val carried = hdr ++ carrySidecar(dir, headAt)
     if (carried.nonEmpty) io.writeLines(statsPath(dir, v), carried)
     // auto-materialize on threshold (the `eqdel.compact.threshold` table
     // property): a CDC-heavy table's eras would otherwise pile up until
@@ -1015,8 +1113,8 @@ class VersionedTableOps(protected val io: TableIO) {
         val a = l.split('\t')
         a.length >= 3 && (a(1) == "#" || a(2) == "bloom")
       }
-    io.writeLines(p,
-      keep ++ statsLines(spark, filesOf(dir, version), statCols))
+    val lines = keep ++ statsLines(spark, filesOf(dir, version), statCols)
+    io.writeLines(p, derivedHeader(dir, version, lines) ++ lines)
   }
 
   /** One stats line per (file, col) over exactly `files` — one grouped
@@ -1143,7 +1241,8 @@ class VersionedTableOps(protected val io: TableIO) {
     if (!append) {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
         s"#ts=${now()}" +: newFiles)
-      io.writeLines(statsPath(dir, v), newStats)
+      io.writeLines(statsPath(dir, v),
+        rowsHeaderLine(sumRows(newStats), 0L) +: newStats)
       v
     } else {
       // same segmented-append shape as [[commit]]: batch bulk in new
@@ -1157,8 +1256,14 @@ class VersionedTableOps(protected val io: TableIO) {
         s"#ts=${now()}" +: (delLinesOf(dir, head) ++
           eqDelLinesOf(dir, head) ++ carryManifest(dir, head) ++ newSeg)
       }
+      val hdr = (headAt match {
+        case None => Some((0L, 0L))
+        case some => headerOrUpgrade(dir, some)
+      }).map { case (d, del) =>
+        rowsHeaderLine(d + sumRows(newStats), del)
+      }.toSeq
       io.writeLines(statsPath(dir, v),
-        carrySidecar(dir, headAt) ++ newStatsSeg)
+        hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
       v
     }
   }
@@ -1735,7 +1840,9 @@ class VersionedTableOps(protected val io: TableIO) {
         liveEq.map { case (s, c, p) => s"#eqdel=$s\t$c\t$p" } ++
         kept ++ newFiles
     }
-    io.writeLines(statsPath(dir, v), carried ++ newStats ++ delRows)
+    io.writeLines(statsPath(dir, v),
+      derivedHeader(dir, v, carried ++ newStats ++ delRows) ++
+        carried ++ newStats ++ delRows)
     v
   }
 
@@ -1759,13 +1866,19 @@ class VersionedTableOps(protected val io: TableIO) {
     require(eqDelsOf(dir, v).isEmpty,
       s"$dir carries unmaterialized equality deletes at v$v — their row " +
         s"count is data-dependent; compact() first or use read().count()")
-    val rows = rowsOf(dir, v)
-    def total(files: Seq[String]): Long = {
-      val missing = files.filterNot(rows.contains)
-      files.flatMap(rows.get).sum +
-        footerRowCounts(spark, missing).values.sum
+    // happy path: the incrementally-maintained totals header answers in
+    // O(1) — one raw sidecar line, independent of file count
+    rowsHeaderOf(dir, v) match {
+      case Some((d, del)) => d - del
+      case None =>
+        val rows = rowsOf(dir, v)
+        def total(files: Seq[String]): Long = {
+          val missing = files.filterNot(rows.contains)
+          files.flatMap(rows.get).sum +
+            footerRowCounts(spark, missing).values.sum
+        }
+        total(filesOf(dir, v)) - total(delFilesOf(dir, v))
     }
-    total(filesOf(dir, v)) - total(delFilesOf(dir, v))
   }
 
   /** Metadata-only MIN/MAX of a stats-tracked column, folded from the
@@ -1829,11 +1942,15 @@ class VersionedTableOps(protected val io: TableIO) {
       return if (version == 0) Some(0L) else None
     }
     if (eqDelsOf(dir, version).nonEmpty) return None
-    val rows = rowsOf(dir, version)
-    val data = filesOf(dir, version)
-    val dels = delFilesOf(dir, version)
-    if (!(data.iterator ++ dels.iterator).forall(rows.contains)) None
-    else Some(data.iterator.map(rows).sum - dels.iterator.map(rows).sum)
+    rowsHeaderOf(dir, version) match {
+      case Some((d, del)) => Some(d - del) // O(1): one raw header line
+      case None =>
+        val rows = rowsOf(dir, version)
+        val data = filesOf(dir, version)
+        val dels = delFilesOf(dir, version)
+        if (!(data.iterator ++ dels.iterator).forall(rows.contains)) None
+        else Some(data.iterator.map(rows).sum - dels.iterator.map(rows).sum)
+    }
   }
 
   /** Source columns with ANY manifest pruning handle at `version` —
@@ -1943,7 +2060,8 @@ class VersionedTableOps(protected val io: TableIO) {
         Seq(s"#ts=${now()}") ++
         base.filterNot(rewriteSet) ++ newFiles
     }
-    io.writeLines(statsPath(dir, v), carried ++ newStats)
+    io.writeLines(statsPath(dir, v),
+      derivedHeader(dir, v, carried ++ newStats) ++ carried ++ newStats)
     v
   }
 
@@ -2153,7 +2271,9 @@ class VersionedTableOps(protected val io: TableIO) {
           survivorDel.map(f => s"#del=$f") ++
           base.filterNot(touchedSet) ++ newFiles
       }
-      io.writeLines(statsPath(dir, v), carried ++ newStats ++ delRows)
+      io.writeLines(statsPath(dir, v),
+        derivedHeader(dir, v, carried ++ newStats ++ delRows) ++
+          carried ++ newStats ++ delRows)
       v
     } finally { src.unpersist(); delK.unpersist() }
   }
@@ -2395,7 +2515,9 @@ class VersionedTableOps(protected val io: TableIO) {
           survivorDel.map(f => s"#del=$f") ++
           base.filterNot(touchedSet) ++ newFiles
       }
-      io.writeLines(statsPath(dir, v), carried ++ newStats ++ delRows)
+      io.writeLines(statsPath(dir, v),
+        derivedHeader(dir, v, carried ++ newStats ++ delRows) ++
+          carried ++ newStats ++ delRows)
       v
     } finally { src.unpersist(); () }
   }
@@ -2744,13 +2866,18 @@ class VersionedTableOps(protected val io: TableIO) {
     if (!io.createExclusive(manifestPath(dir, fork + 1), lines))
       throw new java.util.ConcurrentModificationException(
         s"$dir advanced during fast-forward of '$name'; re-fork and replay")
+    val bhHdr = rowsHeaderOf(bd, bh)
+      .map { case (d, del) => rowsHeaderLine(d, del) }.toSeq
     val bhStats = sidecarLines(bd, bh)
-    if (bhStats.nonEmpty) {
+    if ((bhHdr ++ bhStats).nonEmpty) {
       val statLines =
         if (bhStats.length >= foldInlineAt(dir))
           Seq(SegPrefix + writeSegment(dir, bhStats))
         else bhStats
-      io.writeLines(statsPath(dir, fork + 1), statLines)
+      // the branch head's totals are the promoted head's totals — same
+      // file set; the header stays a raw line (readers never open
+      // segments to find it)
+      io.writeLines(statsPath(dir, fork + 1), bhHdr ++ statLines)
     }
     // ownership flip: the parent references the branch's files now
     publish(bd, bh + 1, Seq(s"#promoted=$dir", s"#ts=${now()}") ++
@@ -2842,13 +2969,16 @@ class VersionedTableOps(protected val io: TableIO) {
             base ++ fromFiles
         }
         if ((carried ++ fromStats).nonEmpty)
-          io.writeLines(statsPath(toDir, v0), carried ++ fromStats)
+          io.writeLines(statsPath(toDir, v0),
+            derivedHeader(toDir, v0, carried ++ fromStats) ++
+              carried ++ fromStats)
         v0
       } else {
         val v0 = publish(toDir, versions(toDir).lastOption.getOrElse(0) + 1,
           Seq(s"#ts=${now()}") ++ fromDels ++ fromFiles)
         if (fromStats.nonEmpty)
-          io.writeLines(statsPath(toDir, v0), fromStats)
+          io.writeLines(statsPath(toDir, v0),
+            derivedHeader(toDir, v0, fromStats) ++ fromStats)
         v0
       }
     // stamp the staging head: its files now belong to toDir's lifecycle —
