@@ -3101,6 +3101,43 @@ class VersionedTableOps(protected val io: TableIO) {
     * honest layout signal (it is exactly the file a probe cannot skip),
     * never a guess. Rows are data rows (delete-vector debt is per-file,
     * not per-partition — [[filesMeta]] carries that axis). */
+  /** The snapshot's METADATA layout as data — one row per `#seg=`
+    * segment pointer (manifest and sidecar) plus one `inline` row per
+    * side, with payload entry counts, on-disk bytes, and the pointer's
+    * recorded covering ranges. The operational view behind segmented
+    * manifests: an operator reads it to see whether commit metadata is
+    * staying O(batch) (pointer counts bounded by the fold thresholds)
+    * and which segments a selective query can skip (covers present).
+    * Cost: raw header reads + one readLines per segment — manifest-sized
+    * driver work, no data file opened. */
+  def segmentsMeta(spark: SparkSession, dir: String,
+                   version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    def side(kind: String, p: String): Seq[(String, String, Long, Long, String)] = {
+      if (!io.exists(p)) return Seq.empty
+      val raw = io.readLines(p)
+      val ptrs = raw.filter(segRef).map { l =>
+        val sp = segPath(l)
+        val covers = segCovers(l).toSeq.sortBy(_._1).map {
+          case (c, (_, lo, hi)) => s"$c:[$lo..$hi]"
+        }.mkString(", ")
+        (kind, sp, readSegment(sp).size.toLong,
+          if (io.exists(sp)) io.size(sp) else 0L, covers)
+      }
+      val inline = raw.count(l =>
+        l.nonEmpty && !l.startsWith("#"))
+      if (inline == 0) ptrs
+      else ptrs :+ ((kind, "(inline)", inline.toLong, 0L, ""))
+    }
+    (side("manifest", manifestPath(dir, v)) ++
+      side("sidecar", statsPath(dir, v)))
+      .toDF("kind", "path", "entries", "bytes", "covers")
+      .orderBy(col("kind"), col("path"))
+  }
+
   def partitionsMeta(spark: SparkSession, dir: String,
                      version: Option[Int] = None): DataFrame = {
     import spark.implicits._

@@ -114,6 +114,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private case object RefHistory extends Ref
   private case object RefFiles extends Ref
   private case object RefPartitions extends Ref
+  private case object RefSegments extends Ref
   private case class RefChanges(from: Int, to: Int) extends Ref
 
   private def parseRef(raw: String): (String, Ref) = {
@@ -123,6 +124,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "history" => (raw.substring(0, i), RefHistory)
       case "files" => (raw.substring(0, i), RefFiles)
       case "partitions" => (raw.substring(0, i), RefPartitions)
+      case "segments" => (raw.substring(0, i), RefSegments)
       case s if s.startsWith("branch=") && s.length > 7 =>
         (raw.substring(0, i), RefBranch(s.drop(7)))
       case s if s.startsWith("tag=") && s.length > 4 =>
@@ -160,7 +162,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val ts = ops.tags(base)
         if (!ts.contains(t)) throw new NoSuchTableException(ident)
         (base, Some(ts(t)))
-      case RefHistory | RefFiles | RefPartitions =>
+      case RefHistory | RefFiles | RefPartitions | RefSegments =>
         throw new UnsupportedOperationException(
           "metadata views do not time-travel; drop the AS OF clause")
       case RefChanges(_, _) =>
@@ -187,6 +189,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
         return new GraftMetaTable(s"$catName.$base#partitions",
           () => ops.partitionsMeta(spark, base))
+      case (base, RefSegments) =>
+        require(pinned.isEmpty, "metadata views do not time-travel")
+        if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"$catName.$base#segments",
+          () => ops.segmentsMeta(spark, base))
       case (base, RefChanges(a, b)) =>
         require(pinned.isEmpty,
           "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
@@ -256,7 +263,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case (base, RefBranch(b)) =>
         ops.branches(base).contains(b)
       case (base, RefTag(t)) => ops.tags(base).contains(t)
-      case (base, RefHistory | RefFiles | RefPartitions) =>
+      case (base, RefHistory | RefFiles | RefPartitions | RefSegments) =>
         ops.versions(base).nonEmpty
       case (base, RefChanges(a, b)) =>
         val vs = ops.versions(base)

@@ -591,4 +591,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed == Set((2L, 25.0, "u"), (3L, 30.0, "d"), (4L, 40.0, "i")),
       s"feed mismatch: $feed")
   }
+
+  test("'#segments' exposes the metadata layout: pointer counts, " +
+    "payload entries, covers") {
+    register()
+    val dir = tmpDir("gc-segments")
+    ops.commitClustered(
+      spark.range(0, 100).selectExpr("id", "id % 5 AS k"),
+      dir, zCols = Seq("id"), statCols = Seq("id"), numFiles = 2)
+    ops.commit(spark.range(100, 150).selectExpr("id", "id % 5 AS k"), dir)
+    val segs = spark.sql(s"SELECT * FROM graft.`$dir#segments`")
+      .as[(String, String, Long, Long, String)].collect()
+    val manifest = segs.filter(_._1 == "manifest").filter(_._2 != "(inline)")
+    assert(manifest.length == 2, s"expected 2 manifest pointers: ${segs.toSeq}")
+    // 2 clustered files + however many part-files the plain append wrote
+    assert(manifest.map(_._3).sum >= 3 && manifest.forall(_._3 >= 1),
+      s"pointer entries wrong: ${manifest.toSeq}")
+    // the clustered commit's pointer recorded an id cover
+    assert(segs.exists(r => r._1 == "manifest" && r._5.contains("id:[")),
+      s"clustered segment must carry a cover: ${segs.toSeq}")
+    assert(segs.exists(_._1 == "sidecar"))
+  }
 }
