@@ -297,6 +297,90 @@ class VersionedTableOps(protected val io: TableIO) {
       }
     }
 
+  /** Carry the head's bulk manifest MINUS `removed`, preserving
+    * untouched segments: a pointer none of whose payload files is
+    * removed carries verbatim (covers and all); a touched segment
+    * re-lands as its filtered remainder under the ORIGINAL cover (a
+    * cover is an enclosure — still true of any subset); inline lines
+    * filter in place. Rewrite metadata cost becomes O(affected
+    * segments + batch), never O(table files). */
+  private def carryManifestExcept(dir: String, h: Option[Int],
+                                  removed: Set[String]): Seq[String] =
+    h.toSeq.flatMap { hv =>
+      io.readLines(manifestPath(dir, hv)).flatMap { l =>
+        if (segRef(l)) {
+          val payload = readSegment(segPath(l))
+          if (!payload.exists(removed)) Seq(l)
+          else {
+            val kept = payload.filterNot(removed)
+            if (kept.isEmpty) Seq.empty
+            else {
+              val suffix = l.drop(SegPrefix.length).dropWhile(_ != '\t')
+              Seq(SegPrefix + writeSegment(dir, kept) + suffix)
+            }
+          }
+        } else if (l.nonEmpty && !l.startsWith("#")) {
+          if (removed(l)) Seq.empty else Seq(l)
+        } else Seq.empty
+      }
+    }
+
+  /** Sidecar twin of [[carryManifestExcept]]: stats lines keyed by a
+    * removed path drop (touched segments re-land as remainders with
+    * recomputed covers; untouched pointers carry verbatim), and the
+    * DROPPED `rows` lines come back as a map — the ingredients the
+    * rewrite's incremental totals header needs, collected from exactly
+    * the segments the carry expanded anyway. */
+  private def carrySidecarExcept(dir: String, h: Option[Int],
+      removed: Set[String]): (Seq[String], Map[String, Long]) = {
+    val droppedRows = scala.collection.mutable.Map.empty[String, Long]
+    def keyOf(x: String) = x.takeWhile(_ != '\t')
+    def recordDrops(xs: Seq[String]): Unit =
+      xs.iterator.map(_.split('\t').toSeq).foreach {
+        case Seq(f, "#", "rows", n, _) => droppedRows(f) = n.toLong
+        case _ => ()
+      }
+    val lines = h.toSeq.flatMap { hv =>
+      val sp = statsPath(dir, hv)
+      if (!io.exists(sp)) Seq.empty
+      else io.readLines(sp)
+        .filterNot(_.startsWith(RowsHeaderPrefix)).flatMap { l =>
+          if (segRef(l)) {
+            val payload = readSegment(segPath(l))
+            val (drop, kept) = payload.partition(x => removed(keyOf(x)))
+            if (drop.isEmpty) Seq(l)
+            else {
+              recordDrops(drop)
+              if (kept.isEmpty) Seq.empty
+              else Seq(SegPrefix + writeSegment(dir, kept) +
+                coverSuffix(coversOf(kept)))
+            }
+          } else if (l.isEmpty) Seq.empty
+          else if (removed(keyOf(l))) { recordDrops(Seq(l)); Seq.empty }
+          else Seq(l)
+        }
+    }
+    (lines, droppedRows.toMap)
+  }
+
+  /** Incremental totals for a rewrite commit: head totals minus the
+    * dropped files' recorded rows plus the fresh batch's. Absent when
+    * any removed file's rows were never recorded — a total that cannot
+    * be adjusted exactly is omitted, never approximated. */
+  private def rewriteHeader(dir: String, h: Option[Int],
+      removedData: Set[String], removedDel: Set[String],
+      droppedRows: Map[String, Long],
+      newDataRows: Long, newDelRows: Long): Seq[String] =
+    headerOrUpgrade(dir, h) match {
+      case Some((d, del))
+          if (removedData.iterator ++ removedDel.iterator)
+            .forall(droppedRows.contains) =>
+        Seq(rowsHeaderLine(
+          d - removedData.iterator.map(droppedRows).sum + newDataRows,
+          del - removedDel.iterator.map(droppedRows).sum + newDelRows))
+      case _ => Seq.empty
+    }
+
   private def foldCarry(dir: String, segs: Seq[String],
                         inline: Seq[String]): Seq[String] = {
     // folded-inline covers come from the payload itself (stats lines
@@ -506,14 +590,22 @@ class VersionedTableOps(protected val io: TableIO) {
     * merges the winner's file list instead of republishing a stale one.
     * Returns the committed version. */
   private def publishOnHead(dir: String)(
-      build: (Option[Int], Seq[String]) => Seq[String]): Int = {
+      build: (Option[Int], Seq[String]) => Seq[String]): Int =
+    publishOnHeadRaw(dir)((h: Option[Int]) =>
+      build(h, h.map(filesOf(dir, _)).getOrElse(Seq.empty)))
+
+  /** [[publishOnHead]] WITHOUT the expanded file list: the pure-append
+    * shapes carry the head as raw pointers and never look at individual
+    * files, so expanding every segment per attempt would quietly turn an
+    * O(batch) commit back into an O(table-files) one. */
+  private def publishOnHeadRaw(dir: String)(
+      build: Option[Int] => Seq[String]): Int = {
     io.mkdirs(manifestDir(dir))
     var committed = -1
     while (committed < 0) {
       val head = versions(dir).lastOption
-      val base = head.map(filesOf(dir, _)).getOrElse(Seq.empty)
       val v = head.getOrElse(0) + 1
-      if (io.createExclusive(manifestPath(dir, v), build(head, base)))
+      if (io.createExclusive(manifestPath(dir, v), build(head)))
         committed = v
     }
     committed
@@ -649,7 +741,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newSeg = segLine(dir, newFiles, cov)
       val newStatsSeg = segLine(dir, rowsNew, cov)
       var headAt: Option[Int] = None
-      val v = publishOnHead(dir) { (h, _) =>
+      val v = publishOnHeadRaw(dir) { h =>
         headAt = h
         meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
           carryManifest(dir, h) ++ newSeg
@@ -988,7 +1080,7 @@ class VersionedTableOps(protected val io: TableIO) {
     }
     // merge-on-read: all head files carry — pointer carry, like deleteWhere
     var headAt: Option[Int] = None
-    val v = publishOnHead(dir) { (h, _) =>
+    val v = publishOnHeadRaw(dir) { h =>
       headAt = h
       // seq = the version being published: the delete applies to exactly
       // the head's files (all added at ≤ head < seq), never to later
@@ -1251,7 +1343,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newSeg = segLine(dir, newFiles, cov)
       val newStatsSeg = segLine(dir, newStats, cov)
       var headAt: Option[Int] = None
-      val v = publishOnHead(dir) { (head, _) =>
+      val v = publishOnHeadRaw(dir) { head =>
         headAt = head
         s"#ts=${now()}" +: (delLinesOf(dir, head) ++
           eqDelLinesOf(dir, head) ++ carryManifest(dir, head) ++ newSeg)
@@ -1809,8 +1901,16 @@ class VersionedTableOps(protected val io: TableIO) {
       if (cols.isEmpty) rowsLines(spark, newFiles)
       else statsLines(spark, newFiles, cols)
     val delRows = rowsLines(spark, survivorDel)
+    // old vectors are replaced by the consolidated survivor — their rows
+    // lines drop with the rewritten data files' (segment-preserving
+    // carry: untouched segments ride verbatim, O(affected) metadata)
+    val removed = smallSet ++ delsAtStart
+    val newSeg = segLine(dir, newFiles, coversOf(newStats))
+    val newStatsSeg = segLine(dir, newStats ++ delRows)
     var carried: Seq[String] = Seq.empty
-    val v = publishOnHead(dir) { (h, base) =>
+    var dropped: Map[String, Long] = Map.empty
+    var headAt: Option[Int] = None
+    val v = publishOnHeadRaw(dir) { h =>
       // a delete that lands mid-compact references files this rewrite has
       // already copied WITHOUT it — carrying the new vector would half-apply
       // it, dropping it would resurrect rows; fail loudly, caller retries
@@ -1822,12 +1922,14 @@ class VersionedTableOps(protected val io: TableIO) {
         throw new SnapshotShapeConflict(
           "equality deletes changed during compaction; re-run compact " +
             "against the new head")
-      carried = carriedStats(dir, h, base)
-        .filterNot(l => smallSet.contains(l.takeWhile(_ != '\t')))
+      headAt = h
+      val (c, dr) = carrySidecarExcept(dir, h, removed)
+      carried = c; dropped = dr
       // equality deletes were materialized into the rewrite; a line
       // survives only while it still APPLIES to a kept file (otherwise
       // it would linger forever and keep expire refusing)
-      val kept = base.filterNot(smallSet)
+      val kept = h.map(filesOf(dir, _)).getOrElse(Seq.empty)
+        .filterNot(smallSet)
       val keptAdded = addedAtOf(dir, kept)
       val liveEq = eqsAtStart.filter { case (s, _, _) =>
         kept.exists(f => keptAdded.getOrElse(f, 0) < s)
@@ -1837,12 +1939,13 @@ class VersionedTableOps(protected val io: TableIO) {
       h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
         Seq(s"#ts=${now()}") ++
         survivorDel.map(f => s"#del=$f") ++
-        liveEq.map { case (s, c, p) => s"#eqdel=$s\t$c\t$p" } ++
-        kept ++ newFiles
+        liveEq.map { case (s, c2, p) => s"#eqdel=$s\t$c2\t$p" } ++
+        carryManifestExcept(dir, h, removed) ++ newSeg
     }
     io.writeLines(statsPath(dir, v),
-      derivedHeader(dir, v, carried ++ newStats ++ delRows) ++
-        carried ++ newStats ++ delRows)
+      rewriteHeader(dir, headAt, smallSet, delsAtStart.toSet, dropped,
+        sumRows(newStats), sumRows(delRows)) ++
+        carried ++ newStatsSeg)
     v
   }
 
@@ -2043,8 +2146,15 @@ class VersionedTableOps(protected val io: TableIO) {
       .map(n => s"$batchDir/$n")
     val cols = (statColsOf(dir, head) ++ zCols).distinct
     val newStats = statsLines(spark, newFiles, cols)
+    // the superseded delete vectors' rows lines drop with the rewrite
+    // (their rows were materialized into the clustered copy)
+    val removed = rewriteSet ++ delsAtStart
+    val newSeg = segLine(dir, newFiles, coversOf(newStats))
+    val newStatsSeg = segLine(dir, newStats, coversOf(newStats))
     var carried: Seq[String] = Seq.empty
-    val v = publishOnHead(dir) { (h, base) =>
+    var dropped: Map[String, Long] = Map.empty
+    var headAt: Option[Int] = None
+    val v = publishOnHeadRaw(dir) { h =>
       if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
         throw new SnapshotShapeConflict(
           "delete vectors changed during optimizeZorder; re-run against " +
@@ -2053,15 +2163,18 @@ class VersionedTableOps(protected val io: TableIO) {
         throw new SnapshotShapeConflict(
           "equality deletes changed during optimizeZorder; re-run " +
             "against the new head")
+      headAt = h
+      val (c, dr) = carrySidecarExcept(dir, h, removed)
+      carried = c; dropped = dr
       // concurrent appends (files beyond our rewrite set) survive as-is
-      carried = carriedStats(dir, h, base)
-        .filterNot(l => rewriteSet.contains(l.takeWhile(_ != '\t')))
       h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
         Seq(s"#ts=${now()}") ++
-        base.filterNot(rewriteSet) ++ newFiles
+        carryManifestExcept(dir, h, removed) ++ newSeg
     }
     io.writeLines(statsPath(dir, v),
-      derivedHeader(dir, v, carried ++ newStats) ++ carried ++ newStats)
+      rewriteHeader(dir, headAt, rewriteSet, delsAtStart.toSet, dropped,
+        sumRows(newStats), 0L) ++
+        carried ++ newStatsSeg)
     v
   }
 
@@ -2243,8 +2356,13 @@ class VersionedTableOps(protected val io: TableIO) {
         else if (cols.isEmpty) rowsLines(spark, newFiles)
         else statsLines(spark, newFiles, cols)
       val delRows = rowsLines(spark, survivorDel)
+      val removed = touchedSet ++ delsAtStart
+      val newSeg = segLine(dir, newFiles, coversOf(newStats))
+      val newStatsSeg = segLine(dir, newStats ++ delRows)
       var carried: Seq[String] = Seq.empty
-      val v = publishOnHead(dir) { (h, base) =>
+      var dropped: Map[String, Long] = Map.empty
+      var headAt: Option[Int] = None
+      val v = publishOnHeadRaw(dir) { h =>
         if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
           throw new SnapshotShapeConflict(
             "delete vectors changed during merge; re-run against the " +
@@ -2256,24 +2374,27 @@ class VersionedTableOps(protected val io: TableIO) {
         // serializable write-conflict validation: files appended since the
         // merge's snapshot must not contain an affected key — our rewrite
         // was computed without them, so a hit would double (or revive) it
-        val appended = base.filterNot(filesAtStart.toSet)
+        val appended = h.map(filesOf(dir, _)).getOrElse(Seq.empty)
+          .filterNot(filesAtStart.toSet)
         if (appended.nonEmpty &&
           spark.read.parquet(appended: _*).select(col(key))
             .join(affectedKeys, Seq(key), "left_semi").limit(1).count() > 0)
           throw new java.util.ConcurrentModificationException(
             "a concurrent append landed rows matching a merge source " +
               "key; re-run the merge against the new head")
-        carried = carriedStats(dir, h, base)
-          .filterNot(l => touchedSet.contains(l.takeWhile(_ != '\t')))
+        headAt = h
+        val (c, dr) = carrySidecarExcept(dir, h, removed)
+        carried = c; dropped = dr
         h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
           txnId.map(t => s"#txn=$t").toSeq ++
           Seq(s"#ts=${now()}") ++
           survivorDel.map(f => s"#del=$f") ++
-          base.filterNot(touchedSet) ++ newFiles
+          carryManifestExcept(dir, h, removed) ++ newSeg
       }
       io.writeLines(statsPath(dir, v),
-        derivedHeader(dir, v, carried ++ newStats ++ delRows) ++
-          carried ++ newStats ++ delRows)
+        rewriteHeader(dir, headAt, touchedSet, delsAtStart.toSet, dropped,
+          sumRows(newStats), sumRows(delRows)) ++
+          carried ++ newStatsSeg)
       v
     } finally { src.unpersist(); delK.unpersist() }
   }
@@ -2480,8 +2601,13 @@ class VersionedTableOps(protected val io: TableIO) {
         else if (cols.isEmpty) rowsLines(spark, newFiles)
         else statsLines(spark, newFiles, cols)
       val delRows = rowsLines(spark, survivorDel)
+      val removed = touchedSet ++ delsAtStart
+      val newSeg = segLine(dir, newFiles, coversOf(newStats))
+      val newStatsSeg = segLine(dir, newStats ++ delRows)
       var carried: Seq[String] = Seq.empty
-      val v = publishOnHead(dir) { (h, base) =>
+      var dropped: Map[String, Long] = Map.empty
+      var headAt: Option[Int] = None
+      val v = publishOnHeadRaw(dir) { h =>
         if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
           throw new SnapshotShapeConflict(
             "delete vectors changed during merge; re-run against the " +
@@ -2490,7 +2616,8 @@ class VersionedTableOps(protected val io: TableIO) {
           throw new java.util.ConcurrentModificationException(
             "an equality delete landed during merge; compact, then " +
               "re-run against the new head")
-        val appended = base.filterNot(filesAtStart.toSet)
+        val appended = h.map(filesOf(dir, _)).getOrElse(Seq.empty)
+          .filterNot(filesAtStart.toSet)
         if (appended.nonEmpty) {
           // under BY-SOURCE every target row is quantified over — any
           // concurrent append invalidates the rewrite; otherwise only
@@ -2508,16 +2635,18 @@ class VersionedTableOps(protected val io: TableIO) {
               "a concurrent append landed rows matching a merge source " +
                 "key; re-run the merge against the new head")
         }
-        carried = carriedStats(dir, h, base)
-          .filterNot(l => touchedSet.contains(l.takeWhile(_ != '\t')))
+        headAt = h
+        val (c, dr) = carrySidecarExcept(dir, h, removed)
+        carried = c; dropped = dr
         h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
           Seq(s"#ts=${now()}") ++
           survivorDel.map(f => s"#del=$f") ++
-          base.filterNot(touchedSet) ++ newFiles
+          carryManifestExcept(dir, h, removed) ++ newSeg
       }
       io.writeLines(statsPath(dir, v),
-        derivedHeader(dir, v, carried ++ newStats ++ delRows) ++
-          carried ++ newStats ++ delRows)
+        rewriteHeader(dir, headAt, touchedSet, delsAtStart.toSet, dropped,
+          sumRows(newStats), sumRows(delRows)) ++
+          carried ++ newStatsSeg)
       v
     } finally { src.unpersist(); () }
   }
@@ -2961,17 +3090,27 @@ class VersionedTableOps(protected val io: TableIO) {
     }
     val v =
       if (append && toExists) {
-        var carried: Seq[String] = Seq.empty
-        val v0 = publishOnHead(toDir) { (h, base) =>
-          carried = carriedStats(toDir, h, base)
+        // a promotion is an append to the destination: pointer carry,
+        // promoted bulk as fresh destination-owned lines (fromStats is
+        // already expanded — retire() deletes the staging segments)
+        var headAt: Option[Int] = None
+        val v0 = publishOnHeadRaw(toDir) { h =>
+          headAt = h
           Seq(s"#ts=${now()}") ++ delLinesOf(toDir, h) ++
             eqDelLinesOf(toDir, h) ++ fromDels ++
-            base ++ fromFiles
+            carryManifest(toDir, h) ++ fromFiles
         }
-        if ((carried ++ fromStats).nonEmpty)
+        val hdr = headerOrUpgrade(toDir, headAt).flatMap {
+          case (d, del) =>
+            // the staged lineage's own totals, if it kept them
+            rowsHeaderOf(fromDir, fv).map { case (fd, fdel) =>
+              rowsHeaderLine(d + fd, del + fdel)
+            }
+        }.toSeq
+        val carried = carrySidecar(toDir, headAt)
+        if ((hdr ++ carried ++ fromStats).nonEmpty)
           io.writeLines(statsPath(toDir, v0),
-            derivedHeader(toDir, v0, carried ++ fromStats) ++
-              carried ++ fromStats)
+            hdr ++ carried ++ fromStats)
         v0
       } else {
         val v0 = publish(toDir, versions(toDir).lastOption.getOrElse(0) + 1,

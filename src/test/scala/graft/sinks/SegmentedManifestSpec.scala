@@ -82,22 +82,55 @@ class SegmentedManifestSpec extends SparkSpec {
     assert(ops.read(spark, dir).count() == 1898L)
   }
 
-  test("a shape-changing rewrite goes inline; the next append folds it " +
-    "into ONE segment per manifest.fold.inline") {
+  test("inline bulk (an overwrite) folds into ONE segment on the next " +
+    "append per manifest.fold.inline") {
     val dir = tmpDir("seg-fold-inline")
     ops.setTableProperty(dir, "manifest.fold.inline", "1")
-    ops.commit(batch(0, 500).repartition(4), dir)
-    ops.commit(batch(500, 1000).repartition(4), dir)
-    val vC = ops.compact(spark, dir, targetBytes = 1L << 30)
-    // compact rewrote the world: its manifest is the inline file list
-    assert(inlineFiles(rawManifest(dir, vC)).nonEmpty)
+    val vO = ops.commit(batch(0, 500).repartition(4), dir, append = false)
+    // an overwrite publishes its file list inline
+    assert(inlineFiles(rawManifest(dir, vO)).nonEmpty)
     val vA = ops.commit(batch(1000, 1100), dir)
     val raw = rawManifest(dir, vA)
     // 2 pointers: the folded inline carry + the new batch
     assert(inlineFiles(raw).isEmpty && segPtrs(raw).size == 2,
       s"expected folded carry + new segment, got $raw")
-    assert(ops.read(spark, dir).count() == 1100L)
-    assert(ops.fastCount(spark, dir) == 1100L)
+    assert(ops.read(spark, dir).count() == 600L)
+    assert(ops.fastCount(spark, dir) == 600L)
+  }
+
+  test("a rewrite preserves untouched segments: compact re-points only " +
+    "what it rewrote") {
+    val dir = tmpDir("seg-rewrite-carry")
+    ops.commit(batch(0, 500).repartition(4), dir)
+    ops.commit(batch(500, 1000).repartition(4), dir)
+    val before = segPtrs(rawManifest(dir, 2))
+    assert(before.size == 2)
+    // a high threshold rewrites everything → all-new segment; a rewrite
+    // that touches NOTHING (all files over target) keeps pointers as-is
+    val vNoop = ops.compact(spark, dir, targetBytes = 1L)
+    assert(vNoop == 2, "nothing under target: head unchanged")
+    val vC = ops.compact(spark, dir, targetBytes = 1L << 30)
+    val after = rawManifest(dir, vC)
+    assert(inlineFiles(after).isEmpty,
+      s"compact must publish segmented metadata, not inline bulk: $after")
+    assert(segPtrs(after).intersect(before).isEmpty,
+      "a full rewrite replaces every pointer")
+    assert(ops.read(spark, dir).count() == 1000L)
+    assert(ops.fastCount(spark, dir) == 1000L)
+    // partial rewrite: one small straggler lands, compact touches ONLY it
+    // and the carried pointer survives verbatim
+    ops.commit(batch(1000, 1010), dir)
+    val keepPtr = segPtrs(rawManifest(dir, vC + 1)).head
+    val smallOnly = ops.compact(spark, dir,
+      targetBytes = backend.size(ops.manifestLines(dir, vC).filter(
+        l => l.nonEmpty && !l.startsWith("#")).head) - 1)
+    if (smallOnly > vC + 1) {
+      val rawP = rawManifest(dir, smallOnly)
+      assert(segPtrs(rawP).contains(keepPtr),
+        s"untouched segment must carry verbatim: $rawP")
+    }
+    assert(ops.read(spark, dir).count() == 1010L)
+    assert(ops.fastCount(spark, dir) == 1010L)
   }
 
   test("pointer growth is bounded: fold-all at manifest.fold.segs") {
