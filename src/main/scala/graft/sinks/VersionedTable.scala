@@ -508,6 +508,23 @@ class VersionedTableOps(protected val io: TableIO) {
       .collect { case s if s.startsWith("v") => s.drop(1).toInt }
       .sorted
 
+  // ---- directory seam for the SQL catalog (enumeration + DROP TABLE) ----
+
+  /** Immediate child NAMES of `dir` (empty if missing). */
+  private[graft] def childNames(dir: String): Seq[String] = io.list(dir)
+
+  private[graft] def isDirectory(path: String): Boolean = io.isDir(path)
+
+  private[graft] def makeDirs(path: String): Unit = io.mkdirs(path)
+
+  /** Recursively delete `dir` — the DROP TABLE purge for catalog-managed
+    * tables (manifests, sidecars, segments, data files, branch lineages).
+    * Depth-first through the TableIO seam so it works on any backend. */
+  private[graft] def purgeDir(dir: String): Unit = {
+    if (io.isDir(dir)) io.list(dir).foreach(n => purgeDir(s"$dir/$n"))
+    io.delete(dir)
+  }
+
   // `#`-prefixed manifest lines are metadata headers (e.g. the transaction
   // id a streaming commit carries), never file paths
   private def filesOf(dir: String, version: Int): Seq[String] =

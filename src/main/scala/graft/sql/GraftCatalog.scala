@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame => SqlDataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr, GenericInternalRow}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
@@ -59,9 +59,17 @@ import graft.sinks.VersionedTable
   * dead rows through SQL is worse than a clear instruction to `compact`
   * first — the same normalization contract MERGE and promotion enforce. */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with SupportsNamespaces {
 
   private var catName = "graft"
+
+  /** Optional warehouse root (`spark.sql.catalog.graft.warehouse=/lake`).
+    * With it set the catalog owns a directory tree: bare identifiers
+    * (`graft.db.t`) resolve under the root, `SHOW TABLES` / `SHOW
+    * NAMESPACES` enumerate it, and `DROP TABLE` purges managed tables.
+    * Absolute-path spellings (`graft.`/abs/path``) keep external-table
+    * semantics everywhere: resolvable, never enumerated, never purged. */
+  private var warehouse: Option[String] = None
 
   /** The engine's partition-transform functions, exposed so Spark can
     * resolve a scan's reported `bucket(n, k)` partitioning to a bound
@@ -82,6 +90,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    warehouse = Option(options.get("warehouse"))
+      .map(_.stripSuffix("/")).filter(_.nonEmpty)
     // configuring the catalog is the opt-in for the whole SQL front
     // door: the DML strategy (UPDATE / MERGE INTO / expression DELETE)
     // rides along so the statements work without a separate install call
@@ -90,9 +100,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def name(): String = catName
 
   /** `graft.`/lake/events`` parses to a single backquoted name part; a
-    * qualified spelling (`graft.a.b`) re-joins on '/'. */
-  private def dirOf(ident: Identifier): String =
-    (ident.namespace :+ ident.name).mkString("/")
+    * qualified spelling (`graft.a.b`) re-joins on '/'. A RELATIVE
+    * spelling resolves under the warehouse root when one is configured
+    * — that's what makes `graft.db.t` a real name rather than a path
+    * relative to the driver's cwd. */
+  private def dirOf(ident: Identifier): String = {
+    val joined = (ident.namespace :+ ident.name).mkString("/")
+    if (joined.startsWith("/")) joined
+    else warehouse.map(w => s"$w/$joined").getOrElse(joined)
+  }
 
   /** A `#`-fragment on the identifier addresses a named ref or a
     * metadata view of the table — the SQL spelling of the Scala readers
@@ -270,8 +286,88 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         vs.contains(a) && vs.contains(b)
     }
 
+  /** A directory is a graft table iff it carries committed versions or a
+    * declared schema — the same existence rule resolution uses. */
+  private def isGraftTable(dir: String): Boolean =
+    ops.versions(dir).nonEmpty || ops.declaredSchema(dir).isDefined
+
+  private def nsDir(w: String, namespace: Array[String]): String =
+    (w +: namespace).mkString("/")
+
+  /** `SHOW TABLES` — enumerable only under a warehouse root; a pure
+    * path-addressed catalog has nothing to list. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // paths are the namespace; there is nothing to enumerate
+    warehouse match {
+      case None => Array.empty // paths are the namespace; nothing to list
+      case Some(w) =>
+        val d = nsDir(w, namespace)
+        if (namespace.nonEmpty && !namespaceExists(namespace))
+          throw new NoSuchNamespaceException(namespace)
+        ops.childNames(d).sorted
+          .filter(n => isGraftTable(s"$d/$n"))
+          .map(n => Identifier.of(namespace, n)).toArray
+    }
+
+  // ---- namespaces: directories under the warehouse root ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        if (namespace.nonEmpty && !namespaceExists(namespace))
+          throw new NoSuchNamespaceException(namespace)
+        val d = nsDir(w, namespace)
+        ops.childNames(d).sorted
+          .filter(n => ops.isDirectory(s"$d/$n") && !isGraftTable(s"$d/$n"))
+          .map(n => namespace :+ n).toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || warehouse.exists { w =>
+      val d = nsDir(w, namespace)
+      ops.isDirectory(d) && !isGraftTable(d)
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = warehouse match {
+    case None => throw new UnsupportedOperationException(
+      "CREATE NAMESPACE needs a warehouse root (set " +
+        s"spark.sql.catalog.$catName.warehouse); a path-addressed " +
+        "catalog has no directory tree to own")
+    case Some(w) =>
+      if (namespaceExists(namespace) ||
+        isGraftTable(nsDir(w, namespace)))
+        throw new NamespaceAlreadyExistsException(namespace)
+      ops.makeDirs(nsDir(w, namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE not supported: namespaces are plain directories " +
+        "with no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = warehouse match {
+    case None => false
+    case Some(w) =>
+      if (!namespaceExists(namespace) || namespace.isEmpty) false
+      else {
+        val d = nsDir(w, namespace)
+        require(cascade || ops.childNames(d).isEmpty,
+          s"namespace ${namespace.mkString(".")} is not empty; " +
+            "use DROP NAMESPACE ... CASCADE")
+        ops.purgeDir(d); true
+      }
+  }
 
   /** `CREATE TABLE graft.`/dir` (…) PARTITIONED BY (days(ts),
     * bucket(16, user_id))` — the DSv2 transform array maps ONE-TO-ONE
@@ -431,9 +527,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     ops.declareSchema(dir, updated.json)
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE not supported: history removal is expire()/vacuum")
+  /** `DROP TABLE` purges catalog-MANAGED tables — those resolved under
+    * the warehouse root: directory, manifests, sidecars, segments, data
+    * files and branch lineages all go. External path-addressed tables
+    * keep the refusal: the catalog does not own that data, and history
+    * removal there is expire()/vacuum. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val (base, ref) = parseRef(dirOf(ident))
+    require(ref == RefHead,
+      "DROP TABLE targets a base table, not a ref or metadata view " +
+        s"('${ident.name}' carries a '#' fragment)")
+    if (!warehouse.exists(w => base.startsWith(w + "/")))
+      throw new UnsupportedOperationException(
+        "DROP TABLE on a path-addressed (external) table is not " +
+          "supported: the catalog does not own that data; history " +
+          "removal is expire()/vacuum")
+    if (!isGraftTable(base)) false
+    else { ops.purgeDir(base); true }
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
 
@@ -1810,7 +1921,46 @@ object GraftCatalog {
       .orderBy(col("op"))
   }
 
+  /** q_sql_catalog — the warehouse-managed lifecycle end to end:
+    * a catalog configured with a warehouse root resolves BARE names
+    * (`cat.corp.by_type`) under it, `CREATE NAMESPACE` + CTAS build the
+    * tree, `SHOW TABLES` enumerates exactly the managed tables (pinned
+    * in-query before AND after a `DROP TABLE` purge), and the surviving
+    * table's content — read back through bare-name resolution —
+    * hash-matches the oracle that recomputes the CTAS aggregate from
+    * the raw events. The catalog name is unique per run so repeated
+    * executions never see a cached instance's old warehouse root. */
+  def qSqlCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlwh_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val cat = s"gwh${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp.toString)
+    spark.sql(s"CREATE NAMESPACE $cat.corp")
+    ev.createOrReplaceTempView("q_sql_cat_src")
+    spark.sql(s"CREATE TABLE $cat.corp.by_type AS " +
+      "SELECT event_type, COUNT(*) AS n, " +
+      "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) " +
+      "AS sum_value FROM q_sql_cat_src GROUP BY event_type")
+    spark.sql(s"CREATE TABLE $cat.corp.scratch AS " +
+      "SELECT event_id FROM q_sql_cat_src WHERE event_id % 97 = 0")
+    val listed = spark.sql(s"SHOW TABLES IN $cat.corp")
+      .select(col("tableName")).collect().map(_.getString(0)).sorted.toSeq
+    require(listed == Seq("by_type", "scratch"),
+      s"SHOW TABLES must list exactly the managed tables, got $listed")
+    spark.sql(s"DROP TABLE $cat.corp.scratch")
+    val after = spark.sql(s"SHOW TABLES IN $cat.corp")
+      .select(col("tableName")).collect().map(_.getString(0)).toSeq
+    require(after == Seq("by_type"),
+      s"DROP TABLE must purge and unlist, got $after")
+    spark.sql(s"SELECT event_type, n, sum_value FROM $cat.corp.by_type " +
+      "ORDER BY event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_catalog" -> (qSqlCatalog _),
     "q_sql_changes" -> (qSqlChanges _),
     "q_sql_change_feed" -> (qSqlChangeFeed _),
     "q_sql_spj" -> (qSqlSpj _),
@@ -1830,6 +1980,13 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_catalog" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_changes" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)

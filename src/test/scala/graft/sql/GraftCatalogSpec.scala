@@ -612,4 +612,50 @@ class GraftCatalogSpec extends SparkSpec {
       s"clustered segment must carry a cover: ${segs.toSeq}")
     assert(segs.exists(_._1 == "sidecar"))
   }
+
+  test("warehouse root: bare names resolve under it; SHOW NAMESPACES / " +
+    "SHOW TABLES enumerate; CTAS + DROP TABLE complete the lifecycle") {
+    val wh = tmpDir("gc-wh")
+    spark.conf.set("spark.sql.catalog.gwh", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwh.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gwh.db")
+    assert(spark.sql("SHOW NAMESPACES IN gwh").as[String].collect()
+      .toSeq == Seq("db"))
+    // a bare qualified name is a real name, not a cwd-relative path
+    spark.sql("CREATE TABLE gwh.db.t (id BIGINT, k STRING)")
+    spark.sql("INSERT INTO gwh.db.t VALUES (1, 'a'), (2, 'b')")
+    assert(ops.versions(s"$wh/db/t").nonEmpty,
+      "bare name must land under the warehouse root")
+    assert(spark.sql("SELECT * FROM gwh.db.t").count() == 2)
+    // CTAS goes through createTable + append (+ dropTable on failure)
+    spark.sql("CREATE TABLE gwh.db.t2 AS SELECT id * 10 AS id FROM gwh.db.t")
+    assert(spark.sql("SELECT sum(id) FROM gwh.db.t2").head().getLong(0) == 30L)
+    assert(spark.sql("SHOW TABLES IN gwh.db").select("tableName")
+      .as[String].collect().toSeq.sorted == Seq("t", "t2"))
+    // namespaces never surface tables and vice versa
+    assert(spark.sql("SHOW NAMESPACES IN gwh.db").count() == 0)
+    spark.sql("DROP TABLE gwh.db.t2")
+    assert(spark.sql("SHOW TABLES IN gwh.db").count() == 1)
+    assert(ops.versions(s"$wh/db/t2").isEmpty &&
+      !ops.isDirectory(s"$wh/db/t2"), "DROP TABLE must purge the directory")
+    // a non-empty namespace refuses a plain drop; CASCADE purges
+    assertThrows[Exception](spark.sql("DROP NAMESPACE gwh.db"))
+    spark.sql("DROP NAMESPACE gwh.db CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN gwh").count() == 0)
+  }
+
+  test("external path-addressed tables: resolvable but never enumerated, " +
+    "never purged") {
+    register()
+    val dir = tmpDir("gc-ext")
+    ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 1)
+    // no warehouse: nothing to enumerate
+    assert(spark.sql("SHOW TABLES IN graft").count() == 0)
+    val e = intercept[Exception](spark.sql(s"DROP TABLE graft.`$dir`"))
+    assert(e.getMessage.contains("external"),
+      s"external drop must refuse with the ownership message: ${e.getMessage}")
+    // the refusal left the table intact
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 1)
+  }
 }
