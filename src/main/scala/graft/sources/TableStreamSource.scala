@@ -84,8 +84,14 @@ class TableStreamSource extends StreamSourceProvider with StreamSinkProvider
     * Output modes: Append lands each batch as a snapshot append;
     * Complete REPLACES the head per batch (a streaming aggregate
     * maintaining a whole result table — the logical-overwrite commit);
-    * Update refuses loudly (keyed upserts are [[graft.streaming
-    * .MergeStream]]'s contract — a blind append would duplicate keys).
+    * Update needs `option("mergeKey", k)` — each batch is a keyed
+    * changelog MERGED into the table as one file-scoped copy-on-write
+    * commit ([[graft.sinks.VersionedTable.mergeChanges]]), with
+    * `option("opColumn", c)` naming the `"u"`/`"d"` column (absent =
+    * all rows upserts) and `option("orderColumn", c)` folding
+    * multi-change batches to last-change-per-key before the merge's
+    * unique-key gate. Update WITHOUT a mergeKey refuses loudly (a
+    * blind append would duplicate keys).
     * Explicit partitionBy refuses: layout is the TABLE's declared
     * (hidden) partitioning, applied by every commit already. */
   override def createSink(sqlContext: SQLContext,
@@ -94,19 +100,30 @@ class TableStreamSource extends StreamSourceProvider with StreamSinkProvider
     require(partitionColumns.isEmpty,
       "graft-table sink: use the table's declared (hidden) partitioning, " +
         "not partitionBy — every commit clusters by it automatically")
-    require(outputMode != OutputMode.Update(),
-      "graft-table sink supports Append (snapshot appends) and Complete " +
-        "(logical overwrite per batch); Update-mode keyed upserts are the " +
-        "MergeStream recipe")
     val p = parameters.map {
       case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
     }
+    val mergeKey = p.get("mergekey")
+    require(outputMode != OutputMode.Update() || mergeKey.isDefined,
+      "graft-table sink in Update mode needs option(\"mergeKey\", ...): " +
+        "each batch is a keyed changelog merged into the table (a blind " +
+        "append would duplicate keys)")
+    require(mergeKey.isEmpty || outputMode == OutputMode.Update(),
+      "option(\"mergeKey\") is the Update-mode contract; Append appends " +
+        "snapshots and Complete overwrites — neither merges by key")
     val dir = dirOf(parameters)
     val txn = p.get("txn").orElse(p.get("checkpointlocation")).getOrElse(
       throw new IllegalArgumentException(
         "graft-table sink needs a transaction namespace: set " +
           "option(\"txn\", ...) or a checkpointLocation"))
-    new TableVersionSink(dir, txn, append = outputMode != OutputMode.Complete())
+    mergeKey match {
+      case Some(k) =>
+        new TableMergeSink(dir, txn, k, p.get("opcolumn"),
+          p.get("ordercolumn"))
+      case None =>
+        new TableVersionSink(dir, txn,
+          append = outputMode != OutputMode.Complete())
+    }
   }
 
   private def dirOf(parameters: Map[String, String]): String = {
@@ -201,6 +218,56 @@ private[sources] class TableVersionSink(dir: String, txnNamespace: String,
     ()
   }
   override def toString: String = s"TableVersionSink[$dir]"
+}
+
+/** The Update-mode (CDC upsert) sink: one micro-batch = one keyed
+  * [[VersionedTable.mergeChanges]] commit under `txnNamespace:batchId`,
+  * rewriting ONLY the files containing an affected key. Replays no-op
+  * through the same manifest ledger as the append sink. The first batch
+  * on a table with no committed version bootstraps it: after the fold,
+  * surviving upserts ARE the table (and a delete for a key that never
+  * existed is a no-op), so the batch lands as a plain exactly-once
+  * commit. */
+private[sources] class TableMergeSink(dir: String, txnNamespace: String,
+    key: String, opCol: Option[String], orderCol: Option[String])
+    extends Sink {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions.{coalesce, col, lit, row_number}
+
+  /** Last change per key by `orderCol` (deletes last on ties when an op
+    * column exists — deterministic under equal stamps). One bounded
+    * window over the BATCH, never the table. */
+  private def fold(batch: DataFrame): DataFrame = orderCol match {
+    case None => batch
+    case Some(oc) =>
+      val w = opCol match {
+        case Some(o) => Window.partitionBy(col(key))
+          .orderBy(col(oc).desc, col(o).asc)
+        case None => Window.partitionBy(col(key)).orderBy(col(oc).desc)
+      }
+      batch.withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") === 1).drop("__rank", oc)
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = fold(org.apache.spark.sql.graft.PlanDf.asBatch(data))
+    val txn = s"$txnNamespace:$batchId"
+    (opCol, VersionedTable.versions(dir).isEmpty) match {
+      case (Some(o), false) =>
+        VersionedTable.mergeChanges(spark, dir, batch, key, o, Some(txn))
+      case (None, false) =>
+        VersionedTable.merge(spark, dir, batch, key, Some(txn))
+      case (o, true) =>
+        // bootstrap: no table yet — the folded upserts are the table
+        val rows = o.map(c => batch
+          .filter(coalesce(col(c) =!= lit("d"), lit(true))).drop(c))
+          .getOrElse(batch)
+        VersionedTable.commitOnce(rows, dir, txn)
+    }
+    ()
+  }
+  override def toString: String = s"TableMergeSink[$dir by $key]"
 }
 
 /** A table version as a streaming offset. */

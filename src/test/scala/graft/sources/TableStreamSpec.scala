@@ -285,4 +285,74 @@ class TableStreamSpec extends SparkSpec {
         Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
     }
   }
+
+  test("native sink Update mode: mergeKey turns each batch into a keyed " +
+    "CDC merge — bootstrap, fold, upsert+delete, exactly-once replay") {
+    val tmp = tmpDir("tsink-merge")
+    val dst = s"$tmp/dst"
+    val provider = new TableStreamSource()
+    def changes(rows: Seq[(Long, String, String, Long)]) =
+      rows.toDF("id", "k", "op", "seq")
+    val sink = provider.createSink(spark.sqlContext,
+      Map("path" -> dst, "txn" -> "cdc-spec", "mergeKey" -> "id",
+        "opColumn" -> "op", "orderColumn" -> "seq"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Update())
+    // batch 0 bootstraps the table: multi-change keys fold to the LAST
+    // change (id=1 upserted then deleted -> absent; id=2 twice -> "b2")
+    sink.addBatch(0, changes(Seq(
+      (1L, "a1", "u", 1L), (1L, "x", "d", 2L),
+      (2L, "b1", "u", 1L), (2L, "b2", "u", 2L),
+      (3L, "c", "u", 1L))))
+    assert(ops.read(spark, dst).select("id", "k").as[(Long, String)]
+      .collect().toSet == Set((2L, "b2"), (3L, "c")),
+      "bootstrap must land the folded survivors only")
+    // batch 1 merges: update id=2, delete id=3, insert id=4 — file-scoped
+    sink.addBatch(1, changes(Seq(
+      (2L, "B", "u", 3L), (3L, "x", "d", 3L), (4L, "d", "u", 3L))))
+    assert(ops.read(spark, dst).select("id", "k").as[(Long, String)]
+      .collect().toSet == Set((2L, "B"), (4L, "d")))
+    val vAfter = ops.versions(dst)
+    // crash-replay of batch 1: the manifest ledger no-ops it
+    sink.addBatch(1, changes(Seq(
+      (2L, "B", "u", 3L), (3L, "x", "d", 3L), (4L, "d", "u", 3L))))
+    assert(ops.versions(dst) == vAfter,
+      "a redelivered merge batch must not land a second commit")
+    // mergeKey outside Update mode is a contract confusion — refuse
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext,
+        Map("path" -> dst, "txn" -> "x", "mergeKey" -> "id"), Seq.empty,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
+
+  test("native sink Update mode end-to-end: a rate-less changelog stream " +
+    "upserts into the table through writeStream, exactly-once") {
+    val tmp = tmpDir("tsink-merge-e2e")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ck = s"$tmp/ck"
+    // the changelog arrives as a graft-table stream itself: each source
+    // version is one micro-batch of keyed changes
+    ops.commit(Seq((1L, "a", "u", 1L), (2L, "b", "u", 1L))
+      .toDF("id", "k", "op", "seq"), src)
+    def hop(): Unit = {
+      val q = spark.readStream.format("graft-table").load(src)
+        .writeStream.format("graft-table")
+        .outputMode("update")
+        .option("mergeKey", "id").option("opColumn", "op")
+        .option("orderColumn", "seq")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    hop()
+    assert(ops.read(spark, dst).select("id", "k").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the next source version updates 1, deletes 2, inserts 3
+    ops.commit(Seq((1L, "A", "u", 2L), (2L, "x", "d", 2L),
+      (3L, "c", "u", 2L)).toDF("id", "k", "op", "seq"), src)
+    hop()
+    assert(ops.read(spark, dst).select("id", "k").as[(Long, String)]
+      .collect().toSet == Set((1L, "A"), (3L, "c")),
+      "the second hop must merge the delta, not append it")
+  }
 }
