@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
 import graft.analytics.Parity
 import graft.sources.Tables
@@ -185,7 +186,7 @@ class VersionedTableOps(protected val io: TableIO) {
     if (paths.isEmpty || paths.exists(_.contains("/deletes/")))
       return Map.empty
     val byCol = parsed.collect {
-      case a if a.length == 5 && a(1) != "#" && a(2) != "bloom" =>
+      case a if a.length == 5 && a(1) != "#" && RangeTags(a(2)) =>
         (a(1), (a(0), a(2), a(3), a(4)))
     }.groupBy(_._1)
     byCol.flatMap { case (c, entries) =>
@@ -1241,10 +1242,23 @@ class VersionedTableOps(protected val io: TableIO) {
     // merge, zorder) that re-derives via statColsOf carries them forward
     def exprOf(c: String): Column = PartitionTransform.parseOpt(c)
       .map(t => t.expr(raw.schema(t.source).dataType)).getOrElse(col(c))
-    // the per-file row count rides in the same grouped aggregate — free
-    // here, and it is what makes [[fastCount]] a pure sidecar fold
+    // plain columns (not transform specs) additionally record the CBO
+    // ingredients in the SAME grouped pass: exact per-file null counts
+    // and a mergeable per-file HLL sketch (union across files = snapshot
+    // NDV — per-file approx counts would NOT merge, sketches do)
+    val plainCols = statCols.filter(c => PartitionTransform.parseOpt(c).isEmpty)
+    def sketchable(c: String): Column = raw.schema(c).dataType match {
+      case IntegerType | LongType | StringType | BinaryType => col(c)
+      // everything else goes through an injective-enough string form
+      // (dates/decimals exact; float formatting is 1:1 up to -0.0) —
+      // NDV is approximate by construction, the cast is not the error
+      case _ => col(c).cast("string")
+    }
     val aggs = statCols.flatMap { c =>
       Seq(min(exprOf(c)).as(s"${c}__min"), max(exprOf(c)).as(s"${c}__max"))
+    } ++ plainCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__cnt"),
+        hll_sketch_agg(sketchable(c)).as(s"${c}__hll"))
     } :+ count(lit(1)).as("__rows")
     df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -1253,7 +1267,7 @@ class VersionedTableOps(protected val io: TableIO) {
         // the manifest's plain-path form so lookups match
         val path = r.getString(0).stripPrefix("file://").stripPrefix("file:")
         val n = r.getAs[Long]("__rows")
-        s"$path\t#\trows\t$n\t$n" +: statCols.map { c =>
+        val bounds = statCols.map { c =>
           val lo = StatValue.encodeBound(r.getAs[Any](s"${c}__min"))
           val hi = StatValue.encodeBound(r.getAs[Any](s"${c}__max"))
           (lo, hi) match {
@@ -1271,6 +1285,16 @@ class VersionedTableOps(protected val io: TableIO) {
               s"$path\t$c\t$t\t-\t-"
           }
         }
+        val cbo = plainCols.flatMap { c =>
+          val nulls = n - r.getAs[Long](s"${c}__cnt")
+          // an all-null file has no sketch ("-" = empty, NOT missing —
+          // absence means no coverage and blocks the snapshot fold)
+          val b64 = Option(r.getAs[Array[Byte]](s"${c}__hll"))
+            .map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
+          Seq(s"$path\t$c\tnulls\t$nulls\t$nulls",
+            s"$path\t$c\thll\t$b64\t-")
+        }
+        s"$path\t#\trows\t$n\t$n" +: (bounds ++ cbo)
       }
   }
 
@@ -1381,12 +1405,19 @@ class VersionedTableOps(protected val io: TableIO) {
     * Legacy 4-field lines (untagged doubles) and non-range lines (bloom
     * filters) are ignored — absent stats degrade to keeping the file,
     * never to a misread bound. */
+  /** Sidecar tags that carry RANGE bounds (min/max pruning). Everything
+    * else — `bloom` bitmaps, `nulls` counts, `hll` NDV sketches — shares
+    * the line format but must never be read as a bound: a parser that
+    * merely excluded "bloom" would let a later-added tag silently
+    * OVERWRITE a file's num line in the per-file fold. */
+  private[sinks] val RangeTags = Set("num", "str", "null", "wild")
+
   private def statsOf(dir: String, version: Int,
                       column: String): Map[String, (String, String, String)] =
     sidecarLines(dir, version)
       .map(_.split('\t').toSeq)
       .collect { case Seq(f, c, tag, lo, hi)
-        if c == column && tag != "bloom" => f -> ((tag, lo, hi))
+        if c == column && RangeTags(tag) => f -> ((tag, lo, hi))
       }
       .toMap
 
@@ -1596,7 +1627,7 @@ class VersionedTableOps(protected val io: TableIO) {
       }
     val cols = ranges.map(_._1).toSet
     val statsByCol = statLines.map(_.split('	').toSeq).collect {
-      case Seq(f, c, tag, lo, hi) if cols.contains(c) && tag != "bloom" =>
+      case Seq(f, c, tag, lo, hi) if cols.contains(c) && RangeTags(tag) =>
         (c, f, (tag, lo, hi))
     }.groupBy(_._1)
       .map { case (c, xs) => c -> xs.map(x => (x._2, x._3)).toMap }
@@ -2071,6 +2102,49 @@ class VersionedTableOps(protected val io: TableIO) {
         if (!(data.iterator ++ dels.iterator).forall(rows.contains)) None
         else Some(data.iterator.map(rows).sum - dels.iterator.map(rows).sum)
     }
+  }
+
+  /** Per-column CBO ingredients folded from the sidecar: EXACT null
+    * counts (sum of per-file `nulls` lines) and approximate NDV (union
+    * of per-file `hll` sketches — per-file estimates would not merge,
+    * sketches do; same DataSketches HLL library Spark's own
+    * `hll_sketch_agg` writes). A column reports only when EVERY data
+    * file of the snapshot carries its line — a partial fold would lie —
+    * and nothing reports under row-level delete debt (dead rows would
+    * inflate both). One sidecar read, zero data files opened, any table
+    * size. */
+  private[graft] def columnStatsOf(dir: String, version: Int)
+      : Map[String, (Option[Long], Option[Long])] = {
+    if (delFilesOf(dir, version).nonEmpty ||
+      eqDelsOf(dir, version).nonEmpty) return Map.empty
+    val dataFiles = filesOf(dir, version).toSet
+    if (dataFiles.isEmpty) return Map.empty
+    val parsed = sidecarLines(dir, version).map(_.split('\t').toSeq)
+    val nulls = parsed.collect {
+      case Seq(f, c, "nulls", lo, _) if dataFiles(f) => (c, f, lo.toLong)
+    }
+    val hlls = parsed.collect {
+      case Seq(f, c, "hll", b64, _) if dataFiles(f) => (c, f, b64)
+    }
+    (nulls.map(_._1) ++ hlls.map(_._1)).distinct.map { c =>
+      // fold per FILE (immutable ⇒ duplicate lines agree; rewrites may
+      // re-emit a carried file's line next to the original)
+      val nm = nulls.collect { case (`c`, f, n) => f -> n }.toMap
+      val nullCount =
+        if (nm.keySet == dataFiles) Some(nm.values.sum) else None
+      val hm = hlls.collect { case (`c`, f, b) => f -> b }.toMap
+      val ndv =
+        if (hm.keySet != dataFiles) None
+        else {
+          val u = new org.apache.datasketches.hll.Union(12)
+          hm.values.filter(_ != "-").foreach { b64 =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(
+              java.util.Base64.getDecoder.decode(b64)))
+          }
+          Some(math.round(u.getEstimate))
+        }
+      c -> ((nullCount, ndv))
+    }.toMap.filter { case (_, (a, b)) => a.isDefined || b.isDefined }
   }
 
   /** Source columns with ANY manifest pruning handle at `version` —
@@ -3349,7 +3423,7 @@ class VersionedTableOps(protected val io: TableIO) {
       case Seq(f, c, tag, lo, hi) if c != "#" => (f, c, tag, lo, hi)
     }
     val blooms = parsed.collect { case (f, c, "bloom", _, _) => (f, c) }.toSet
-    val ranged = parsed.filterNot(t => t._3 == "bloom")
+    val ranged = parsed.filter(t => RangeTags(t._3))
       .map { case (f, c, tag, lo, hi) =>
         (f, c, tag,
           Option(if (tag == "str") StatValue.decodeStr(lo) else lo),

@@ -1163,16 +1163,38 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
       // rows: EXACT from the sidecar, but only when this scan serves the
       // whole snapshot — under residual predicates or runtime pruning the
       // count would overestimate, so report unknown rather than a lie
-      val rows =
-        if (captured.isEmpty && kept.size == files.size &&
-            refuseServe.isEmpty)
-          VersionedTable.statNumRows(dir, version)
-        else None
+      val whole = captured.isEmpty && kept.size == files.size &&
+        refuseServe.isEmpty
+      val rows = if (whole) VersionedTable.statNumRows(dir, version) else None
+      // column-level CBO stats (exact null counts + mergeable-HLL NDV)
+      // fold from the sidecar under the same whole-snapshot condition;
+      // reported under LOGICAL names so CBO sees the user's schema.
+      // min/max stay unreported: sidecar bounds are type-tag-encoded
+      // strings and a mistyped object silently poisons selectivity,
+      // while ndv + nullCount are the estimator's primary inputs.
+      val colStats = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (whole) VersionedTable.columnStatsOf(dir, version).foreach {
+        case (phys, (nulls0, ndv0)) =>
+          def opt(o: Option[Long]) =
+            o.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          val (nullsOpt, ndvOpt) = (opt(nulls0), opt(ndv0))
+          colStats.put(
+            Expressions.column(backNames.getOrElse(phys, phys)),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def nullCount(): java.util.OptionalLong = nullsOpt
+              override def distinctCount(): java.util.OptionalLong = ndvOpt
+            })
+      }
       new V2Statistics {
         override def sizeInBytes(): java.util.OptionalLong = size
         override def numRows(): java.util.OptionalLong =
           rows.fold(java.util.OptionalLong.empty())(
             java.util.OptionalLong.of)
+        override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          colStats
       }
     }
 

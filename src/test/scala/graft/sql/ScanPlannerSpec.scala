@@ -298,6 +298,43 @@ class ScanPlannerSpec extends SparkSpec {
     }
   }
 
+  test("column-level CBO stats: exact null counts + mergeable-HLL NDV " +
+    "fold from the sidecar and reach the optimizer's attribute stats") {
+    register()
+    val dir = tmpDir("sp-colstats")
+    // two commits so the NDV fold must MERGE per-file sketches (a sum of
+    // per-file estimates would double-count k values shared across files)
+    ops.commit((0 until 600).map(i => (i.toLong, s"k${i % 7}",
+      if (i % 5 == 0) null else s"v$i")).toDF("id", "k", "v"), dir)
+    ops.commit((600 until 1000).map(i => (i.toLong, s"k${i % 7}",
+      if (i % 5 == 0) null else s"v$i")).toDF("id", "k", "v"), dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("id", "k", "v"))
+    val cs = ops.columnStatsOf(dir, ops.versions(dir).last)
+    assert(cs("k")._1.contains(0L) && cs("v")._1.contains(200L),
+      s"null counts must be exact: $cs")
+    // HLL at lgK=12 is near-exact at these cardinalities
+    assert(cs("k")._2.exists(n => n == 7L),
+      s"k NDV must merge to 7 across files: $cs")
+    assert(cs("id")._2.exists(n => math.abs(n - 1000L) <= 20),
+      s"id NDV must be ~1000: $cs")
+    withConf("spark.sql.cbo.enabled", "true") {
+      val df = spark.sql(s"SELECT id, k, v FROM graft.`$dir`")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1000)),
+        s"exact row count lost: ${stats.rowCount}")
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.get("k").exists(_.distinctCount.exists(_ == BigInt(7))),
+        s"k NDV must reach the optimizer: $byName")
+      assert(byName.get("v").exists(_.nullCount.contains(BigInt(200))),
+        s"v null count must reach the optimizer: $byName")
+    }
+    // a snapshot with row-level delete debt reports NO column stats
+    // (dead rows would inflate both ingredients)
+    ops.deleteWhere(spark, dir, col("id") < 10)
+    assert(ops.columnStatsOf(dir, ops.versions(dir).last).isEmpty,
+      "delete debt must mute column stats")
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
