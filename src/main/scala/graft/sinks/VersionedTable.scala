@@ -729,6 +729,54 @@ class VersionedTableOps(protected val io: TableIO) {
     * stats instead of bare row counts — landing and layout are one step,
     * which is what keeps a 100 TB streaming landing prunable without a
     * separate optimize job chasing it. */
+  private def smallCountPath(dir: String) = s"${manifestDir(dir)}/smallcount"
+
+  /** Automatic small-file compaction for streaming landings (the
+    * `compact.auto.files` table property): each commit stats ONLY its
+    * own batch — O(batch), never O(table) — and accumulates how many
+    * files landed under `compact.small.bytes` (default: half the
+    * compaction target) in an advisory counter next to the manifests.
+    * The commit that crosses the threshold pays one [[compact]] pass
+    * and resets. The counter is ADVISORY by design: racing writers may
+    * lose an increment and a concurrent shape conflict skips the pass
+    * with the count restored — either way compaction happens a few
+    * landings late, results are never wrong, and no commit ever fails
+    * because maintenance lost a race. Returns the compacted head when a
+    * pass ran. */
+  private def maybeAutoCompact(spark: SparkSession, dir: String,
+                               newFiles: Seq[String]): Option[Int] = {
+    val props = tableProperties(dir)
+    props.get("compact.auto.files").map(_.toInt).filter(_ > 0).flatMap { t =>
+      val target = props.get("compact.target.bytes").map(_.toLong)
+        .getOrElse(DefaultCompactTargetBytes)
+      val smallBytes = props.get("compact.small.bytes").map(_.toLong)
+        .getOrElse(target / 2)
+      val small = newFiles.count(f => io.size(f) < smallBytes)
+      if (small == 0) None
+      else {
+        val cur =
+          if (!io.exists(smallCountPath(dir))) 0L
+          else io.readLines(smallCountPath(dir)).headOption
+            .flatMap(_.toLongOption).getOrElse(0L)
+        val acc = cur + small
+        if (acc < t) { io.writeLines(smallCountPath(dir), Seq(acc.toString)); None }
+        else {
+          io.writeLines(smallCountPath(dir), Seq("0"))
+          try Some(compact(spark, dir, target))
+          catch {
+            case _: SnapshotShapeConflict
+                | _: java.util.ConcurrentModificationException =>
+              // someone else is mutating; restore the count so a later
+              // landing retries — opportunistic maintenance must never
+              // fail the landing that triggered it
+              io.writeLines(smallCountPath(dir), Seq(acc.toString))
+              None
+          }
+        }
+      }
+    }
+  }
+
   def commit(df: DataFrame, dir: String, append: Boolean = true,
              txnId: Option[String] = None): Int = {
     val pt = partitioningOf(dir)
@@ -772,13 +820,16 @@ class VersionedTableOps(protected val io: TableIO) {
       }.toSeq
       io.writeLines(statsPath(dir, v),
         hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
-      v
+      maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
     } else {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
         meta ++ newFiles)
       io.writeLines(statsPath(dir, v),
         rowsHeaderLine(sumRows(rowsNew), 0L) +: rowsNew)
-      v
+      // an overwrite discarded every previously-counted small file
+      if (io.exists(smallCountPath(dir)))
+        io.writeLines(smallCountPath(dir), Seq("0"))
+      maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
     }
   }
 

@@ -188,4 +188,37 @@ class EqualityDeleteSpec extends SparkSpec {
       "null delete key must erase the null-key row (null-safe equality)")
     assert(ops.read(spark, dir).count() == 98)
   }
+
+  test("compact.auto.files auto-compacts streaming small-file landings: " +
+    "the commit that crosses the threshold pays the pass and resets") {
+    val dir = tmpDir("eq-autocompact")
+    ops.setTableProperty(dir, "compact.auto.files", "6")
+    ops.setTableProperty(dir, "compact.target.bytes", (1L << 30).toString)
+    // each landing writes 2 tiny files; the 3rd landing crosses 6
+    ops.commit(ids(0, 100).repartition(2), dir)
+    ops.commit(ids(100, 200).repartition(2), dir)
+    assert(ops.versions(dir) == Seq(1, 2), "below threshold: no pass yet")
+    def dataFiles(v: Int): Seq[String] =
+      ops.manifestLines(dir, v).filter(l => l.nonEmpty && !l.startsWith("#"))
+    val v3 = ops.commit(ids(200, 300).repartition(2), dir)
+    assert(v3 == 4,
+      s"crossing commit must land (v3) then compact (v4), got head $v3")
+    assert(dataFiles(v3).size == 1,
+      s"auto-pass must bin-pack the 6 small files: ${dataFiles(v3)}")
+    assert(ops.read(spark, dir).select("id").as[Long].collect().sorted
+      .sameElements(0L until 300L))
+    assert(ops.fastCount(spark, dir) == 300L)
+    // the counter reset: three more landings before the next pass
+    ops.commit(ids(300, 400).repartition(2), dir)
+    ops.commit(ids(400, 500).repartition(2), dir)
+    assert(ops.versions(dir).last == 6, "counter must reset after a pass")
+    val v7 = ops.commit(ids(500, 600).repartition(2), dir)
+    assert(v7 == 8, "second crossing compacts again")
+    // without the property, nothing ever auto-compacts
+    val plain = tmpDir("eq-noauto")
+    (0 until 5).foreach(i =>
+      ops.commit(ids(i * 10, i * 10 + 10).repartition(2), plain))
+    assert(ops.versions(plain) == (1 to 5),
+      "no property: landings never trigger maintenance")
+  }
 }
