@@ -660,6 +660,19 @@ class VersionedTableOps(protected val io: TableIO) {
       s"#files=$numFiles" +: parsed.map(_.spec))
   }
 
+  /** Remove the partitioning declaration (REPLACE TABLE abort-restore
+    * when the prior table was unpartitioned). */
+  private[graft] def clearPartitioning(dir: String): Unit =
+    io.delete(partitioningPath(dir))
+
+  /** Remove everything the ENGINE created under `dir` — manifests,
+    * data, deletes, segments — and nothing else: the staged-CREATE
+    * abort for a directory that existed before the stage (it may hold
+    * unrelated children, e.g. sibling tables of a namespace). */
+  private[graft] def purgeTableArtifacts(dir: String): Unit =
+    Seq(manifestDir(dir), s"$dir/data", s"$dir/deletes")
+      .foreach(purgeDir)
+
   // ---- table properties (k=v lines next to the manifests) ----
 
   private def propertiesPath(dir: String) = s"${manifestDir(dir)}/properties"
@@ -710,6 +723,8 @@ class VersionedTableOps(protected val io: TableIO) {
     else io.readLines(p).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(PartitionTransform.parse)
   }
+
+  private[graft] def partitioningNumFiles(dir: String): Int = ptNumFiles(dir)
 
   private def ptNumFiles(dir: String): Int = {
     val p = partitioningPath(dir)

@@ -74,6 +74,43 @@ private[graft] object ColumnMapping {
       StructField(name, dt, nullable = true), id, freshPhysical(name, id, used)))
   }
 
+  /** REPLACE TABLE's schema assignment: a column whose (name, type)
+    * survives from `cur` keeps its id + physical name — retained
+    * snapshots keep serving it through time travel — while everything
+    * else is a NEW column with a fresh id and a physical name avoiding
+    * every name the table has ever addressed (the DROP discipline:
+    * same-name-different-type can never resurrect old bytes). Returns
+    * (declared, retiredNow) where retiredNow are the `cur` fields the
+    * new schema dropped or re-typed — the caller records them in the
+    * retired ledger. */
+  def replaceAssign(cur0: StructType, retired: Seq[(Long, String)],
+                    newSchema: StructType)
+      : (StructType, Seq[(Long, String)]) = {
+    // ids first (Scala-created tables may predate the mapping) so every
+    // dropped field can enter the retired ledger
+    val cur = assign(cur0, retired.map(_._1))
+    val byName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
+    var next =
+      (cur.fields.flatMap(idOf) ++ retired.map(_._1)).foldLeft(0L)(math.max)
+    val used = scala.collection.mutable.Set(
+      (cur.fields.map(physOf) ++ retired.map(_._2)).map(_.toLowerCase): _*)
+    val declared = StructType(newSchema.fields.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(old) if old.dataType == f.dataType =>
+          withKeys(f, idOf(old).getOrElse { next += 1; next }, physOf(old))
+        case _ =>
+          next += 1
+          val phys = freshPhysical(f.name, next, used.toSet)
+          used += phys.toLowerCase
+          withKeys(f, next, phys)
+      }
+    })
+    val keptIds = declared.fields.flatMap(idOf).toSet
+    val retiredNow = cur.fields.flatMap(f =>
+      idOf(f).filterNot(keptIds).map(id => (id, physOf(f))))
+    (declared, retiredNow.toSeq)
+  }
+
   /** logical → physical for fields where the two differ (empty = identity
     * mapping; every translation path short-circuits on empty). */
   def renames(schema: StructType): Map[String, String] =

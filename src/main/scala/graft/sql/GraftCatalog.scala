@@ -59,7 +59,7 @@ import graft.sinks.VersionedTable
   * dead rows through SQL is worse than a clear instruction to `compact`
   * first — the same normalization contract MERGE and promotion enforce. */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with FunctionCatalog with SupportsNamespaces {
+    with FunctionCatalog with SupportsNamespaces with StagingTableCatalog {
 
   private var catName = "graft"
 
@@ -527,6 +527,48 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     ops.declareSchema(dir, updated.json)
     loadTable(ident)
   }
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----
+  //
+  // The engine's manifest publish is itself the atomic boundary, so
+  // staging needs no shadow directory: a staged CREATE's first commit
+  // is v1 (readers see nothing until it lands), a staged REPLACE's
+  // write is ONE logical-overwrite snapshot (readers see the old head
+  // until the new manifest publishes, then the whole new table).
+  // Declarations (schema / partitioning) land lazily inside the write
+  // job and are restored on abort.
+
+  private def stagedOf(ident: Identifier, info: TableInfo,
+                       mustExist: Option[Boolean]): StagedTable = {
+    val (base, ref) = parseRef(dirOf(ident))
+    require(ref == RefHead,
+      "CREATE/REPLACE TABLE targets a base table, not a ref or metadata " +
+        s"view ('${ident.name}' carries a '#' fragment)")
+    val exists = isGraftTable(base)
+    mustExist.foreach { m =>
+      if (m && !exists) throw new NoSuchTableException(ident)
+      if (!m && exists) throw new TableAlreadyExistsException(ident)
+    }
+    new StagedGraftTable(s"$catName.$base", base, info,
+      replacing = exists,
+      priorDeclared = if (exists) ops.declaredSchema(base) else None,
+      priorPartitioning =
+        if (exists)
+          Some((ops.partitioningOf(base).map(_.spec),
+            ops.partitioningNumFiles(base)))
+        else None,
+      existedBefore = ops.isDirectory(base))
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stagedOf(ident, info, mustExist = Some(false))
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stagedOf(ident, info, mustExist = Some(true))
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: TableInfo): StagedTable =
+    stagedOf(ident, info, mustExist = None)
+
   /** `DROP TABLE` purges catalog-MANAGED tables — those resolved under
     * the warehouse root: directory, manifests, sidecars, segments, data
     * files and branch lineages all go. External path-addressed tables
@@ -865,6 +907,110 @@ private[sql] class GraftMetaTable(tblName: String, thunk: () => SqlDataFrame)
           frame.collect().map(r => conv(r).asInstanceOf[InternalRow])
         }
         override def readSchema(): StructType = frame.schema
+      }
+    }
+}
+
+/** Atomic CTAS/RTAS through the engine's own commit protocol. The
+  * manifest publish IS the atomic boundary, so there is no shadow
+  * directory: CREATE's write lands v1 (table birth = one atomic
+  * publish), REPLACE's write lands ONE logical-overwrite snapshot
+  * (readers see the old head until the new manifest exists, then the
+  * whole new table — and prior versions stay time-travelable).
+  *
+  * Declarations land lazily INSIDE the write job, so an aborted stage
+  * restores: a create-abort purges exactly the engine's artifacts (a
+  * pre-existing directory's unrelated children survive), a
+  * replace-abort restores the prior schema/partitioning declarations —
+  * unless the overwrite already committed, in which case the swap
+  * happened atomically and is kept (aborting a landed swap would be a
+  * second, silent overwrite).
+  *
+  * REPLACE's column mapping keeps the id + physical name of every
+  * column whose (name, type) survives — retained snapshots keep
+  * serving it — and gives everything else a fresh id and a physical
+  * name no retained file carries, retiring the replaced-away columns
+  * ([[ColumnMapping.replaceAssign]]): same-name-different-type can
+  * never resurrect old bytes. */
+private[sql] class StagedGraftTable(tblName: String, dir: String,
+    info: TableInfo, replacing: Boolean, priorDeclared: Option[String],
+    priorPartitioning: Option[(Seq[String], Int)], existedBefore: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private val ops = VersionedTable
+
+  private var stagedRetire: Seq[(Long, String)] = Seq.empty
+  @volatile private var committed = false
+  @volatile private var declaredOnDisk = false
+
+  /** The declaration this stage will publish (ids + physical names). */
+  private val declared: StructType =
+    if (!replacing) ColumnMapping.assign(info.schema(), Seq.empty)
+    else {
+      val cur = priorDeclared
+        .map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse {
+          val spark = SparkSession.active
+          ops.read(spark, dir).schema
+        }
+      val (d, retiredNow) =
+        ColumnMapping.replaceAssign(cur, ops.retiredColumns(dir),
+          info.schema())
+      stagedRetire = retiredNow
+      d
+    }
+
+  override def name(): String = tblName
+  override def schema(): StructType = info.schema()
+  override def partitioning(): Array[Transform] = info.partitions()
+  override def properties(): util.Map[String, String] = info.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this // REPLACE overwrites anyway
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: SqlDataFrame, ignored: Boolean): Unit = {
+              val specs = info.partitions().toSeq
+                .map(GraftCatalog.transformSpec)
+              val numFiles = Option(info.properties().get("files"))
+                .map(_.toInt).getOrElse(8)
+              if (specs.nonEmpty) ops.declarePartitioning(dir, specs, numFiles)
+              else if (replacing && priorPartitioning.exists(_._1.nonEmpty))
+                ops.clearPartitioning(dir) // the new table is unpartitioned
+              stagedRetire.foreach { case (id, phys) =>
+                ops.retireColumn(dir, id, phys)
+              }
+              ops.declareSchema(dir, declared.json)
+              declaredOnDisk = true
+              val renames = ColumnMapping.renames(declared)
+              val out = if (renames.isEmpty) data
+                else data.toDF(info.schema().fields.map(f =>
+                  renames.getOrElse(f.name, f.name)).toIndexedSeq: _*)
+              VersionedTable.commit(out, dir, append = !replacing)
+              committed = true
+              ()
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = () // the publish was atomic
+
+  override def abortStagedChanges(): Unit =
+    if (!replacing) {
+      ops.purgeTableArtifacts(dir)
+      if (!existedBefore) ops.purgeDir(dir)
+    } else if (declaredOnDisk && !committed) {
+      // the write failed between declaration and publish: restore
+      priorDeclared.foreach(ops.declareSchema(dir, _))
+      priorPartitioning match {
+        case Some((specs, n)) if specs.nonEmpty =>
+          ops.declarePartitioning(dir, specs, n)
+        case _ => ops.clearPartitioning(dir)
       }
     }
 }

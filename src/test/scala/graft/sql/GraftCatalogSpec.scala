@@ -644,6 +644,61 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW NAMESPACES IN gwh").count() == 0)
   }
 
+  test("REPLACE TABLE AS SELECT: one atomic logical-overwrite snapshot; " +
+    "surviving columns stay time-travelable, re-typed ones never " +
+    "resurrect old bytes") {
+    register()
+    val dir = tmpDir("gc-rtas") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` AS " +
+      "SELECT * FROM VALUES (1, 'a', 10.0), (2, 'b', 20.0) AS t(id, k, v)")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 2)
+    // REPLACE: id survives (same type), k is dropped, v re-types to
+    // STRING (fresh column), n is new
+    spark.sql(s"REPLACE TABLE graft.`$dir` AS " +
+      "SELECT * FROM VALUES (7, 'x7', 70), (8, 'x8', 80) AS t(id, v, n)")
+    val now = spark.sql(s"SELECT id, v, n FROM graft.`$dir` ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(now == Seq((7, "x7", 70), (8, "x8", 80)))
+    // history survives the replace: v1 is still pinned-readable, its
+    // surviving column serves old values, the re-typed one serves NULL
+    // (fresh physical name — old bytes are unreachable by construction)
+    val v1 = spark.sql(s"SELECT id, v FROM graft.`$dir` VERSION AS OF 1 " +
+      "ORDER BY id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(v1 == Seq((1, null), (2, null)),
+      s"re-typed column must NOT resurrect the old doubles: $v1")
+    // CREATE OR REPLACE on an absent table is a plain create
+    val dir2 = tmpDir("gc-cor") + "/t"
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$dir2` AS SELECT 1 AS one")
+    assert(spark.sql(s"SELECT one FROM graft.`$dir2`").head().getInt(0) == 1)
+    // REPLACE of a missing table refuses
+    assertThrows[Exception](spark.sql(
+      s"REPLACE TABLE graft.`${tmpDir("gc-norep")}/absent` AS SELECT 1 AS x"))
+  }
+
+  test("staged-create abort purges exactly the engine's artifacts; a " +
+    "pre-existing directory's other children survive") {
+    register()
+    val parent = tmpDir("gc-stage-abort")
+    val backendIo = graft.sinks.TableIO.local
+    backendIo.writeLines(s"$parent/bystander.txt", Seq("keep me"))
+    val cat = new GraftCatalog
+    cat.initialize("graft",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(Array(org.apache.spark.sql.connector.catalog.Column
+        .create("id", org.apache.spark.sql.types.LongType)))
+      .withProperties(java.util.Collections.emptyMap())
+      .withPartitions(Array.empty).build()
+    val staged = cat.stageCreate(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], parent), info)
+    // abort before any write: nothing to clean, bystander intact
+    staged.abortStagedChanges()
+    assert(backendIo.readLines(s"$parent/bystander.txt") == Seq("keep me"))
+    assert(!backendIo.exists(s"$parent/manifests"))
+  }
+
   test("external path-addressed tables: resolvable but never enumerated, " +
     "never purged") {
     register()
