@@ -3434,6 +3434,37 @@ class VersionedTableOps(protected val io: TableIO) {
       .orderBy(col("kind"), col("path"))
   }
 
+  /** Column-level statistics as data (`#colstats`): one row per column
+    * with the snapshot fold the SQL scan serves CBO — exact null count,
+    * merged-HLL NDV, the typed min/max bound when every file carries
+    * one, and coverage (files with stats / data files). Manifest-sized:
+    * one sidecar read, zero data files opened. */
+  def colStatsMeta(spark: SparkSession, dir: String,
+                   version: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val v = version.getOrElse(vs.last)
+    val nFiles = filesOf(dir, v).size.toLong
+    val cbo = columnStatsOf(dir, v)
+    val cols = statColsOf(dir, v).filter(c =>
+      PartitionTransform.parseOpt(c).isEmpty)
+    cols.map { c =>
+      val (nulls, ndv) = cbo.getOrElse(c, (None, None))
+      val stats = statsOf(dir, v, c)
+      val bound = fastMinMax(dir, c, Some(v)).map {
+        case ("str", lo, hi) =>
+          (StatValue.decodeStr(lo), StatValue.decodeStr(hi))
+        case (_, lo, hi) => (lo, hi)
+      }
+      (c, nulls, ndv,
+        bound.map(_._1).orNull, bound.map(_._2).orNull,
+        stats.size.toLong, nFiles)
+    }.toDF("column", "null_count", "ndv", "min", "max",
+      "files_with_stats", "data_files")
+      .orderBy(col("column"))
+  }
+
   def partitionsMeta(spark: SparkSession, dir: String,
                      version: Option[Int] = None): DataFrame = {
     import spark.implicits._

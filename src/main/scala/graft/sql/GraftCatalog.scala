@@ -120,6 +120,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     *  - `graft.`/lake/t#history``       — the commit log as data
     *  - `graft.`/lake/t#files``         — the head file inventory as data
     *  - `graft.`/lake/t#partitions``    — per-partition files/rows/bytes
+    *  - `graft.`/lake/t#segments``      — the metadata layout itself
+    *  - `graft.`/lake/t#colstats``      — per-column nulls/NDV/bounds
+    *  - `graft.`/lake/t#changes=A..B``  — the appended slice between
+    *    two pinned versions
     *
     * Only these exact forms are recognized; any other `#` stays a
     * literal path character. */
@@ -131,6 +135,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private case object RefFiles extends Ref
   private case object RefPartitions extends Ref
   private case object RefSegments extends Ref
+  private case object RefColStats extends Ref
   private case class RefChanges(from: Int, to: Int) extends Ref
 
   private def parseRef(raw: String): (String, Ref) = {
@@ -141,6 +146,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "files" => (raw.substring(0, i), RefFiles)
       case "partitions" => (raw.substring(0, i), RefPartitions)
       case "segments" => (raw.substring(0, i), RefSegments)
+      case "colstats" => (raw.substring(0, i), RefColStats)
       case s if s.startsWith("branch=") && s.length > 7 =>
         (raw.substring(0, i), RefBranch(s.drop(7)))
       case s if s.startsWith("tag=") && s.length > 4 =>
@@ -178,7 +184,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val ts = ops.tags(base)
         if (!ts.contains(t)) throw new NoSuchTableException(ident)
         (base, Some(ts(t)))
-      case RefHistory | RefFiles | RefPartitions | RefSegments =>
+      case RefHistory | RefFiles | RefPartitions | RefSegments
+          | RefColStats =>
         throw new UnsupportedOperationException(
           "metadata views do not time-travel; drop the AS OF clause")
       case RefChanges(_, _) =>
@@ -210,6 +217,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
         return new GraftMetaTable(s"$catName.$base#segments",
           () => ops.segmentsMeta(spark, base))
+      case (base, RefColStats) =>
+        require(pinned.isEmpty, "metadata views do not time-travel")
+        if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"$catName.$base#colstats",
+          () => ops.colStatsMeta(spark, base))
       case (base, RefChanges(a, b)) =>
         require(pinned.isEmpty,
           "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
@@ -279,7 +291,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case (base, RefBranch(b)) =>
         ops.branches(base).contains(b)
       case (base, RefTag(t)) => ops.tags(base).contains(t)
-      case (base, RefHistory | RefFiles | RefPartitions | RefSegments) =>
+      case (base, RefHistory | RefFiles | RefPartitions | RefSegments
+          | RefColStats) =>
         ops.versions(base).nonEmpty
       case (base, RefChanges(a, b)) =>
         val vs = ops.versions(base)
@@ -858,6 +871,23 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     VersionedTable.deleteWhere(spark, dir, cond)
     ()
+  }
+
+  /** `TRUNCATE TABLE` — one EMPTY logical-overwrite snapshot, not the
+    * SupportsDelete default (deleteWhere(true) would write an
+    * O(table-rows) positional vector and leave merge-on-read debt).
+    * Atomic at the manifest publish, prior versions stay
+    * time-travelable, rollback undoes it. */
+  override def truncateTable(): Boolean = {
+    require(!readOnly,
+      s"$tblName is a read-only handle (tag or metadata view); " +
+        "TRUNCATE targets the table or a branch")
+    VersionedTable.commit(
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row],
+        ColumnMapping.physicalSchema(schema)),
+      dir, append = false)
+    true
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1842,8 +1872,18 @@ object GraftCatalog {
     val landed = spark.sql(s"SELECT * FROM graft.`$out`")
     val direct = graft.ext.DedupOps.jaccardPairs(docs, k = 3, maxDf = None)
       .select(landed.columns.map(col).toIndexedSeq: _*)
-    require(landed.exceptAll(direct).isEmpty &&
-      direct.exceptAll(landed).isEmpty,
+    // order-insensitive multiset fingerprint: ONE pass per side (count +
+    // wrap-safe sum of row hashes) instead of two exceptAll legs, which
+    // re-executed BOTH pipelines and hash-partitioned full result sets
+    // twice — same proof (multiset equality), ~10× less shuffle
+    def sig(df: SqlDataFrame): (Long, Any) = {
+      val h = xxhash64(df.columns.sorted.map(c => col(c).cast("string"))
+        .toIndexedSeq: _*)
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(h.cast("decimal(38,0)")).as("s")).head()
+      (r.getLong(0), r.get(1))
+    }
+    require(sig(landed) == sig(direct),
       "CALL dedup_ngram landed different pairs than the Scala API")
     landed.select(col("id_a"), col("id_b"), col("common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))

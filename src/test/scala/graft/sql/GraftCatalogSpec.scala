@@ -699,6 +699,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!backendIo.exists(s"$parent/manifests"))
   }
 
+  test("TRUNCATE TABLE publishes one empty overwrite snapshot - no " +
+    "delete vectors, history time-travelable, rollback undoes it") {
+    register()
+    val dir = tmpDir("gc-trunc")
+    ops.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir)
+    spark.sql(s"TRUNCATE TABLE graft.`$dir`")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 0)
+    // the truncate is a snapshot, not a merge-on-read debt bomb
+    assert(ops.versions(dir) == Seq(1, 2))
+    assert(ops.fastCount(spark, dir) == 0L,
+      "an empty overwrite must leave the metadata path clean")
+    assert(spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 1")
+      .count() == 2, "prior versions stay time-travelable")
+    ops.rollback(dir, 1)
+    assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 2)
+  }
+
   test("external path-addressed tables: resolvable but never enumerated, " +
     "never purged") {
     register()

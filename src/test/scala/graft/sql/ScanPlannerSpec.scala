@@ -328,6 +328,13 @@ class ScanPlannerSpec extends SparkSpec {
       assert(byName.get("v").exists(_.nullCount.contains(BigInt(200))),
         s"v null count must reach the optimizer: $byName")
     }
+    // the '#colstats' metadata view serves the same fold as data
+    register()
+    val view = spark.sql(s"SELECT * FROM graft.`$dir#colstats`")
+      .collect().map(r => r.getString(0) ->
+        ((r.get(1), r.get(2)))).toMap
+    assert(view("k") == ((0L, 7L)), s"#colstats k row wrong: $view")
+    assert(view("v")._1 == 200L, s"#colstats v nulls wrong: $view")
     // a snapshot with row-level delete debt reports NO column stats
     // (dead rows would inflate both ingredients)
     ops.deleteWhere(spark, dir, col("id") < 10)
