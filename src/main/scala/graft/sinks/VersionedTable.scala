@@ -691,6 +691,14 @@ class VersionedTableOps(protected val io: TableIO) {
       cur.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
   }
 
+  /** Remove a durable property (no-op when absent). */
+  def removeTableProperty(dir: String, key: String): Unit = {
+    val cur = tableProperties(dir) - key
+    if (cur.isEmpty) io.delete(propertiesPath(dir))
+    else io.writeLines(propertiesPath(dir),
+      cur.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+  }
+
   def tableProperties(dir: String): Map[String, String] = {
     val p = propertiesPath(dir)
     if (!io.exists(p)) Map.empty

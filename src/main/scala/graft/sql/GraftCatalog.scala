@@ -407,6 +407,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // every column gets its stable field id + physical name at birth —
     // the indirection RENAME/widening resolve through (ColumnMapping)
     ops.declareSchema(dir, ColumnMapping.assign(schema, Seq.empty).json)
+    GraftCatalog.persistUserProperties(dir, properties)
     loadTable(ident)
   }
   /** Metadata-only schema evolution — the declared schema IS the table
@@ -450,6 +451,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _ => throw new UnsupportedOperationException(
         "ALTER TABLE applies to a table or branch, not a tag or metadata view")
     }
+    // SET/UNSET TBLPROPERTIES route to the durable property store (the
+    // maintenance knobs — compact.auto.files, eqdel.compact.threshold —
+    // are SQL-settable this way); they never touch the schema, and a
+    // property-only ALTER must not pin a declared schema as a side
+    // effect on a Scala-created table
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    propChanges.foreach {
+      case sp: TableChange.SetProperty =>
+        ops.setTableProperty(dir, sp.property(), sp.value())
+      case rp: TableChange.RemoveProperty =>
+        ops.removeTableProperty(dir, rp.property())
+      case _ => ()
+    }
+    if (schemaChanges.isEmpty) return loadTable(ident)
     // base schema: the declaration if CREATE TABLE pinned one, else the
     // head snapshot's inferred schema (Scala-created tables evolve too);
     // either way every field has ids after `assign`
@@ -472,7 +490,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       ShortType -> Set(IntegerType, LongType),
       IntegerType -> Set(LongType),
       FloatType -> Set(DoubleType))
-    val updated = changes.foldLeft(cur) { (sc, ch) =>
+    val updated = schemaChanges.foldLeft(cur) { (sc, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           val n = one(add.fieldNames(), "ADD COLUMN")
@@ -804,6 +822,17 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
 
   override def name(): String = tblName
 
+  /** Durable table properties (the maintenance knobs), so `SHOW
+    * TBLPROPERTIES` serves what `ALTER TABLE … SET TBLPROPERTIES` and
+    * `CALL set_property` wrote. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    VersionedTable.tableProperties(dir).foreach { case (k, v) =>
+      m.put(k, v)
+    }
+    m
+  }
+
   /** The manifest-log directory this table serves — a branch fragment
     * resolves to the branch's own directory, so DML through the catalog
     * lands on the addressed lineage. */
@@ -1015,6 +1044,7 @@ private[sql] class StagedGraftTable(tblName: String, dir: String,
                 ops.retireColumn(dir, id, phys)
               }
               ops.declareSchema(dir, declared.json)
+              GraftCatalog.persistUserProperties(dir, info.properties())
               declaredOnDisk = true
               val renames = ColumnMapping.renames(declared)
               val out = if (renames.isEmpty) data
@@ -1525,6 +1555,21 @@ object GraftCatalog {
 
   private def register(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  /** Persist CREATE TABLE's user TBLPROPERTIES into the durable store,
+    * dropping Spark-injected bookkeeping keys and the engine's `files`
+    * write knob (consumed by the partitioning declaration). */
+  private[sql] def persistUserProperties(dir: String,
+      properties: util.Map[String, String]): Unit = {
+    val reserved = Set("provider", "location", "comment", "owner",
+      "external", "files", "is_managed_location")
+    properties.asScala.filterNot { case (k, _) =>
+      reserved(k.toLowerCase(java.util.Locale.ROOT)) ||
+        k.startsWith("option.")
+    }.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      VersionedTable.setTableProperty(dir, k, v)
+    }
+  }
 
   private def eventsTmp(spark: SparkSession, sfDir: String,
                         prefix: String): (DataFrame, String) = {

@@ -716,6 +716,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 2)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES routes to the durable store; " +
+    "SHOW TBLPROPERTIES serves it; maintenance knobs become SQL-settable") {
+    register()
+    val dir = tmpDir("gc-props")
+    ops.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES " +
+      "('compact.auto.files' = '64', 'owner.team' = 'ingest')")
+    assert(ops.tableProperties(dir) ==
+      Map("compact.auto.files" -> "64", "owner.team" -> "ingest"))
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("compact.auto.files").contains("64") &&
+      shown.get("owner.team").contains("ingest"), s"SHOW served $shown")
+    spark.sql(s"ALTER TABLE graft.`$dir` UNSET TBLPROPERTIES ('owner.team')")
+    assert(ops.tableProperties(dir) == Map("compact.auto.files" -> "64"))
+    // a property-only ALTER must not pin a declared schema on a
+    // Scala-created table as a side effect
+    assert(ops.declaredSchema(dir).isEmpty,
+      "SET TBLPROPERTIES silently declared a schema")
+  }
+
   test("external path-addressed tables: resolvable but never enumerated, " +
     "never purged") {
     register()
