@@ -1251,6 +1251,17 @@ class VersionedTableOps(protected val io: TableIO) {
     at.max
   }
 
+  /** First version whose commit stamp is at or after `tsMillis` — the
+    * STREAMING twin of [[versionAt]] (which answers at-or-before for
+    * time travel): a consumer starting "from instant T" wants the
+    * commits that happened at or after T. None = every retained commit
+    * predates the instant (the consumer tails from past the head). */
+  private[graft] def versionAtOrAfter(dir: String,
+                                      tsMillis: Long): Option[Int] =
+    versions(dir)
+      .flatMap(v => tsOf(dir, v).map(t => (v, t)))
+      .filter(_._2 >= tsMillis).map(_._1).minOption
+
   /** (resolved version, live data files, has delete debt) — the seam the
     * SQL catalog plans a snapshot read through. */
   private[graft] def snapshotInfo(dir: String,
@@ -3560,6 +3571,19 @@ class VersionedTableOps(protected val io: TableIO) {
     * Batch directories emptied by the deletion are removed along with
     * their `_SUCCESS`/checksum markers. Returns the number of data files
     * deleted. */
+  /** Expire history older than a wall-clock instant: keeps every
+    * version stamped at or after `tsMillis` (always at least the head),
+    * then runs the standard [[expire]] with all its guards — tag pins,
+    * equality-delete scoping, the txn replay horizon. The retention-
+    * policy spelling of expire ("keep 7 days"), since operators reason
+    * in time, not version counts. */
+  def expireBefore(dir: String, tsMillis: Long,
+                   txnReplayHorizon: Int = 0): Int = {
+    val keep = math.max(1,
+      versions(dir).flatMap(v => tsOf(dir, v)).count(_ >= tsMillis))
+    expire(dir, math.max(keep, txnReplayHorizon), txnReplayHorizon)
+  }
+
   def expire(dir: String, keepLast: Int, txnReplayHorizon: Int = 0): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     // a branch shares its parent's data files; a branch-local GC would

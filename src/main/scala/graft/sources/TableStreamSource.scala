@@ -171,12 +171,32 @@ object TableStreamSource {
     * past the evolution point. */
   private[sources] def pinnedSchema(spark: SparkSession, dir: String,
       params: Map[String, String]): StructType = {
-    val sv = params.get("startingversion").map(_.toInt).getOrElse(1)
+    val sv = resolveStartingVersion(dir, params)
     val anchor =
-      if (sv > 1) sv
+      if (sv > 1) math.min(sv,
+        VersionedTable.versions(dir).lastOption.getOrElse(sv))
       else VersionedTable.versions(dir).headOption.getOrElse(
         throw new IllegalArgumentException(s"no committed version at $dir"))
     VersionedTable.vintageSchema(spark, dir, anchor)
+  }
+
+  /** `startingVersion`, or `startingTimestamp` resolved to the first
+    * version committed at or after the instant (epoch millis or an ISO
+    * instant string) — a timestamp past every retained commit starts
+    * tail-only at head+1. The two options together refuse: they could
+    * disagree and one would silently win. */
+  private[sources] def resolveStartingVersion(
+      dir: String, params: Map[String, String]): Int = {
+    val sv = params.get("startingversion").map(_.toInt)
+    val st = params.get("startingtimestamp").map { s =>
+      val ms = s.toLongOption.getOrElse(
+        java.time.Instant.parse(s).toEpochMilli)
+      VersionedTable.versionAtOrAfter(dir, ms).getOrElse(
+        VersionedTable.versions(dir).lastOption.getOrElse(0) + 1)
+    }
+    require(sv.isEmpty || st.isEmpty,
+      "set startingVersion OR startingTimestamp, not both")
+    sv.orElse(st).getOrElse(1)
   }
 
   /** The last source version a dead query FULLY consumed, recovered from
@@ -283,7 +303,7 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
   private val ops = VersionedTable
 
   private val startingVersion: Int =
-    params.get("startingversion").map(_.toInt).getOrElse(1)
+    TableStreamSource.resolveStartingVersion(dir, params)
   private val maxVersionsPerTrigger: Option[Int] =
     params.get("maxversionspertrigger").map { s =>
       val m = s.toInt
@@ -346,6 +366,11 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
       else if (sV > 0) ops.readChanges(spark, dir, sV, endV)
       else if (startingVersion <= 1)
         ops.read(spark, dir, Some(endV)) // the catch-up snapshot
+      else if (startingVersion == endV + 1)
+        // tail-only anchor exactly past the admitted head (the restart
+        // recipe's consumed-everything case, or a startingTimestamp
+        // after every retained commit): nothing yet, not an error
+        ops.read(spark, dir, Some(endV)).limit(0)
       else {
         require(startingVersion <= endV,
           s"startingVersion $startingVersion is beyond the admitted head " +

@@ -686,6 +686,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     Proc("expire", Seq("dir", "keep_last"),
       "GC manifests beyond keep_last and files nothing retained references")(
       (_, a) => { ops.expire(a(0), a(1).toInt); ops.versions(a(0)).last }),
+    Proc("expire_before", Seq("dir", "ts_millis"),
+      "Expire history older than an instant (retention-policy expire)")(
+      (_, a) => { ops.expireBefore(a(0), a(1).toLong)
+        ops.versions(a(0)).last }),
     Proc("write_stats", Seq("dir", "cols"),
       "(Re)collect per-file min/max stats for comma-separated cols")(
       (s, a) => { val d = a(0); val v = ops.versions(d).last
@@ -821,6 +825,22 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tblName
+
+  /** The declared hidden partitioning as DSv2 transforms, reported
+    * under LOGICAL column names — so `SHOW CREATE TABLE` / `DESCRIBE`
+    * round-trip the `PARTITIONED BY` clause a user declared. */
+  override def partitioning(): Array[Transform] = {
+    import graft.sinks.PartitionTransform._
+    val back = renames.map(_.swap) // physical → logical
+    def lg(c: String) = back.getOrElse(c, c)
+    VersionedTable.partitioningOf(dir).map {
+      case Identity(s) => Expressions.identity(lg(s))
+      case Days(s) => Expressions.days(lg(s))
+      case Bucket(n, s) => Expressions.bucket(n, lg(s))
+      case Truncate(w, s) => Expressions.apply("truncate",
+        Expressions.literal(Integer.valueOf(w)), Expressions.column(lg(s)))
+    }.toArray
+  }
 
   /** Durable table properties (the maintenance knobs), so `SHOW
     * TBLPROPERTIES` serves what `ALTER TABLE … SET TBLPROPERTIES` and

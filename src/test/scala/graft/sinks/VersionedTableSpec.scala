@@ -247,6 +247,34 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(clocked.readAsOf(spark, dir, 4000L).count() == 2) // rolled back
   }
 
+  test("expireBefore keeps versions stamped at/after the instant; " +
+    "versionAtOrAfter is the streaming twin of versionAt") {
+    val dir = tmpDir("vt-expbefore")
+    import spark.implicits._
+    val clocked = new VersionedTableOps(backend) {
+      var t = 0L
+      override protected def now(): Long = t
+    }
+    clocked.t = 1000L
+    clocked.commit(Seq((1L, "a")).toDF("id", "k"), dir)
+    clocked.t = 2000L
+    clocked.commit(Seq((2L, "b")).toDF("id", "k"), dir)
+    clocked.t = 3000L
+    clocked.commit(Seq((3L, "c")).toDF("id", "k"), dir)
+    assert(clocked.versionAtOrAfter(dir, 1500L).contains(2))
+    assert(clocked.versionAtOrAfter(dir, 3000L).contains(3))
+    assert(clocked.versionAtOrAfter(dir, 3001L).isEmpty,
+      "an instant past every commit has no at-or-after version")
+    clocked.expireBefore(dir, 2000L)
+    assert(clocked.versions(dir) == Seq(2, 3),
+      "expireBefore must keep exactly the at-or-after versions")
+    assert(clocked.read(spark, dir).count() == 3,
+      "the head still serves every live row")
+    // an instant past everything keeps at least the head
+    clocked.expireBefore(dir, 9999L)
+    assert(clocked.versions(dir) == Seq(3))
+  }
+
   test("readChanges returns exactly the appended rows; loud off appends") {
     val dir = tmpDir("vt-changes")
     import spark.implicits._

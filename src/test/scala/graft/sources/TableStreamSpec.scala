@@ -325,6 +325,37 @@ class TableStreamSpec extends SparkSpec {
     }
   }
 
+  test("startingTimestamp resolves to the first commit at/after the " +
+    "instant; past-everything starts tail-only (empty, not an error)") {
+    val tmp = tmpDir("ts-startts")
+    val src = s"$tmp/src"
+    ops.commit(rows(0 until 10), src)
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    ops.commit(rows(10 until 25), src)
+    // from `mid`: only the second commit's rows
+    val (ids, _) = drain(src, s"$tmp/ck1",
+      Map("startingTimestamp" -> mid.toString))
+    assert(ids == (10L until 25L), s"expected the post-instant delta: $ids")
+    // an instant past every commit: empty now, live for what lands next
+    val late = System.currentTimeMillis() + 5
+    Thread.sleep(15)
+    val (none, _) = drain(src, s"$tmp/ck2",
+      Map("startingTimestamp" -> late.toString))
+    assert(none.isEmpty, s"tail-only start must serve nothing yet: $none")
+    ops.commit(rows(25 until 30), src)
+    val (tail, _) = drain(src, s"$tmp/ck2",
+      Map("startingTimestamp" -> late.toString))
+    assert(tail == (25L until 30L),
+      s"the tail-only consumer must pick up the next landing: $tail")
+    // both anchors together refuse
+    intercept[Exception] {
+      drain(src, s"$tmp/ck3", Map("startingTimestamp" -> mid.toString,
+        "startingVersion" -> "2"))
+    }
+  }
+
   test("native sink Update mode end-to-end: a rate-less changelog stream " +
     "upserts into the table through writeStream, exactly-once") {
     val tmp = tmpDir("tsink-merge-e2e")
