@@ -815,7 +815,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val rowsNew =
       if (pt.isEmpty) rowsLines(df.sparkSession, newFiles)
       else statsLines(df.sparkSession, newFiles,
-        pt.flatMap(_.statNames).distinct)
+        pt.flatMap(_.statNames).distinct, cbo = cboOnCommit(dir))
     val meta = txnId.map(t => s"#txn=$t").toSeq :+ s"#ts=${now()}"
     // an append inherits the head's delete vectors (they reference the
     // carried files); a logical overwrite starts clean — none of its files
@@ -1094,7 +1094,8 @@ class VersionedTableOps(protected val io: TableIO) {
       validateConstraints(spark, dir, newFiles)
       val rowsNew =
         if (pt.isEmpty) rowsLines(spark, newFiles)
-        else statsLines(spark, newFiles, pt.flatMap(_.statNames).distinct)
+        else statsLines(spark, newFiles,
+          pt.flatMap(_.statNames).distinct, cbo = cboOnCommit(dir))
       val referenced = spark.read.parquet(newDel: _*)
         .select("file_path").distinct()
         .collect().map(_.getString(0)).toSet
@@ -1308,7 +1309,8 @@ class VersionedTableOps(protected val io: TableIO) {
         val a = l.split('\t')
         a.length >= 3 && (a(1) == "#" || a(2) == "bloom")
       }
-    val lines = keep ++ statsLines(spark, filesOf(dir, version), statCols)
+    val lines = keep ++
+      statsLines(spark, filesOf(dir, version), statCols, cbo = true)
     io.writeLines(p, derivedHeader(dir, version, lines) ++ lines)
   }
 
@@ -1316,8 +1318,19 @@ class VersionedTableOps(protected val io: TableIO) {
     * aggregate, one scan of those files, min/max computed in the column's
     * OWN type (casting dates/strings to double is how date and categorical
     * pruning got lost before). */
+  /** Should this table's commits pay the CBO-sketch cost inline?
+    * Default NO — the ANALYZE discipline: per-landing stats stay
+    * min/max + rows (the pruning ingredients), and the NDV/null-count
+    * sketches land when the operator runs [[writeStats]] (`CALL
+    * write_stats`) or opts the table in durably (`stats.cbo=true`, for
+    * streaming tables that want always-fresh CBO stats at ~30% extra
+    * stats-pass cost per landing). */
+  private def cboOnCommit(dir: String): Boolean =
+    tableProperties(dir).get("stats.cbo").contains("true")
+
   private def statsLines(spark: SparkSession, files: Seq[String],
-                         statCols: Seq[String]): Seq[String] = {
+                         statCols: Seq[String],
+                         cbo: Boolean = false): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     val raw = spark.read.parquet(files: _*)
     val df = raw.withColumn("__file", input_file_name())
@@ -1328,10 +1341,13 @@ class VersionedTableOps(protected val io: TableIO) {
     def exprOf(c: String): Column = PartitionTransform.parseOpt(c)
       .map(t => t.expr(raw.schema(t.source).dataType)).getOrElse(col(c))
     // plain columns (not transform specs) additionally record the CBO
-    // ingredients in the SAME grouped pass: exact per-file null counts
-    // and a mergeable per-file HLL sketch (union across files = snapshot
-    // NDV — per-file approx counts would NOT merge, sketches do)
-    val plainCols = statCols.filter(c => PartitionTransform.parseOpt(c).isEmpty)
+    // ingredients in the SAME grouped pass when asked: exact per-file
+    // null counts and a mergeable per-file HLL sketch (union across
+    // files = snapshot NDV — per-file approx counts would NOT merge,
+    // sketches do)
+    val plainCols =
+      if (!cbo) Seq.empty
+      else statCols.filter(c => PartitionTransform.parseOpt(c).isEmpty)
     def sketchable(c: String): Column = raw.schema(c).dataType match {
       case IntegerType | LongType | StringType | BinaryType => col(c)
       // everything else goes through an injective-enough string form
@@ -1455,7 +1471,8 @@ class VersionedTableOps(protected val io: TableIO) {
     // loop; a partition-declared table keeps its transform stats too, so
     // a z-ordered landing never silently drops bucket pruning
     val newStats = statsLines(spark, newFiles,
-      (statCols ++ partitioningOf(dir).flatMap(_.statNames)).distinct)
+      (statCols ++ partitioningOf(dir).flatMap(_.statNames)).distinct,
+      cbo = cboOnCommit(dir))
     if (!append) {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
         s"#ts=${now()}" +: newFiles)
@@ -2032,7 +2049,7 @@ class VersionedTableOps(protected val io: TableIO) {
       if (statCols.nonEmpty) statCols else statColsOf(dir, head)
     val newStats =
       if (cols.isEmpty) rowsLines(spark, newFiles)
-      else statsLines(spark, newFiles, cols)
+      else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))
     val delRows = rowsLines(spark, survivorDel)
     // old vectors are replaced by the consolidated survivor — their rows
     // lines drop with the rewritten data files' (segment-preserving
@@ -2321,7 +2338,8 @@ class VersionedTableOps(protected val io: TableIO) {
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
     val cols = (statColsOf(dir, head) ++ zCols).distinct
-    val newStats = statsLines(spark, newFiles, cols)
+    val newStats = statsLines(spark, newFiles, cols,
+      cbo = cboOnCommit(dir))
     // the superseded delete vectors' rows lines drop with the rewrite
     // (their rows were materialized into the clustered copy)
     val removed = rewriteSet ++ delsAtStart
@@ -2530,7 +2548,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newStats =
         if (newFiles.isEmpty) Seq.empty
         else if (cols.isEmpty) rowsLines(spark, newFiles)
-        else statsLines(spark, newFiles, cols)
+        else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))
       val delRows = rowsLines(spark, survivorDel)
       val removed = touchedSet ++ delsAtStart
       val newSeg = segLine(dir, newFiles, coversOf(newStats))
@@ -2775,7 +2793,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newStats =
         if (newFiles.isEmpty) Seq.empty
         else if (cols.isEmpty) rowsLines(spark, newFiles)
-        else statsLines(spark, newFiles, cols)
+        else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))
       val delRows = rowsLines(spark, survivorDel)
       val removed = touchedSet ++ delsAtStart
       val newSeg = segLine(dir, newFiles, coversOf(newStats))

@@ -594,9 +594,9 @@ class VersionedTableSpec extends VersionedTableBehavior {
       zCols = Seq("x", "y"), statCols = Seq("x", "y"), numFiles = 8)
     val s2 = VersionedTable.sidecarLines(dir, v2)
     assert(s1.forall(s2.contains), "carried stats lines missing")
-    // + files × (range bounds per col + `nulls` + `hll` CBO lines per
-    // col + the per-file `rows` metadata line) new lines
-    assert(s2.size == s1.size + 8 * (2 + 2 * 2 + 1))
+    // + files × (cols + the per-file `rows` metadata line) new lines —
+    // CBO sketch lines land only via writeStats or the stats.cbo opt-in
+    assert(s2.size == s1.size + 8 * (2 + 1))
   }
 }
 

@@ -340,6 +340,24 @@ class ScanPlannerSpec extends SparkSpec {
     ops.deleteWhere(spark, dir, col("id") < 10)
     assert(ops.columnStatsOf(dir, ops.versions(dir).last).isEmpty,
       "delete debt must mute column stats")
+    // plain landings don't pay the sketch cost (ANALYZE discipline)...
+    val plain = tmpDir("sp-cbo-off")
+    ops.declarePartitioning(plain, Seq("identity(k)"), 2)
+    ops.commit((0 until 50).map(i => (i.toLong, s"k${i % 3}"))
+      .toDF("id", "k"), plain)
+    assert(ops.columnStatsOf(plain, ops.versions(plain).last).isEmpty,
+      "per-landing commits must not record CBO sketches by default")
+    // ...but stats.cbo=true opts a table into per-landing coverage
+    val optin = tmpDir("sp-cbo-on")
+    ops.setTableProperty(optin, "stats.cbo", "true")
+    ops.declarePartitioning(optin, Seq("identity(k)"), 2)
+    ops.commit((0 until 50).map(i => (i.toLong, s"k${i % 3}"))
+      .toDF("id", "k"), optin)
+    ops.commit((50 until 80).map(i => (i.toLong, s"k${i % 3}"))
+      .toDF("id", "k"), optin)
+    val on = ops.columnStatsOf(optin, ops.versions(optin).last)
+    assert(on.get("k").exists(_._2.contains(3L)),
+      s"opted-in landings must keep NDV coverage across commits: $on")
   }
 
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
