@@ -310,6 +310,12 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
       require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
       m
     }
+  private val maxRowsPerTrigger: Option[Long] =
+    params.get("maxrowspertrigger").map { s =>
+      val m = s.toLong
+      require(m > 0, s"maxRowsPerTrigger must be positive, got $m")
+      m
+    }
 
   override val schema: StructType =
     TableStreamSource.pinnedSchema(spark, dir, params)
@@ -347,8 +353,34 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
     val head = ops.versions(dir).lastOption.map(_.toLong).getOrElse(0L)
     val rated = maxVersionsPerTrigger.fold(head)(m =>
       math.min(head, base + m))
-    val admitted = availableNowTarget.fold(rated)(t =>
-      math.min(rated, math.max(t, base)))
+    // row-based admission from the O(1) `#rows` sidecar headers: admit
+    // versions while the cumulative appended-row delta fits the cap,
+    // always at least one (progress guarantee — a version is the atomic
+    // replay unit, so a giant landing admits alone and overshoots the
+    // cap rather than subdividing). A version without a recorded header
+    // (pre-upgrade) admits alone and stops the extension — the cap is
+    // honored conservatively, never guessed.
+    val rowCapped = maxRowsPerTrigger.fold(rated) { cap =>
+      var admitted = base
+      var rows = 0L
+      var stop = false
+      var prevTotal: Option[Long] =
+        if (base == 0) Some(0L)
+        else ops.rowsHeaderOf(dir, base.toInt).map(_._1)
+      for (v <- ops.versions(dir) if !stop && v > base && v <= rated) {
+        val cur = ops.rowsHeaderOf(dir, v).map(_._1)
+        (for (c <- cur; p <- prevTotal) yield c - p) match {
+          case Some(d) if admitted == base || rows + math.max(d, 0L) <= cap =>
+            rows += math.max(d, 0L); admitted = v; prevTotal = cur
+          case None if admitted == base =>
+            admitted = v; stop = true
+          case _ => stop = true
+        }
+      }
+      admitted
+    }
+    val admitted = availableNowTarget.fold(rowCapped)(t =>
+      math.min(rowCapped, math.max(t, base)))
     TableVersionOffset(math.max(admitted, base))
   }
 

@@ -325,6 +325,24 @@ class TableStreamSpec extends SparkSpec {
     }
   }
 
+  test("maxRowsPerTrigger admits by the O(1) rows headers: versions " +
+    "group under the cap, a giant landing admits alone") {
+    val tmp = tmpDir("ts-maxrows")
+    val src = s"$tmp/src"
+    ops.commit(rows(0 until 10), src)   // v1: 10 rows
+    ops.commit(rows(10 until 15), src)  // v2: 5
+    ops.commit(rows(15 until 18), src)  // v3: 3
+    ops.commit(rows(18 until 60), src)  // v4: 42 (over any small cap)
+    ops.commit(rows(60 until 62), src)  // v5: 2
+    // cap 10: v1 (catch-up, 10 rows) alone; then v2+v3 (8); then v4
+    // alone (42 > 10 but progress demands one); then v5
+    val (ids, batches) = drain(src, s"$tmp/ck",
+      Map("maxRowsPerTrigger" -> "10"))
+    assert(ids == (0L until 62L), s"capped drain lost rows: $ids")
+    assert(batches == 4,
+      s"expected 4 admission groups under the row cap, got $batches")
+  }
+
   test("startingTimestamp resolves to the first commit at/after the " +
     "instant; past-everything starts tail-only (empty, not an error)") {
     val tmp = tmpDir("ts-startts")

@@ -675,6 +675,34 @@ class GraftCatalogSpec extends SparkSpec {
       s"REPLACE TABLE graft.`${tmpDir("gc-norep")}/absent` AS SELECT 1 AS x"))
   }
 
+  test("staged CTAS carries PARTITIONED BY and TBLPROPERTIES: the CTAS " +
+    "batch lands transform-clustered and the properties persist") {
+    register()
+    val dir = tmpDir("gc-ctas-part") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('files' = '4', 'compact.auto.files' = '32') AS " +
+      "SELECT id, CAST(id % 7 AS STRING) AS k FROM RANGE(0, 1000)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`")
+      .head().getLong(0) == 1000L)
+    // the declaration took: partitioning + the durable property
+    assert(ops.partitioningOf(dir).map(_.spec) == Seq("bucket(4,id)"))
+    assert(ops.tableProperties(dir).get("compact.auto.files")
+      .contains("32"))
+    // and the CTAS batch itself clustered by it: a bucket EQUALITY
+    // probe prunes files (DERIVED stats recorded at the staged landing)
+    val v = ops.versions(dir).last
+    val all = ops.prunedFiles(dir, v, "id", Long.MinValue, Long.MaxValue)
+    val kept = ops.prunedFilesEq(spark, dir, v, "id", Seq(7L))
+    assert(kept.size < all.size,
+      s"CTAS landing must cluster by the declared bucket: " +
+        s"${kept.size}/${all.size} files for one key")
+    // INSERTs keep flowing through the same declaration
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (2000, 'x')")
+    assert(spark.sql(s"SELECT k FROM graft.`$dir` WHERE id = 2000")
+      .head().getString(0) == "x")
+  }
+
   test("staged-create abort purges exactly the engine's artifacts; a " +
     "pre-existing directory's other children survive") {
     register()
