@@ -743,6 +743,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       "Materialize merge-on-read debt if present, else no-op; restores " +
         "fastCount/catalog reads on CDC-heavy tables")(
       (s, a) => ops.compactIfDebt(s, a(0), a(1).toLong)),
+    Proc("declare_partitioning", Seq("dir", "specs", "num_files"),
+      "Declare (or evolve) hidden partitioning: comma-separated " +
+        "transforms, e.g. 'days(ts),bucket(16,user_id)' — new landings " +
+        "cluster by the new spec, probes compose across vintages")(
+      (_, a) => { ops.declarePartitioning(a(0),
+        GraftCatalog.splitSpecs(a(1)), a(2).toInt)
+        ops.versions(a(0)).lastOption.getOrElse(0) }),
+    Proc("delete_tag", Seq("dir", "name"),
+      "Remove a tag (unpins its version for expire)")(
+      (_, a) => { ops.deleteTag(a(0), a(1))
+        ops.versions(a(0)).lastOption.getOrElse(0) }),
+    Proc("drop_branch", Seq("dir", "name"),
+      "Delete an abandoned branch lineage (its exclusive files reclaim " +
+        "on the parent's next vacuum)")(
+      (_, a) => { ops.dropBranch(a(0), a(1))
+        ops.versions(a(0)).lastOption.getOrElse(0) }),
     // ---- the LLM-pipeline (ext/) surface as CALL procedures: each lands
     // its result THROUGH the table protocol (out_dir becomes a versioned
     // table readable as graft.`out_dir`) and returns the committed
@@ -1575,6 +1591,24 @@ object GraftCatalog {
 
   private def register(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  /** Split a comma-separated transform-spec list at paren depth 0 only
+    * (`'days(ts),bucket(16,k)'` → two specs — a naive split would cut
+    * bucket's argument list). */
+  private[sql] def splitSpecs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach { c =>
+      if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
+      else {
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+      }
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   /** Persist CREATE TABLE's user TBLPROPERTIES into the durable store,
     * dropping Spark-injected bookkeeping keys and the engine's `files`

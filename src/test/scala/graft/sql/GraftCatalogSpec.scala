@@ -727,6 +727,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!backendIo.exists(s"$parent/manifests"))
   }
 
+  test("CALL declare_partitioning / delete_tag / drop_branch complete " +
+    "the lifecycle surface from SQL") {
+    register()
+    val dir = tmpDir("gc-lifecycle")
+    ops.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir)
+    // declare-then-land: the next INSERT clusters by the new spec
+    spark.sql(
+      s"CALL graft.declare_partitioning('$dir', 'bucket(4,id)', '4')")
+    assert(ops.partitioningOf(dir).map(_.spec) == Seq("bucket(4,id)"))
+    spark.sql(s"CALL graft.create_tag('$dir', 'keep', '1')")
+    assert(ops.tags(dir).contains("keep"))
+    spark.sql(s"CALL graft.delete_tag('$dir', 'keep')")
+    assert(!ops.tags(dir).contains("keep"))
+    spark.sql(s"CALL graft.create_branch('$dir', 'exp', '1')")
+    assert(ops.branches(dir).contains("exp"))
+    spark.sql(s"CALL graft.drop_branch('$dir', 'exp')")
+    assert(!ops.branches(dir).contains("exp"))
+  }
+
   test("TRUNCATE TABLE publishes one empty overwrite snapshot - no " +
     "delete vectors, history time-travelable, rollback undoes it") {
     register()
