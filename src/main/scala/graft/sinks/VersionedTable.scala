@@ -304,16 +304,28 @@ class VersionedTableOps(protected val io: TableIO) {
     * re-lands as its filtered remainder under the ORIGINAL cover (a
     * cover is an enclosure — still true of any subset); inline lines
     * filter in place. Rewrite metadata cost becomes O(affected
-    * segments + batch), never O(table files). */
+    * segments + batch), never O(table files).
+    *
+    * `mustExist` (the rewrite's DATA file set) guards the two-rewrites
+    * race: if a concurrent compact/zorder/merge already replaced one of
+    * these files, carrying on would land this rewrite's consolidated
+    * copy NEXT TO the winner's — the same rows twice. Absence throws
+    * [[SnapshotShapeConflict]]; the caller's bounded OCC retry recomputes
+    * against the new head. Delete-vector members of `removed` are
+    * validated separately by each caller's dels-unchanged check (they
+    * live on `#del=` lines this carry never touches). */
   private def carryManifestExcept(dir: String, h: Option[Int],
-                                  removed: Set[String]): Seq[String] =
-    h.toSeq.flatMap { hv =>
+                                  removed: Set[String],
+                                  mustExist: Set[String]): Seq[String] = {
+    val found = scala.collection.mutable.Set.empty[String]
+    val lines = h.toSeq.flatMap { hv =>
       io.readLines(manifestPath(dir, hv)).flatMap { l =>
         if (segRef(l)) {
           val payload = readSegment(segPath(l))
           if (!payload.exists(removed)) Seq(l)
           else {
-            val kept = payload.filterNot(removed)
+            val (hit, kept) = payload.partition(removed)
+            found ++= hit
             if (kept.isEmpty) Seq.empty
             else {
               val suffix = l.drop(SegPrefix.length).dropWhile(_ != '\t')
@@ -321,10 +333,18 @@ class VersionedTableOps(protected val io: TableIO) {
             }
           }
         } else if (l.nonEmpty && !l.startsWith("#")) {
-          if (removed(l)) Seq.empty else Seq(l)
+          if (removed(l)) { found += l; Seq.empty } else Seq(l)
         } else Seq.empty
       }
     }
+    val missing = mustExist -- found
+    if (missing.nonEmpty)
+      throw new SnapshotShapeConflict(
+        s"${missing.size} file(s) of this rewrite's set are no longer " +
+          "in the head (a concurrent rewrite landed them); re-run " +
+          "against the new head")
+    lines
+  }
 
   /** Sidecar twin of [[carryManifestExcept]]: stats lines keyed by a
     * removed path drop (touched segments re-land as remainders with
@@ -2090,7 +2110,7 @@ class VersionedTableOps(protected val io: TableIO) {
         Seq(s"#ts=${now()}") ++
         survivorDel.map(f => s"#del=$f") ++
         liveEq.map { case (s, c2, p) => s"#eqdel=$s\t$c2\t$p" } ++
-        carryManifestExcept(dir, h, removed) ++ newSeg
+        carryManifestExcept(dir, h, removed, smallSet) ++ newSeg
     }
     io.writeLines(statsPath(dir, v),
       rewriteHeader(dir, headAt, smallSet, delsAtStart.toSet, dropped,
@@ -2363,7 +2383,7 @@ class VersionedTableOps(protected val io: TableIO) {
       // concurrent appends (files beyond our rewrite set) survive as-is
       h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
         Seq(s"#ts=${now()}") ++
-        carryManifestExcept(dir, h, removed) ++ newSeg
+        carryManifestExcept(dir, h, removed, rewriteSet) ++ newSeg
     }
     io.writeLines(statsPath(dir, v),
       rewriteHeader(dir, headAt, rewriteSet, delsAtStart.toSet, dropped,
@@ -2583,7 +2603,7 @@ class VersionedTableOps(protected val io: TableIO) {
           txnId.map(t => s"#txn=$t").toSeq ++
           Seq(s"#ts=${now()}") ++
           survivorDel.map(f => s"#del=$f") ++
-          carryManifestExcept(dir, h, removed) ++ newSeg
+          carryManifestExcept(dir, h, removed, touchedSet) ++ newSeg
       }
       io.writeLines(statsPath(dir, v),
         rewriteHeader(dir, headAt, touchedSet, delsAtStart.toSet, dropped,
@@ -2835,7 +2855,7 @@ class VersionedTableOps(protected val io: TableIO) {
         h.toSeq.flatMap(metaOf(dir, _)).filter(_.startsWith("#txn=")) ++
           Seq(s"#ts=${now()}") ++
           survivorDel.map(f => s"#del=$f") ++
-          carryManifestExcept(dir, h, removed) ++ newSeg
+          carryManifestExcept(dir, h, removed, touchedSet) ++ newSeg
       }
       io.writeLines(statsPath(dir, v),
         rewriteHeader(dir, headAt, touchedSet, delsAtStart.toSet, dropped,

@@ -221,4 +221,34 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(ops.versions(plain) == (1 to 5),
       "no property: landings never trigger maintenance")
   }
+
+  test("auto-compact under concurrent writers: no landing fails, no row " +
+    "lost, the advisory counter races are harmless") {
+    val dir = tmpDir("eq-autocompact-race")
+    ops.setTableProperty(dir, "compact.auto.files", "4")
+    ops.setTableProperty(dir, "compact.target.bytes", (1L << 30).toString)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            (0 until 3).foreach { i =>
+              val lo = (w * 3 + i) * 100
+              ops.commit(ids(lo, lo + 100).repartition(2), dir)
+            }
+        })
+      }
+      futures.foreach(_.get()) // a failed landing rethrows here
+    } finally pool.shutdown()
+    // every row landed exactly once, whatever interleaving happened
+    assert(ops.read(spark, dir).select("id").as[Long].collect().sorted
+      .sameElements(0L until 1200L))
+    assert(ops.fastCount(spark, dir) == 1200L)
+    // at least one auto-pass ran (12 landings × 2 small files over a
+    // threshold of 4), visible as fewer head files than landed files
+    val head = ops.manifestLines(dir, ops.versions(dir).last)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    assert(head.size < 24,
+      s"expected at least one bin-pack pass, head has ${head.size} files")
+  }
 }

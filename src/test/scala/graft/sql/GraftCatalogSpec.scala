@@ -784,6 +784,33 @@ class GraftCatalogSpec extends SparkSpec {
       "SET TBLPROPERTIES silently declared a schema")
   }
 
+  test("native DML works on warehouse-managed bare names: UPDATE / " +
+    "DELETE / MERGE resolve through the root like any path table") {
+    val wh = tmpDir("gc-wh-dml")
+    spark.conf.set("spark.sql.catalog.gwhdml", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwhdml.warehouse", wh)
+    spark.sql("CREATE TABLE gwhdml.db.t AS " +
+      "SELECT id, CAST(id * 2 AS DOUBLE) AS v FROM RANGE(0, 100)")
+    spark.sql("UPDATE gwhdml.db.t SET v = 0.0 WHERE id < 10")
+    spark.sql("DELETE FROM gwhdml.db.t WHERE id >= 90")
+    // the UPDATE+DELETE land merge-on-read debt; a catalog read refuses
+    // until CALL compact materializes (the documented contract)
+    spark.sql(s"CALL gwhdml.compact('$wh/db/t', '${1L << 30}')")
+    assert(spark.sql("SELECT sum(v) FROM gwhdml.db.t WHERE id < 10")
+      .head().getDouble(0) == 0.0)
+    assert(spark.sql("SELECT count(*) FROM gwhdml.db.t")
+      .head().getLong(0) == 90L)
+    spark.sql("SELECT id, CAST(-1.0 AS DOUBLE) AS v FROM RANGE(95, 105)")
+      .createOrReplaceTempView("gc_wh_dml_src")
+    spark.sql("MERGE INTO gwhdml.db.t t USING gc_wh_dml_src s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT count(*) FROM gwhdml.db.t")
+      .head().getLong(0) == 100L)
+    assert(spark.sql("SELECT sum(v) FROM gwhdml.db.t WHERE id >= 95")
+      .head().getDouble(0) == -10.0)
+  }
+
   test("external path-addressed tables: resolvable but never enumerated, " +
     "never purged") {
     register()
