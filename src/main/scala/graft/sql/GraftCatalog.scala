@@ -2266,7 +2266,43 @@ object GraftCatalog {
       "ORDER BY event_type")
   }
 
+  /** q_sql_rtas — atomic REPLACE TABLE AS SELECT end to end: CTAS lands
+    * the even half of events (v1), RTAS swaps the table to a per-type
+    * aggregate with a DIFFERENT schema in ONE overwrite snapshot, and
+    * the in-query pins prove the swap's atomicity story: exactly two
+    * versions exist (one publish per stage), and `VERSION AS OF 1`
+    * still serves the pre-replace row count through time travel. The
+    * returned head hash-matches the oracle recomputing the aggregate
+    * from raw events. */
+  def qSqlRtas(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlrtas_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    ev.createOrReplaceTempView("q_sql_rtas_src")
+    spark.sql(s"CREATE TABLE graft.`$dir` AS " +
+      "SELECT event_id, event_type, value FROM q_sql_rtas_src " +
+      "WHERE event_id % 2 = 0")
+    val evens = spark.sql(s"SELECT COUNT(*) FROM graft.`$dir`")
+      .head().getLong(0)
+    spark.sql(s"REPLACE TABLE graft.`$dir` AS " +
+      "SELECT event_type, COUNT(*) AS n, " +
+      "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) " +
+      "AS sum_value FROM q_sql_rtas_src GROUP BY event_type")
+    require(VersionedTable.versions(dir) == Seq(1, 2),
+      "RTAS must be ONE overwrite snapshot on top of the CTAS commit")
+    require(spark.sql(
+      s"SELECT COUNT(*) FROM graft.`$dir` VERSION AS OF 1")
+      .head().getLong(0) == evens,
+      "the pre-replace snapshot must stay time-travelable")
+    spark.sql(s"SELECT event_type, n, sum_value FROM graft.`$dir` " +
+      "ORDER BY event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_rtas" -> (qSqlRtas _),
     "q_sql_catalog" -> (qSqlCatalog _),
     "q_sql_changes" -> (qSqlChanges _),
     "q_sql_change_feed" -> (qSqlChangeFeed _),
@@ -2287,6 +2323,13 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_rtas" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_catalog" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
