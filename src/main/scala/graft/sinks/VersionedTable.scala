@@ -234,10 +234,32 @@ class VersionedTableOps(protected val io: TableIO) {
   }
 
   /** Splice segment payloads in place of their pointers (one level). */
+  /** Bounded pool for concurrent segment fetches (daemon threads — a
+    * planning helper must never pin the JVM). On a remote object store
+    * the cold-expansion latency of a wide snapshot becomes the SLOWEST
+    * segment fetch instead of the sum. */
+  private lazy val segFetchPool =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-seg-fetch")
+        t.setDaemon(true); t
+      })
+
   private def expandSegs(lines: Seq[String]): Seq[String] =
     if (!lines.exists(segRef)) lines
-    else lines.flatMap { l =>
-      if (segRef(l)) readSegment(segPath(l)) else Seq(l)
+    else {
+      // warm the cache for every COLD pointer concurrently, then splice
+      // in order (readSegment is cache-hit for all of them); a single
+      // cold segment skips the pool round-trip
+      val cold = lines.filter(segRef).map(segPath).distinct
+        .filter(p => segCache.get(p) == null)
+      if (cold.size > 1)
+        cold.map(p => java.util.concurrent.CompletableFuture.runAsync(
+          () => { readSegment(p); () }, segFetchPool))
+          .foreach(_.join())
+      lines.flatMap { l =>
+        if (segRef(l)) readSegment(segPath(l)) else Seq(l)
+      }
     }
 
   /** The version's manifest with segments spliced in — what every
