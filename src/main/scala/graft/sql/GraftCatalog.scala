@@ -2301,7 +2301,39 @@ object GraftCatalog {
       "ORDER BY event_type")
   }
 
+  /** q_sql_colstats — the ANALYZE loop end to end: two commits land
+    * events with a derived nullable column, `CALL write_stats` records
+    * the CBO ingredients, and the `#colstats` metadata view serves the
+    * snapshot fold — exact null counts hash-matched against a DuckDB
+    * oracle recomputing them from raw events, approximate NDV pinned
+    * in-query against the exact distinct count (±2%, and full file
+    * coverage) since an approximation can't hash-match. */
+  def qSqlColstats(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        nullif(col("event_type"), lit("click")).as("maybe"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcst_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 0), dir)
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 1), dir)
+    spark.sql(s"CALL graft.write_stats('$dir', 'event_id,maybe')")
+    val view = spark.sql(s"SELECT * FROM graft.`$dir#colstats`")
+    val rows = view.collect().map(r => r.getString(0) -> r).toMap
+    val exactIds = ev.select(col("event_id")).distinct().count()
+    val ndv = rows("event_id").getAs[Long]("ndv")
+    require(math.abs(ndv - exactIds) <= exactIds / 50 + 1,
+      s"HLL NDV $ndv too far from exact $exactIds")
+    require(rows.values.forall(r =>
+      r.getAs[Long]("files_with_stats") == r.getAs[Long]("data_files")),
+      "write_stats must cover every data file")
+    view.select(col("column").as("col_name"), col("null_count"))
+      .orderBy(col("col_name"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_colstats" -> (qSqlColstats _),
     "q_sql_rtas" -> (qSqlRtas _),
     "q_sql_catalog" -> (qSqlCatalog _),
     "q_sql_changes" -> (qSqlChanges _),
@@ -2323,6 +2355,13 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_colstats" ->
+      """SELECT 'event_id' AS col_name, CAST(0 AS BIGINT) AS null_count
+        |UNION ALL
+        |SELECT 'maybe' AS col_name,
+        |  (SELECT COUNT(*) FROM events WHERE event_type = 'click')
+        |    AS null_count
+        |ORDER BY col_name""".stripMargin,
     "q_sql_rtas" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
