@@ -2323,7 +2323,8 @@ object GraftCatalog {
     val rows = view.collect().map(r => r.getString(0) -> r).toMap
     val exactIds = ev.select(col("event_id")).distinct().count()
     val ndv = rows("event_id").getAs[Long]("ndv")
-    require(math.abs(ndv - exactIds) <= exactIds / 50 + 1,
+    // lgK=12 HLL has ~1.6% relative standard error; 5% ≈ 3σ
+    require(math.abs(ndv - exactIds) <= exactIds / 20 + 1,
       s"HLL NDV $ndv too far from exact $exactIds")
     require(rows.values.forall(r =>
       r.getAs[Long]("files_with_stats") == r.getAs[Long]("data_files")),
