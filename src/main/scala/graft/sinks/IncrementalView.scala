@@ -66,10 +66,20 @@ class IncrementalViewOps(ops: VersionedTableOps) {
     * `srcDir` (a foreign commit orphans the pointer; the next refresh
     * recomputes rather than trust state of unknown provenance). */
   def incorporated(viewDir: String, srcDir: String): Option[Int] =
-    ops.versions(viewDir).lastOption
-      .flatMap(ops.txnOf(viewDir, _))
-      .filter(_.startsWith(txnPrefix(srcDir)))
-      .map(_.drop(txnPrefix(srcDir).length).takeWhile(_.isDigit).toInt)
+    headIncorporation(viewDir, srcDir).map(_._2)
+
+  /** `(viewVersion, srcVersion)` of the view HEAD's incorporation pointer
+    * — both halves read from the same head so a caller that pins its view
+    * read at `viewVersion` is race-free against a concurrent refresh
+    * advancing the head between check and read (the [[graft.sql.Mview]]
+    * rewrite's freshness proof). */
+  def headIncorporation(viewDir: String, srcDir: String): Option[(Int, Int)] =
+    ops.versions(viewDir).lastOption.flatMap { h =>
+      ops.txnOf(viewDir, h)
+        .filter(_.startsWith(txnPrefix(srcDir)))
+        .map(t => (h,
+          t.drop(txnPrefix(srcDir).length).takeWhile(_.isDigit).toInt))
+    }
 
   /** Refresh by whole-state republish (logical overwrite commit).
     * `partials` builds mergeable per-group state from raw rows;

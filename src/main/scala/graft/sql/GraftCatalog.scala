@@ -239,7 +239,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             () => ops.read(spark, base, Some(b)).limit(0))
         return new GraftTable(s"$catName.$base#changes=$a..$b", spark,
           catName, base, b, added, debt = false, declaredC,
-          readOnly = true)
+          readOnly = true, slice = true)
       case _ => ()
     }
     // a tag-pinned handle is read-only: a "write to a tag" would land on
@@ -792,6 +792,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         "of (vec_id, embedding) views; the brute baseline of the ANN stack")(
       (s, a) => ops.commit(graft.ext.Similarity.bruteForceTopK(
         s.table(a(0)), s.table(a(1)), a(3).toInt), a(2), append = false)),
+    Proc("create_agg_view", Seq("src_dir", "view_dir", "group", "aggs"),
+      "Declare + build a materialized aggregate view ('out=expr' lists; " +
+        "aggs count/sum/min/max) — fresh views transparently answer " +
+        "derivable SQL aggregates over the source")(
+      (s, a) => Mview.createAggView(s, a(0), a(1), a(2), a(3)).viewVersion),
+    Proc("refresh_view", Seq("view_dir"),
+      "Advance a materialized view to its source head (noop / " +
+        "O(delta) incremental / recompute after non-append history)")(
+      (s, a) => Mview.refreshView(s, a(0)).viewVersion),
     Proc("change_feed", Seq("src_dir", "out_dir", "key", "from_version",
       "to_version"),
       "Land the keyed CDC diff between two snapshots (op = i/u/d, " +
@@ -837,7 +846,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 private[sql] class GraftTable(tblName: String, spark: SparkSession,
     catName: String, dir: String, version: Int, files: Seq[String],
     debt: Boolean, declared: Option[StructType],
-    readOnly: Boolean = false)
+    readOnly: Boolean = false, slice: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tblName
@@ -905,6 +914,7 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PruningScanBuilder(spark, dir, version, files, schema, options,
       renames = renames,
+      snapshotComplete = !slice,
       refuseServe = if (!debt) None else Some(
         s"$dir@v$version carries merge-on-read delete debt (positional " +
           s"vectors or equality deletes); a catalog read cannot apply them " +
@@ -1125,6 +1135,7 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     version: Int, files: Seq[String], tableSchema: StructType,
     options: CaseInsensitiveStringMap,
     renames: Map[String, String] = Map.empty,
+    snapshotComplete: Boolean = true,
     refuseServe: Option[String] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
@@ -1329,6 +1340,16 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
 
     private var kept: Seq[String] = initialKept
     private var current: Scan = buildOver(kept)
+
+    /** The (dir, version) this scan serves, iff it serves the COMPLETE
+      * snapshot (a `#changes=` slice returns None) — the identity the
+      * materialized-view rewrite ([[Mview]]) needs to prove a fresh
+      * aggregate view answers for this exact table state. Pruned file
+      * lists still qualify: pruning only drops files the pushed filters
+      * cannot match, and the rewrite re-applies those filters over the
+      * view. */
+    private[sql] def mviewIdentity: Option[(String, Int)] =
+      if (snapshotComplete) Some((dir, version)) else None
 
     // ---- storage-partitioned layout: when the table declares ONE
     // bucket transform and every live file provably holds a single
