@@ -195,6 +195,32 @@ object Mview {
       .agg(folds.head, folds.tail: _*)
   }
 
+  /** Continuous freshness: a foreachBatch maintainer driven by the
+    * source's OWN table-stream — each micro-batch (one or more landed
+    * versions, per the stream's admission) triggers one [[refreshView]],
+    * so between landings the view is exactly fresh and the rewrite
+    * serves every derivable aggregate. Exactly-once needs no txn
+    * plumbing here: the refresh pointer protocol makes a replayed
+    * trigger a no-op (the pointer already advanced), and a crash
+    * between landing and refresh just means the NEXT trigger folds two
+    * deltas. The batch itself is only the trigger signal — the refresh
+    * pulls its delta via readChanges, so rows are read once. Caller
+    * `.start()`s (e.g. with `Trigger.AvailableNow` for a drain, or
+    * ProcessingTime to shadow the landing cadence). */
+  def maintainer(spark: SparkSession, viewDir: String,
+                 checkpoint: String): org.apache.spark.sql.streaming
+                   .DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spec = specOf(viewDir).getOrElse(throw new IllegalArgumentException(
+      s"$viewDir carries no mview declaration (mview.src/group/aggs)"))
+    spark.readStream.format("graft-table").load(spec.src)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refreshView(spark, viewDir); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+  }
+
   /** Idempotently add the rewrite rule to this session's optimizer. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations

@@ -234,6 +234,33 @@ class MviewRewriteSpec extends SparkSpec {
     assert(c.collect().map(_.getLong(1)).toSeq == Seq(200L, 200L, 200L))
   }
 
+  test("streaming maintainer keeps the view fresh across landings") {
+    val (src, view) = fixture("mv-stream")
+    val ck = tmpDir("mv-stream-ck")
+    def drain(): Unit = {
+      val q = Mview.maintainer(spark, view, ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive, "maintainer drain did not finish")
+    }
+    val sql = s"SELECT etype, count(*) AS n FROM graft.`$src` GROUP BY 1"
+    assert(scansView(spark.sql(sql), view, src))
+    ops.commit(Seq((7777L, java.sql.Timestamp.valueOf("2024-03-04 00:00:00"),
+      "t1", 2.0, java.lang.Double.valueOf(2.0)))
+      .toDF("id", "ts", "etype", "v", "mv"), src)
+    assert(scansBase(spark.sql(sql), src), "stale until the maintainer runs")
+    drain()
+    val served = spark.sql(sql)
+    assert(scansView(served, view, src),
+      "maintainer drain must restore freshness")
+    assert(served.collect().map(_.getLong(1)).sum == 601L)
+    // a re-drain with nothing new is a no-op (pointer already advanced)
+    val v = ops.versions(view).last
+    drain()
+    assert(ops.versions(view).last == v, "an idle drain republished state")
+  }
+
   test("refresh_view and create_agg_view drive from SQL procedures") {
     register()
     val src = tmpDir("mv-proc-src")
