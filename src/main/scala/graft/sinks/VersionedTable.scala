@@ -842,6 +842,35 @@ class VersionedTableOps(protected val io: TableIO) {
     }
   }
 
+  /** Retention-policy auto-expire (the `retention.keep.last` table
+    * property): landing-time advisory GC completing the self-maintaining
+    * table story (land → auto-compact → auto-expire). A pass only
+    * triggers once the version count EXCEEDS the target by
+    * `retention.expire.every` (default 16), so the expire's
+    * O(retained-manifest) refcount sweep amortizes to 1/every per
+    * landing — the trigger check itself is one version listing. The
+    * retained floor is `max(keep, retention.txn.horizon)` (horizon
+    * default 2): retention never expires past the streaming replay
+    * window, so exactly-once ledgers survive policy GC by construction.
+    * Every expire refusal (tag pins, unmaterialized equality deletes,
+    * promoted head, branch dir) SKIPS silently here — opportunistic
+    * maintenance runs a few landings late and must never fail or block
+    * the landing that triggered it; the loud path remains `CALL expire`. */
+  private def maybeAutoExpire(dir: String): Unit = {
+    val props = tableProperties(dir)
+    props.get("retention.keep.last").flatMap(_.toIntOption).filter(_ >= 1)
+      .foreach { keep =>
+        val every = props.get("retention.expire.every")
+          .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(16)
+        val horizon = props.get("retention.txn.horizon")
+          .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(2)
+        val floor = math.max(keep, horizon)
+        if (versions(dir).size >= floor + every)
+          try { expire(dir, floor, horizon); () }
+          catch { case _: IllegalArgumentException => () }
+      }
+  }
+
   def commit(df: DataFrame, dir: String, append: Boolean = true,
              txnId: Option[String] = None): Int = {
     val pt = partitioningOf(dir)
@@ -885,7 +914,9 @@ class VersionedTableOps(protected val io: TableIO) {
       }.toSeq
       io.writeLines(statsPath(dir, v),
         hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
-      maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
+      val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
+      maybeAutoExpire(dir)
+      out
     } else {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
         meta ++ newFiles)
@@ -894,7 +925,9 @@ class VersionedTableOps(protected val io: TableIO) {
       // an overwrite discarded every previously-counted small file
       if (io.exists(smallCountPath(dir)))
         io.writeLines(smallCountPath(dir), Seq("0"))
-      maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
+      val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
+      maybeAutoExpire(dir)
+      out
     }
   }
 
