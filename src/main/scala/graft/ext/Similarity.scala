@@ -21,16 +21,13 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (seeded; same on every
-    * executor since they're driver-side literals). */
-  private[ext] def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)((rnd.nextGaussian()).toFloat))
-  }
-
-  /** Flattened plane matrix for the native kernel. */
+  /** Flattened deterministic gaussian plane matrix (seeded; same on every
+    * executor since they're driver-side literals) — ONE generator shared
+    * with the SQL `hyperplane_buckets(emb, nT, bits, dim, seed)` builder
+    * so SQL and Scala bucket ids agree bit-for-bit. */
   private def flatPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Float] =
-    planes(nPlanes, dim, seed).flatten.toArray
+    org.apache.spark.sql.graft.GraftExpressions
+      .gaussianPlanes(nPlanes, dim, seed)
 
   /** Sign-bit bucket id from nPlanes hyperplane dot products — one long
     * column from the single fused [[hyperplane_buckets]] kernel (the

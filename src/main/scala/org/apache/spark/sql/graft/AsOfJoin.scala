@@ -249,5 +249,27 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
       (exprs: Seq[Expression]) => GraftExpressions.interleaveBitsFn(exprs)))
+    e.injectFunction((FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName,
+        "hyperplane_buckets"),
+      (exprs: Seq[Expression]) => GraftExpressions.hyperplaneBucketsFn(exprs)))
+    e.injectFunction((FunctionIdentifier("centroid_argmax"),
+      new ExpressionInfo(classOf[CentroidArgmax].getName, "centroid_argmax"),
+      (exprs: Seq[Expression]) => GraftExpressions.centroidArgmaxFn(exprs)))
+    e.injectFunction((FunctionIdentifier("centroid_topn"),
+      new ExpressionInfo(classOf[CentroidTopN].getName, "centroid_topn"),
+      (exprs: Seq[Expression]) => GraftExpressions.centroidTopNFn(exprs)))
+    e.injectFunction((FunctionIdentifier("rank_bucket"),
+      new ExpressionInfo(classOf[RankBucket].getName, "rank_bucket"),
+      (exprs: Seq[Expression]) => GraftExpressions.rankBucketFn(exprs)))
+    e.injectFunction((FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => GraftExpressions.pqEncodeFn(exprs)))
+    e.injectFunction((FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "pq_lut"),
+      (exprs: Seq[Expression]) => GraftExpressions.pqLutFn(exprs)))
+    e.injectFunction((FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (exprs: Seq[Expression]) => GraftExpressions.pqAdcFn(exprs)))
   }
 }

@@ -710,6 +710,163 @@ object GraftExpressions {
       exprs => NfcNormalize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("interleave_bits",
       exprs => interleaveBitsFn(exprs), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_buckets",
+      exprs => hyperplaneBucketsFn(exprs), "built-in")
+    reg.createOrReplaceTempFunction("centroid_argmax",
+      exprs => centroidArgmaxFn(exprs), "built-in")
+    reg.createOrReplaceTempFunction("centroid_topn",
+      exprs => centroidTopNFn(exprs), "built-in")
+    reg.createOrReplaceTempFunction("rank_bucket",
+      exprs => rankBucketFn(exprs), "built-in")
+    reg.createOrReplaceTempFunction("pq_encode",
+      exprs => pqEncodeFn(exprs), "built-in")
+    reg.createOrReplaceTempFunction("pq_lut",
+      exprs => pqLutFn(exprs), "built-in")
+    reg.createOrReplaceTempFunction("pq_adc",
+      exprs => pqAdcFn(exprs), "built-in")
+  }
+
+  // ---- the ANN-kernel surface as SQL functions ------------------------
+  // The kernels carry their model parameters (planes / centroids /
+  // codebooks) as plan-time REFERENCE OBJECTS — a literal-array argument
+  // of 64k floats would cost seconds of analysis per query, which is the
+  // exact anti-pattern the native nodes exist to kill. So the SQL forms
+  // take the model as either (a) the deterministic generator's scalars
+  // (hyperplane seed) or (b) the NAME of a registered view/table holding
+  // the trained model in the engine's own persisted-index schema
+  // ([[graft.ext.SimilarityIvf.writeIndex]] / SimilarityPq.writeIndex) —
+  // the builder collects it ONCE at analysis, driver-side, exactly the
+  // collect the Scala path pays. Model sizes are bounded (√n centroids,
+  // m·ksub codes), never table-sized.
+
+  private def fold(e: Expression, fn: String, what: String): Any = {
+    require(e.foldable, s"$fn: $what must be a literal (it parameterizes " +
+      "the kernel and cannot vary per row)")
+    e.eval()
+  }
+  private def foldInt(e: Expression, fn: String, what: String): Int =
+    fold(e, fn, what).asInstanceOf[Number].intValue()
+  private def foldStr(e: Expression, fn: String, what: String): String =
+    String.valueOf(fold(e, fn, what))
+
+  /** Deterministic gaussian hyperplanes (the LSH model is its seed —
+    * same generator the Scala path uses, so SQL and Scala bucket ids
+    * agree bit-for-bit). */
+  def gaussianPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes * dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** `hyperplane_buckets(emb, n_tables, bits_per_table, dim, seed)`. */
+  private[graft] def hyperplaneBucketsFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 5, "hyperplane_buckets(emb array<float>, " +
+      "n_tables int, bits_per_table int, dim int, seed bigint) takes 5 " +
+      "arguments")
+    val f = "hyperplane_buckets"
+    val (nT, bits, dim) = (foldInt(exprs(1), f, "n_tables"),
+      foldInt(exprs(2), f, "bits_per_table"), foldInt(exprs(3), f, "dim"))
+    val seed = fold(exprs(4), f, "seed").asInstanceOf[Number].longValue()
+    HyperplaneBuckets(exprs.head, gaussianPlanes(nT * bits, dim, seed),
+      nT, bits)
+  }
+
+  /** `(centroid_id int, centroid array<float>)` rows of a registered
+    * view, collected ascending — the persisted-index schema of
+    * [[graft.ext.SimilarityIvf.writeIndex]]. */
+  private def centroidsOf(fn: String, view: String): (Array[Int], Array[Float]) = {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkSession.active.table(view)
+      .select(col("centroid_id").cast("int"), col("centroid"))
+      .orderBy(col("centroid_id")).collect()
+    require(rows.nonEmpty, s"$fn: centroid view '$view' is empty")
+    (rows.map(_.getInt(0)),
+      rows.flatMap(_.getSeq[Float](1)).toArray)
+  }
+
+  /** `centroid_argmax(emb, 'centroids_view')`. */
+  private[graft] def centroidArgmaxFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "centroid_argmax(emb array<float>, " +
+      "centroids_view string) takes 2 arguments")
+    val (ids, flat) = centroidsOf("centroid_argmax",
+      foldStr(exprs(1), "centroid_argmax", "centroids_view"))
+    CentroidArgmax(exprs.head, flat, ids)
+  }
+
+  /** `centroid_topn(emb, 'centroids_view', n)`. */
+  private[graft] def centroidTopNFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "centroid_topn(emb array<float>, " +
+      "centroids_view string, n int) takes 3 arguments")
+    val (ids, flat) = centroidsOf("centroid_topn",
+      foldStr(exprs(1), "centroid_topn", "centroids_view"))
+    CentroidTopN(exprs.head, flat, ids,
+      foldInt(exprs(2), "centroid_topn", "n"))
+  }
+
+  /** `rank_bucket(x, array(q1, q2, …))` — boundaries are a small
+    * (≤ hundreds) quantile array, cheap as a foldable literal. */
+  private[graft] def rankBucketFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "rank_bucket(x double, boundaries " +
+      "array<double>) takes 2 arguments")
+    require(exprs(1).foldable, "rank_bucket: boundaries must be a " +
+      "literal array (it parameterizes the kernel and cannot vary per row)")
+    // SQL numeric literals arrive as int/decimal/double arrays — one
+    // cast normalizes them all; anything uncastable refuses here
+    val target = ArrayType(DoubleType)
+    require(org.apache.spark.sql.catalyst.expressions.Cast
+      .canCast(exprs(1).dataType, target),
+      s"rank_bucket: boundaries must be a numeric array, " +
+        s"got ${exprs(1).dataType}")
+    val v = org.apache.spark.sql.catalyst.expressions
+      .Cast(exprs(1), target).eval().asInstanceOf[ArrayData]
+    val bs = new Array[Double](v.numElements())
+    var i = 0
+    while (i < bs.length) {
+      require(!v.isNullAt(i), "rank_bucket: boundaries must not be NULL")
+      bs(i) = v.getDouble(i); i += 1
+    }
+    RankBucket(exprs.head, bs)
+  }
+
+  /** `(j int, code int, vec array<float>)` rows of a registered view —
+    * the persisted-index schema of [[graft.ext.SimilarityPq.writeIndex]];
+    * returns the flattened codebook with its (m, ksub) shape. */
+  private def codebookOf(fn: String, view: String)
+      : (Array[Float], Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkSession.active.table(view)
+      .select(col("j").cast("int"), col("code").cast("int"), col("vec"))
+      .orderBy(col("j"), col("code")).collect()
+    require(rows.nonEmpty, s"$fn: codebook view '$view' is empty")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * ksub, s"$fn: codebook view '$view' has " +
+      s"${rows.length} rows; the (j, code) grid needs ${m * ksub}")
+    (rows.flatMap(_.getSeq[Float](2)).toArray, m, ksub)
+  }
+
+  /** `pq_encode(vec, 'codebook_view')` — (m, ksub) derive from the grid. */
+  private[graft] def pqEncodeFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "pq_encode(vec array<float>, " +
+      "codebook_view string) takes 2 arguments")
+    val (flat, m, ksub) = codebookOf("pq_encode",
+      foldStr(exprs(1), "pq_encode", "codebook_view"))
+    PqEncode(exprs.head, flat, m, ksub)
+  }
+
+  /** `pq_lut(query_vec, 'codebook_view')`. */
+  private[graft] def pqLutFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "pq_lut(vec array<float>, " +
+      "codebook_view string) takes 2 arguments")
+    val (flat, m, ksub) = codebookOf("pq_lut",
+      foldStr(exprs(1), "pq_lut", "codebook_view"))
+    PqLut(exprs.head, flat, m, ksub)
+  }
+
+  /** `pq_adc(codes, lut, ksub)` — pure column kernel. */
+  private[graft] def pqAdcFn(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "pq_adc(codes array<int>, lut " +
+      "array<float>, ksub int) takes 3 arguments")
+    PqAdc(exprs(0), exprs(1), foldInt(exprs(2), "pq_adc", "ksub"))
   }
 
   /** `interleave_bits(array<int>, bitsPerDim)` — the Morton/z-value
