@@ -137,12 +137,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private case object RefSegments extends Ref
   private case object RefColStats extends Ref
   private case class RefChanges(from: Int, to: Int) extends Ref
+  private case class RefGroupTable(alias: String) extends Ref
+  private case object RefMembers extends Ref
 
   private def parseRef(raw: String): (String, Ref) = {
     val i = raw.lastIndexOf('#')
     if (i <= 0) (raw, RefHead)
     else raw.substring(i + 1) match {
       case "history" => (raw.substring(0, i), RefHistory)
+      case "members" => (raw.substring(0, i), RefMembers)
+      case s if s.startsWith("table=") && s.length > 6 =>
+        (raw.substring(0, i), RefGroupTable(s.drop(6)))
       case "files" => (raw.substring(0, i), RefFiles)
       case "partitions" => (raw.substring(0, i), RefPartitions)
       case "segments" => (raw.substring(0, i), RefSegments)
@@ -185,12 +190,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (!ts.contains(t)) throw new NoSuchTableException(ident)
         (base, Some(ts(t)))
       case RefHistory | RefFiles | RefPartitions | RefSegments
-          | RefColStats =>
+          | RefColStats | RefMembers =>
         throw new UnsupportedOperationException(
           "metadata views do not time-travel; drop the AS OF clause")
       case RefChanges(_, _) =>
         throw new UnsupportedOperationException(
           "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
+      case RefGroupTable(_) =>
+        throw new UnsupportedOperationException(
+          "a snapshot-group handle is read-only; mutate the member " +
+            "tables through their own paths and CALL group_pin to " +
+            "advance the group atomically")
     }
   }
 
@@ -222,6 +232,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         if (ops.versions(base).isEmpty) throw new NoSuchTableException(ident)
         return new GraftMetaTable(s"$catName.$base#colstats",
           () => ops.colStatsMeta(spark, base))
+      case (base, RefMembers) =>
+        require(pinned.isEmpty, "metadata views do not time-travel")
+        if (!graft.sinks.SnapshotGroup.isGroup(base))
+          throw new NoSuchTableException(ident)
+        return new GraftMetaTable(s"$catName.$base#members",
+          () => spark.createDataFrame(graft.sinks.SnapshotGroup
+            .members(base).map(m => (m.alias, m.dir, m.version)))
+            .toDF("alias", "dir", "version"))
+      case (base, RefGroupTable(alias)) =>
+        // the group's CROSS-TABLE snapshot: `VERSION AS OF` pins the
+        // GROUP version, and the member serves at exactly the version
+        // that group manifest recorded — read-only (mutations go through
+        // the member tables + an atomic group_pin)
+        if (!graft.sinks.SnapshotGroup.isGroup(base))
+          throw new NoSuchTableException(ident)
+        val m = graft.sinks.SnapshotGroup.memberOf(base, alias, pinned)
+        val declaredG = ops.declaredSchema(m.dir)
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+        val (gv, gFiles, gDebt) = ops.snapshotInfo(m.dir, Some(m.version))
+        return new GraftTable(s"$catName.$base#table=$alias", spark,
+          catName, m.dir, gv, gFiles, gDebt, declaredG, readOnly = true)
       case (base, RefChanges(a, b)) =>
         require(pinned.isEmpty,
           "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
@@ -297,6 +328,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case (base, RefChanges(a, b)) =>
         val vs = ops.versions(base)
         vs.contains(a) && vs.contains(b)
+      case (base, RefMembers) => graft.sinks.SnapshotGroup.isGroup(base)
+      case (base, RefGroupTable(alias)) =>
+        graft.sinks.SnapshotGroup.isGroup(base) &&
+          graft.sinks.SnapshotGroup.members(base).exists(_.alias == alias)
     }
 
   /** A directory is a graft table iff it carries committed versions or a
@@ -792,6 +827,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         "of (vec_id, embedding) views; the brute baseline of the ANN stack")(
       (s, a) => ops.commit(graft.ext.Similarity.bruteForceTopK(
         s.table(a(0)), s.table(a(1)), a(3).toInt), a(2), append = false)),
+    Proc("create_group", Seq("group_dir", "members"),
+      "Declare a snapshot group over committed tables " +
+        "('alias=dir;alias=dir'), pinning their heads as group v1 — " +
+        "read members as graft.`group_dir#table=alias`")(
+      (_, a) => graft.sinks.SnapshotGroup.create(a(0),
+        GraftCatalog.splitKv(a(1)).map { case (k, v) => k -> v }.toMap)),
+    Proc("group_pin", Seq("group_dir", "updates"),
+      "Atomically advance the group to pin 'alias=version;…' (absent " +
+        "aliases keep their pins) — the multi-table transaction commit: " +
+        "land each mutation via its own CALL, then pin all the returned " +
+        "versions in ONE group version")(
+      (_, a) => graft.sinks.SnapshotGroup.commit(a(0))(_ =>
+        GraftCatalog.splitKv(a(1)).map { case (k, v) => k -> v.toInt }
+          .toMap)),
+    Proc("group_expire", Seq("group_dir", "keep_last"),
+      "Drop group history beyond keep_last, releasing its member tags " +
+        "so table-level GC can reclaim that history")(
+      (_, a) => { graft.sinks.SnapshotGroup.expire(a(0), a(1).toInt)
+        graft.sinks.SnapshotGroup.versions(a(0)).last }),
     Proc("create_agg_view", Seq("src_dir", "view_dir", "group", "aggs"),
       "Declare + build a materialized aggregate view ('out=expr' lists; " +
         "aggs count/sum/min/max) — fresh views transparently answer " +
@@ -1612,6 +1666,14 @@ object GraftCatalog {
 
   private def register(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  /** `'k=v;k=v'` pairs for the group procedures. */
+  private[sql] def splitKv(s: String): Seq[(String, String)] =
+    s.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { e =>
+      val i = e.indexOf('=')
+      require(i > 0 && i < e.length - 1, s"expected 'key=value': '$e'")
+      (e.take(i).trim, e.drop(i + 1).trim)
+    }
 
   /** Split a comma-separated transform-spec list at paren depth 0 only
     * (`'days(ts),bucket(16,k)'` → two specs — a naive split would cut
