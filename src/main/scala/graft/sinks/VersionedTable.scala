@@ -2342,6 +2342,21 @@ class VersionedTableOps(protected val io: TableIO) {
   private[graft] def hasDeleteDebt(dir: String, version: Int): Boolean =
     delFilesOf(dir, version).nonEmpty || eqDelsOf(dir, version).nonEmpty
 
+  /** Per-data-file EXACT live row counts from the sidecar alone — the
+    * LIMIT-admission planning read: None unless the snapshot carries
+    * zero row-level delete debt (live = physical only then) and EVERY
+    * data file has a `rows` line, because admitting files on a partial
+    * or debt-discounted count could cover fewer rows than promised. */
+  private[graft] def statRowsPerFile(dir: String,
+                                     version: Int): Option[Map[String, Long]] = {
+    if (!io.exists(manifestPath(dir, version))) return None
+    if (hasDeleteDebt(dir, version)) return None
+    val rows = rowsOf(dir, version)
+    val data = filesOf(dir, version)
+    if (!data.forall(rows.contains)) None
+    else Some(data.iterator.map(f => f -> rows(f)).toMap)
+  }
+
   /** The storage-partitioned-join layout at `version`: when the table
     * declares exactly one bucket transform and EVERY live file's derived
     * bucket stat under the CURRENT spec is single-valued, returns

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -1192,7 +1192,8 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     snapshotComplete: Boolean = true,
     refuseServe: Option[String] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   // Column-mapping translation: data files, footers and stats sidecars
   // all carry PHYSICAL names, so the inner parquet builder operates
@@ -1320,6 +1321,44 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     agged.isDefined
   }
 
+  // ---- LIMIT admission: `LIMIT n` over a bare snapshot read admits
+  // only as many files as the sidecar's exact per-file row counts need
+  // to provably cover n rows — `graft.t LIMIT 10` (and every
+  // `df.show()`) on a 100 TB table opens a handful of files instead of
+  // planning all of them. Always PARTIALLY pushed (the default): the
+  // scan guarantees AT LEAST min(n, table rows) survive, Spark's own
+  // limit does the exact trim.
+  private var limitPushed: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    // sound only when every admitted row is a result row: a pushed data
+    // filter could discard rows inside admitted files while dropped
+    // files held matches, and row-level delete debt makes per-file live
+    // counts data-dependent. (Filters are pushed before limits, so
+    // `captured` is final here; coverage of the `rows` sidecar is
+    // checked at build time where the decision actually bites.)
+    val ok = limit >= 0 && captured.isEmpty && refuseServe.isEmpty &&
+      !VersionedTable.hasDeleteDebt(dir, version)
+    if (ok) limitPushed = Some(limit)
+    ok
+  }
+
+  /** Fewest-files cover of `n` rows: biggest files admit first (ties on
+    * path for determinism), stopping at the first file that reaches the
+    * target. Declines (keeps everything) unless every candidate has an
+    * exact sidecar count — a guessed cover could under-deliver. */
+  private def admitForLimit(paths: Seq[String], n: Int): Seq[String] =
+    VersionedTable.statRowsPerFile(dir, version) match {
+      case Some(rows) if paths.forall(rows.contains) =>
+        val ordered = paths.sortBy(f => (-rows(f), f))
+        var cum = 0L
+        val take = ordered.takeWhile { f =>
+          val before = cum; cum += rows(f); before < n
+        }
+        GraftCatalog.recordLimitAdmit(paths.size, take.size)
+        take
+      case _ => paths
+    }
+
   /** Pushed v1 filters → (conjunctive optional-bound ranges, equality
     * probe sets). The filter array is a conjunction; Or/Not/IsNull/
     * prefix filters translate to nothing and prune nothing. */
@@ -1367,7 +1406,11 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
         if (files.isEmpty || (ranges.isEmpty && eqs.isEmpty)) files
         else VersionedTable.prunedFilesPushed(spark, dir, version, ranges, eqs)
       GraftCatalog.recordPrune(files.size, kept.size)
-      new GraftScan(kept)
+      val admitted = limitPushed match {
+        case Some(n) => admitForLimit(kept, n)
+        case None => kept
+      }
+      new GraftScan(admitted, limited = admitted.size < kept.size)
   }
 
   /** The row-serving scan: a stock parquet scan over the manifest-pruned
@@ -1388,7 +1431,8 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     *    positionally; only the reported schema maps names back.
     * Rebuilds after a runtime filter REPLAY the original pushdown calls,
     * so parquet-level pruning stays byte-identical to the static plan's. */
-  private[sql] class GraftScan(initialKept: Seq[String]) extends Scan
+  private[sql] class GraftScan(initialKept: Seq[String],
+      limited: Boolean = false) extends Scan
       with SupportsReportStatistics with SupportsRuntimeV2Filtering
       with SupportsReportPartitioning {
 
@@ -1403,7 +1447,11 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
       * cannot match, and the rewrite re-applies those filters over the
       * view. */
     private[sql] def mviewIdentity: Option[(String, Int)] =
-      if (snapshotComplete) Some((dir, version)) else None
+      // a LIMIT-admitted scan dropped real rows by design — it can never
+      // vouch for the full snapshot (unreachable today: limit pushdown
+      // needs a Limit directly above the scan, rewrite needs an
+      // Aggregate there — but the identity must not lie if plans drift)
+      if (snapshotComplete && !limited) Some((dir, version)) else None
 
     // ---- storage-partitioned layout: when the table declares ONE
     // bucket transform and every live file provably holds a single
@@ -1516,7 +1564,13 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     }
 
     override def filterAttributes(): Array[NamedReference] =
-      VersionedTable.pruneHandleColumns(dir, version)
+      // a LIMIT-admitted file list is a minimal cover of n rows; letting
+      // a runtime (DPP) probe drop admitted files could leave fewer than
+      // n matching rows while unadmitted files held more — so a limited
+      // scan opts out of runtime filtering entirely (it admits few files
+      // by construction; there is nothing worth re-pruning)
+      if (limited) Array.empty
+      else VersionedTable.pruneHandleColumns(dir, version)
         .map(p => org.apache.spark.sql.graft.FilterBridge.fieldRef(
           backNames.getOrElse(p, p)))
         .toArray
@@ -1636,6 +1690,13 @@ object GraftCatalog {
   @volatile private[graft] var lastRuntimePrune: (Int, Int) = (0, 0)
   private[sql] def recordRuntimePrune(before: Int, after: Int): Unit =
     lastRuntimePrune = (before, after)
+
+  /** (candidate files, files admitted) of the most recent LIMIT
+    * admission — the observability seam specs pin minimal-cover
+    * planning on. */
+  @volatile private[graft] var lastLimitAdmit: (Int, Int) = (0, 0)
+  private[sql] def recordLimitAdmit(total: Int, kept: Int): Unit =
+    lastLimitAdmit = (total, kept)
 
   /** Decode a sidecar stat bound back to the CATALYST-internal value of
     * `dt` — the aggregate-pushdown seam. Every `num` encoding is exact
@@ -2384,6 +2445,32 @@ object GraftCatalog {
       "ORDER BY event_type")
   }
 
+  /** q_sql_limit — LIMIT pushdown as minimal-file-cover admission:
+    * orders lands as four single-file commits, `LIMIT 1000` over the
+    * bare catalog read plans only as many files as the O(1) `rows`
+    * sidecar proves sufficient (pinned in-query through the admission
+    * seam — strictly fewer than the snapshot's files), and the served
+    * row count hash-matches DuckDB applying the same limit. At 100 TB
+    * this is every `df.show()` and interactive `LIMIT` probe opening a
+    * handful of files instead of planning the whole table. */
+  def qSqlLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqllim_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    (0 until 4).foreach(i => VersionedTable.commit(
+      o.filter(col("o_orderkey") % 4 === i).coalesce(1), dir))
+    lastLimitAdmit = (0, 0)
+    val n = spark.sql(s"SELECT * FROM graft.`$dir` LIMIT 1000").count()
+    val (cand, adm) = lastLimitAdmit
+    require(cand == 4 && adm > 0 && adm < 4,
+      s"expected a strict file cover over 4 files: ($cand, $adm)")
+    import spark.implicits._
+    Seq(n).toDF("n")
+  }
+
   /** q_sql_colstats — the ANALYZE loop end to end: two commits land
     * events with a derived nullable column, `CALL write_stats` records
     * the CBO ingredients, and the `#colstats` metadata view serves the
@@ -2416,8 +2503,69 @@ object GraftCatalog {
       .orderBy(col("col_name"))
   }
 
+  /** q_sql_group — multi-table transactions as snapshot groups, driven
+    * from SQL end-to-end: a detail table and its 1-row stats summary
+    * form a group whose invariant is "the summary describes exactly the
+    * detail rows". The transaction lands BOTH table mutations through
+    * ordinary commits, and the in-query pins prove group readers never
+    * see the partial state (detail landed, summary stale) — only the
+    * atomic `CALL group_pin` advance exposes both, `VERSION AS OF` on
+    * the group handle still serves the old consistent pair, and the
+    * presented head pair hash-matches DuckDB computing summary and
+    * detail from the same full data. */
+  def qSqlGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlgrp_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val det = s"$tmp/detail"
+    val sm = s"$tmp/stats"
+    val g = s"$tmp/grp"
+    def statsOf(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"), round(Parity.decSum2(col("o_totalprice")), 2)
+        .as("total"))
+    val even = col("o_orderkey") % 2 === 0
+    VersionedTable.commit(o.filter(even), det)
+    VersionedTable.commit(statsOf(o.filter(even)), sm)
+    spark.sql(
+      s"CALL graft.create_group('$g', 'detail=$det;stats=$sm')").collect()
+    def pair(asOf: String = "") = spark.sql(
+      s"""SELECT s.n AS n, s.total AS total, d.n_rows AS n_rows,
+         |  d.total_rows AS total_rows
+         |FROM graft.`$g#table=stats` $asOf s CROSS JOIN (
+         |  SELECT COUNT(*) AS n_rows,
+         |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         |      AS DOUBLE), 2) AS total_rows
+         |  FROM graft.`$g#table=detail` $asOf) d""".stripMargin)
+    val before = pair().head()
+    require(before.getLong(0) == before.getLong(2),
+      s"group v1 must be internally consistent: $before")
+    // the transaction: land BOTH mutations, group still serves v1
+    val dv = VersionedTable.commit(o.filter(!even), det)
+    val sv = VersionedTable.commit(statsOf(o), sm, append = false)
+    val partial = pair().head()
+    require(partial == before,
+      s"group readers saw a partial transaction: $partial vs $before")
+    // the atomic advance — ONE group version pins both new table versions
+    val gv = spark.sql(
+      s"CALL graft.group_pin('$g', 'detail=$dv;stats=$sv')")
+      .head().getInt(0)
+    require(gv == 2, s"group_pin returned $gv")
+    val after = pair().head()
+    require(after.getLong(0) == after.getLong(2) &&
+      after.getLong(0) > before.getLong(0),
+      s"group v2 must serve the full consistent pair: $after")
+    // time travel on the GROUP: v1 is still the old consistent pair
+    require(pair("VERSION AS OF 1").head() == before,
+      "group time travel must serve the prior cross-table snapshot")
+    pair()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_group" -> (qSqlGroup _),
     "q_sql_colstats" -> (qSqlColstats _),
+    "q_sql_limit" -> (qSqlLimit _),
     "q_sql_rtas" -> (qSqlRtas _),
     "q_sql_catalog" -> (qSqlCatalog _),
     "q_sql_changes" -> (qSqlChanges _),
@@ -2439,6 +2587,17 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_group" ->
+      """SELECT COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total,
+        |  COUNT(*) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_rows
+        |FROM orders""".stripMargin,
+    "q_sql_limit" ->
+      """SELECT COUNT(*) AS n
+        |FROM (SELECT * FROM orders LIMIT 1000) AS t""".stripMargin,
     "q_sql_colstats" ->
       """SELECT 'event_id' AS col_name, CAST(0 AS BIGINT) AS null_count
         |UNION ALL
