@@ -2342,6 +2342,27 @@ class VersionedTableOps(protected val io: TableIO) {
   private[graft] def hasDeleteDebt(dir: String, version: Int): Boolean =
     delFilesOf(dir, version).nonEmpty || eqDelsOf(dir, version).nonEmpty
 
+  /** Per-data-file typed range bounds of PHYSICAL `column` — the
+    * TopN-admission planning read: `file → (tag, lo, hi)` for every
+    * data file that carries a usable (`num`/`str`) range line. Files
+    * without a line (or all-null / `wild` files) are simply absent —
+    * the CALLER must treat an absent live file as a decline, because
+    * an unprovable extreme could belong anywhere in the order. */
+  private[graft] def statBoundsPerFile(dir: String, version: Int,
+                                       column: String)
+      : Map[String, (String, String, String)] =
+    if (!io.exists(manifestPath(dir, version))) Map.empty
+    else statsOf(dir, version, column)
+      .filter { case (_, (tag, _, _)) => tag == "num" || tag == "str" }
+
+  /** EXACT snapshot-level null count of PHYSICAL `column` from the
+    * CBO sidecar lines (ANALYZE discipline), or None without full
+    * coverage — the zero-null proof TopN admission needs when the
+    * declared schema still says nullable. */
+  private[graft] def statNullCount(dir: String, version: Int,
+                                   column: String): Option[Long] =
+    columnStatsOf(dir, version).get(column).flatMap(_._1)
+
   /** Per-data-file EXACT live row counts from the sidecar alone — the
     * LIMIT-admission planning read: None unless the snapshot carries
     * zero row-level delete debt (live = physical only then) and EVERY
@@ -3809,7 +3830,7 @@ private[sinks] class BloomBitsAgg(mBits: Int)
     org.apache.spark.sql.Encoders.BINARY
 }
 
-private[sinks] object StatValue {
+private[graft] object StatValue {
 
   /** Encode a stats value or query bound by its runtime type. */
   def encodeBound(value: Any): Option[(String, String)] = value match {

@@ -10,12 +10,12 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.catalyst.expressions.{Expression => CatalystExpr, GenericInternalRow}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max => V2Max, Min => V2Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering, Statistics => V2Statistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -1193,7 +1193,7 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     refuseServe: Option[String] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   // Column-mapping translation: data files, footers and stats sidecars
   // all carry PHYSICAL names, so the inner parquet builder operates
@@ -1329,6 +1329,11 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   // scan guarantees AT LEAST min(n, table rows) survive, Spark's own
   // limit does the exact trim.
   private var limitPushed: Option[Int] = None
+  // both pushdown traits default this true; the diamond needs one owner.
+  // ALWAYS partial: admission only shrinks the file list, Spark does
+  // the exact trim (full push would make the cover a correctness
+  // surface instead of a pure planning optimization)
+  override def isPartiallyPushed(): Boolean = true
   override def pushLimit(limit: Int): Boolean = {
     // sound only when every admitted row is a result row: a pushed data
     // filter could discard rows inside admitted files while dropped
@@ -1358,6 +1363,113 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
         take
       case _ => paths
     }
+
+  // ---- TopN admission: `ORDER BY c LIMIT n` (the "tail the table by
+  // timestamp" query) admits a file cover proved sufficient by the
+  // per-file RANGE stats: take files by their extreme-facing bound
+  // until the exact row counts cover n, fix the n-th value's enclosure
+  // from that prefix, and keep exactly the files whose range can reach
+  // it. Partial push again — Spark runs the real TopN sort on the
+  // admitted rows.
+  private var topNPushed: Option[(String, Boolean, Int)] = None
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    // soundness needs provable order: a bare top-level column whose
+    // type the sidecar encodes order-faithfully, zero nulls (declared
+    // non-nullable, or an exact ANALYZE null count of 0 — a null sorts
+    // outside the range stats, so ANY possible null kills the proof),
+    // no pushed filters, no delete debt. Multi-key orderings admit by
+    // the PRIMARY key only: boundary ties stay admitted by construction
+    // (their files' ranges reach the bound), so secondary keys only
+    // re-order rows the cover already contains.
+    val ok = limit >= 0 && captured.isEmpty && refuseServe.isEmpty &&
+      orders.nonEmpty && !VersionedTable.hasDeleteDebt(dir, version) &&
+      (orders.head.expression() match {
+        case ref: NamedReference if ref.fieldNames.length == 1 =>
+          val logical = ref.fieldNames.head
+          tableSchema.fields.find(_.name.equalsIgnoreCase(logical))
+            .exists { f =>
+              val phys = renames.getOrElse(f.name, f.name)
+              val noNulls = !f.nullable ||
+                VersionedTable.statNullCount(dir, version, phys)
+                  .contains(0L)
+              if (noNulls) {
+                topNPushed = Some((phys,
+                  orders.head.direction() == SortDirection.DESCENDING,
+                  limit))
+              }
+              noNulls
+            }
+        case _ => false
+      })
+    ok
+  }
+
+  /** Range-stat cover of the top `n` rows on `phys`: files sorted by
+    * their bound facing the requested extreme (min ascending for ASC,
+    * max descending for DESC), prefix until the exact counts cover n,
+    * then keep every file whose range reaches the prefix's enclosure of
+    * the n-th value — boundary ties included by construction. Declines
+    * (keeps everything) unless every live candidate carries BOTH an
+    * exact row count and a same-tag order-faithful bound. */
+  private def admitForTopN(paths: Seq[String], phys: String,
+                           desc: Boolean, n: Int): Seq[String] = {
+    val rowsOpt = VersionedTable.statRowsPerFile(dir, version)
+    val bounds = VersionedTable.statBoundsPerFile(dir, version, phys)
+    rowsOpt match {
+      case Some(rows) if paths.forall(rows.contains) =>
+        val live = paths.filter(rows(_) > 0L)
+        val tags = live.flatMap(f => bounds.get(f).map(_._1)).distinct
+        // every live file needs a bound, and all under ONE encoding —
+        // cross-tag comparison (or an all-null/wild file) has no order
+        if (!live.forall(bounds.contains) || tags.length > 1)
+          return paths
+        // order-faithful bound comparison: num = exact decimal strings
+        // (ints/floats/dates/micros), str = UNSIGNED UTF-8 byte order —
+        // Spark's own UTF8String collation, NOT Java's UTF-16 compareTo
+        // (they disagree beyond the BMP, and a mis-ordered bound here
+        // would drop files that hold real top-n rows)
+        val cmp: (String, String) => Int = tags.headOption match {
+          case Some("num") =>
+            (a, b) => BigDecimal(a).compare(BigDecimal(b))
+          case _ => (a, b) => {
+            val x = graft.sinks.StatValue.decodeStr(a)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = graft.sinks.StatValue.decodeStr(b)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            var r = 0
+            while (r == 0 && i < x.length && i < y.length) {
+              r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+            }
+            if (r != 0) r else x.length - y.length
+          }
+        }
+        def lo(f: String) = bounds(f)._2
+        def hi(f: String) = bounds(f)._3
+        // leading bound faces the extreme; trailing closes the enclosure
+        val (lead, trail) = if (desc) (hi _, lo _) else (lo _, hi _)
+        val dir0 = if (desc) -1 else 1
+        val ordered = live.sortWith { (a, b) =>
+          val c = cmp(lead(a), lead(b)) * dir0
+          if (c != 0) c < 0 else a < b
+        }
+        var cum = 0L
+        val prefix = ordered.takeWhile { f =>
+          val before = cum; cum += rows(f); before < n
+        }
+        if (cum < n) return paths // table smaller than n: nothing to cut
+        // the n-th value in the requested order is enclosed by the
+        // prefix's worst trailing bound; any file whose leading bound
+        // cannot reach it holds no top-n row
+        val enclosure = prefix.map(trail).reduce { (a, b) =>
+          if (cmp(a, b) * dir0 >= 0) a else b
+        }
+        val keep = live.filter(f => cmp(lead(f), enclosure) * dir0 <= 0)
+        GraftCatalog.recordTopNAdmit(paths.size, keep.size)
+        keep
+      case _ => paths
+    }
+  }
 
   /** Pushed v1 filters → (conjunctive optional-bound ranges, equality
     * probe sets). The filter array is a conjunction; Or/Not/IsNull/
@@ -1406,9 +1518,10 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
         if (files.isEmpty || (ranges.isEmpty && eqs.isEmpty)) files
         else VersionedTable.prunedFilesPushed(spark, dir, version, ranges, eqs)
       GraftCatalog.recordPrune(files.size, kept.size)
-      val admitted = limitPushed match {
-        case Some(n) => admitForLimit(kept, n)
-        case None => kept
+      val admitted = (topNPushed, limitPushed) match {
+        case (Some((phys, desc, n)), _) => admitForTopN(kept, phys, desc, n)
+        case (None, Some(n)) => admitForLimit(kept, n)
+        case _ => kept
       }
       new GraftScan(admitted, limited = admitted.size < kept.size)
   }
@@ -1697,6 +1810,12 @@ object GraftCatalog {
   @volatile private[graft] var lastLimitAdmit: (Int, Int) = (0, 0)
   private[sql] def recordLimitAdmit(total: Int, kept: Int): Unit =
     lastLimitAdmit = (total, kept)
+
+  /** (candidate files, files admitted) of the most recent TopN
+    * admission. */
+  @volatile private[graft] var lastTopNAdmit: (Int, Int) = (0, 0)
+  private[sql] def recordTopNAdmit(total: Int, kept: Int): Unit =
+    lastTopNAdmit = (total, kept)
 
   /** Decode a sidecar stat bound back to the CATALYST-internal value of
     * `dt` — the aggregate-pushdown seam. Every `num` encoding is exact
@@ -2471,6 +2590,43 @@ object GraftCatalog {
     Seq(n).toDF("n")
   }
 
+  /** q_sql_topn — TopN pushdown as a range-stat file cover: orders
+    * lands as four single-file commits with DISJOINT key ranges,
+    * `ORDER BY o_orderkey DESC LIMIT 100` (the "tail the table" probe)
+    * plans only the files whose range stats can reach the 100th-newest
+    * key (pinned in-query — strictly fewer than the snapshot's files;
+    * the zero-null proof comes from `CALL write_stats`' exact null
+    * counts), and the served rows hash-match DuckDB running the same
+    * ORDER BY. At 100 TB this is "show me the latest N" opening the
+    * newest files only. */
+  def qSqlTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val hi = o.agg(max("o_orderkey")).head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqltopn_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    // four disjoint key-range landings (what time-ordered ingest
+    // produces naturally for a timestamp column)
+    val cut = hi / 4 + 1
+    (0 until 4).foreach(i => VersionedTable.commit(
+      o.filter(col("o_orderkey") >= i * cut &&
+        col("o_orderkey") < (i + 1) * cut).coalesce(1), dir))
+    VersionedTable.writeStats(spark, dir,
+      VersionedTable.versions(dir).last, Seq("o_orderkey"))
+    lastTopNAdmit = (0, 0)
+    val out = spark.sql(s"SELECT o_orderkey, o_totalprice FROM " +
+      s"graft.`$dir` ORDER BY o_orderkey DESC LIMIT 100")
+    val rows = out.collect()
+    val (cand, adm) = lastTopNAdmit
+    require(cand == 4 && adm > 0 && adm < 4,
+      s"expected a strict range cover over 4 files: ($cand, $adm)")
+    require(rows.length == 100, s"expected 100 rows, got ${rows.length}")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
   /** q_sql_colstats — the ANALYZE loop end to end: two commits land
     * events with a derived nullable column, `CALL write_stats` records
     * the CBO ingredients, and the `#colstats` metadata view serves the
@@ -2566,6 +2722,7 @@ object GraftCatalog {
     "q_sql_group" -> (qSqlGroup _),
     "q_sql_colstats" -> (qSqlColstats _),
     "q_sql_limit" -> (qSqlLimit _),
+    "q_sql_topn" -> (qSqlTopn _),
     "q_sql_rtas" -> (qSqlRtas _),
     "q_sql_catalog" -> (qSqlCatalog _),
     "q_sql_changes" -> (qSqlChanges _),
@@ -2598,6 +2755,9 @@ object GraftCatalog {
     "q_sql_limit" ->
       """SELECT COUNT(*) AS n
         |FROM (SELECT * FROM orders LIMIT 1000) AS t""".stripMargin,
+    "q_sql_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
     "q_sql_colstats" ->
       """SELECT 'event_id' AS col_name, CAST(0 AS BIGINT) AS null_count
         |UNION ALL

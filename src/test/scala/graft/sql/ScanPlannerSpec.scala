@@ -422,6 +422,59 @@ class ScanPlannerSpec extends SparkSpec {
     assert(!b.pushLimit(10), "limit must not push under delete debt")
   }
 
+  test("ORDER BY + LIMIT admits a range-stat cover in both directions") {
+    register()
+    val dir = limitTable("sp-topn") // 4 files: 0-99, 100-149, 150-169, 170-174
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("id", "s"))
+    // ASC: the 100-row min-file alone covers 10; nothing else can reach
+    // an id below its max
+    GraftCatalog.lastTopNAdmit = (0, 0)
+    val asc = spark.sql(
+      s"SELECT id FROM graft.`$dir` ORDER BY id LIMIT 10").collect()
+    assert(asc.map(_.getLong(0)).toSeq == (0L until 10L),
+      s"wrong top rows: ${asc.mkString(",")}")
+    assert(GraftCatalog.lastTopNAdmit == ((4, 1)),
+      s"expected a 1-file ASC cover: ${GraftCatalog.lastTopNAdmit}")
+    // DESC: the 5-row tail file can't cover 10 alone; it plus the next
+    // newest can, and no other file's max reaches their enclosure
+    val desc = spark.sql(
+      s"SELECT id FROM graft.`$dir` ORDER BY id DESC LIMIT 10").collect()
+    assert(desc.map(_.getLong(0)).toSeq == (174L to 165L by -1L),
+      s"wrong tail rows: ${desc.mkString(",")}")
+    assert(GraftCatalog.lastTopNAdmit == ((4, 2)),
+      s"expected a 2-file DESC cover: ${GraftCatalog.lastTopNAdmit}")
+    // secondary sort keys ride along — admission is by the primary key
+    val multi = spark.sql(s"SELECT id FROM graft.`$dir` " +
+      "ORDER BY id DESC, s ASC LIMIT 3").collect()
+    assert(multi.map(_.getLong(0)).toSeq == Seq(174L, 173L, 172L))
+  }
+
+  test("TopN admission declines on nullable-unproved columns and " +
+    "serves string orderings in UTF-8 byte order") {
+    register()
+    val dir = tmpDir("sp-topn-str")
+    // s is nullable in the declared schema (Scala String) — without an
+    // exact zero null count the proof fails and everything is admitted
+    ops.commit(Seq((1L, "b x"), (2L, "a y")).toDF("id", "s").coalesce(1),
+      dir)
+    ops.commit(Seq((3L, "c z"), (4L, "d w")).toDF("id", "s").coalesce(1),
+      dir)
+    GraftCatalog.lastTopNAdmit = (-1, -1)
+    val r0 = spark.sql(
+      s"SELECT s FROM graft.`$dir` ORDER BY s LIMIT 1").collect()
+    assert(r0.map(_.getString(0)).toSeq == Seq("a y"))
+    assert(GraftCatalog.lastTopNAdmit == ((-1, -1)),
+      "nullable column without a zero-null proof must decline")
+    // ANALYZE writes exact null counts (0 here) — now the proof holds
+    // and only the file whose range reaches 'a y' is admitted
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("s"))
+    val r1 = spark.sql(
+      s"SELECT s FROM graft.`$dir` ORDER BY s LIMIT 1").collect()
+    assert(r1.map(_.getString(0)).toSeq == Seq("a y"))
+    assert(GraftCatalog.lastTopNAdmit == ((2, 1)),
+      s"expected a 1-file cover: ${GraftCatalog.lastTopNAdmit}")
+  }
+
   test("a LIMIT-admitted scan opts out of runtime (DPP) filtering") {
     register()
     val dir = limitTable("sp-limit-dpp")
