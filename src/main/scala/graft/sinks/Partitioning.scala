@@ -136,8 +136,15 @@ object PartitionTransform {
     val spark = df.sparkSession
     val dt = df.schema(b.source).dataType
     val schema = df.schema
-    val keyed = df.withColumn("__bucket", b.expr(dt)).rdd
-      .map(r => (r.getAs[Int]("__bucket"), Row.fromSeq(r.toSeq.dropRight(1))))
+    // the key column's name must be one the batch provably lacks: on a
+    // name hit withColumn REPLACES in place instead of appending, and the
+    // positional strip below would then drop a real data column
+    val tmp = Iterator.from(0).map(i => s"__bucket$i")
+      .find(n => !df.columns.contains(n)).get
+    val withKey = df.withColumn(tmp, b.expr(dt))
+    val keyIdx = withKey.schema.fieldIndex(tmp)
+    val keyed = withKey.rdd.map(r =>
+      (r.getInt(keyIdx), Row.fromSeq(r.toSeq.patch(keyIdx, Nil, 1))))
     val byBucket = keyed.partitionBy(new org.apache.spark.Partitioner {
       override def numPartitions: Int = b.n
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]

@@ -155,6 +155,21 @@ class SnapshotGroupOps(io: TableIO, ops: VersionedTableOps) {
       throw new IllegalArgumentException(s"no member '$alias' in group " +
         s"$g (have: ${members(g, version).map(_.alias).mkString(", ")})"))
 
+  /** Drop the whole group: release EVERY retained version's member tags
+    * (so member-table GC can reclaim the history the group pinned — a
+    * bare directory delete would leak the `grp.*` tags and block member
+    * expire forever) and delete the group's log and marker. The member
+    * tables themselves are untouched. */
+  def drop(g: String): Unit = {
+    versions(g).foreach { gv =>
+      members(g, Some(gv)).foreach(m =>
+        try ops.deleteTag(m.dir, tagName(g, gv))
+        catch { case _: Exception => () }) // already released
+      io.delete(manifestPath(g, gv))
+    }
+    io.delete(markerPath(g))
+  }
+
   /** Drop group history beyond `keepLast`, releasing the dropped
     * versions' member tags so table-level GC can reclaim that history. */
   def expire(g: String, keepLast: Int): Unit = {

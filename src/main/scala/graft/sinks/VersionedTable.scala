@@ -829,8 +829,8 @@ class VersionedTableOps(protected val io: TableIO) {
           io.writeLines(smallCountPath(dir), Seq("0"))
           try Some(compact(spark, dir, target))
           catch {
-            case _: SnapshotShapeConflict
-                | _: java.util.ConcurrentModificationException =>
+            // covers SnapshotShapeConflict too (a declared subclass)
+            case _: java.util.ConcurrentModificationException =>
               // someone else is mutating; restore the count so a later
               // landing retries — opportunistic maintenance must never
               // fail the landing that triggered it
@@ -2242,9 +2242,15 @@ class VersionedTableOps(protected val io: TableIO) {
       case Seq("num") => Some(("num",
         bounds.map(b => BigDecimal(b._2)).min.toString,
         bounds.map(b => BigDecimal(b._3)).max.toString))
-      case Seq("str") => Some(("str",
-        bounds.map(b => StatValue.decodeStr(b._2)).min,
-        bounds.map(b => StatValue.decodeStr(b._3)).max))
+      case Seq("str") =>
+        // fold in Spark's UTF8String order, not Java's — per-file bounds
+        // were computed by Spark's min/max (UTF-8 binary), and the SQL
+        // agg pushdown serves this fold as THE answer for MIN/MAX
+        val ord = Ordering.fromLessThan[String](
+          (a, b) => StatValue.utf8Compare(a, b) < 0)
+        Some(("str",
+          bounds.map(b => StatValue.decodeStr(b._2)).min(ord),
+          bounds.map(b => StatValue.decodeStr(b._3)).max(ord)))
       case _ => None // all-null column, or mixed tags: scan instead
     }
   }
@@ -3600,9 +3606,9 @@ class VersionedTableOps(protected val io: TableIO) {
     cols.map { c =>
       val (nulls, ndv) = cbo.getOrElse(c, (None, None))
       val stats = statsOf(dir, v, c)
+      // fastMinMax already returns str bounds DECODED — decoding again
+      // would corrupt '+' to ' ' and crash on a trailing literal '%'
       val bound = fastMinMax(dir, c, Some(v)).map {
-        case ("str", lo, hi) =>
-          (StatValue.decodeStr(lo), StatValue.decodeStr(hi))
         case (_, lo, hi) => (lo, hi)
       }
       (c, nulls, ndv,
@@ -3862,6 +3868,23 @@ private[graft] object StatValue {
 
   def decodeStr(encoded: String): String =
     java.net.URLDecoder.decode(encoded, "UTF-8")
+
+  /** Unsigned UTF-8 byte order over DECODED strings — Spark's own
+    * UTF8String collation. Java's UTF-16 `compareTo` disagrees with it
+    * beyond the BMP (surrogate pairs sort below U+E000..U+FFFF), so any
+    * fold that must agree with what Spark's min/max wrote per file — the
+    * table-level string extremes, TopN bound admission — compares here,
+    * never with String ordering. */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < x.length && i < y.length) {
+      r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+    }
+    if (r != 0) r else x.length - y.length
+  }
 }
 
 /** The default (local-filesystem) binding, plus the oracle-checked query. */

@@ -278,6 +278,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // capability instead
     val ro = parseRef(dirOf(ident))._2.isInstanceOf[RefTag]
     val (dir, version) = resolve(ident, pinned)
+    // a bare group handle never scans: its manifest lines are member
+    // pins, not data files — feeding them to the parquet reader fails
+    // with an opaque file error, so refuse with the right address
+    if (graft.sinks.SnapshotGroup.isGroup(dir))
+      throw new UnsupportedOperationException(
+        s"'$dir' is a snapshot group, not a table; read a member via " +
+          "`#table=<alias>` or list its pins via `#members`")
     val declared = ops.declaredSchema(dir)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
     if (ops.versions(dir).isEmpty) {
@@ -318,6 +325,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     parseRef(dirOf(ident)) match {
+      // a snapshot group EXISTS at its identifier — so CREATE TABLE
+      // refuses to stomp it and DROP TABLE reaches the tag-releasing
+      // purge — but loadTable refuses a bare-group scan loudly
       case (base, RefHead) => ops.versions(base).nonEmpty
       case (base, RefBranch(b)) =>
         ops.branches(base).contains(b)
@@ -335,9 +345,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
 
   /** A directory is a graft table iff it carries committed versions or a
-    * declared schema — the same existence rule resolution uses. */
+    * declared schema — the same existence rule resolution uses. A
+    * snapshot GROUP is excluded even though it carries `manifests/vN`:
+    * its manifest lines are member pins, not data-file paths, so a scan
+    * over them is garbage — groups are addressed via `#members` /
+    * `#table=alias` only. */
   private def isGraftTable(dir: String): Boolean =
-    ops.versions(dir).nonEmpty || ops.declaredSchema(dir).isDefined
+    !graft.sinks.SnapshotGroup.isGroup(dir) &&
+      (ops.versions(dir).nonEmpty || ops.declaredSchema(dir).isDefined)
 
   private def nsDir(w: String, namespace: Array[String]): String =
     (w +: namespace).mkString("/")
@@ -369,14 +384,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           throw new NoSuchNamespaceException(namespace)
         val d = nsDir(w, namespace)
         ops.childNames(d).sorted
-          .filter(n => ops.isDirectory(s"$d/$n") && !isGraftTable(s"$d/$n"))
+          .filter { n =>
+            val c = s"$d/$n"
+            ops.isDirectory(c) && !isGraftTable(c) &&
+              !graft.sinks.SnapshotGroup.isGroup(c)
+          }
           .map(n => namespace :+ n).toArray
     }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || warehouse.exists { w =>
       val d = nsDir(w, namespace)
-      ops.isDirectory(d) && !isGraftTable(d)
+      ops.isDirectory(d) && !isGraftTable(d) &&
+        !graft.sinks.SnapshotGroup.isGroup(d)
     }
 
   override def loadNamespaceMetadata(
@@ -609,6 +629,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     require(ref == RefHead,
       "CREATE/REPLACE TABLE targets a base table, not a ref or metadata " +
         s"view ('${ident.name}' carries a '#' fragment)")
+    require(!graft.sinks.SnapshotGroup.isGroup(base),
+      s"'$base' is a snapshot group; CTAS/RTAS cannot replace it " +
+        "(DROP TABLE releases its member pins first)")
     val exists = isGraftTable(base)
     mustExist.foreach { m =>
       if (m && !exists) throw new NoSuchTableException(ident)
@@ -650,7 +673,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         "DROP TABLE on a path-addressed (external) table is not " +
           "supported: the catalog does not own that data; history " +
           "removal is expire()/vacuum")
-    if (!isGraftTable(base)) false
+    if (graft.sinks.SnapshotGroup.isGroup(base)) {
+      // a group's pins are GC state on OTHER tables: release every
+      // member tag before the purge, or member expire refuses those
+      // versions forever with no group_expire left to run
+      graft.sinks.SnapshotGroup.drop(base)
+      ops.purgeDir(base)
+      true
+    }
+    else if (!isGraftTable(base)) false
     else { ops.purgeDir(base); true }
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -1264,8 +1295,13 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     // exactly the fastCount contract (live = data rows − vector rows,
     // both in the sidecar), so it serves while row-reads refuse; every
     // agg that can't be answered exactly declines per-part below, and a
-    // declined aggregation lands on the scan path, which still refuses
-    if (captured.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    // declined aggregation lands on the scan path, which still refuses.
+    // A `#changes=` slice declines outright: statNumRows/fastMinMax fold
+    // the WHOLE snapshot's sidecar, not the slice's file subset — serving
+    // them would answer COUNT(*)/extremes for the snapshot at B instead
+    // of the appended slice the query addressed
+    if (!snapshotComplete || captured.nonEmpty ||
+        agg.groupByExpressions.nonEmpty) return None
     def minMaxPart(e: V2Expression, isMin: Boolean)
         : Option[(StructField, Any)] = e match {
       case ref: NamedReference if ref.fieldNames.length == 1 =>
@@ -1431,18 +1467,9 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
         val cmp: (String, String) => Int = tags.headOption match {
           case Some("num") =>
             (a, b) => BigDecimal(a).compare(BigDecimal(b))
-          case _ => (a, b) => {
-            val x = graft.sinks.StatValue.decodeStr(a)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val y = graft.sinks.StatValue.decodeStr(b)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            var i = 0
-            var r = 0
-            while (r == 0 && i < x.length && i < y.length) {
-              r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
-            }
-            if (r != 0) r else x.length - y.length
-          }
+          case _ => (a, b) => graft.sinks.StatValue.utf8Compare(
+            graft.sinks.StatValue.decodeStr(a),
+            graft.sinks.StatValue.decodeStr(b))
         }
         def lo(f: String) = bounds(f)._2
         def hi(f: String) = bounds(f)._3
@@ -1639,10 +1666,11 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
         case _ => java.util.OptionalLong.of(VersionedTable.fileBytes(kept))
       }
       // rows: EXACT from the sidecar, but only when this scan serves the
-      // whole snapshot — under residual predicates or runtime pruning the
-      // count would overestimate, so report unknown rather than a lie
-      val whole = captured.isEmpty && kept.size == files.size &&
-        refuseServe.isEmpty
+      // whole snapshot — under residual predicates, runtime pruning, or a
+      // `#changes=` slice (whose sidecar fold describes the snapshot, not
+      // the slice) the count would overestimate, so report unknown
+      val whole = snapshotComplete && captured.isEmpty &&
+        kept.size == files.size && refuseServe.isEmpty
       val rows = if (whole) VersionedTable.statNumRows(dir, version) else None
       // column-level CBO stats (exact null counts + mergeable-HLL NDV)
       // fold from the sidecar under the same whole-snapshot condition;
@@ -1857,21 +1885,10 @@ object GraftCatalog {
 
   /** Split a comma-separated transform-spec list at paren depth 0 only
     * (`'days(ts),bucket(16,k)'` → two specs — a naive split would cut
-    * bucket's argument list). */
-  private[sql] def splitSpecs(s: String): Seq[String] = {
-    val out = scala.collection.mutable.Buffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 0
-    s.foreach { c =>
-      if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
-      else {
-        if (c == '(') depth += 1 else if (c == ')') depth -= 1
-        cur += c
-      }
-    }
-    out += cur.toString
-    out.map(_.trim).filter(_.nonEmpty).toSeq
-  }
+    * bucket's argument list). One splitter for the whole SQL layer:
+    * [[Mview.splitTop]] owns the depth tracking. */
+  private[sql] def splitSpecs(s: String): Seq[String] =
+    Mview.splitTop(s, ',')
 
   /** Persist CREATE TABLE's user TBLPROPERTIES into the durable store,
     * dropping Spark-injected bookkeeping keys and the engine's `files`

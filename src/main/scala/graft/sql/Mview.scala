@@ -108,8 +108,9 @@ object Mview {
       }
     }
 
-  /** Split on `sep` at paren depth 0 (expression-safe). */
-  private def splitTop(s: String, sep: Char): Seq[String] = {
+  /** Split on `sep` at paren depth 0 (expression-safe) — also the
+    * transform-spec splitter ([[GraftCatalog.splitSpecs]] delegates). */
+  private[sql] def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0

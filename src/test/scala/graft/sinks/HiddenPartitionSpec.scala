@@ -151,4 +151,24 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(ops.prunedReadIn(spark, dir, "key", Seq("u7"))
       .filter(col("key") === "u7").count() == exact && exact > 0)
   }
+
+  test("a batch may legitimately carry a '__bucket' column: exact bucket " +
+      "clustering must not corrupt it (reserved-name regression)") {
+    val dir = tmpDir("hp-bucket-name")
+    ops.declarePartitioning(dir, Seq("bucket(4,key)"), numFiles = 4)
+    // '__bucket' used to be the clustering key's hardcoded name:
+    // withColumn REPLACED this column in place and the positional strip
+    // then dropped 'value' — rows landed shifted/corrupted
+    val df = (0 until 100).map(i =>
+      (i.toLong, s"u${i % 10}", s"b$i", i * 1.5))
+      .toDF("id", "key", "__bucket", "value")
+    ops.commit(df, dir)
+    val back = ops.read(spark, dir).orderBy("id").collect()
+    assert(back.length == 100)
+    assert(back(7).getString(2) == "b7" && back(7).getDouble(3) == 10.5,
+      s"row 7 corrupted: ${back(7).mkString(",")}")
+    // and the bucket index still prunes
+    val v = ops.versions(dir).last
+    assert(ops.prunedFilesEq(spark, dir, v, "key", Seq("u3")).size < 4)
+  }
 }

@@ -120,6 +120,51 @@ class SnapshotGroupSpec extends SparkSpec {
     assert(e2.getMessage.contains("nope"))
   }
 
+  test("catalog hygiene: a group is not a table or namespace — SHOW " +
+      "TABLES skips it, a bare-group SELECT refuses with the right " +
+      "address, and DROP TABLE releases the member tag pins") {
+    val wh = tmpDir("sg-wh")
+    spark.conf.set("spark.sql.catalog.sgwh",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sgwh.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sgwh.db")
+    val acc = s"$wh/db/accounts"
+    ops.commit(Seq((1L, 60.0), (2L, 40.0)).toDF("acct", "balance"), acc)
+    ops.commit(Seq((1L, 61.0), (2L, 39.0)).toDF("acct", "balance"), acc,
+      append = false)
+    val g = s"$wh/db/grp"
+    grp.create(g, Map("accounts" -> acc))
+    // a group dir carries manifests/vN but is NOT a table: its manifest
+    // lines are pins, not parquet paths
+    assert(spark.sql("SHOW TABLES IN sgwh.db").select("tableName")
+      .collect().map(_.getString(0)).toSeq == Seq("accounts"))
+    // ...and not a namespace either
+    assert(spark.sql("SHOW NAMESPACES IN sgwh.db").count() == 0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM sgwh.db.grp").collect()
+    }
+    assert(e.getMessage.contains("#table=") ||
+      Option(e.getCause).exists(_.getMessage.contains("#table=")),
+      s"bare-group SELECT must point at #table=/#members: ${e.getMessage}")
+    // CTAS must not stomp the group
+    intercept[Exception] {
+      spark.sql("CREATE TABLE sgwh.db.grp AS SELECT 1 AS x").collect()
+    }
+    // the group's pin blocks member expire...
+    grp.commit(g)(dirs => Map("accounts" ->
+      ops.commit(Seq((1L, 62.0)).toDF("acct", "balance"), dirs("accounts"))))
+    intercept[IllegalArgumentException] {
+      ops.expire(acc, keepLast = 1)
+    }
+    // ...until DROP TABLE purges the group AND releases every pin
+    assert(spark.sql("DROP TABLE sgwh.db.grp").collect().isEmpty)
+    assert(!grp.isGroup(g))
+    assert(ops.tags(acc).isEmpty, s"leaked group tags: ${ops.tags(acc)}")
+    ops.expire(acc, keepLast = 1) // member GC reclaims freely now
+    assert(spark.sql("SELECT count(*) FROM sgwh.db.accounts")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   test("alias validation, non-member updates and unknown versions refuse") {
     val (g, acc, _) = fixture("sg-valid")
     intercept[IllegalArgumentException] {

@@ -496,6 +496,76 @@ class ScanPlannerSpec extends SparkSpec {
     }
   }
 
+  test("a '#changes=' slice never serves sidecar aggregates or " +
+      "whole-snapshot statistics: COUNT(*) answers for the SLICE") {
+    register()
+    val dir = tmpDir("sp-slice-agg")
+    ops.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), dir)       // v1: 2
+    ops.commit(Seq((3L, "c")).toDF("id", "k"), dir)                  // v2: 1
+    ops.commit(Seq((4L, "d"), (5L, "e")).toDF("id", "k"), dir)       // v3: 2
+    ops.writeStats(spark, dir, 3, Seq("id", "k"))
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(id) AS mn, max(id) AS mx " +
+        s"FROM graft.`$dir#changes=1..3`")
+    // the sidecar fold describes the snapshot at v3 (5 rows, min 1);
+    // the slice holds v2+v3's appends (3 rows, min 3) — so the agg must
+    // DECLINE to the scan path and answer from the slice's files
+    assertScans(q)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 5L,
+      s"slice aggregate wrong: ${r.mkString(",")}")
+    // statistics over the slice must not report the whole snapshot's rows
+    val rel = spark.sql(s"SELECT * FROM graft.`$dir#changes=1..3`")
+      .queryExecution.optimizedPlan.collectFirst {
+        case s: DataSourceV2ScanRelation => s
+      }.get
+    rel.scan match {
+      case s: SupportsReportStatistics =>
+        val rows = s.estimateStatistics().numRows()
+        assert(!rows.isPresent || rows.getAsLong == 3L,
+          s"slice stats report snapshot rows: $rows")
+      case _ => ()
+    }
+    // the whole-snapshot read still serves metadata-only
+    assertMetadataOnly(
+      spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`"))
+  }
+
+  test("string extremes fold in UTF-8 order (Spark's collation), not " +
+      "Java's UTF-16: supplementary-plane data gets the right MIN/MAX") {
+    register()
+    val dir = tmpDir("sp-utf8")
+    // two files: one holds U+E000 (BMP private-use), one holds U+1F600
+    // (supplementary). Java String order puts the surrogate pair FIRST;
+    // UTF-8 byte order (what Spark's min/max wrote per file) puts it LAST.
+    ops.commit(Seq((1L, "\uE000")).toDF("id", "s"), dir)
+    ops.commit(Seq((2L, "\uD83D\uDE00")).toDF("id", "s"), dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("s"))
+    val q = spark.sql(s"SELECT min(s) AS mn, max(s) AS mx FROM graft.`$dir`")
+    assertMetadataOnly(q)
+    val r = q.collect()(0)
+    val scanned = ops.read(spark, dir)
+      .agg(min($"s"), max($"s")).collect()(0)
+    assert(r.getString(0) == scanned.getString(0) &&
+      r.getString(1) == scanned.getString(1),
+      s"pushed extremes (${r.mkString(",")}) disagree with the scan " +
+        s"(${scanned.mkString(",")})")
+  }
+
+  test("#colstats round-trips '+' and trailing-'%' string bounds " +
+      "(regression: a second URL-decode corrupted or crashed the view)") {
+    register()
+    val dir = tmpDir("sp-colstats-esc")
+    ops.commit(Seq((1L, "a+b"), (2L, "100%")).toDF("id", "s"), dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("s"))
+    val rows = spark.sql(
+      s"SELECT min, max FROM graft.`$dir#colstats` WHERE column = 's'")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "100%" && rows(0).getString(1) == "a+b",
+      s"#colstats bounds wrong: ${rows(0).mkString(",")}")
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val old = spark.conf.getOption(key)
     spark.conf.set(key, value)
