@@ -200,9 +200,12 @@ class VersionedTableOps(protected val io: TableIO) {
             rows.map(r => BigDecimal(r._4)).max.toString)))
           catch { case _: NumberFormatException => None }
         case Seq("str") =>
+          // UTF-8 order (Spark's collation), not Java's — a UTF-16 fold
+          // could claim a cover NARROWER than the true extremes, and
+          // covers gate segment-level pruning (dropped unread)
           Some(c -> (("str",
-            rows.map(_._3).minBy(StatValue.decodeStr),
-            rows.map(_._4).maxBy(StatValue.decodeStr))))
+            rows.map(_._3).minBy(StatValue.decodeStr)(StatValue.utf8Ord),
+            rows.map(_._4).maxBy(StatValue.decodeStr)(StatValue.utf8Ord))))
         case _ => None
       }
     }
@@ -226,8 +229,8 @@ class VersionedTableOps(protected val io: TableIO) {
           catch { case _: NumberFormatException => None }
         case Seq("str") =>
           Some(c -> (("str",
-            cs.map(_._2).minBy(StatValue.decodeStr),
-            cs.map(_._3).maxBy(StatValue.decodeStr))))
+            cs.map(_._2).minBy(StatValue.decodeStr)(StatValue.utf8Ord),
+            cs.map(_._3).maxBy(StatValue.decodeStr)(StatValue.utf8Ord))))
         case _ => None
       }
     }.toMap
@@ -1628,7 +1631,14 @@ class VersionedTableOps(protected val io: TableIO) {
         try BigDecimal(mxS) >= BigDecimal(qe)
         catch { case _: NumberFormatException => true }
       case ("str", Some(("str", qe))) =>
-        StatValue.decodeStr(mxS) >= StatValue.decodeStr(qe)
+        // UTF-8 byte order, NOT Java's UTF-16 compareTo: the stored
+        // bounds came from Spark's min/max (UTF8String binary order) and
+        // the predicate the file must survive evaluates in that same
+        // order — beyond the BMP the two orders disagree, and a UTF-16
+        // comparison here would wrongly prune a file whose only row
+        // (e.g. U+1F600) satisfies `s >= ''`
+        StatValue.utf8Compare(
+          StatValue.decodeStr(mxS), StatValue.decodeStr(qe)) >= 0
       case _ => true
     }
 
@@ -1639,7 +1649,8 @@ class VersionedTableOps(protected val io: TableIO) {
         try BigDecimal(mnS) <= BigDecimal(qe)
         catch { case _: NumberFormatException => true }
       case ("str", Some(("str", qe))) =>
-        StatValue.decodeStr(mnS) <= StatValue.decodeStr(qe)
+        StatValue.utf8Compare(
+          StatValue.decodeStr(mnS), StatValue.decodeStr(qe)) <= 0
       case _ => true
     }
 
@@ -2246,11 +2257,9 @@ class VersionedTableOps(protected val io: TableIO) {
         // fold in Spark's UTF8String order, not Java's — per-file bounds
         // were computed by Spark's min/max (UTF-8 binary), and the SQL
         // agg pushdown serves this fold as THE answer for MIN/MAX
-        val ord = Ordering.fromLessThan[String](
-          (a, b) => StatValue.utf8Compare(a, b) < 0)
         Some(("str",
-          bounds.map(b => StatValue.decodeStr(b._2)).min(ord),
-          bounds.map(b => StatValue.decodeStr(b._3)).max(ord)))
+          bounds.map(b => StatValue.decodeStr(b._2)).min(StatValue.utf8Ord),
+          bounds.map(b => StatValue.decodeStr(b._3)).max(StatValue.utf8Ord)))
       case _ => None // all-null column, or mixed tags: scan instead
     }
   }
@@ -3875,6 +3884,9 @@ private[graft] object StatValue {
     * fold that must agree with what Spark's min/max wrote per file — the
     * table-level string extremes, TopN bound admission — compares here,
     * never with String ordering. */
+  /** [[utf8Compare]] as an `Ordering` — for min/max folds over bounds. */
+  val utf8Ord: Ordering[String] = (a, b) => utf8Compare(a, b)
+
   def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -145,4 +145,23 @@ class SegmentCoverSpec extends SparkSpec {
     assert(cio.segReads.size == 2,
       s"pushed ranges must open only band 1: ${cio.segReads}")
   }
+
+  test("string covers fold in UTF-8 order: a supplementary-plane max " +
+      "is not narrowed by the UTF-16 fold (segment wrongly dropped)") {
+    val dir = tmpDir("cov-utf8")
+    // one clustered landing, two files: U+1F600 and U+E000. The segment
+    // cover folds the per-file "s" bounds — a Java-order fold would
+    // claim max = U+E000 and the probe below would drop the segment
+    // UNREAD even though the emoji row matches.
+    val df = Seq((1L, "😀"), (2L, "")).toDF("id", "s")
+    val v = ops.commitClustered(df, dir, zCols = Seq("id"),
+      statCols = Seq("id", "s"), numFiles = 2)
+    val lo = ""
+    val hi = "􏿿" // U+10FFFF
+    val got = ops.prunedReadAll(spark, dir, Seq(("s", lo, hi)),
+        Some(v))
+      .filter(col("s") >= lit(lo) && col("s") <= lit(hi)).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L),
+      s"cover fold dropped the matching segment: ${got.mkString(",")}")
+  }
 }

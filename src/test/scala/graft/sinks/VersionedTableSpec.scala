@@ -133,6 +133,26 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(pruned.count() == 11)
   }
 
+  test("string range pruning compares in UTF-8 byte order (Spark's " +
+      "collation), not UTF-16: supplementary-plane rows survive") {
+    val dir = tmpDir("vt-utf8prune")
+    // U+1F600 sorts BELOW U+E000 in Java's UTF-16 order but ABOVE it in
+    // UTF-8 (= Spark's UTF8String order, which computed the stored
+    // bounds) — a UTF-16 boundGeq would prune the emoji file for this
+    // range even though its only row matches the predicate
+    ops.commit(Seq((1L, "😀")).toDF("id", "s"), dir) // U+1F600
+    val head = ops.commit(Seq((2L, "ascii")).toDF("id", "s"), dir)
+    ops.writeStats(spark, dir, head, Seq("s"))
+    val lo = ""
+    val hi = "􏿿" // U+10FFFF
+    val kept = ops.prunedFiles(dir, head, "s", lo, hi)
+    assert(kept.size == 1, s"expected only the emoji file kept: $kept")
+    val got = ops.prunedReadAll(spark, dir, Seq(("s", lo, hi)))
+      .filter($"s" >= lit(lo) && $"s" <= lit(hi)).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L),
+      s"supplementary-plane row wrongly pruned: ${got.mkString(",")}")
+  }
+
   test("typed stats: date and string pruning; null-only files always kept") {
     val dir = tmpDir("vt-typed")
     import java.sql.Date
