@@ -2076,12 +2076,51 @@ class VersionedTableOps(protected val io: TableIO) {
     * than `minInputFiles` files are under target). */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
               minInputFiles: Int = 2,
-              statCols: Seq[String] = Seq.empty): Int = retryingShape(3) {
+              statCols: Seq[String] = Seq.empty): Int =
+    compactScoped(spark, dir, targetBytes, minInputFiles, statCols,
+      Seq.empty)
+
+  /** Predicate-scoped compaction — [[compact]] restricted to the files a
+    * conjunctive set of `(column, lo, hi)` range predicates ADMITS
+    * through the stats layer ([[prunedFilesAll]]: range stats + segment
+    * covers, the same superset-guaranteed admission scans use). The
+    * 100 TB shape this exists for: a streaming table accumulates small
+    * files in today's partition only — `compactWhere(_, dir,
+    * Seq(("ts", dayLo, dayHi)), target)` rewrites THAT slice and
+    * nothing else, so maintenance cost tracks the hot window, never
+    * table size. Admission is a superset (files that merely MIGHT
+    * intersect rewrite too — harmless: a rewrite preserves rows), and
+    * everything else is the [[compact]] contract verbatim: deletes
+    * materialize for rewritten files and consolidate/carry for kept
+    * ones, untouched manifest segments ride verbatim (O(affected)
+    * metadata), OCC retries shape conflicts, pinned versions still read
+    * the old files. SQL: `CALL graft.compact_where(dir, column, lo, hi,
+    * target_bytes)`. */
+  def compactWhere(spark: SparkSession, dir: String,
+                   predicates: Seq[(String, Any, Any)], targetBytes: Long,
+                   minInputFiles: Int = 2,
+                   statCols: Seq[String] = Seq.empty): Int = {
+    require(predicates.nonEmpty,
+      "compactWhere needs at least one (column, lo, hi) predicate; " +
+        "use compact() for the whole table")
+    compactScoped(spark, dir, targetBytes, minInputFiles, statCols,
+      predicates)
+  }
+
+  private def compactScoped(spark: SparkSession, dir: String,
+      targetBytes: Long, minInputFiles: Int, statCols: Seq[String],
+      scope: Seq[(String, Any, Any)]): Int = retryingShape(3) {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
-    val small = filesOf(dir, head).filter(f => io.size(f) < targetBytes)
+    // scope admission re-resolves per OCC attempt — a retry against a
+    // new head must re-admit against THAT head's stats
+    val inScope: String => Boolean =
+      if (scope.isEmpty) _ => true
+      else prunedFilesAll(dir, head, scope).toSet
+    val small = filesOf(dir, head)
+      .filter(f => inScope(f) && io.size(f) < targetBytes)
     val delsAtStart = delFilesOf(dir, head)
     val eqsAtStart = eqDelsOf(dir, head)
     // minInputFiles is a bin-packing heuristic; it must not veto a
@@ -2093,7 +2132,26 @@ class VersionedTableOps(protected val io: TableIO) {
     // partial-compact contract: rewriting a huge file for one dead row
     // is write amplification; raise targetBytes to force full
     // materialization.
-    val debt = delsAtStart.nonEmpty || eqsAtStart.nonEmpty
+    // A SCOPED pass tests debt against its OWN candidates, not the
+    // table: out-of-scope vectors can't be cleared by an in-scope
+    // rewrite, and a global flag would make every scoped pass on a
+    // table carrying any unrelated debt churn a fresh no-progress
+    // version forever. The vector read is churn-proportional (delete
+    // rows, not table rows) and only paid on the scoped path.
+    val debt =
+      if (scope.isEmpty) delsAtStart.nonEmpty || eqsAtStart.nonEmpty
+      else {
+        val smallAdded = addedAtOf(dir, small)
+        val eqTouches = eqsAtStart.exists { case (s, _, _) =>
+          small.exists(f => smallAdded.getOrElse(f, 0) < s)
+        }
+        def delTouches = delsAtStart.nonEmpty && {
+          val sm = small.toSet
+          spark.read.parquet(delsAtStart: _*).select("file_path")
+            .distinct().collect().exists(r => sm(r.getString(0)))
+        }
+        eqTouches || delTouches
+      }
     if (small.isEmpty || (small.size < minInputFiles && !debt)) return head
     val smallSet = small.toSet
     val numOut = math.max(1,

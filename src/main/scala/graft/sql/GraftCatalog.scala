@@ -742,6 +742,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     Proc("compact", Seq("dir", "target_bytes"),
       "Bin-pack small files; materializes all deletes for rewritten files")(
       (s, a) => ops.compact(s, a(0), a(1).toLong)),
+    Proc("compact_where", Seq("dir", "column", "lo", "hi", "target_bytes"),
+      "Scoped compact: only files whose [column] stats may intersect " +
+        "[lo, hi] rewrite — O(hot slice), never O(table)")(
+      (s, a) => {
+        // type the bounds through the ENGINE (one 1-row cast job), the
+        // same discipline as equality-probe hashing: a string bound
+        // against a numeric column would silently admit everything
+        val dt = ops.read(s, a(0)).schema(a(1)).dataType
+        val r = s.range(1)
+          .select(org.apache.spark.sql.functions.lit(a(2)).cast(dt),
+            org.apache.spark.sql.functions.lit(a(3)).cast(dt)).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"compact_where: bounds '${a(2)}'..'${a(3)}' do not cast to " +
+            s"${dt.simpleString}")
+        ops.compactWhere(s, a(0), Seq((a(1), r.get(0), r.get(1))),
+          a(4).toLong)
+      }),
     Proc("optimize_zorder", Seq("dir", "cols"),
       "Rewrite live rows z-ordered on comma-separated cols; delete-free")(
       (s, a) => ops.optimizeZorder(s, a(0),
@@ -2599,12 +2616,17 @@ object GraftCatalog {
     (0 until 4).foreach(i => VersionedTable.commit(
       o.filter(col("o_orderkey") % 4 === i).coalesce(1), dir))
     lastLimitAdmit = (0, 0)
-    val n = spark.sql(s"SELECT * FROM graft.`$dir` LIMIT 1000").count()
+    // the returned plan is the COUNT over the limited subquery — a real
+    // distributed aggregate (codegen span, PlanInvariantsSpec's floor),
+    // not a driver-local relation; the agg never serves metadata-only
+    // because the LIMIT sits between it and the relation
+    val out = spark.sql(
+      s"SELECT count(*) AS n FROM (SELECT * FROM graft.`$dir` LIMIT 1000)")
+    require(out.head().getLong(0) == 1000L, "limit under-delivered")
     val (cand, adm) = lastLimitAdmit
     require(cand == 4 && adm > 0 && adm < 4,
       s"expected a strict file cover over 4 files: ($cand, $adm)")
-    import spark.implicits._
-    Seq(n).toDF("n")
+    out
   }
 
   /** q_sql_topn — TopN pushdown as a range-stat file cover: orders
@@ -2735,7 +2757,52 @@ object GraftCatalog {
     pair()
   }
 
+  /** q_sql_compact_where — predicate-scoped maintenance under the
+    * oracle gate: events lands as three disjoint event_id bands of two
+    * files each, `CALL compact_where` packs ONE band (pinned in-query:
+    * exactly that band's pair rewrites, every other file survives at
+    * its original path), and the head aggregate hash-matches DuckDB
+    * over the raw table — the logical rewrite preserved every row. At
+    * 100 TB this is compacting today's partition without touching the
+    * other 10^5 files' worth of history. */
+  def qSqlCompactWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val hi = ev.agg(max("event_id")).head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcw_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    val cut = hi / 3 + 1
+    (0 until 3).foreach(i => VersionedTable.commit(
+      ev.filter(col("event_id") >= i * cut &&
+        col("event_id") < (i + 1) * cut).repartition(2), dir))
+    val v0 = VersionedTable.versions(dir).last
+    VersionedTable.writeStats(spark, dir, v0, Seq("event_id"))
+    val before = VersionedTable.prunedFiles(dir, v0,
+      "event_id", Long.MinValue, Long.MaxValue)
+    val band0 = VersionedTable.prunedFiles(dir, v0,
+      "event_id", 0L, cut - 1).toSet
+    require(before.size == 6 && band0.size == 2,
+      s"fixture shape: ${before.size} files, band0 ${band0.size}")
+    spark.sql(s"CALL graft.compact_where('$dir', 'event_id', '0', " +
+      s"'${cut - 1}', '${1L << 30}')").collect()
+    val v1 = VersionedTable.versions(dir).last
+    val after = VersionedTable.prunedFiles(dir, v1,
+      "event_id", Long.MinValue, Long.MaxValue)
+    require(after.size == 5,
+      s"band-0 pair must pack to one file: ${after.size}")
+    require((before.toSet -- band0).subsetOf(after.toSet),
+      "out-of-scope files must survive at their original paths")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_compact_where" -> (qSqlCompactWhere _),
     "q_sql_group" -> (qSqlGroup _),
     "q_sql_colstats" -> (qSqlColstats _),
     "q_sql_limit" -> (qSqlLimit _),
@@ -2761,6 +2828,13 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_compact_where" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_group" ->
       """SELECT COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -460,6 +460,51 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(parity == 21)
   }
 
+  test("compactWhere rewrites only the predicate-admitted slice; files " +
+      "outside the scope ride untouched and deletes split correctly") {
+    val dir = tmpDir("vt-compact-where")
+    import spark.implicits._
+    // three disjoint key bands, two small files each — time-ordered
+    // ingest's natural shape, where only the hot band needs maintenance
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      (0 until 2).foreach { h =>
+        ops.commit(spark.range(lo, hi).filter(col("id") % 2 === h)
+          .select(col("id"), col("id").cast("double").as("v"))
+          .coalesce(1), dir)
+      }
+    }
+    val head = ops.versions(dir).last
+    ops.writeStats(spark, dir, head, Seq("id"))
+    val before = ops.prunedFiles(dir, head, "id", 0L, 300L)
+    assert(before.size == 6)
+    // debt on BOTH sides of the scope boundary: the in-scope vector must
+    // materialize into the rewrite, the out-of-scope one must survive
+    ops.deleteWhere(spark, dir, col("id") === 150L)
+    ops.deleteWhere(spark, dir, col("id") === 250L)
+    val admitted = ops.prunedFilesAll(dir, ops.versions(dir).last,
+      Seq(("id", 100L, 199L))).toSet
+    assert(admitted.size == 2, s"scope admission wrong: $admitted")
+    val v = ops.compactWhere(spark, dir, Seq(("id", 100L, 199L)),
+      targetBytes = 1L << 20)
+    val after = ops.prunedFiles(dir, v, "id", 0L, 300L)
+    assert(after.size == 5, s"expected 4 kept + 1 packed: ${after.size}")
+    // every file OUTSIDE the scope is the same path — untouched on disk
+    assert(after.toSet.intersect(before.toSet) == before.toSet -- admitted,
+      "out-of-scope files were rewritten")
+    // both deletes still apply: the in-scope one was materialized into
+    // the rewrite, the out-of-scope one rides as a live vector
+    assert(ops.read(spark, dir).count() == 298)
+    assert(ops.read(spark, dir).filter(col("id").isin(150L, 250L)).count()
+      == 0)
+    // stats carried + collected: the scope still prunes to single files
+    assert(ops.prunedFiles(dir, v, "id", 20L, 30L).size == 2) // band 0 pair
+    // nothing-to-do: a second scoped pass returns the head unchanged
+    assert(ops.compactWhere(spark, dir, Seq(("id", 100L, 199L)),
+      1L << 20) == ops.versions(dir).last)
+    // pinned pre-compact version still reads (logical rewrite)
+    assert(ops.read(spark, dir, Some(head)).count() == 300)
+  }
+
   test("compact can add stats to a landing that never collected them") {
     val dir = tmpDir("vt-compact-addstats")
     import spark.implicits._

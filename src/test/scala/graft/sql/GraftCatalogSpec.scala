@@ -91,6 +91,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ops.read(spark, dir).count() == 90)
   }
 
+  test("CALL compact_where scopes the rewrite to the admitted slice and " +
+    "types its bounds through the engine") {
+    register()
+    val dir = tmpDir("gc-cw")
+    // three banded single-file landings + stats: the classic hot-window
+    // maintenance shape
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      ops.commit(spark.range(lo, hi)
+        .select(col("id"), (col("id") * 2).as("payload"))
+        .coalesce(1), dir)
+    }
+    val v0 = ops.versions(dir).last
+    ops.writeStats(spark, dir, v0, Seq("id"))
+    val before = ops.prunedFiles(dir, v0, "id", 0L, 300L)
+    assert(before.size == 3)
+    val band2 = ops.prunedFiles(dir, v0, "id", 200L, 299L).toSet
+    assert(band2.size == 1)
+    // bounds arrive as STRINGS; the procedure casts them to the column
+    // type before admission (a raw string bound against a numeric
+    // column would admit everything)
+    val res = spark.sql(
+      s"CALL graft.compact_where('$dir', 'id', '0', '99', '${1L << 30}')")
+    assert(res.collect().map(_.getInt(0)).toSeq ==
+      Seq(ops.versions(dir).last))
+    val after = ops.prunedFiles(dir, ops.versions(dir).last,
+      "id", 0L, 300L)
+    // band 0 was one file already >= minInputFiles? no: 1 file, no debt
+    // -> no-op; widen the scope across two bands and it packs them
+    assert(after.toSet == before.toSet, "single-file scope must no-op")
+    spark.sql(
+      s"CALL graft.compact_where('$dir', 'id', '0', '199', '${1L << 30}')")
+    val packed = ops.prunedFiles(dir, ops.versions(dir).last,
+      "id", 0L, 300L)
+    assert(packed.size == 2, s"expected band 0+1 packed: ${packed.size}")
+    // the out-of-scope band-2 file survives at its ORIGINAL path
+    assert(band2.subsetOf(packed.toSet), "out-of-scope band rewritten")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`")
+      .head().getLong(0) == 300L)
+    // unknown column / uncastable bound refuse loudly
+    intercept[Exception] {
+      spark.sql(
+        s"CALL graft.compact_where('$dir', 'id', 'zap', 'pow', '1024')")
+        .collect()
+    }
+  }
+
   test("CALL apply_changes / optimize_zorder / rollback / write_stats " +
     "round-trip through SQL") {
     register()
