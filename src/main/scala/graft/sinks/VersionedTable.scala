@@ -2114,6 +2114,28 @@ class VersionedTableOps(protected val io: TableIO) {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
+    // A scope whose bounds can't meet the stats layer (unencodable
+    // values, a type-family mismatch against the column's recorded
+    // tags, or no range stats at all) would silently admit EVERY file —
+    // turning the "O(hot slice)" call into a full-table rewrite. Refuse
+    // loudly instead: the superset guarantee is fine for a scan, but a
+    // rewrite's cost must never ride on a degenerate admission.
+    scope.foreach { case (c, lo, hi) =>
+      val fam = (StatValue.encodeBound(lo), StatValue.encodeBound(hi)) match {
+        case (Some((tl, _)), Some((th, _))) if tl == th => tl
+        case _ => throw new IllegalArgumentException(
+          s"compactWhere: bounds for '$c' ($lo .. $hi) are not " +
+            "stats-comparable; pass values of the column's own type")
+      }
+      val tags = statsOf(dir, head, c).values.map(_._1).toSet
+      require(tags.nonEmpty,
+        s"compactWhere: column '$c' has no range stats at v$head of " +
+          s"$dir — writeStats first, or the scope would admit (and " +
+          "rewrite) the whole table")
+      require(tags == Set(fam),
+        s"compactWhere: '$c' bounds are $fam but its stats are " +
+          s"${tags.mkString(",")} — a mismatched probe admits everything")
+    }
     // scope admission re-resolves per OCC attempt — a retry against a
     // new head must re-admit against THAT head's stats
     val inScope: String => Boolean =
@@ -2138,7 +2160,9 @@ class VersionedTableOps(protected val io: TableIO) {
     // table carrying any unrelated debt churn a fresh no-progress
     // version forever. The vector read is churn-proportional (delete
     // rows, not table rows) and only paid on the scoped path.
-    val debt =
+    // lazy: only consulted when small.size < minInputFiles — the common
+    // scoped pass with enough candidates never pays the vector read
+    lazy val debt =
       if (scope.isEmpty) delsAtStart.nonEmpty || eqsAtStart.nonEmpty
       else {
         val smallAdded = addedAtOf(dir, small)
@@ -3936,15 +3960,16 @@ private[graft] object StatValue {
   def decodeStr(encoded: String): String =
     java.net.URLDecoder.decode(encoded, "UTF-8")
 
-  /** Unsigned UTF-8 byte order over DECODED strings — Spark's own
-    * UTF8String collation. Java's UTF-16 `compareTo` disagrees with it
-    * beyond the BMP (surrogate pairs sort below U+E000..U+FFFF), so any
-    * fold that must agree with what Spark's min/max wrote per file — the
-    * table-level string extremes, TopN bound admission — compares here,
-    * never with String ordering. */
   /** [[utf8Compare]] as an `Ordering` — for min/max folds over bounds. */
   val utf8Ord: Ordering[String] = (a, b) => utf8Compare(a, b)
 
+  /** Unsigned UTF-8 byte order over DECODED strings — Spark's own
+    * UTF8String collation. Java's UTF-16 `compareTo` disagrees with it
+    * beyond the BMP (surrogate pairs sort below U+E000..U+FFFF), so any
+    * fold or comparison that must agree with what Spark's min/max wrote
+    * per file — range-pruning bound checks, segment-cover folds, the
+    * table-level string extremes, TopN bound admission — compares here,
+    * never with String ordering. */
   def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -746,18 +746,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       "Scoped compact: only files whose [column] stats may intersect " +
         "[lo, hi] rewrite — O(hot slice), never O(table)")(
       (s, a) => {
+        // schema from the declaration (or one vintage's footers) — NOT
+        // a full merge-on-read plan over every data file; a scoped
+        // maintenance call must not pay O(table) to learn a column type
+        val sc = ops.declaredSchema(a(0))
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(ops.vintageSchema(s, a(0), ops.versions(a(0)).last))
+        val f = sc.fields.find(_.name.equalsIgnoreCase(a(1))).getOrElse(
+          throw new IllegalArgumentException(
+            s"compact_where: no column '${a(1)}' in ${a(0)}"))
         // type the bounds through the ENGINE (one 1-row cast job), the
         // same discipline as equality-probe hashing: a string bound
-        // against a numeric column would silently admit everything
-        val dt = ops.read(s, a(0)).schema(a(1)).dataType
+        // against a numeric column would silently admit everything —
+        // and resolve the LOGICAL name to the physical one stats carry
         val r = s.range(1)
-          .select(org.apache.spark.sql.functions.lit(a(2)).cast(dt),
-            org.apache.spark.sql.functions.lit(a(3)).cast(dt)).head()
+          .select(org.apache.spark.sql.functions.lit(a(2)).cast(f.dataType),
+            org.apache.spark.sql.functions.lit(a(3)).cast(f.dataType))
+          .head()
         require(!r.isNullAt(0) && !r.isNullAt(1),
           s"compact_where: bounds '${a(2)}'..'${a(3)}' do not cast to " +
-            s"${dt.simpleString}")
-        ops.compactWhere(s, a(0), Seq((a(1), r.get(0), r.get(1))),
-          a(4).toLong)
+            s"${f.dataType.simpleString}")
+        ops.compactWhere(s, a(0),
+          Seq((ColumnMapping.physOf(f), r.get(0), r.get(1))), a(4).toLong)
       }),
     Proc("optimize_zorder", Seq("dir", "cols"),
       "Rewrite live rows z-ordered on comma-separated cols; delete-free")(
@@ -2767,12 +2777,8 @@ object GraftCatalog {
     * other 10^5 files' worth of history. */
   def qSqlCompactWhere(spark: SparkSession, sfDir: String): DataFrame = {
     register(spark)
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"), col("value"))
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqlcw_")
     val hi = ev.agg(max("event_id")).head().getLong(0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcw_")
-    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
-    val dir = s"$tmp/t"
     val cut = hi / 3 + 1
     (0 until 3).foreach(i => VersionedTable.commit(
       ev.filter(col("event_id") >= i * cut &&

@@ -505,6 +505,31 @@ abstract class VersionedTableBehavior extends SparkSpec {
     assert(ops.read(spark, dir, Some(head)).count() == 300)
   }
 
+  test("compactWhere refuses a degenerate scope loudly: no stats, " +
+      "mismatched bound family, or unencodable bounds") {
+    val dir = tmpDir("vt-cw-refuse")
+    ops.commit(spark.range(0, 10).select(col("id")), dir)
+    // no range stats at all -> the scope would admit the whole table
+    val e1 = intercept[IllegalArgumentException] {
+      ops.compactWhere(spark, dir, Seq(("id", 0L, 5L)), 1L << 20)
+    }
+    assert(e1.getMessage.contains("no range stats"))
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("id"))
+    // string bounds against a numeric column's stats admit everything
+    val e2 = intercept[IllegalArgumentException] {
+      ops.compactWhere(spark, dir, Seq(("id", "a", "z")), 1L << 20)
+    }
+    assert(e2.getMessage.contains("mismatched") ||
+      e2.getMessage.contains("stats are"))
+    // NaN has no stats encoding at all
+    intercept[IllegalArgumentException] {
+      ops.compactWhere(spark, dir, Seq(("id", Double.NaN, 5.0)), 1L << 20)
+    }
+    // ...and a well-typed scope still works after the refusals
+    assert(ops.compactWhere(spark, dir, Seq(("id", 0L, 5L)), 1L << 20)
+      == ops.versions(dir).last)
+  }
+
   test("compact can add stats to a landing that never collected them") {
     val dir = tmpDir("vt-compact-addstats")
     import spark.implicits._
