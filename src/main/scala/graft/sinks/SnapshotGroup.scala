@@ -162,13 +162,20 @@ class SnapshotGroupOps(io: TableIO, ops: VersionedTableOps) {
     * tables themselves are untouched. */
   def drop(g: String): Unit = {
     versions(g).foreach { gv =>
-      members(g, Some(gv)).foreach(m =>
-        try ops.deleteTag(m.dir, tagName(g, gv))
-        catch { case _: Exception => () }) // already released
+      members(g, Some(gv)).foreach(m => releaseTag(m, tagName(g, gv)))
       io.delete(manifestPath(g, gv))
     }
     io.delete(markerPath(g))
   }
+
+  /** Release one member pin, tolerating ONLY the already-released case.
+    * Any other failure (transient IO) must abort BEFORE the group
+    * manifest is deleted — swallowing it and then deleting the manifest
+    * would leak a `grp.*` tag that blocks member-table expire forever,
+    * with the record of which tags to release already gone. Aborting
+    * leaves the manifest in place, so the drop/expire can be retried. */
+  private def releaseTag(m: Member, tag: String): Unit =
+    if (ops.tags(m.dir).contains(tag)) ops.deleteTag(m.dir, tag)
 
   /** Drop group history beyond `keepLast`, releasing the dropped
     * versions' member tags so table-level GC can reclaim that history. */
@@ -177,9 +184,7 @@ class SnapshotGroupOps(io: TableIO, ops: VersionedTableOps) {
     val vs = versions(g)
     val dead = vs.dropRight(keepLast)
     dead.foreach { gv =>
-      members(g, Some(gv)).foreach(m =>
-        try ops.deleteTag(m.dir, tagName(g, gv))
-        catch { case _: Exception => () }) // already released
+      members(g, Some(gv)).foreach(m => releaseTag(m, tagName(g, gv)))
       io.delete(manifestPath(g, gv))
     }
   }

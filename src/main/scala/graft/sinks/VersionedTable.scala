@@ -868,9 +868,13 @@ class VersionedTableOps(protected val io: TableIO) {
         val horizon = props.get("retention.txn.horizon")
           .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(2)
         val floor = math.max(keep, horizon)
+        // NonFatal, not just the require-refusals: an IO failure mid-
+        // expire (file deletes) must not fail a commit() whose version
+        // already published — opportunistic maintenance never fails the
+        // landing; the loud, retryable path remains `CALL expire`
         if (versions(dir).size >= floor + every)
           try { expire(dir, floor, horizon); () }
-          catch { case _: IllegalArgumentException => () }
+          catch { case scala.util.control.NonFatal(_) => () }
       }
   }
 

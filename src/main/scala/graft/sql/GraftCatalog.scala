@@ -668,19 +668,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     require(ref == RefHead,
       "DROP TABLE targets a base table, not a ref or metadata view " +
         s"('${ident.name}' carries a '#' fragment)")
-    if (!warehouse.exists(w => base.startsWith(w + "/")))
-      throw new UnsupportedOperationException(
-        "DROP TABLE on a path-addressed (external) table is not " +
-          "supported: the catalog does not own that data; history " +
-          "removal is expire()/vacuum")
     if (graft.sinks.SnapshotGroup.isGroup(base)) {
       // a group's pins are GC state on OTHER tables: release every
       // member tag before the purge, or member expire refuses those
-      // versions forever with no group_expire left to run
+      // versions forever with no group_expire left to run. This branch
+      // runs BEFORE the external-table refusal: a group dir holds only
+      // pins and manifests, never data, so dropping a path-addressed
+      // group releases its member tags without destroying anything the
+      // catalog doesn't own — and it is the ONLY SQL path that can
+      // release a path group's pins at all.
       graft.sinks.SnapshotGroup.drop(base)
       ops.purgeDir(base)
       true
     }
+    else if (!warehouse.exists(w => base.startsWith(w + "/")))
+      throw new UnsupportedOperationException(
+        "DROP TABLE on a path-addressed (external) table is not " +
+          "supported: the catalog does not own that data; history " +
+          "removal is expire()/vacuum")
     else if (!isGraftTable(base)) false
     else { ops.purgeDir(base); true }
   }
@@ -1404,7 +1409,11 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     // counts data-dependent. (Filters are pushed before limits, so
     // `captured` is final here; coverage of the `rows` sidecar is
     // checked at build time where the decision actually bites.)
-    val ok = limit >= 0 && captured.isEmpty && refuseServe.isEmpty &&
+    // limit > 0: a pushed LIMIT 0 would leave admitForTopN/admitForLimit
+    // with an empty prefix reducing over nothing (Spark's
+    // OptimizeLimitZero normally rewrites it away, but the contract
+    // accepts 0 — refuse it here rather than rely on an upstream rule)
+    val ok = limit > 0 && captured.isEmpty && refuseServe.isEmpty &&
       !VersionedTable.hasDeleteDebt(dir, version)
     if (ok) limitPushed = Some(limit)
     ok
@@ -1444,7 +1453,7 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     // the PRIMARY key only: boundary ties stay admitted by construction
     // (their files' ranges reach the bound), so secondary keys only
     // re-order rows the cover already contains.
-    val ok = limit >= 0 && captured.isEmpty && refuseServe.isEmpty &&
+    val ok = limit > 0 && captured.isEmpty && refuseServe.isEmpty &&
       orders.nonEmpty && !VersionedTable.hasDeleteDebt(dir, version) &&
       (orders.head.expression() match {
         case ref: NamedReference if ref.fieldNames.length == 1 =>
