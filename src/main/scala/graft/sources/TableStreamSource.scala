@@ -177,8 +177,27 @@ object TableStreamSource {
         VersionedTable.versions(dir).lastOption.getOrElse(sv))
       else VersionedTable.versions(dir).headOption.getOrElse(
         throw new IllegalArgumentException(s"no committed version at $dir"))
-    VersionedTable.vintageSchema(spark, dir, anchor)
+    val base = VersionedTable.vintageSchema(spark, dir, anchor)
+    if (changeFeedMode(params))
+      StructType(base.fields.toSeq ++ cdfColumns)
+    else base
   }
+
+  /** The change-feed rows ride the table's columns plus the change
+    * metadata: `op` ([[graft.sinks.VersionedTable.changeFeed]]'s
+    * `i`/`u`/`d` alphabet — `i`/`u` carry the AFTER image, `d` the
+    * BEFORE image) and `_commit_version` (the table version whose
+    * transition produced the row — the stream's provenance column, and
+    * the replay anchor: a row's identity is (key, op, version), so a
+    * redelivered micro-batch re-serves exactly the same rows). */
+  private[sources] val cdfColumns: Seq[org.apache.spark.sql.types.StructField] =
+    Seq(org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = true))
+
+  private[sources] def changeFeedMode(params: Map[String, String]): Boolean =
+    params.get("readchangefeed").exists(_.trim.equalsIgnoreCase("true"))
 
   /** `startingVersion`, or `startingTimestamp` resolved to the first
     * version committed at or after the instant (epoch millis or an ISO
@@ -317,8 +336,36 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
       m
     }
 
+  /** Change-data-feed mode (`option("readChangeFeed", "true")`): instead
+    * of refusing non-append lineage, each micro-batch serves the KEYED
+    * i/u/d diff per version transition in its admitted range — which
+    * makes a table maintained by MERGE/UPDATE/DELETE/compaction (the
+    * engine's whole mutation surface) streamable. Offsets remain table
+    * versions. Requires `option("changeKey", k)`: the diff is keyed
+    * ([[VersionedTable.changeFeed]]'s unique-key contract), and the key
+    * is what a downstream [[VersionedTable.mergeChanges]] folds by.
+    * Cost shape: a pure-append transition serves its appended files
+    * directly as `i` rows (O(delta), no diff); only a genuinely
+    * rewriting transition pays the keyed snapshot diff — whose shuffle
+    * is (key, hash), width-independent, with payloads fetched
+    * churn-proportionally. */
+  private val changeFeedMode: Boolean =
+    TableStreamSource.changeFeedMode(params)
+  private val changeKey: Option[String] = params.get("changekey")
+  require(!changeFeedMode || changeKey.nonEmpty,
+    "readChangeFeed needs option(\"changeKey\", k): the change feed is a " +
+      "keyed diff, and the key is what a downstream merge folds by")
+  require(changeKey.isEmpty || changeFeedMode,
+    "option(\"changeKey\") is the readChangeFeed contract; a plain table " +
+      "stream has no diff to key")
+
   override val schema: StructType =
     TableStreamSource.pinnedSchema(spark, dir, params)
+
+  for (k <- changeKey)
+    require(schema.fields.exists(_.name.equalsIgnoreCase(k)),
+      s"changeKey '$k' is not a column of $dir " +
+        s"(have: ${schema.fieldNames.mkString(", ")})")
 
   /** Any offset back to a version: live offsets are ours, restored ones
     * arrive as SerializedOffset (V1) / raw json (admission path). */
@@ -393,6 +440,11 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
     val endV = versionOf(end).toInt
     // version 0 (initialOffset) and an absent start both mean "fresh"
     val sV = start.map(versionOf(_).toInt).getOrElse(0)
+    // the diff has joins inside: serve it as ONE streaming leaf, or the
+    // incremental planner would re-plan them as stateful stream-stream
+    // joins (see StreamingDf.asStreamingLeaf)
+    if (changeFeedMode)
+      return StreamingDf.asStreamingLeaf(conform(cdfBatch(sV, endV)))
     val batch =
       if (sV >= endV) ops.read(spark, dir, Some(endV)).limit(0)
       else if (sV > 0) ops.readChanges(spark, dir, sV, endV)
@@ -410,6 +462,50 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
         ops.readChanges(spark, dir, startingVersion - 1, endV)
       }
     StreamingDf.asStreaming(conform(batch))
+  }
+
+  /** The change-feed micro-batch for the admitted range `(sV, endV]`:
+    * the union of PER-VERSION-TRANSITION diffs, so a consumer sees every
+    * intermediate state change (not one net diff across the range — a
+    * key inserted at v5 and deleted at v7 must emit both, or a
+    * downstream audit/replication consumer silently loses history).
+    * Replay-deterministic: every transition diffs two PINNED snapshots,
+    * so a redelivered batch re-serves byte-identical rows.
+    *
+    * A transition whose predecessor was expired (including the first
+    * retained version) serves its whole snapshot as `i` rows — the
+    * landed history is data, exactly the plain stream's catch-up
+    * semantics. A pure-append transition serves its appended files
+    * directly (O(delta), no diff). Only a genuinely rewriting
+    * transition pays the keyed diff. */
+  private def cdfBatch(sV: Int, endV: Int): DataFrame = {
+    val vs = ops.versions(dir)
+    val base = if (sV > 0) sV else startingVersion - 1
+    val targets = vs.filter(v => v > base && v <= endV)
+    if (targets.isEmpty) {
+      val anchor = if (endV > 0 && vs.contains(endV)) endV else vs.head
+      tagInserts(ops.read(spark, dir, Some(anchor)).limit(0), 0)
+    }
+    else targets.map(v => cdfTransition(v, vs)).reduce(_.unionByName(_))
+  }
+
+  private def cdfTransition(v: Int, vs: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    vs.takeWhile(_ < v).lastOption match {
+      case None =>
+        tagInserts(ops.read(spark, dir, Some(v)), v)
+      case Some(p) if ops.isPureAppend(dir, p, v) =>
+        tagInserts(ops.readChanges(spark, dir, p, v), v)
+      case Some(p) =>
+        ops.changeFeed(spark, dir, changeKey.get, p, v)
+          .withColumn("_commit_version", lit(v.toLong))
+    }
+  }
+
+  private def tagInserts(df: DataFrame, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("op", lit("i"))
+      .withColumn("_commit_version", lit(v.toLong))
   }
 
   /** Schema conformance per micro-batch — every batch is served AT the
@@ -543,9 +639,59 @@ object TableStream {
       .orderBy(col("event_type"))
   }
 
+  /** q_cdf_stream — the streaming change-data feed under the oracle
+    * gate: the events table lands as two appends, then a MERGE updates
+    * every `event_id % 7 == 0` row (value + 1) and deletes every
+    * `event_id % 10 == 0` row — non-append lineage the plain table
+    * stream refuses. A `readChangeFeed` stream (capped to one version
+    * per trigger, so each transition is its own micro-batch) tails the
+    * keyed i/u/d rows into a destination table through the exactly-once
+    * landing, and the DESTINATION aggregates per (op, event_type) for
+    * the hash match — `u` rows must carry the AFTER image (value + 1),
+    * `d` rows the BEFORE image, and the insert set is every event. */
+  def qCdfStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_")
+    val src = s"$tmp/src"
+    val dst = s"$tmp/dst"
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 0), src)
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 1), src)
+    val changes = ev.filter(col("event_id") % 7 === 0 &&
+        col("event_id") % 10 =!= 0)
+      .withColumn("value", col("value") + 1).withColumn("op", lit("u"))
+      .unionByName(ev.filter(col("event_id") % 10 === 0)
+        .withColumn("op", lit("d")))
+    VersionedTable.mergeChanges(spark, src, changes, "event_id")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("changeKey", "event_id")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet()
+        VersionedStream.landBatch(b, dst, "q_cdf_stream", batchId)
+        ()
+      }
+      .option("checkpointLocation", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(batches.get() == 3,
+      s"capped CDF drain ran ${batches.get()} non-empty batches, " +
+        "expected 3 (one per version transition)")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    VersionedTable.read(spark, dst)
+      .groupBy(col("op"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("op"), col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_stream" -> (qTableStream _),
-    "q_branch_read" -> (qBranchRead _))
+    "q_branch_read" -> (qBranchRead _),
+    "q_cdf_stream" -> (qCdfStream _))
 
   val oracles: Map[String, String] = Map(
     "q_table_stream" ->
@@ -562,5 +708,20 @@ object TableStream {
         |FROM events
         |WHERE NOT (value > 450.0)
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q_cdf_stream" ->
+      """SELECT op, event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM (
+        |  SELECT 'i' AS op, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT 'u' AS op, event_type, value + 1 AS value FROM events
+        |  WHERE event_id % 7 = 0 AND event_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'd' AS op, event_type, value FROM events
+        |  WHERE event_id % 10 = 0
+        |) feed
+        |GROUP BY op, event_type
+        |ORDER BY op, event_type""".stripMargin)
 }

@@ -15,7 +15,10 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 object StreamingDf {
 
   /** `df` with every leaf relation marked `isStreaming = true` — plan
-    * content (files, filters, projections) untouched. */
+    * content (files, filters, projections) untouched. Right for a batch
+    * plan that is scans-plus-stateless-transforms; a plan containing
+    * JOINS must use [[asStreamingLeaf]] instead, or the incremental
+    * planner re-plans them as stateful stream-stream joins. */
   def asStreaming(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed.transform {
       case lr: LogicalRelation if !lr.isStreaming =>
@@ -25,6 +28,21 @@ object StreamingDf {
     Dataset.ofRows(
       df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
+  }
+
+  /** `df` as ONE streaming leaf: the whole batch plan collapses behind a
+    * lazy `LogicalRDD` (nothing runs until the micro-batch executes;
+    * task retries recompute deterministically as long as the plan reads
+    * pinned snapshots). This is how a source whose batch is a genuine
+    * QUERY — the change-feed's keyed snapshot diff, with joins inside —
+    * rides a streaming plan: the incremental planner sees a leaf, so it
+    * cannot mistake the diff's joins for stream-stream joins and bolt
+    * checkpointed state stores onto them. */
+  def asStreamingLeaf(df: DataFrame): DataFrame = {
+    val d = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      d.queryExecution.toRdd, d, isStreaming = true)
+    Dataset.ofRows(d.sparkSession, node)
   }
 }
 

@@ -1,0 +1,187 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sinks.VersionedTable
+
+/** The streaming change-data-feed source
+  * (`readStream.format("graft-table").option("readChangeFeed", "true")`):
+  * keyed i/u/d rows per version transition, non-append lineage served
+  * instead of refused, per-transition (not net) history, exactly-once
+  * checkpointed tailing, and the table→CDC-stream→table round trip
+  * through the Update-mode sink. */
+class CdfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  private def rows(ids: Range, tag: String = "a") =
+    ids.map(i => (i.toLong, tag)).toDF("id", "k")
+
+  /** Drain the CDF stream; returns (id, op, commitVersion) triples seen
+    * this run, sorted, plus the non-empty micro-batch count. */
+  private def drain(dir: String, checkpoint: String,
+                    options: Map[String, String] = Map.empty)
+      : (Seq[(Long, String, Long)], Int) = {
+    val got =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var reader = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("changeKey", "id")
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val triples = b.select("id", "op", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        if (triples.nonEmpty) batches.incrementAndGet()
+        triples.foreach(got.add)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (got.iterator().asScala.toSeq.sorted, batches.get())
+  }
+
+  test("appends stream as inserts; MERGE/DELETE lineage streams as u/d " +
+      "instead of refusing") {
+    val tmp = tmpDir("cdf-basic")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 20), dir) // v1
+    val (first, _) = drain(dir, ck)
+    assert(first == (0L until 20L).map(i => (i, "i", 1L)),
+      s"fresh catch-up should be v1 inserts, got ${first.take(5)}...")
+    // v2: plain append; v3: a MERGE that updates 5..10 and deletes 0..3
+    // — non-append lineage, which the plain stream refuses loudly but
+    // the change feed serves as keyed u/d rows
+    ops.commit(rows(20 until 25), dir) // v2
+    val changes = rows(5 until 10, "upd").withColumn("op", lit("u"))
+      .unionByName(rows(0 until 3).withColumn("op", lit("d")))
+    ops.mergeChanges(spark, dir, changes, "id") // v3
+    val (delta, _) = drain(dir, ck)
+    val expected =
+      ((0L until 3L).map(i => (i, "d", 3L)) ++
+        (5L until 10L).map(i => (i, "u", 3L)) ++
+        (20L until 25L).map(i => (i, "i", 2L))).sorted
+    assert(delta == expected, s"got $delta")
+  }
+
+  test("per-transition history: insert-then-delete of the same key in " +
+      "one admitted range emits BOTH rows") {
+    val tmp = tmpDir("cdf-per-transition")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 5), dir)             // v1
+    ops.commit(rows(100 until 103), dir)         // v2: insert 100..102
+    ops.deleteWhere(spark, dir, col("id") >= 100) // v3: delete them again
+    val (all, _) = drain(dir, ck)
+    // the net diff v0→v3 would hide keys 100..102 entirely; the feed
+    // must serve their insert AND their delete
+    val hot = all.filter(_._1 >= 100L)
+    assert(hot == ((100L until 103L).map(i => (i, "i", 2L)) ++
+      (100L until 103L).map(i => (i, "d", 3L))).sorted, s"got $hot")
+  }
+
+  test("checkpointed restart serves only new transitions; capped drain " +
+      "splits per version") {
+    val tmp = tmpDir("cdf-restart")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 10), dir)
+    assert(drain(dir, ck)._1.forall(_._2 == "i"))
+    ops.commit(rows(10 until 20), dir)                  // v2
+    ops.merge(spark, dir, rows(0 until 2, "up2"), "id") // v3: updates
+    val (delta, batches) =
+      drain(dir, ck, Map("maxVersionsPerTrigger" -> "1"))
+    assert(batches == 2, s"expected one batch per transition, got $batches")
+    assert(delta == ((0L until 2L).map(i => (i, "u", 3L)) ++
+      (10L until 20L).map(i => (i, "i", 2L))).sorted)
+    // nothing new: an idle drain serves nothing (and replays nothing)
+    assert(drain(dir, ck)._1.isEmpty)
+  }
+
+  test("startingVersion tails changes from that version only") {
+    val tmp = tmpDir("cdf-startv")
+    val dir = s"$tmp/table"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 50), dir)            // v1
+    ops.commit(rows(50 until 60), dir)           // v2
+    ops.deleteWhere(spark, dir, col("id") < 5)   // v3
+    val (got, _) = drain(dir, ck, Map("startingVersion" -> "3"))
+    assert(got == (0L until 5L).map(i => (i, "d", 3L)),
+      s"expected only the v3 deletes, got $got")
+  }
+
+  test("table→CDC-stream→table round trip: the destination replicates " +
+      "the source head through mergeChanges") {
+    val tmp = tmpDir("cdf-roundtrip")
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 30), src)                   // v1
+    ops.commit(rows(30 until 40), src)                  // v2
+    val changes = rows(10 until 15, "upd").withColumn("op", lit("u"))
+      .unionByName(rows(0 until 4).withColumn("op", lit("d")))
+    ops.mergeChanges(spark, src, changes, "id")         // v3
+    def replicate(): Unit = {
+      val feed = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("changeKey", "id")
+        .load(src)
+        // the feed's `i` is an upsert to a replica (same-key semantics
+        // as `u`); `_commit_version` is the fold order for batches that
+        // span several transitions of one key
+        .withColumn("op",
+          when(col("op") === "i", "u").otherwise(col("op")))
+      val q = feed.writeStream.format("graft-table")
+        .outputMode("update")
+        .option("mergeKey", "id").option("opColumn", "op")
+        .option("orderColumn", "_commit_version")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    replicate()
+    def snap(dir: String) = ops.read(spark, dir).select("id", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(snap(dst) == snap(src), "replica diverged after catch-up")
+    // more source mutations; the SAME checkpoint carries the replica
+    ops.commit(rows(40 until 45), src)
+    ops.deleteWhere(spark, src, col("id") >= 38 && col("id") < 42)
+    replicate()
+    assert(snap(dst) == snap(src), "replica diverged after the tail")
+  }
+
+  test("contract refusals: changeKey required, must be a column, and is " +
+      "CDF-only") {
+    val tmp = tmpDir("cdf-refuse")
+    val dir = s"$tmp/t"
+    ops.commit(rows(0 until 3), dir)
+    def start(opts: Map[String, String]) = {
+      var r = spark.readStream.format("graft-table")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir).writeStream.format("noop")
+        .option("checkpointLocation", s"$tmp/ck-${opts.hashCode}")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    val e1 = intercept[Exception] {
+      start(Map("readChangeFeed" -> "true")).awaitTermination()
+    }
+    assert(e1.getMessage.contains("changeKey") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("changeKey"))
+    val e2 = intercept[Exception] {
+      start(Map("readChangeFeed" -> "true", "changeKey" -> "nope"))
+        .awaitTermination()
+    }
+    assert(e2.getMessage.contains("not a column") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("not a column"))
+    val e3 = intercept[Exception] {
+      start(Map("changeKey" -> "id")).awaitTermination()
+    }
+    assert(e3.getMessage.contains("readChangeFeed") ||
+      e3.getCause != null &&
+        e3.getCause.getMessage.contains("readChangeFeed"))
+  }
+}
