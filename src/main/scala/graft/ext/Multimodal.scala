@@ -9,7 +9,7 @@ import graft.sources.Tables
   * as opaque `binary` payloads with a typed metadata struct, plus the
   * decode / feature-extract / resize / frame-sample plumbing.
   *
-  * Two codecs share one per-partition decode seam ([[extractFeatures]]):
+  * Three codecs share one per-partition decode seam ([[extractFeatures]]):
   *
   *  - [[ImageCodec]] is a REAL decoder — `javax.imageio` PNG/BMP (pure
   *    JDK, no native deps): binary payload → pixels → width/height/
@@ -17,11 +17,17 @@ import graft.sources.Tables
   *    images whose pixel pattern has a closed form, so the DuckDB oracle
   *    recomputes the decoded statistics from arithmetic and a hash match
   *    proves true bytes→pixels work.
-  *  - [[StubCodec]] remains the clearly-marked stand-in for the codecs
-  *    this container lacks (libsndfile/ffmpeg audio/video): deterministic
-  *    pseudo-features where the real call would go, keeping the
-  *    batch-iterator `mapPartitions` shape (one codec init per partition,
-  *    the exact pattern a JNI decoder needs) testable end to end.
+  *  - [[AudioCodec]] is likewise REAL — `javax.sound.sampled` RIFF/WAVE
+  *    PCM decode (pure JDK): binary payload → samples → rate/bit-depth/
+  *    frame-count/sample-sum features. q_audio_stats encodes closed-form
+  *    fixture waveforms distributed, decodes them back, and hash-matches
+  *    a DuckDB oracle recomputing the statistics from the waveform's
+  *    arithmetic — true bytes→samples work, same proof shape as images.
+  *  - [[StubCodec]] remains the clearly-marked stand-in for VIDEO ONLY
+  *    (this container lacks ffmpeg): deterministic pseudo-features where
+  *    the real call would go, keeping the batch-iterator `mapPartitions`
+  *    shape (one codec init per partition, the exact pattern a JNI
+  *    decoder needs) testable end to end.
   */
 object Multimodal {
 
@@ -35,10 +41,10 @@ object Multimodal {
                            width: Int, height: Int, n_frames: Int,
                            checksum: Long)
 
-  /** STUB codec — deterministic stand-in for libsndfile/ffmpeg (audio and
-    * video only; images have the real [[ImageCodec]]). Every field is pure
-    * arithmetic on the payload so tests and oracles can reproduce it; swap
-    * `decode` for the real call in production. */
+  /** STUB codec — deterministic stand-in for ffmpeg (VIDEO only; images
+    * have the real [[ImageCodec]], audio the real [[AudioCodec]]). Every
+    * field is pure arithmetic on the payload so tests and oracles can
+    * reproduce it; swap `decode` for the real call in production. */
   object StubCodec extends Serializable {
     def decode(a: Asset): AssetFeatures = {
       val n = a.payload.length.toLong
@@ -207,8 +213,8 @@ object Multimodal {
   /** The decode pass: mapPartitions so a real codec initializes once per
     * partition (not per row) — the Scala twin of the mapInPandas batch
     * pattern. Stays a Dataset[T] end to end. `codec` selects the decoder:
-    * [[StubCodec.decode]] (default — audio/video stand-in) or the real
-    * [[ImageCodec.decode]]. */
+    * the real [[ImageCodec.decode]] / [[AudioCodec.decode]], or
+    * [[StubCodec.decode]] (default — the video stand-in). */
   def extractFeatures(assets: Dataset[Asset],
       codec: Asset => AssetFeatures = StubCodec.decode): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._

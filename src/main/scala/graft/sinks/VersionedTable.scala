@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, NumericType, StringType}
 
 import graft.analytics.Parity
 import graft.sources.Tables
@@ -730,6 +730,19 @@ class VersionedTableOps(protected val io: TableIO) {
     * default 128 MiB). */
   def setTableProperty(dir: String, key: String, value: String): Unit = {
     require(!key.contains('=') && key.nonEmpty, s"bad property key '$key'")
+    // `sort.order` is born-valid or refused (the declaration discipline):
+    // a column that doesn't resolve would otherwise fail — or silently
+    // skip — every future compaction pass instead of this call
+    if (key == SortOrderKey) {
+      val cols = value.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, "sort.order must name at least one column")
+      schemaForValidation(dir).foreach { sc =>
+        cols.foreach(c => require(
+          sc.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"sort.order column '$c' does not exist in $dir " +
+            s"(have: ${sc.fieldNames.mkString(", ")})"))
+      }
+    }
     io.mkdirs(manifestDir(dir))
     val cur = tableProperties(dir) + (key -> value)
     io.writeLines(propertiesPath(dir),
@@ -752,6 +765,44 @@ class VersionedTableOps(protected val io: TableIO) {
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
   }
+
+  /** Declared table sort order (`sort.order=c1,c2`): the within-file
+    * clustering every COMPACTION pass (explicit, scoped, auto) restores —
+    * one range shuffle + local sort over the rewritten slice, stats
+    * recorded for the sort columns — so a streaming table whose landings
+    * arrive in event order decays back to a prunable layout on its
+    * ordinary maintenance cadence, with no operator chasing it with
+    * optimize calls. Plain landings stay untouched (a per-commit range
+    * shuffle would tax every micro-batch; hidden partitioning already
+    * clusters ACROSS files — this completes the WITHIN-file order).
+    * Declared under logical names, resolved here to the physical names
+    * files carry. */
+  private[graft] val SortOrderKey = "sort.order"
+
+  def sortOrderOf(dir: String): Seq[String] = {
+    val declared = declaredSchema(dir).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    tableProperties(dir).get(SortOrderKey).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .map { c =>
+        declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(graft.sql.ColumnMapping.physOf).getOrElse(c)
+      }
+  }
+
+  /** Best schema available for declaration-time validation: the declared
+    * schema if CREATE TABLE pinned one, else the head vintage's inferred
+    * schema, else None (nothing landed yet — nothing to validate
+    * against). */
+  private def schemaForValidation(dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    declaredSchema(dir)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .orElse(versions(dir).lastOption.flatMap(v =>
+        scala.util.Try(vintageSchema(SparkSession.active, dir, v))
+          .toOption))
 
   /** Materialize merge-on-read debt if any is present, else no-op — the
     * "make the metadata path usable again" convenience: positional
@@ -878,6 +929,41 @@ class VersionedTableOps(protected val io: TableIO) {
       }
   }
 
+  /** Materialized-view auto-maintenance (the `mview.auto.refresh=true`
+    * VIEW property): a mutation landing on a source table triggers the
+    * O(delta) [[graft.sql.Mview.refreshView]] of each attached view that
+    * opted in, so the transparent rewrite stays armed with no operator
+    * chasing commits with `CALL refresh_view` — a forgotten manual
+    * refresh is safe (stale views fall back to the base scan) but
+    * silently unaccelerated; this closes that gap. Runs AFTER the
+    * landing published (sidecar included): like auto-compact/auto-expire,
+    * opportunistic maintenance must never fail or block the landing, so
+    * refresh failures swallow (the next landing — or a manual CALL —
+    * retries, and the fold-two-deltas contract makes that exact). The
+    * thread-local guard stops attachment cycles (view→view chains
+    * refresh one level per landing; a cycle would otherwise recurse
+    * forever) and keeps the view's own state commit from re-entering. */
+  private val autoRefreshing = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+  private[graft] def maybeAutoRefresh(spark: SparkSession,
+                                      dir: String): Unit = {
+    val att = tableProperties(dir).get("mview.attached").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+    if (att.isEmpty) return
+    val active = autoRefreshing.get()
+    if (active(dir)) return
+    att.foreach { view =>
+      if (!active(view) && scala.util.Try(tableProperties(view)
+          .get("mview.auto.refresh").contains("true")).getOrElse(false)) {
+        autoRefreshing.set(active + dir + view)
+        try graft.sql.Mview.refreshView(spark, view)
+        catch { case scala.util.control.NonFatal(_) => () }
+        finally autoRefreshing.set(active)
+      }
+    }
+  }
+
   def commit(df: DataFrame, dir: String, append: Boolean = true,
              txnId: Option[String] = None): Int = {
     val pt = partitioningOf(dir)
@@ -923,6 +1009,7 @@ class VersionedTableOps(protected val io: TableIO) {
         hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
       val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
       maybeAutoExpire(dir)
+      maybeAutoRefresh(df.sparkSession, dir)
       out
     } else {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
@@ -934,6 +1021,7 @@ class VersionedTableOps(protected val io: TableIO) {
         io.writeLines(smallCountPath(dir), Seq("0"))
       val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
       maybeAutoExpire(dir)
+      maybeAutoRefresh(df.sparkSession, dir)
       out
     }
   }
@@ -1063,7 +1151,13 @@ class VersionedTableOps(protected val io: TableIO) {
     * Returns the new version, or the current head unchanged when nothing
     * matched. */
   def deleteWhere(spark: SparkSession, dir: String,
-                  predicate: Column): Int = retryingShape(3) {
+                  predicate: Column): Int = {
+    val out = deleteWhereAttempts(spark, dir, predicate)
+    maybeAutoRefresh(spark, dir)
+    out
+  }
+  private def deleteWhereAttempts(spark: SparkSession, dir: String,
+                                  predicate: Column): Int = retryingShape(3) {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
@@ -1140,7 +1234,14 @@ class VersionedTableOps(protected val io: TableIO) {
     * appended file would re-order that history. Returns the new version
     * (head unchanged when nothing matched). */
   def updateWhere(spark: SparkSession, dir: String, predicate: Column,
-                  assignments: Map[String, Column]): Int = retryingShape(3) {
+                  assignments: Map[String, Column]): Int = {
+    val out = updateWhereAttempts(spark, dir, predicate, assignments)
+    maybeAutoRefresh(spark, dir)
+    out
+  }
+  private def updateWhereAttempts(spark: SparkSession, dir: String,
+      predicate: Column, assignments: Map[String, Column]): Int =
+    retryingShape(3) {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
@@ -1278,7 +1379,7 @@ class VersionedTableOps(protected val io: TableIO) {
     // delete that crosses the line pays the materialization itself, and
     // the metadata paths (fastCount, catalog reads, MERGE) stay usable
     // without babysitting. Read cost between passes stays O(eras).
-    tableProperties(dir).get("eqdel.compact.threshold")
+    val committedV = tableProperties(dir).get("eqdel.compact.threshold")
       .map(_.toInt).filter(_ > 0) match {
       case Some(t) if eqDelsOf(dir, v).size >= t =>
         compact(spark, dir,
@@ -1286,6 +1387,8 @@ class VersionedTableOps(protected val io: TableIO) {
             .getOrElse(DefaultCompactTargetBytes))
       case _ => v
     }
+    maybeAutoRefresh(spark, dir)
+    committedV
   }
 
   /** Roll the head back to `toVersion`'s file set — as a NEW version, so
@@ -1437,11 +1540,22 @@ class VersionedTableOps(protected val io: TableIO) {
       // NDV is approximate by construction, the cast is not the error
       case _ => col(c).cast("string")
     }
+    // numeric plain columns additionally record a per-file KLL quantile
+    // sketch (k=800, mergeable): the snapshot fold derives the CBO's
+    // equi-height histogram from the union — per-file percentiles would
+    // NOT merge, sketches do. Numeric only: the histogram's bins are
+    // doubles by API shape, and a lossy string→double would poison
+    // range selectivity rather than inform it.
+    val kllCols = plainCols.filter(c =>
+      raw.schema(c).dataType.isInstanceOf[NumericType])
     val aggs = statCols.flatMap { c =>
       Seq(min(exprOf(c)).as(s"${c}__min"), max(exprOf(c)).as(s"${c}__max"))
     } ++ plainCols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__cnt"),
         hll_sketch_agg(sketchable(c)).as(s"${c}__hll"))
+    } ++ kllCols.map { c =>
+      kll_sketch_agg_double(col(c).cast("double"), lit(800))
+        .as(s"${c}__kll")
     } :+ count(lit(1)).as("__rows")
     df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -1476,6 +1590,10 @@ class VersionedTableOps(protected val io: TableIO) {
             .map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
           Seq(s"$path\t$c\tnulls\t$nulls\t$nulls",
             s"$path\t$c\thll\t$b64\t-")
+        } ++ kllCols.map { c =>
+          val b64 = Option(r.getAs[Array[Byte]](s"${c}__kll"))
+            .map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
+          s"$path\t$c\tkll\t$b64\t-"
         }
         s"$path\t#\trows\t$n\t$n" +: (bounds ++ cbo)
       }
@@ -2191,8 +2309,18 @@ class VersionedTableOps(protected val io: TableIO) {
     // version, past every existing delete's seq, so carrying the lines
     // for them would silently stop applying); deletes for kept files are
     // consolidated/carried below
-    readLive(spark, dir, head, small).coalesce(numOut)
-      .write.parquet(batchDir)
+    val live = readLive(spark, dir, head, small)
+    val sortCols = sortOrderOf(dir)
+      .filter(c => live.columns.exists(_.equalsIgnoreCase(c)))
+    // the declared sort order rides every compaction: range-partition on
+    // the sort key (globally disjoint file ranges, so min/max pruning
+    // actually skips) + local sort (row-group stats tighten too); absent
+    // a declaration the rewrite is a plain bin-pack as before
+    if (sortCols.nonEmpty)
+      live.repartitionByRange(numOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.parquet(batchDir)
+    else live.coalesce(numOut).write.parquet(batchDir)
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
     // delete rows still referencing KEPT files survive, consolidated into
@@ -2216,9 +2344,12 @@ class VersionedTableOps(protected val io: TableIO) {
       }
     // explicit statCols let the maintenance pass ADD pruning metadata to
     // a landing that never collected it (commitOnce streams don't);
-    // otherwise inherit whatever columns the head already tracks
+    // otherwise inherit whatever columns the head already tracks — and a
+    // declared sort order always stats its own columns (the clustering
+    // is worthless if no range stats record it)
     val cols =
-      if (statCols.nonEmpty) statCols else statColsOf(dir, head)
+      ((if (statCols.nonEmpty) statCols else statColsOf(dir, head)) ++
+        sortCols).distinct
     val newStats =
       if (cols.isEmpty) rowsLines(spark, newFiles)
       else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))
@@ -2423,6 +2554,64 @@ class VersionedTableOps(protected val io: TableIO) {
         }
       c -> ((nullCount, ndv))
     }.toMap.filter { case (_, (a, b)) => a.isDefined || b.isDefined }
+  }
+
+  /** Snapshot equi-height histogram of a numeric PHYSICAL column, folded
+    * from the per-file KLL sketches the ANALYZE pass recorded
+    * ([[statsLines]] `kll` lines): merge across files (per-file
+    * percentiles would not merge; sketches do), split the merged rank
+    * space into `numBins` equal-count bins, and hand back
+    * `(min, max, rowsPerBin, bins(lo, hi, ndvPerBin))` — exactly the
+    * ingredients Spark's `FilterEstimation` needs to price a RANGE
+    * predicate on a SKEWED column (ndv + uniform-interval interpolation
+    * assumes mass spreads evenly between min and max; the histogram is
+    * what corrects that, and is the difference between a filtered side
+    * being judged broadcastable or not). min/max are EXACT (KLL stores
+    * the extremes losslessly); interior boundaries carry the sketch's
+    * ~0.6% rank error at k=800 — an estimator input, never a
+    * correctness input. Per-bin NDV is apportioned from the HLL fold
+    * (distinct values spread across equal-count bins), capped by the
+    * bin's row count. Same coverage discipline as [[columnStatsOf]]:
+    * any delete debt or a file without a line mutes the fold (None),
+    * because dead or uncovered rows would shift every boundary. */
+  private[graft] def histogramsOf(dir: String, version: Int,
+                                  numBins: Int = 64)
+      : Map[String, (Double, Double, Double, Seq[(Double, Double, Long)])] = {
+    if (delFilesOf(dir, version).nonEmpty ||
+      eqDelsOf(dir, version).nonEmpty) return Map.empty
+    val dataFiles = filesOf(dir, version).toSet
+    if (dataFiles.isEmpty) return Map.empty
+    val parsed = sidecarLines(dir, version).map(_.split('\t').toSeq)
+    val klls = parsed.collect {
+      case Seq(f, c, "kll", b64, _) if dataFiles(f) => (c, f, b64)
+    }
+    val ndvs = columnStatsOf(dir, version)
+    klls.map(_._1).distinct.flatMap { c =>
+      val km = klls.collect { case (`c`, f, b) => f -> b }.toMap
+      if (km.keySet != dataFiles) None
+      else {
+        val merged =
+          org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(800)
+        km.values.filter(_ != "-").foreach { b64 =>
+          merged.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+            org.apache.datasketches.memory.Memory.wrap(
+              java.util.Base64.getDecoder.decode(b64))))
+        }
+        if (merged.isEmpty) None
+        else {
+          val n = merged.getN
+          val bins = math.max(1, math.min(numBins.toLong, n).toInt)
+          val splits = (0 to bins).map(i =>
+            merged.getQuantile(i.toDouble / bins))
+          val height = n.toDouble / bins
+          val perBin = ndvs.get(c).flatMap(_._2)
+            .map(t => math.max(1L, t / bins)).getOrElse(1L)
+            .min(math.max(1L, math.ceil(height).toLong))
+          Some(c -> ((merged.getMinItem, merged.getMaxItem, height,
+            (0 until bins).map(i => (splits(i), splits(i + 1), perBin)))))
+        }
+      }
+    }.toMap
   }
 
   /** Source columns with ANY manifest pruning handle at `version` —
@@ -2650,8 +2839,12 @@ class VersionedTableOps(protected val io: TableIO) {
                    txnId: Option[String] = None): Int =
     if (txnId.exists(committedTxns(dir).contains))
       versionOfTxn(dir, txnId.get)
-    else retryingShape(3) { applyChangesAttempt(spark, dir, upserts,
-      deleteKeys, key, txnId) }
+    else {
+      val v = retryingShape(3) { applyChangesAttempt(spark, dir, upserts,
+        deleteKeys, key, txnId) }
+      maybeAutoRefresh(spark, dir)
+      v
+    }
 
   private def applyChangesAttempt(spark: SparkSession, dir: String,
                    upserts: DataFrame, deleteKeys: DataFrame, key: String,
@@ -2837,9 +3030,12 @@ class VersionedTableOps(protected val io: TableIO) {
                 targetKey: String, sourceKey: String,
                 matched: Seq[MergeClause],
                 notMatched: Seq[MergeClause],
-                notMatchedBySource: Seq[MergeClause] = Seq.empty): Int =
-    retryingShape(3) { mergeIntoAttempt(spark, dir, source, targetKey,
-      sourceKey, matched, notMatched, notMatchedBySource) }
+                notMatchedBySource: Seq[MergeClause] = Seq.empty): Int = {
+    val out = retryingShape(3) { mergeIntoAttempt(spark, dir, source,
+      targetKey, sourceKey, matched, notMatched, notMatchedBySource) }
+    maybeAutoRefresh(spark, dir)
+    out
+  }
 
   private def mergeIntoAttempt(spark: SparkSession, dir: String,
       source: DataFrame, targetKey: String, sourceKey: String,
@@ -3236,7 +3432,8 @@ class VersionedTableOps(protected val io: TableIO) {
       validateConstraintsDf(dir, spark.read.parquet(newFiles: _*))
 
   private def validateConstraintsDf(dir: String, batch: DataFrame): Unit = {
-    val cs = constraints(dir).toSeq.sortBy(_._1)
+    val cs = (constraints(dir).toSeq ++ notNullChecks(dir, batch))
+      .sortBy(_._1)
     if (cs.isEmpty) return
     val aggs = cs.map { case (n, e) =>
       // NULL passes (SQL CHECK semantics): only a definite FALSE counts
@@ -3253,6 +3450,40 @@ class VersionedTableOps(protected val io: TableIO) {
         s"commit to $dir rejected by CHECK constraint(s) " +
           s"${violated.mkString("; ")} — nothing published, the batch " +
           s"files are vacuumOrphans debris")
+  }
+
+  /** Declared NOT NULL columns as synthetic CHECK predicates, folded
+    * into the SAME one-pass commit aggregate as user constraints — this
+    * is what makes a `NOT NULL` declaration commit-ENFORCED rather than
+    * advisory, which in turn is what lets TopN pushdown accept it as a
+    * zero-null proof with no ANALYZE. Physical names: the batch files
+    * carry them (writers rename logical→physical before landing). A
+    * batch that doesn't carry the column at all serves the column's
+    * EXISTS_DEFAULT on read — a non-null one satisfies the declaration
+    * with no check to run; absent that, every row would read NULL, so
+    * the commit refuses before scanning anything. */
+  private def notNullChecks(dir: String,
+                            batch: DataFrame): Seq[(String, String)] = {
+    val declared = declaredSchema(dir) match {
+      case Some(j) => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq
+      case None => return Seq.empty
+    }
+    val batchCols = batch.columns.map(_.toLowerCase).toSet
+    declared.filterNot(_.nullable).flatMap { f =>
+      val phys = graft.sql.ColumnMapping.physOf(f)
+      if (batchCols.contains(phys.toLowerCase))
+        Some(s"NOT NULL ${f.name}" -> s"`$phys` IS NOT NULL")
+      else {
+        val dflt = if (f.metadata.contains("EXISTS_DEFAULT"))
+          Some(f.metadata.getString("EXISTS_DEFAULT")) else None
+        require(dflt.exists(!_.equalsIgnoreCase("NULL")),
+          s"commit to $dir rejected: batch carries no column for " +
+            s"declared NOT NULL '${f.name}' and the column has no " +
+            "non-null default — every landed row would read NULL")
+        None
+      }
+    }
   }
 
   // ---- named refs: tags (immutable) and branches (forked lineages) ----
@@ -4043,6 +4274,47 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
       .orderBy(col("event_type"))
   }
 
+  /** q_sort_order — the declared sort order under the oracle gate:
+    * arrival-ordered streaming landings (every file spans the whole
+    * `value` range) decay to a range-clustered layout on the ordinary
+    * compaction pass once `sort.order=value` is declared. Pinned
+    * in-query: before maintenance a band probe admits every file; after
+    * one compact the head holds several files and the same probe admits
+    * a strict subset (the pruning win the declaration exists for). The
+    * presented result aggregates the band through the PRUNED read, so
+    * the hash match proves skipped files held none of the answer. */
+  def qSortOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sortord_")
+    val dir = tmp.toString
+    (0 until 4).foreach { b =>
+      commitOnce(ev.filter(col("event_id") % 4 === b), dir,
+        s"q_sort_order:$b")
+    }
+    val pre = versions(dir).last
+    val preMeta = filesMeta(spark, dir, Some(pre))
+      .select(col("file"), col("size_bytes")).collect()
+    val nPre = preMeta.length
+    require(prunedFiles(dir, pre, "value", 10.0, 20.0).size == nPre,
+      "pre-maintenance files must all admit (arrival order, no stats)")
+    setTableProperty(dir, "sort.order", "value")
+    val total = preMeta.map(_.getLong(1)).sum
+    val v = compact(spark, dir, targetBytes = total / 3 + 1)
+    val nPost = filesMeta(spark, dir, Some(v)).count().toInt
+    val pruned = prunedFiles(dir, v, "value", 10.0, 20.0)
+    require(nPost >= 2 && pruned.nonEmpty && pruned.size < nPost,
+      s"declared sort order must make the band probe skip files: " +
+        s"${pruned.size} of $nPost admitted")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    prunedRead(spark, dir, "value", 10.0, 20.0)
+      .filter(col("value").between(10.0, 20.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_delete_vector — merge-on-read deletes under the oracle gate: two
     * appends land the events table across two file sets, two
     * [[deleteWhere]] commits erase disjoint-by-construction row sets (the
@@ -4420,6 +4692,7 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qTimeTravel _),
     "q_compact" -> (qCompact _),
+    "q_sort_order" -> (qSortOrder _),
     "q_delete_vector" -> (qDeleteVector _),
     "q_eq_delete" -> (qEqDelete _),
     "q_merge_lake" -> (qMergeLake _),
@@ -4457,6 +4730,14 @@ object VersionedTable extends VersionedTableOps(TableIO.local) {
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
         |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sort_order" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |WHERE value BETWEEN 10.0 AND 20.0
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q_delete_vector" ->

@@ -87,6 +87,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     else throw new NoSuchFunctionException(ident)
   private def ops = VersionedTable
 
+  /** Opt in to the analyzer keeping `DEFAULT` clauses and constraint DDL
+    * instead of rejecting them at parse time: column defaults ride the
+    * declared schema as Spark's own CURRENT_DEFAULT / EXISTS_DEFAULT
+    * field metadata, and `ALTER TABLE ADD/DROP CONSTRAINT` maps onto the
+    * engine's commit-enforced CHECK constraints. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -522,7 +531,39 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         ops.removeTableProperty(dir, rp.property())
       case _ => ()
     }
-    if (schemaChanges.isEmpty) return loadTable(ident)
+    // ADD/DROP CONSTRAINT — the SQL front door of the engine's
+    // commit-enforced CHECK constraints (VersionedTable.addConstraint:
+    // declaration scans the live table once and refuses if born broken;
+    // every future commit validates the batch in one fold). Only CHECK
+    // ENFORCED maps onto that machinery; unique/PK/FK and NOT ENFORCED
+    // refuse loudly — the engine never declares what it doesn't enforce.
+    val (constraintChanges, schemaChanges2) = schemaChanges.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint =>
+        true
+      case _ => false
+    }
+    constraintChanges.foreach {
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(c.enforced(),
+            s"CHECK constraint '${c.name()}' NOT ENFORCED is not " +
+              "supported: the engine validates every commit, so an " +
+              "unenforced declaration would be a lie")
+          ops.addConstraint(SparkSession.active, dir, c.name(),
+            c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"constraint '${other.name()}' (${other.getClass.getSimpleName})" +
+            " is not supported: only CHECK constraints are engine-" +
+            "enforced; PK/unique/FK would be declared but never checked")
+      }
+      case dc: TableChange.DropConstraint =>
+        require(dc.ifExists() || ops.constraints(dir).contains(dc.name()),
+          s"no constraint '${dc.name()}' at $dir " +
+            s"(have: ${ops.constraints(dir).keys.mkString(", ")})")
+        ops.dropConstraint(dir, dc.name())
+      case _ => ()
+    }
+    if (schemaChanges2.isEmpty) return loadTable(ident)
     // base schema: the declaration if CREATE TABLE pinned one, else the
     // head snapshot's inferred schema (Scala-created tables evolve too);
     // either way every field has ids after `assign`
@@ -545,20 +586,51 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       ShortType -> Set(IntegerType, LongType),
       IntegerType -> Set(LongType),
       FloatType -> Set(DoubleType))
-    val updated = schemaChanges.foldLeft(cur) { (sc, ch) =>
+    val updated = schemaChanges2.foldLeft(cur) { (sc, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           val n = one(add.fieldNames(), "ADD COLUMN")
           require(!sc.fieldNames.exists(_.equalsIgnoreCase(n)),
             s"column '$n' already exists")
-          require(add.isNullable,
-            s"ADD COLUMN '$n' must be nullable: already-landed files have " +
-              "no value for it (reads serve typed nulls)")
           require(add.position() == null,
             s"ADD COLUMN '$n' FIRST/AFTER unsupported: columns append at " +
               "the end (repositioning is not supported)")
-          ColumnMapping.addField(sc, n, add.dataType(),
+          // DEFAULT makes the add metadata-only in BOTH directions: the
+          // evaluated literal lands as EXISTS_DEFAULT (Spark's own
+          // parquet readers substitute it wherever a file lacks the
+          // physical column — pre-ADD history serves the default with
+          // zero rewrites, post-ADD files serve their stored values,
+          // including explicit NULLs), and the default SQL lands as
+          // CURRENT_DEFAULT (future INSERTs omitting the column or
+          // writing the DEFAULT keyword resolve it). A NOT NULL add is
+          // legal exactly when a non-null default covers the history.
+          val dv = Option(add.defaultValue())
+          val existsLit = dv.map { d =>
+            val v = d.getValue
+            require(v != null,
+              s"ADD COLUMN '$n' DEFAULT must be a constant-foldable " +
+                "expression (the initial value for already-landed rows)")
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              v.value(), v.dataType())
+          }
+          require(add.isNullable || existsLit.exists(_.value != null),
+            s"ADD COLUMN '$n' NOT NULL needs a non-null DEFAULT: " +
+              "already-landed files have no value for it")
+          val added = ColumnMapping.addField(sc, n, add.dataType(),
             ops.retiredColumns(dir))
+          dv match {
+            case None => added
+            case Some(d) =>
+              val f0 = added.fields.last
+              val sql = Option(d.getSql)
+                .getOrElse(existsLit.get.sql)
+              val meta = new MetadataBuilder().withMetadata(f0.metadata)
+                .putString("CURRENT_DEFAULT", sql)
+                .putString("EXISTS_DEFAULT", existsLit.get.sql)
+                .build()
+              StructType(added.fields.dropRight(1) :+
+                f0.copy(nullable = add.isNullable, metadata = meta))
+          }
         case del: TableChange.DeleteColumn =>
           val n = one(del.fieldNames(), "DROP COLUMN")
           if (!sc.fieldNames.exists(_.equalsIgnoreCase(n))) {
@@ -604,10 +676,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               "type; rebuild blooms (write_blooms) after widening instead")
           StructType(sc.fields.map(x =>
             if (x.name.equalsIgnoreCase(n)) f.copy(dataType = nt) else x))
+        case un: TableChange.UpdateColumnNullability =>
+          val n = one(un.fieldNames(), "ALTER COLUMN NULLABILITY")
+          val f = fieldOf(sc, n, "ALTER COLUMN")
+          if (!un.nullable() && f.nullable && ops.versions(dir).nonEmpty) {
+            // SET NOT NULL is born-true or refused (the addConstraint
+            // discipline): one raw scan of the snapshot's files at the
+            // column's declared physical schema — EXISTS_DEFAULT
+            // metadata rides it, so pre-ADD history reads as the
+            // declared default, not as spurious nulls. Raw files, not
+            // the live view: rows only delete vectors hide still carry
+            // the bytes, and refusing on them is the conservative side.
+            val phys = ColumnMapping.physOf(f)
+            val spark = SparkSession.active
+            val nulls = spark.read
+              .schema(StructType(Seq(f.copy(name = phys, nullable = true))))
+              .parquet(ops.manifestLines(dir, ops.versions(dir).last)
+                .filter(_.nonEmpty).filterNot(_.startsWith("#")): _*)
+              .filter(col(phys).isNull).limit(1).count()
+            require(nulls == 0,
+              s"ALTER COLUMN '$n' SET NOT NULL: existing row(s) are " +
+                "NULL; a declaration born broken proves nothing " +
+                "(and TopN admission would trust it)")
+          }
+          StructType(sc.fields.map(x =>
+            if (x.name.equalsIgnoreCase(n)) x.copy(nullable = un.nullable())
+            else x))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
             "supported: ADD COLUMNS (nullable, top-level), DROP COLUMN, " +
-            "RENAME COLUMN, ALTER COLUMN TYPE (safe widening)")
+            "RENAME COLUMN, ALTER COLUMN TYPE (safe widening), ALTER " +
+            "COLUMN SET/DROP NOT NULL, ADD/DROP CONSTRAINT (CHECK)")
       }
     }
     ops.declareSchema(dir, updated.json)
@@ -832,6 +931,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         ops.writeBlooms(s, d, v,
           a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           a(2).toInt); v }),
+    Proc("set_not_null", Seq("dir", "column"),
+      "Declare a column NOT NULL, born-true or refused (one raw scan " +
+        "proves zero existing NULLs) — the SQL front door Spark's " +
+        "analyzer denies to ALTER COLUMN … SET NOT NULL; enforcement " +
+        "is per-commit, and TopN pushdown gets its zero-null proof")(
+      (_, a) => {
+        alterTable(Identifier.of(Array.empty, a(0)),
+          TableChange.updateColumnNullability(Array(a(1)), false))
+        ops.versions(a(0)).lastOption.getOrElse(0)
+      }),
     Proc("set_property", Seq("dir", "key", "value"),
       "Set a durable table property (e.g. eqdel.compact.threshold, " +
         "compact.target.bytes)")(
@@ -1021,6 +1130,21 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Declared CHECK constraints, reported through the DSv2 seam so
+    * `DESCRIBE TABLE EXTENDED` and the analyzer see what the engine
+    * enforces at every commit. Always enforced + validated: declaration
+    * scanned the live table, and every commit since re-validated. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    VersionedTable.constraints(dir).toSeq.sortBy(_._1).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build()
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Constraint]
+    }.toArray
 
   /** The debt refusal lives at data-SERVING time (`Scan.toBatch`), not
     * builder creation: Spark's DELETE/write planning builds and discards
@@ -1266,14 +1390,25 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   // types), so the physical scan's rows serve the logical attributes
   // unchanged — only readSchema's names need mapping back.
   private val backNames: Map[String, String] = renames.map(_.swap)
+  // The physical read schema RELAXES nullability: a declared NOT NULL
+  // column may be absent from pre-ADD files (served via its
+  // EXISTS_DEFAULT metadata, which the copy preserves), and the
+  // vectorized parquet reader refuses a missing *required* column
+  // outright. Correctness is unharmed — the declaration is
+  // commit-enforced, so the served values are non-null regardless of
+  // what the file schema claims. toLogical restores the declared
+  // nullability so the scan's reported schema keeps the contract.
   private def toPhys(s: StructType): StructType =
-    if (renames.isEmpty) s
-    else StructType(s.fields.map(f =>
-      f.copy(name = renames.getOrElse(f.name, f.name))))
+    StructType(s.fields.map(f =>
+      f.copy(name = renames.getOrElse(f.name, f.name), nullable = true)))
+  private val declaredNullable: Map[String, Boolean] =
+    tableSchema.fields.map(f => f.name -> f.nullable).toMap
   private def toLogical(s: StructType): StructType =
-    if (renames.isEmpty) s
-    else StructType(s.fields.map(f =>
-      f.copy(name = backNames.getOrElse(f.name, f.name))))
+    StructType(s.fields.map { f =>
+      val ln = backNames.getOrElse(f.name, f.name)
+      f.copy(name = ln,
+        nullable = declaredNullable.getOrElse(ln, f.nullable))
+    })
   // exprId is preserved by withName, so residual predicates translated
   // back still bind to the plan's original attributes
   private def renameAttrs(e: CatalystExpr,
@@ -1705,29 +1840,90 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
       // whole snapshot — under residual predicates, runtime pruning, or a
       // `#changes=` slice (whose sidecar fold describes the snapshot, not
       // the slice) the count would overestimate, so report unknown
-      val whole = snapshotComplete && captured.isEmpty &&
-        kept.size == files.size && refuseServe.isEmpty
-      val rows = if (whole) VersionedTable.statNumRows(dir, version) else None
+      // snapshot-level stats (rows + attribute stats) serve under pushed
+      // data predicates too: parquet data filters are ALWAYS retained as
+      // a residual Filter above the scan (row-group skipping is
+      // best-effort), and that Filter is exactly the consumer that
+      // re-derives selectivity from these stats — FilterEstimation bails
+      // outright when the child's rowCount is absent, which would mute
+      // the very histogram that prices a pushed range predicate. The
+      // snapshot count is a SUPERSET of the scan's output under file
+      // pruning, and coherently so: pruning only drops files the
+      // residual predicate excludes anyway, so Filter(selectivity x
+      // snapshot) lands on the true output. LIMIT-admitted scans and
+      // `#changes=` slices stay excluded — there the snapshot fold
+      // describes something the scan does not serve.
+      val statsServable = snapshotComplete && refuseServe.isEmpty &&
+        !limited
+      val rows =
+        if (statsServable) VersionedTable.statNumRows(dir, version)
+        else None
       // column-level CBO stats (exact null counts + mergeable-HLL NDV)
       // fold from the sidecar under the same whole-snapshot condition;
       // reported under LOGICAL names so CBO sees the user's schema.
-      // min/max stay unreported: sidecar bounds are type-tag-encoded
-      // strings and a mistyped object silently poisons selectivity,
-      // while ndv + nullCount are the estimator's primary inputs.
+      // Sidecar min/max BOUNDS stay unreported: they are type-tag-encoded
+      // strings and a mistyped object silently poisons selectivity.
+      // Under `spark.sql.statistics.histogram.enabled` (Spark's own
+      // ANALYZE-histogram opt-in, honored here as the serve gate) numeric
+      // columns additionally report the KLL-folded equi-height histogram
+      // plus its exact double min/max — safe where the string bounds were
+      // not, because the sketch ingested `cast(col as double)` so the
+      // values are doubles BY CONSTRUCTION, and `EstimationUtils.toDouble`
+      // parses any numeric's toString. This is what lets FilterEstimation
+      // price a range predicate on a SKEWED column: ndv + uniform
+      // interpolation between min/max cannot see where the mass sits.
       val colStats = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (whole) VersionedTable.columnStatsOf(dir, version).foreach {
-        case (phys, (nulls0, ndv0)) =>
-          def opt(o: Option[Long]) =
-            o.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
-          val (nullsOpt, ndvOpt) = (opt(nulls0), opt(ndv0))
-          colStats.put(
-            Expressions.column(backNames.getOrElse(phys, phys)),
-            new org.apache.spark.sql.connector.read.colstats
-              .ColumnStatistics {
-              override def nullCount(): java.util.OptionalLong = nullsOpt
-              override def distinctCount(): java.util.OptionalLong = ndvOpt
-            })
+      if (statsServable) {
+        val hists: Map[String,
+            (Double, Double, Double, Seq[(Double, Double, Long)])] =
+          if (org.apache.spark.sql.internal.SQLConf.get.histogramEnabled)
+            VersionedTable.histogramsOf(dir, version,
+              org.apache.spark.sql.internal.SQLConf.get.histogramNumBins)
+          else Map.empty
+        VersionedTable.columnStatsOf(dir, version).foreach {
+          case (phys, (nulls0, ndv0)) =>
+            def opt(o: Option[Long]) =
+              o.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            val (nullsOpt, ndvOpt) = (opt(nulls0), opt(ndv0))
+            val hist = hists.get(phys)
+            val minOpt = hist.fold(
+              java.util.Optional.empty[Object]())(h =>
+              java.util.Optional.of(java.lang.Double.valueOf(h._1)))
+            val maxOpt = hist.fold(
+              java.util.Optional.empty[Object]())(h =>
+              java.util.Optional.of(java.lang.Double.valueOf(h._2)))
+            val histOpt = hist.fold(java.util.Optional.empty[
+                org.apache.spark.sql.connector.read.colstats.Histogram]()) {
+              case (_, _, h, bs) =>
+                java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats.Histogram {
+                    override def height(): Double = h
+                    override def bins(): Array[org.apache.spark.sql
+                        .connector.read.colstats.HistogramBin] =
+                      bs.map { case (l, u, d) =>
+                        new org.apache.spark.sql.connector.read.colstats
+                            .HistogramBin {
+                          override def lo(): Double = l
+                          override def hi(): Double = u
+                          override def ndv(): Long = d
+                        }
+                      }.toArray
+                  })
+            }
+            colStats.put(
+              Expressions.column(backNames.getOrElse(phys, phys)),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def nullCount(): java.util.OptionalLong = nullsOpt
+                override def distinctCount(): java.util.OptionalLong = ndvOpt
+                override def min(): java.util.Optional[Object] = minOpt
+                override def max(): java.util.Optional[Object] = maxOpt
+                override def histogram(): java.util.Optional[
+                    org.apache.spark.sql.connector.read.colstats.Histogram] =
+                  histOpt
+              })
+        }
       }
       new V2Statistics {
         override def sizeInBytes(): java.util.OptionalLong = size
@@ -2232,6 +2428,109 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_default — ADD COLUMN DEFAULT + declared NOT NULL end-to-end:
+    * half the events land, then `ADD COLUMN score INT DEFAULT 7` and
+    * `ADD COLUMN grade STRING NOT NULL DEFAULT 'c'` evolve the table
+    * metadata-only (pinned in-query: the `#files` inventory is
+    * byte-identical across both ALTERs — pre-ADD history serves the
+    * defaults via EXISTS_DEFAULT substitution at read time, zero
+    * rewrites), a NULL into the declared NOT NULL column refuses
+    * (pinned), and the other half lands with stored values. One
+    * aggregate over the evolved table hash-matches a DuckDB oracle
+    * reconstructing default-vs-stored per row. */
+  def qSqlDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqldefault_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(event_id BIGINT, event_type STRING, value DOUBLE)")
+    ev.filter(col("event_id") % 2 === 0)
+      .createOrReplaceTempView("q_sql_default_v1")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_default_v1")
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN score INT DEFAULT 7")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMN grade STRING NOT NULL DEFAULT 'c'")
+    val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    require(filesAfter == filesBefore,
+      "ADD COLUMN DEFAULT must be metadata-only (zero files rewritten)")
+    require(scala.util.Try(spark.sql(
+      s"INSERT INTO graft.`$dir` VALUES (0, 'x', 0.0, 0, NULL)"))
+      .isFailure,
+      "a NULL into the declared NOT NULL column must refuse")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("event_id") % 100).cast("int").as("score"),
+        substring(col("event_type"), 1, 1).as("grade"))
+      .createOrReplaceTempView("q_sql_default_v2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_default_v2")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("grade"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score")).as("sum_score"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("grade"))
+  }
+
+  /** q_sql_constraint — the q_constraint_gate twin driven purely via
+    * SQL DDL: `ALTER TABLE ADD CONSTRAINT … CHECK` declares (born-valid
+    * or refused — pinned in-query: a born-broken declaration throws and
+    * leaves no constraint behind), a violating `INSERT` refuses
+    * atomically (pinned: zero rows of it land), a conforming INSERT
+    * passes, `DROP CONSTRAINT` re-opens the gate (pinned: the previously
+    * violating row now lands). The final aggregate filters the sentinel
+    * back out so the hash match proves the gated landings converged to
+    * exactly the events rows DuckDB aggregates. */
+  def qSqlConstraint(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcstr_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(event_id BIGINT, event_type STRING, value DOUBLE)")
+    ev.filter(col("event_id") % 2 === 0)
+      .createOrReplaceTempView("q_sql_cstr_v1")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_cstr_v1")
+    // born-broken declaration refuses and declares nothing
+    require(scala.util.Try(spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD CONSTRAINT v_tiny CHECK (value < 1.0)")).isFailure,
+      "a CHECK the live table already violates must refuse")
+    require(VersionedTable.constraints(dir).isEmpty,
+      "a refused declaration must leave no constraint behind")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD CONSTRAINT v_cap CHECK (value <= 500.0)")
+    // a violating batch refuses atomically: nothing lands
+    require(scala.util.Try(spark.sql(
+      s"INSERT INTO graft.`$dir` VALUES (-1, 'x', 600.0)")).isFailure,
+      "a violating INSERT must refuse")
+    require(spark.table(s"graft.`$dir`")
+      .filter(col("event_id") === -1).isEmpty,
+      "the refused batch must not have landed any rows")
+    // conforming rows pass the per-commit gate
+    ev.filter(col("event_id") % 2 === 1)
+      .createOrReplaceTempView("q_sql_cstr_v2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_cstr_v2")
+    // DROP re-opens the gate — the same violating row now lands
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT v_cap")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (-1, 'x', 600.0)")
+    require(spark.table(s"graft.`$dir`")
+      .filter(col("event_id") === -1).count() == 1,
+      "DROP CONSTRAINT must re-admit the previously violating row")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .filter(col("event_id") >= 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q_sql_merge_full — the full MERGE clause set in ONE statement over
     * the events lake table: conditional `WHEN MATCHED … UPDATE`, bare
     * `WHEN MATCHED … DELETE`, conditional `WHEN NOT MATCHED … INSERT`,
@@ -2713,6 +3012,37 @@ object GraftCatalog {
     require(rows.values.forall(r =>
       r.getAs[Long]("files_with_stats") == r.getAs[Long]("data_files")),
       "write_stats must cover every data file")
+    // the same ANALYZE pass recorded per-file KLL sketches for numeric
+    // columns; under Spark's own histogram opt-in conf the snapshot fold
+    // serves an equi-height histogram to the CBO — pinned here: the
+    // optimizer's attribute stats carry bins whose total height is the
+    // row count (the ingredient uniform min/max interpolation lacks)
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    val prevHist =
+      spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      val stats = spark.sql(s"SELECT event_id FROM graft.`$dir`")
+        .queryExecution.optimizedPlan.stats
+      val hist = stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "event_id" => s.histogram
+      }.flatten
+      require(hist.isDefined,
+        "the KLL fold must reach the optimizer as a histogram")
+      val h = hist.get
+      val total = ev.count()
+      require(math.abs(h.height * h.bins.length - total) <=
+        total * 0.02 + 1,
+        s"equi-height bins must cover the rows: ${h.height} x " +
+          s"${h.bins.length} vs $total")
+    } finally {
+      prevCbo.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+      prevHist.fold(
+        spark.conf.unset("spark.sql.statistics.histogram.enabled"))(
+        spark.conf.set("spark.sql.statistics.histogram.enabled", _))
+    }
     view.select(col("column").as("col_name"), col("null_count"))
       .orderBy(col("col_name"))
   }
@@ -2830,6 +3160,8 @@ object GraftCatalog {
     "q_sql_fastagg" -> (qSqlFastAgg _),
     "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_rename" -> (qSqlRename _),
+    "q_sql_default" -> (qSqlDefault _),
+    "q_sql_constraint" -> (qSqlConstraint _),
     "q_sql_merge_full" -> (qSqlMergeFull _),
     "q_sql_dedup" -> (qSqlDedup _),
     "q_sql_topk" -> (qSqlTopk _),
@@ -2962,6 +3294,29 @@ object GraftCatalog {
         |  COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_wide,
         |  MAX(CASE WHEN event_id % 2 = 1 THEN event_id + 10000000000
         |      ELSE event_id END) AS max_id,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q_sql_default" ->
+      """WITH evolved AS (
+        |  SELECT event_type, value, 7 AS score, 'c' AS grade
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, value, CAST(event_id % 100 AS INT) AS score,
+        |    substr(event_type, 1, 1) AS grade
+        |  FROM events WHERE event_id % 2 = 1
+        |)
+        |SELECT grade, COUNT(*) AS n,
+        |  CAST(SUM(score) AS BIGINT) AS sum_score,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM evolved
+        |GROUP BY grade
+        |ORDER BY grade""".stripMargin,
+    "q_sql_constraint" ->
+      """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_value
         |FROM events

@@ -1,0 +1,151 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.VersionedTable
+
+/** ADD COLUMN DEFAULT (metadata-only initial values through Spark's own
+  * EXISTS_DEFAULT/CURRENT_DEFAULT machinery), declared NOT NULL with
+  * commit-time enforcement in the constraint fold, SET/DROP NOT NULL,
+  * and the SQL constraint DDL front door (ADD/DROP CONSTRAINT CHECK). */
+class DefaultNotNullSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  private def register(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  test("ADD COLUMN DEFAULT: history serves the default metadata-only; " +
+      "new writes distinguish stored values, defaults, explicit NULLs") {
+    register()
+    val dir = tmpDir("dn-default")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, k STRING)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a'), (2, 'b')")
+    val vBefore = ops.versions(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN score INT DEFAULT 7")
+    // metadata-only: no commit happened, no file moved
+    assert(ops.versions(dir) == vBefore,
+      "ADD COLUMN DEFAULT must not rewrite or commit anything")
+    def rows() = spark.sql(s"SELECT id, score FROM graft.`$dir`")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(_._1).toSeq
+    assert(rows() == Seq(1L -> Some(7), 2L -> Some(7)),
+      s"pre-ADD rows must serve the declared default, got ${rows()}")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, 'c', 42)")
+    spark.sql(s"INSERT INTO graft.`$dir` (id, k) VALUES (4, 'd')")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (5, 'e', NULL)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (6, 'f', DEFAULT)")
+    assert(rows() == Seq(1L -> Some(7), 2L -> Some(7), 3L -> Some(42),
+      4L -> Some(7), 5L -> None, 6L -> Some(7)),
+      s"got ${rows()}: stored values and explicit NULLs must win in " +
+        "files that carry the column; only missing columns serve the " +
+        "default")
+  }
+
+  test("ADD COLUMN NOT NULL needs a non-null DEFAULT") {
+    register()
+    val dir = tmpDir("dn-add-nn")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1)")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN c INT NOT NULL")
+    }
+    assert(e.getMessage.contains("non-null DEFAULT"), e.getMessage)
+    spark.sql(
+      s"ALTER TABLE graft.`$dir` ADD COLUMN c INT NOT NULL DEFAULT 3")
+    assert(spark.sql(s"SELECT c FROM graft.`$dir`")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(!spark.table(s"graft.`$dir`").schema("c").nullable,
+      "the added column must declare NOT NULL")
+  }
+
+  test("declared NOT NULL is commit-enforced in the constraint fold, " +
+      "not advisory") {
+    register()
+    val dir = tmpDir("dn-enforce")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT NOT NULL, k STRING)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a')")
+    // the engine-side backstop: a Scala commit (which bypasses Spark's
+    // write-side AssertNotNull) lands nulls → the commit itself refuses
+    val e = intercept[Exception] {
+      ops.commit(Seq(Some(2L), None).toDF("id")
+        .withColumn("k", lit("x")), dir)
+    }
+    assert(e.getMessage.contains("NOT NULL id"), e.getMessage)
+    assert(spark.table(s"graft.`$dir`").count() == 1,
+      "the violating commit must publish nothing")
+    // a batch that doesn't carry the column at all refuses loudly too
+    val e2 = intercept[Exception] {
+      ops.commit(Seq("y").toDF("k"), dir)
+    }
+    assert(e2.getMessage.contains("carries no column"), e2.getMessage)
+  }
+
+  test("SET NOT NULL is born-true or refused; DROP NOT NULL is " +
+      "metadata-only") {
+    register()
+    val dir = tmpDir("dn-setnn")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'a'), (2, NULL)")
+    // Spark's analyzer hard-blocks nullable→non-nullable ALTER COLUMN
+    // (CheckAnalysis, no catalog capability opts out), so the SQL front
+    // door is CALL set_not_null — same born-true-or-refused discipline
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.set_not_null('$dir', 's')")
+    }
+    assert(e.getMessage.contains("SET NOT NULL"), e.getMessage)
+    spark.sql(s"CALL graft.set_not_null('$dir', 'id')")
+    assert(!spark.table(s"graft.`$dir`").schema("id").nullable)
+    // and the declaration is enforced from then on
+    val e2 = intercept[Exception] {
+      ops.commit(Seq(Option.empty[Long]).toDF("id")
+        .withColumn("s", lit("z")), dir)
+    }
+    assert(e2.getMessage.contains("NOT NULL id"), e2.getMessage)
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN id DROP NOT NULL")
+    assert(spark.table(s"graft.`$dir`").schema("id").nullable)
+    ops.commit(Seq(Option.empty[Long]).toDF("id")
+      .withColumn("s", lit("z")), dir) // legal again
+    assert(spark.table(s"graft.`$dir`").count() == 3)
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT CHECK is the SQL front door of " +
+      "commit-enforced constraints") {
+    register()
+    val dir = tmpDir("dn-constraint")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 10.0), (2, 20.0)")
+    // born-broken declaration refuses (scans the live table once)
+    val e0 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` " +
+        "ADD CONSTRAINT v_big CHECK (v > 15.0)")
+    }
+    assert(e0.getMessage.contains("existing row"), e0.getMessage)
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD CONSTRAINT v_pos CHECK (v > 0.0)")
+    assert(ops.constraints(dir) == Map("v_pos" -> "v > 0.0"),
+      s"got ${ops.constraints(dir)}")
+    // every commit validates — SQL inserts and Scala commits alike
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, -1.0)")
+    }
+    assert(e1.getMessage.contains("v_pos") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("v_pos"),
+      e1.getMessage)
+    assert(spark.table(s"graft.`$dir`").count() == 2)
+    // DROP CONSTRAINT re-opens the gate; IF EXISTS tolerates absence
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT v_pos")
+    spark.sql(
+      s"ALTER TABLE graft.`$dir` DROP CONSTRAINT IF EXISTS v_pos")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT v_pos")
+    }
+    assert(e2.getMessage.contains("no constraint"), e2.getMessage)
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, -1.0)")
+    assert(spark.table(s"graft.`$dir`").count() == 3)
+  }
+}

@@ -281,17 +281,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir`").count() == 60)
   }
 
-  test("ALTER TABLE refusals: non-nullable add, partition " +
-      "anchors, the last column (renames are now metadata-only legal — " +
-      "RenameWidenSpec)") {
+  test("ALTER TABLE refusals: non-nullable add without a default, " +
+      "partition anchors, the last column (renames are now metadata-only " +
+      "legal — RenameWidenSpec)") {
     register()
     val dir = tmpDir("gc-alter-no")
     spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, k STRING) " +
       "PARTITIONED BY (bucket(4, k))")
+    // NOT NULL with no default cannot cover already-landed history;
+    // WITH a non-null default it is legal (DefaultNotNullSpec)
     val e1 = intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (c BIGINT NOT NULL)")
     }
-    assert(e1.getMessage.contains("must be nullable"))
+    assert(e1.getMessage.contains("non-null DEFAULT"))
     // RENAME COLUMN is supported since the column-id indirection landed —
     // including on a partition-anchored column (transforms anchor the
     // PHYSICAL name); the partition-drop refusal keys on it regardless

@@ -281,4 +281,42 @@ class MviewRewriteSpec extends SparkSpec {
       s"GROUP BY k ORDER BY k").collect().map(_.getDouble(1)).toSeq ==
       Seq(5.0, 10.0))
   }
+
+  test("mview.auto.refresh=true: a source commit re-arms the rewrite " +
+      "with no intervening CALL; mutations (MERGE/DELETE) trigger too") {
+    val (src, view) = fixture("mv-auto")
+    spark.sql(
+      s"CALL graft.set_property('$view', 'mview.auto.refresh', 'true')")
+    val sql = s"SELECT etype, count(*) AS n FROM graft.`$src` GROUP BY 1"
+    assert(scansView(spark.sql(sql), view, src))
+    // a plain landing: the commit itself triggers the O(delta) refresh —
+    // the very next query is already served by the view
+    ops.commit(Seq((9001L, java.sql.Timestamp.valueOf("2024-03-05 00:00:00"),
+      "t2", 1.0, java.lang.Double.valueOf(1.0)))
+      .toDF("id", "ts", "etype", "v", "mv"), src)
+    val afterCommit = spark.sql(sql)
+    assert(scansView(afterCommit, view, src),
+      "a commit on an auto-refresh source must leave the view fresh")
+    assert(afterCommit.collect().map(_.getLong(1)).sum == 601L)
+    // a row-level mutation (delete vector) triggers too — the refresh
+    // falls back to recompute where the delta isn't append-shaped, and
+    // the served numbers track the live table exactly
+    ops.deleteWhere(spark, src, col("id") === 9001L)
+    val afterDelete = spark.sql(sql)
+    assert(scansView(afterDelete, view, src),
+      "a deleteWhere on an auto-refresh source must leave the view fresh")
+    assert(afterDelete.collect().map(_.getLong(1)).sum == 600L)
+    // opt-out stays manual: a view WITHOUT the property goes stale on
+    // commit exactly as before (fallback, never a wrong answer)
+    val (src2, view2) = fixture("mv-auto-off")
+    ops.commit(Seq((9002L, java.sql.Timestamp.valueOf("2024-03-05 00:00:00"),
+      "t2", 1.0, java.lang.Double.valueOf(1.0)))
+      .toDF("id", "ts", "etype", "v", "mv"), src2)
+    val stale = spark.sql(
+      s"SELECT etype, count(*) AS n FROM graft.`$src2` GROUP BY 1")
+    assert(scansBase(stale, src2),
+      "without the property the view must NOT auto-refresh")
+    assert(stale.collect().map(_.getLong(1)).sum == 601L)
+    assert(Mview.specOf(view2).nonEmpty)
+  }
 }

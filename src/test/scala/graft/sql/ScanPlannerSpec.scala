@@ -360,6 +360,59 @@ class ScanPlannerSpec extends SparkSpec {
       s"opted-in landings must keep NDV coverage across commits: $on")
   }
 
+  test("equi-height histograms: a range predicate on a skewed column " +
+      "flips the join strategy — ndv + uniform interpolation cannot") {
+    register()
+    // BIG: 40k rows; 98% of x piles at 0, 2% spread uniformly to 1e6.
+    // `x > 100000` truly keeps ~1.8% of rows; min/max interpolation says
+    // 90%, and ndv knows nothing about WHERE the mass sits — only the
+    // histogram prices this right.
+    val big = tmpDir("sp-hist-big")
+    ops.commit((0 until 40000).map { i =>
+      val x = if (i % 50 == 0) (i % 40000) * 25.0 else 0.0
+      (i.toLong, x, s"payload-$i")
+    }.toDF("id", "x", "p"), big)
+    ops.writeStats(spark, big, ops.versions(big).last, Seq("id", "x"))
+    // the other side: large enough that IT never broadcasts
+    val other = tmpDir("sp-hist-other")
+    ops.commit((0 until 20000).map(i => (i.toLong, s"o-$i"))
+      .toDF("id", "s"), other)
+    ops.writeStats(spark, other, ops.versions(other).last, Seq("id"))
+    val q =
+      s"""SELECT b.id, o.s FROM graft.`$big` b
+         |JOIN graft.`$other` o ON b.id = o.id
+         |WHERE b.x > 100000.0""".stripMargin
+    def filterEst(df: DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("100000") => f.stats.rowCount
+      }.flatten
+    withConf("spark.sql.cbo.enabled", "true") {
+      withConf("spark.sql.autoBroadcastJoinThreshold", "65536") {
+        withConf("spark.sql.statistics.histogram.enabled", "false") {
+          val noHist = spark.sql(q)
+          val est = filterEst(noHist)
+          assert(est.forall(_ > BigInt(10000)),
+            s"without a histogram the range estimate should stay big " +
+              s"(uniform/unknown): $est")
+          assert(planOf(noHist).contains("SortMergeJoin"),
+            s"expected SMJ without histogram:\n${planOf(noHist)}")
+        }
+        withConf("spark.sql.statistics.histogram.enabled", "true") {
+          val hist = spark.sql(q)
+          val est = filterEst(hist)
+          assert(est.exists(e => e > BigInt(0) && e < BigInt(5000)),
+            s"the histogram must price the skewed range at ~1.8%: $est")
+          assert(planOf(hist).contains("BroadcastHashJoin"),
+            s"expected BHJ with histogram:\n${planOf(hist)}")
+          // and the estimator never touched the answer: x = i*25 on
+          // multiples of 50 → matches are i in {4050..19950 step 50}
+          assert(hist.count() == 319L)
+        }
+      }
+    }
+  }
+
   // ---- LIMIT admission: `LIMIT n` over a bare snapshot read plans
   // only the minimal file cover the sidecar's exact per-file counts
   // prove sufficient — `show()` on a 100 TB table opens a handful of
