@@ -2522,7 +2522,32 @@ class VersionedTableOps(protected val io: TableIO) {
     * and nothing reports under row-level delete debt (dead rows would
     * inflate both). One sidecar read, zero data files opened, any table
     * size. */
+  /** Memo for the CBO folds below: both are pure functions of the
+    * version's sidecar (a version's data files are immutable, and the
+    * one mutation path — `writeStats` adding ANALYZE layers later —
+    * rewrites the sidecar file, so its byte size keys the cache
+    * correctly). Without this, every query PLAN over a filtered scan of
+    * an ANALYZEd table would re-heapify one HLL (and one KLL) sketch
+    * per file per column — at 100k files that is real planner latency
+    * paid per query rather than once per snapshot. Bounded: cleared
+    * wholesale past 512 entries (test suites churn thousands of tmp
+    * tables; correctness never rides on a hit). */
+  private val cboFoldCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long), AnyRef]()
+  private def cboFold[T <: AnyRef](dir: String, version: Int,
+                                   tag: Long)(compute: => T): T = {
+    val sp = statsPath(dir, version)
+    val size = if (io.exists(sp)) io.size(sp) else -1L
+    val key = (s"$dir#$tag", version, size)
+    if (cboFoldCache.size > 512) cboFoldCache.clear()
+    cboFoldCache.computeIfAbsent(key, _ => compute).asInstanceOf[T]
+  }
+
   private[graft] def columnStatsOf(dir: String, version: Int)
+      : Map[String, (Option[Long], Option[Long])] =
+    cboFold(dir, version, 0L)(columnStatsOfUncached(dir, version))
+
+  private def columnStatsOfUncached(dir: String, version: Int)
       : Map[String, (Option[Long], Option[Long])] = {
     if (delFilesOf(dir, version).nonEmpty ||
       eqDelsOf(dir, version).nonEmpty) return Map.empty
@@ -2576,6 +2601,11 @@ class VersionedTableOps(protected val io: TableIO) {
     * because dead or uncovered rows would shift every boundary. */
   private[graft] def histogramsOf(dir: String, version: Int,
                                   numBins: Int = 64)
+      : Map[String, (Double, Double, Double, Seq[(Double, Double, Long)])] =
+    cboFold(dir, version, numBins.toLong)(
+      histogramsOfUncached(dir, version, numBins))
+
+  private def histogramsOfUncached(dir: String, version: Int, numBins: Int)
       : Map[String, (Double, Double, Double, Seq[(Double, Double, Long)])] = {
     if (delFilesOf(dir, version).nonEmpty ||
       eqDelsOf(dir, version).nonEmpty) return Map.empty
