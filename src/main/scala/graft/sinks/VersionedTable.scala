@@ -1548,6 +1548,14 @@ class VersionedTableOps(protected val io: TableIO) {
     // range selectivity rather than inform it.
     val kllCols = plainCols.filter(c =>
       raw.schema(c).dataType.isInstanceOf[NumericType])
+    // variable-width plain columns record exact length sums + maxes in
+    // the same pass: the fold serves ColumnStat.avgLen/maxLen, the row-
+    // width ingredients that make broadcast BYTE estimates honest for
+    // string-heavy tables (defaultSize guesses 20 for every string)
+    val lenCols = plainCols.filter(c => raw.schema(c).dataType match {
+      case StringType | BinaryType => true
+      case _ => false
+    })
     val aggs = statCols.flatMap { c =>
       Seq(min(exprOf(c)).as(s"${c}__min"), max(exprOf(c)).as(s"${c}__max"))
     } ++ plainCols.flatMap { c =>
@@ -1556,6 +1564,9 @@ class VersionedTableOps(protected val io: TableIO) {
     } ++ kllCols.map { c =>
       kll_sketch_agg_double(col(c).cast("double"), lit(800))
         .as(s"${c}__kll")
+    } ++ lenCols.flatMap { c =>
+      Seq(sum(length(col(c)).cast("long")).as(s"${c}__lensum"),
+        max(length(col(c))).as(s"${c}__lenmax"))
     } :+ count(lit(1)).as("__rows")
     df.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -1594,6 +1605,14 @@ class VersionedTableOps(protected val io: TableIO) {
           val b64 = Option(r.getAs[Array[Byte]](s"${c}__kll"))
             .map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
           s"$path\t$c\tkll\t$b64\t-"
+        } ++ lenCols.map { c =>
+          // an all-null file sums to null: record 0/0 (contributes
+          // nothing to either fold; coverage still counts the file)
+          val s = Option(r.getAs[Any](s"${c}__lensum"))
+            .map(_.toString).getOrElse("0")
+          val m = Option(r.getAs[Any](s"${c}__lenmax"))
+            .map(_.toString).getOrElse("0")
+          s"$path\t$c\tlen\t$s\t$m"
         }
         s"$path\t#\trows\t$n\t$n" +: (bounds ++ cbo)
       }
@@ -2599,6 +2618,47 @@ class VersionedTableOps(protected val io: TableIO) {
     * bin's row count. Same coverage discipline as [[columnStatsOf]]:
     * any delete debt or a file without a line mutes the fold (None),
     * because dead or uncovered rows would shift every boundary. */
+  /** (avgLen, maxLen) of variable-width PHYSICAL columns from the `len`
+    * sidecar lines — exact: per-file length sums fold against the exact
+    * non-null counts. Same coverage/debt discipline as the other CBO
+    * folds; cached under the same key scheme (tag -1). */
+  private[graft] def lenStatsOf(dir: String, version: Int)
+      : Map[String, (Long, Long)] =
+    cboFold(dir, version, -1L)(lenStatsOfUncached(dir, version))
+
+  private def lenStatsOfUncached(dir: String, version: Int)
+      : Map[String, (Long, Long)] = {
+    if (delFilesOf(dir, version).nonEmpty ||
+      eqDelsOf(dir, version).nonEmpty) return Map.empty
+    val dataFiles = filesOf(dir, version).toSet
+    if (dataFiles.isEmpty) return Map.empty
+    val parsed = sidecarLines(dir, version).map(_.split('\t').toSeq)
+    val lens = parsed.collect {
+      case Seq(f, c, "len", s, m) if dataFiles(f) => (c, f, s.toLong, m.toLong)
+    }
+    val nulls = columnStatsOf(dir, version)
+    val totalRows = statNumRows(dir, version)
+    lens.map(_._1).distinct.flatMap { c =>
+      // fold per FILE (duplicate lines from rewrite carries agree)
+      val perFile = lens.collect { case (`c`, f, s, m) => f -> ((s, m)) }
+        .toMap
+      val covered = perFile.keySet == dataFiles
+      val nonNull = for {
+        t <- totalRows
+        n <- nulls.get(c).flatMap(_._1)
+      } yield t - n
+      if (!covered || nonNull.isEmpty) None
+      else {
+        val sumAll = perFile.values.map(_._1).sum
+        val maxAll = perFile.values.map(_._2).max
+        val avg =
+          if (nonNull.get <= 0) 0L
+          else math.max(1L, math.round(sumAll.toDouble / nonNull.get))
+        Some(c -> ((avg, maxAll)))
+      }
+    }.toMap
+  }
+
   private[graft] def histogramsOf(dir: String, version: Int,
                                   numBins: Int = 64)
       : Map[String, (Double, Double, Double, Seq[(Double, Double, Long)])] =

@@ -1881,11 +1881,21 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
             VersionedTable.histogramsOf(dir, version,
               org.apache.spark.sql.internal.SQLConf.get.histogramNumBins)
           else Map.empty
+        val lens = VersionedTable.lenStatsOf(dir, version)
         VersionedTable.columnStatsOf(dir, version).foreach {
           case (phys, (nulls0, ndv0)) =>
             def opt(o: Option[Long]) =
               o.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
             val (nullsOpt, ndvOpt) = (opt(nulls0), opt(ndv0))
+            // exact length stats for variable-width columns: the row-
+            // width ingredient that makes broadcast BYTE estimates track
+            // actual string payloads instead of the 20-byte default
+            val (avgLenOpt, maxLenOpt) = lens.get(phys) match {
+              case Some((a, m)) => (java.util.OptionalLong.of(a),
+                java.util.OptionalLong.of(m))
+              case None => (java.util.OptionalLong.empty(),
+                java.util.OptionalLong.empty())
+            }
             val hist = hists.get(phys)
             val minOpt = hist.fold(
               java.util.Optional.empty[Object]())(h =>
@@ -1917,6 +1927,8 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
                 .ColumnStatistics {
                 override def nullCount(): java.util.OptionalLong = nullsOpt
                 override def distinctCount(): java.util.OptionalLong = ndvOpt
+                override def avgLen(): java.util.OptionalLong = avgLenOpt
+                override def maxLen(): java.util.OptionalLong = maxLenOpt
                 override def min(): java.util.Optional[Object] = minOpt
                 override def max(): java.util.Optional[Object] = maxOpt
                 override def histogram(): java.util.Optional[

@@ -327,6 +327,11 @@ class ScanPlannerSpec extends SparkSpec {
         s"k NDV must reach the optimizer: $byName")
       assert(byName.get("v").exists(_.nullCount.contains(BigInt(200))),
         s"v null count must reach the optimizer: $byName")
+      // exact length stats: v = "v" + i over non-multiples of 5 →
+      // 8 two-char + 72 three-char + 720 four-char = 3112/800 ≈ 3.9
+      assert(byName.get("v").exists(s =>
+        s.avgLen.contains(4L) && s.maxLen.contains(4L)),
+        s"v avg/max length must reach the optimizer: $byName")
     }
     // the '#colstats' metadata view serves the same fold as data
     register()
