@@ -1546,8 +1546,21 @@ class VersionedTableOps(protected val io: TableIO) {
     // NOT merge, sketches do. Numeric only: the histogram's bins are
     // doubles by API shape, and a lossy string→double would poison
     // range selectivity rather than inform it.
-    val kllCols = plainCols.filter(c =>
-      raw.schema(c).dataType.isInstanceOf[NumericType])
+    // the KLL ingests CATALYST-INTERNAL units so the served histogram
+    // bins compare against what FilterEstimation derives from literals:
+    // numerics as-is, dates as days-since-epoch, timestamps as MICROS
+    // (a bare cast-to-double gives seconds — off by 1e6 and the
+    // estimator would price every time-range predicate absurdly)
+    def kllExpr(c: String): Option[Column] = raw.schema(c).dataType match {
+      case _: NumericType => Some(col(c).cast("double"))
+      case org.apache.spark.sql.types.DateType =>
+        Some(datediff(col(c),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("double"))
+      case org.apache.spark.sql.types.TimestampType =>
+        Some(col(c).cast("double") * lit(1e6))
+      case _ => None
+    }
+    val kllCols = plainCols.filter(c => kllExpr(c).isDefined)
     // variable-width plain columns record exact length sums + maxes in
     // the same pass: the fold serves ColumnStat.avgLen/maxLen, the row-
     // width ingredients that make broadcast BYTE estimates honest for
@@ -1562,8 +1575,7 @@ class VersionedTableOps(protected val io: TableIO) {
       Seq(count(col(c)).as(s"${c}__cnt"),
         hll_sketch_agg(sketchable(c)).as(s"${c}__hll"))
     } ++ kllCols.map { c =>
-      kll_sketch_agg_double(col(c).cast("double"), lit(800))
-        .as(s"${c}__kll")
+      kll_sketch_agg_double(kllExpr(c).get, lit(800)).as(s"${c}__kll")
     } ++ lenCols.flatMap { c =>
       Seq(sum(length(col(c)).cast("long")).as(s"${c}__lensum"),
         max(length(col(c))).as(s"${c}__lenmax"))

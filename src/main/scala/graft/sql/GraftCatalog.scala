@@ -702,11 +702,47 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           StructType(sc.fields.map(x =>
             if (x.name.equalsIgnoreCase(n)) x.copy(nullable = un.nullable())
             else x))
+        case ud: TableChange.UpdateColumnDefaultValue =>
+          // SET/DROP DEFAULT touches CURRENT_DEFAULT only (what future
+          // INSERTs resolve); EXISTS_DEFAULT — what already-landed
+          // history serves — is immutable by contract: changing it would
+          // metadata-rewrite the PAST, silently altering rows that were
+          // committed under the old declaration.
+          val n = one(ud.fieldNames(), "ALTER COLUMN DEFAULT")
+          val f = fieldOf(sc, n, "ALTER COLUMN")
+          val sqlOpt = Option(ud.newCurrentDefault()).map(_.getSql)
+            .filter(s => s != null && s.trim.nonEmpty)
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          sqlOpt match {
+            case Some(sql) =>
+              // born-valid or refused: the default must parse, fold to a
+              // constant, and cast to the column's type — a garbage
+              // declaration failing every FUTURE insert helps no one
+              val expr = SparkSession.active.sessionState.sqlParser
+                .parseExpression(sql)
+              require(expr.foldable,
+                s"ALTER COLUMN '$n' SET DEFAULT must be constant-" +
+                  s"foldable, got: $sql")
+              val v = org.apache.spark.sql.catalyst.expressions
+                .Cast(expr, f.dataType, Option(
+                  org.apache.spark.sql.internal.SQLConf.get
+                    .sessionLocalTimeZone)).eval(null)
+              require(f.nullable || v != null,
+                s"ALTER COLUMN '$n' SET DEFAULT NULL contradicts the " +
+                  "declared NOT NULL")
+              mb.putString("CURRENT_DEFAULT", sql)
+            case None =>
+              mb.remove("CURRENT_DEFAULT")
+          }
+          StructType(sc.fields.map(x =>
+            if (x.name.equalsIgnoreCase(n)) x.copy(metadata = mb.build())
+            else x))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
             "supported: ADD COLUMNS (nullable, top-level), DROP COLUMN, " +
             "RENAME COLUMN, ALTER COLUMN TYPE (safe widening), ALTER " +
-            "COLUMN SET/DROP NOT NULL, ADD/DROP CONSTRAINT (CHECK)")
+            "COLUMN SET/DROP NOT NULL, ALTER COLUMN SET/DROP DEFAULT, " +
+            "ADD/DROP CONSTRAINT (CHECK)")
       }
     }
     ops.declareSchema(dir, updated.json)
@@ -2517,10 +2553,10 @@ object GraftCatalog {
     require(VersionedTable.constraints(dir).isEmpty,
       "a refused declaration must leave no constraint behind")
     spark.sql(s"ALTER TABLE graft.`$dir` " +
-      "ADD CONSTRAINT v_cap CHECK (value <= 500.0)")
+      "ADD CONSTRAINT v_cap CHECK (value <= 1000000.0)")
     // a violating batch refuses atomically: nothing lands
     require(scala.util.Try(spark.sql(
-      s"INSERT INTO graft.`$dir` VALUES (-1, 'x', 600.0)")).isFailure,
+      s"INSERT INTO graft.`$dir` VALUES (-1, 'x', 2000000.0)")).isFailure,
       "a violating INSERT must refuse")
     require(spark.table(s"graft.`$dir`")
       .filter(col("event_id") === -1).isEmpty,
@@ -2531,7 +2567,7 @@ object GraftCatalog {
     spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_cstr_v2")
     // DROP re-opens the gate — the same violating row now lands
     spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT v_cap")
-    spark.sql(s"INSERT INTO graft.`$dir` VALUES (-1, 'x', 600.0)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (-1, 'x', 2000000.0)")
     require(spark.table(s"graft.`$dir`")
       .filter(col("event_id") === -1).count() == 1,
       "DROP CONSTRAINT must re-admit the previously violating row")

@@ -113,6 +113,37 @@ class DefaultNotNullSpec extends SparkSpec {
     assert(spark.table(s"graft.`$dir`").count() == 3)
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT changes FUTURE inserts only — " +
+      "the history contract (EXISTS_DEFAULT) is immutable") {
+    register()
+    val dir = tmpDir("dn-setdflt")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1)")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN score INT DEFAULT 7")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN score SET DEFAULT 9")
+    def scoreOf(id: Long): Option[Int] = {
+      val r = spark.sql(s"SELECT score FROM graft.`$dir` WHERE id = $id")
+        .head()
+      if (r.isNullAt(0)) None else Some(r.getInt(0))
+    }
+    // pre-ADD history still serves the ORIGINAL initial value: SET
+    // DEFAULT must never metadata-rewrite the past
+    assert(scoreOf(1) == Some(7),
+      "SET DEFAULT must not change what already-landed rows read")
+    spark.sql(s"INSERT INTO graft.`$dir` (id) VALUES (2)")
+    assert(scoreOf(2) == Some(9), "future omitted inserts take the new default")
+    // born-valid or refused: non-foldable and type-garbage decline
+    assert(scala.util.Try(spark.sql(
+      s"ALTER TABLE graft.`$dir` ALTER COLUMN score SET DEFAULT id"))
+      .isFailure, "a non-constant default must refuse")
+    // DROP DEFAULT: future omitted inserts become NULL; history intact
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN score DROP DEFAULT")
+    spark.sql(s"INSERT INTO graft.`$dir` (id) VALUES (3)")
+    assert(scoreOf(3).isEmpty, "after DROP DEFAULT an omitted column is NULL")
+    assert(scoreOf(1) == Some(7) && scoreOf(2) == Some(9),
+      "DROP DEFAULT must not change what already-landed rows read")
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT CHECK is the SQL front door of " +
       "commit-enforced constraints") {
     register()

@@ -533,6 +533,51 @@ class ScanPlannerSpec extends SparkSpec {
       s"expected a 1-file cover: ${GraftCatalog.lastTopNAdmit}")
   }
 
+  test("histograms cover date and timestamp columns in catalyst-internal " +
+      "units (days / micros), so literal comparisons price correctly") {
+    register()
+    val dir = tmpDir("sp-hist-time")
+    ops.commit((0 until 300).map { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(i % 100)),
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:0${i % 6}:00"))
+    }.toDF("id", "d", "ts"), dir)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("d", "ts"))
+    val h = ops.histogramsOf(dir, ops.versions(dir).last)
+    assert(h.contains("d") && h.contains("ts"), s"missing: ${h.keys}")
+    // 2024-01-01 is day 19723 since the epoch
+    assert(h("d")._1 == 19723.0 && h("d")._2 == 19822.0,
+      s"date bounds must be DAYS: ${h("d")._1}..${h("d")._2}")
+    // timestamps must be MICROS (~1.7e15 for 2024), not seconds
+    assert(h("ts")._1 > 1.6e15 && h("ts")._2 < 1.8e15,
+      s"timestamp bounds must be MICROS: ${h("ts")._1}..${h("ts")._2}")
+  }
+
+  test("TopN admission takes a declared-enforced NOT NULL as the " +
+      "zero-null proof — no ANALYZE ever runs") {
+    register()
+    val dir = tmpDir("sp-topn-nn")
+    // the DECLARATION supplies what the nullable-string test above needed
+    // ANALYZE for: NOT NULL is commit-enforced (DefaultNotNullSpec), so
+    // zero nulls holds by construction; clustered landings record the
+    // range bounds at commit time — no write_stats call anywhere
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT NOT NULL, s STRING)")
+    ops.commitClustered((0L until 100L).map(i => (i, s"r$i"))
+      .toDF("id", "s"), dir, Seq("id"), Seq("id"), numFiles = 2)
+    ops.commitClustered((100L until 200L).map(i => (i, s"r$i"))
+      .toDF("id", "s"), dir, Seq("id"), Seq("id"), numFiles = 2)
+    GraftCatalog.lastTopNAdmit = (-1, -1)
+    val r = spark.sql(
+      s"SELECT id FROM graft.`$dir` ORDER BY id LIMIT 5").collect()
+    assert(r.map(_.getLong(0)).toSeq == (0L until 5L),
+      s"wrong top rows: ${r.mkString(",")}")
+    val (total, admitted) = GraftCatalog.lastTopNAdmit
+    assert(total > 0 && admitted >= 1 && admitted < total,
+      s"declared NOT NULL must admit a strict file cover with no " +
+        s"ANALYZE: $total/$admitted")
+  }
+
   test("a LIMIT-admitted scan opts out of runtime (DPP) filtering") {
     register()
     val dir = limitTable("sp-limit-dpp")
