@@ -3501,8 +3501,12 @@ class VersionedTableOps(protected val io: TableIO) {
     * that is born broken enforces nothing. One file per constraint,
     * atomic create: re-declaring a name refuses. */
   def addConstraint(spark: SparkSession, dir: String, name: String,
-                    exprSql: String): Unit = {
-    if (versions(dir).nonEmpty) {
+                    exprSql: String, preValidated: Boolean = false): Unit = {
+    // preValidated: the caller already scanned THIS head (the SQL path —
+    // Spark's analyzer validates ADD CONSTRAINT against the resolved
+    // snapshot and stamps its version); re-reading the same rows would
+    // double the one unavoidable full scan a declaration costs at 100 TB
+    if (!preValidated && versions(dir).nonEmpty) {
       val bad = read(spark, dir)
         .filter(!coalesce(expr(exprSql), lit(true))).count()
       require(bad == 0,

@@ -549,8 +549,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             s"CHECK constraint '${c.name()}' NOT ENFORCED is not " +
               "supported: the engine validates every commit, so an " +
               "unenforced declaration would be a lie")
+          // Spark's analyzer pre-validates ADD CONSTRAINT with its own
+          // scan of the resolved table snapshot and stamps that
+          // snapshot's version() here. When the head hasn't moved, the
+          // engine's born-valid scan would read the SAME rows again —
+          // one full validation at 100 TB, not two. A moved head (or a
+          // path that skipped Spark's validation) still pays ours.
+          val preValidated = Option(ac.validatedTableVersion())
+            .contains(ops.versions(dir).lastOption.getOrElse(0).toString)
           ops.addConstraint(SparkSession.active, dir, c.name(),
-            c.predicateSql())
+            c.predicateSql(), preValidated = preValidated)
         case other => throw new UnsupportedOperationException(
           s"constraint '${other.name()}' (${other.getClass.getSimpleName})" +
             " is not supported: only CHECK constraints are engine-" +
@@ -1106,12 +1114,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   * debt-carrying table are ordinary commits and must work; only serving
   * rows without applying the deletes is corruption. */
 private[sql] class GraftTable(tblName: String, spark: SparkSession,
-    catName: String, dir: String, version: Int, files: Seq[String],
+    catName: String, dir: String, pinnedVersion: Int, files: Seq[String],
     debt: Boolean, declared: Option[StructType],
     readOnly: Boolean = false, slice: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tblName
+
+  /** The snapshot this table object is pinned to, as DSv2 version
+    * identity. Spark stamps it into `AddConstraint.validatedTableVersion`
+    * after its OWN pre-validation scan of exactly this snapshot — which
+    * is what lets [[GraftCatalog.alterTable]] skip the engine's second
+    * born-valid scan when the head hasn't moved (one full-table
+    * validation at 100 TB, not two). */
+  override def version(): String = pinnedVersion.toString
 
   /** The declared hidden partitioning as DSv2 transforms, reported
     * under LOGICAL column names — so `SHOW CREATE TABLE` / `DESCRIBE`
@@ -1189,11 +1205,11 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     * actually SERVE rows from a debt-carrying snapshot still refuses
     * with the compact instruction before a single row moves. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PruningScanBuilder(spark, dir, version, files, schema, options,
+    new PruningScanBuilder(spark, dir, pinnedVersion, files, schema, options,
       renames = renames,
       snapshotComplete = !slice,
       refuseServe = if (!debt) None else Some(
-        s"$dir@v$version carries merge-on-read delete debt (positional " +
+        s"$dir@v$pinnedVersion carries merge-on-read delete debt (positional " +
           s"vectors or equality deletes); a catalog read cannot apply them " +
           s"— run CALL $catName.compact('$dir', <target_bytes>) to " +
           s"materialize, or read through the Scala API"))
