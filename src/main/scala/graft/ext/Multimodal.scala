@@ -9,25 +9,23 @@ import graft.sources.Tables
   * as opaque `binary` payloads with a typed metadata struct, plus the
   * decode / feature-extract / resize / frame-sample plumbing.
   *
-  * Three codecs share one per-partition decode seam ([[extractFeatures]]):
+  * All THREE modalities decode for REAL through one per-partition decode
+  * seam ([[extractFeatures]]), each pure-JDK (no native deps) and each
+  * gated by the same proof shape — closed-form fixtures encoded
+  * distributed, decoded back, hash-matched against a DuckDB oracle that
+  * recomputes the decoded statistics from arithmetic alone:
   *
-  *  - [[ImageCodec]] is a REAL decoder — `javax.imageio` PNG/BMP (pure
-  *    JDK, no native deps): binary payload → pixels → width/height/
-  *    pixel-sum features. q_image_stats runs it over generated fixture
-  *    images whose pixel pattern has a closed form, so the DuckDB oracle
-  *    recomputes the decoded statistics from arithmetic and a hash match
-  *    proves true bytes→pixels work.
-  *  - [[AudioCodec]] is likewise REAL — `javax.sound.sampled` RIFF/WAVE
-  *    PCM decode (pure JDK): binary payload → samples → rate/bit-depth/
-  *    frame-count/sample-sum features. q_audio_stats encodes closed-form
-  *    fixture waveforms distributed, decodes them back, and hash-matches
-  *    a DuckDB oracle recomputing the statistics from the waveform's
-  *    arithmetic — true bytes→samples work, same proof shape as images.
-  *  - [[StubCodec]] remains the clearly-marked stand-in for VIDEO ONLY
-  *    (this container lacks ffmpeg): deterministic pseudo-features where
-  *    the real call would go, keeping the batch-iterator `mapPartitions`
-  *    shape (one codec init per partition, the exact pattern a JNI
-  *    decoder needs) testable end to end.
+  *  - [[ImageCodec]] — `javax.imageio` PNG/BMP: bytes → pixels →
+  *    width/height/pixel-sum (q_image_stats).
+  *  - [[AudioCodec]] — `javax.sound.sampled` RIFF/WAVE PCM: bytes →
+  *    samples → rate/bit-depth/frame-count/sample-sum (q_audio_stats).
+  *  - [[VideoCodec]] — `javax.imageio` multi-frame GIF: bytes → frames →
+  *    geometry/frame-count/gray-sum over every frame (q_video_stats).
+  *  - [[StubCodec]] is NOT a modality stand-in anymore: it is the
+  *    arithmetic pseudo-codec for the OPAQUE text-byte payloads
+  *    q_multimodal drives the generic plumbing with (binary column,
+  *    batch-iterator `mapPartitions`, one codec init per partition — the
+  *    exact shape a JNI decoder like ffmpeg would drop into).
   */
 object Multimodal {
 
@@ -41,10 +39,11 @@ object Multimodal {
                            width: Int, height: Int, n_frames: Int,
                            checksum: Long)
 
-  /** STUB codec — deterministic stand-in for ffmpeg (VIDEO only; images
-    * have the real [[ImageCodec]], audio the real [[AudioCodec]]). Every
-    * field is pure arithmetic on the payload so tests and oracles can
-    * reproduce it; swap `decode` for the real call in production. */
+  /** Arithmetic pseudo-codec for OPAQUE payloads (q_multimodal's generic
+    * plumbing demo — all three real modalities have their own codecs:
+    * [[ImageCodec]], [[AudioCodec]], [[VideoCodec]]). Every field is pure
+    * arithmetic on the payload so tests and oracles can reproduce it;
+    * swap `decode` for a JNI call in production. */
   object StubCodec extends Serializable {
     def decode(a: Asset): AssetFeatures = {
       val n = a.payload.length.toLong
@@ -120,6 +119,104 @@ object Multimodal {
           n_frames = n, checksum = sum)
       } finally ais.close()
     }
+  }
+
+  /** REAL video codec: multi-frame GIF via `javax.imageio` (the one
+    * multi-frame motion format the bare JDK reads — no ffmpeg needed).
+    * The payload is parsed as a GIF container; features come FROM THE
+    * DECODED FRAMES: width/height from frame 0's geometry, n_frames =
+    * the container's actual frame count, checksum = the gray sum over
+    * every pixel of every frame (the field a real pipeline fills with a
+    * perceptual video hash). Pixels read through `getRGB` (palette →
+    * sRGB), so the values are the colors the palette MAPS TO, never raw
+    * palette indices — correct for any palette order the encoder chose.
+    * Verified: the JDK GIF writer/reader round-trips 8-bit gray exactly
+    * (GIF's LZW is lossless; only the palette quantizes, and a 256-gray
+    * palette doesn't). With this, all three modalities decode for real;
+    * [[StubCodec]] remains only as the arithmetic pseudo-codec for the
+    * OPAQUE text-byte payloads q_multimodal drives the plumbing with. */
+  object VideoCodec extends Serializable {
+    def decode(a: Asset): AssetFeatures = {
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        rd.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload)))
+        val n = rd.getNumImages(true)
+        require(n > 0, s"undecodable video payload: asset ${a.asset_id}")
+        var sum = 0L
+        var w = 0
+        var h = 0
+        var f = 0
+        while (f < n) {
+          val img = rd.read(f)
+          if (f == 0) { w = img.getWidth; h = img.getHeight }
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += (img.getRGB(x, y) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+          width = w, height = h, n_frames = n, checksum = sum)
+      } finally rd.dispose()
+    }
+  }
+
+  /** Deterministic fixture clip: frames = 3 + id%4 of (16 + id%8) ×
+    * (12 + id%4), gray(x, y, f) = (7x + 13y + 31f + id) mod 256 —
+    * closed-form frames, so the oracle can recompute what [[VideoCodec]]
+    * must read back out of the GIF container. Encoded with the JDK's own
+    * GIF sequence writer (full frames, no delta optimization). */
+  def encodeGif(id: Long): Array[Byte] = {
+    val fr = (3 + id % 4).toInt
+    val w = (16 + id % 8).toInt
+    val h = (12 + id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      wr.setOutput(out)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < fr) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((x * 7L + y * 13L + f * 31L + id) % 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally {
+      wr.dispose()
+      out.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Video asset table: one REAL multi-frame GIF payload per document id,
+    * born distributed like [[imageAssets]]/[[audioAssets]]. */
+  def videoAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes = encodeGif(id)
+        Asset(id, "gif", bytes, bytes.length.toLong)
+      }
   }
 
   /** Deterministic fixture waveform: n = 64 + id%64 samples at 8 kHz,
@@ -213,8 +310,9 @@ object Multimodal {
   /** The decode pass: mapPartitions so a real codec initializes once per
     * partition (not per row) — the Scala twin of the mapInPandas batch
     * pattern. Stays a Dataset[T] end to end. `codec` selects the decoder:
-    * the real [[ImageCodec.decode]] / [[AudioCodec.decode]], or
-    * [[StubCodec.decode]] (default — the video stand-in). */
+    * the real [[ImageCodec.decode]] / [[AudioCodec.decode]] /
+    * [[VideoCodec.decode]], or [[StubCodec.decode]] (default — the
+    * opaque-payload pseudo-codec). */
   def extractFeatures(assets: Dataset[Asset],
       codec: Asset => AssetFeatures = StubCodec.decode): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
@@ -287,10 +385,27 @@ object Multimodal {
         sum(col("n_bytes")).as("sum_bytes"))
       .orderBy(col("n_frames"))
 
+  /** q_video_stats — REAL video decode accounting: encode fixture clips
+    * distributed, decode them back through [[VideoCodec]], aggregate per
+    * decoded frame count. The oracle recomputes frames/geometry/gray-sum
+    * from the clip's closed form — a hash match is only possible if the
+    * GIF container was actually parsed back to per-frame pixels.
+    * Container byte size is NOT compared (LZW output has no closed
+    * form); everything decoded is. */
+  def qVideoStats(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(videoAssets(spark, sfDir), VideoCodec.decode).toDF()
+      .groupBy(col("n_frames"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("checksum")).as("gray_sum"),
+        sum(col("width")).as("sum_w"),
+        sum(col("height")).as("sum_h"))
+      .orderBy(col("n_frames"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> (qMultimodal _),
     "q_image_stats" -> (qImageStats _),
-    "q_audio_stats" -> (qAudioStats _))
+    "q_audio_stats" -> (qAudioStats _),
+    "q_video_stats" -> (qVideoStats _))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal" ->
@@ -350,5 +465,30 @@ object Multimodal {
         |  CAST(SUM(44 + 2 * n) AS BIGINT) AS sum_bytes
         |FROM per
         |GROUP BY n
+        |ORDER BY n_frames""".stripMargin,
+    // q_video_stats: the fixture frames have a closed form, so the oracle
+    // recomputes the DECODED statistics (frame count, geometry, gray sum)
+    // from arithmetic over a generated (frame, x, y) grid — no video
+    // library involved
+    "q_video_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 3 + doc_id % 4 AS fr,
+        |         16 + doc_id % 8 AS w, 12 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT id, fr, w, h,
+        |         (x.v * 7 + y.v * 13 + f.v * 31 + id) % 256 AS gray
+        |  FROM d,
+        |       UNNEST(generate_series(0, fr - 1)) AS f(v),
+        |       UNNEST(generate_series(0, w - 1)) AS x(v),
+        |       UNNEST(generate_series(0, h - 1)) AS y(v)),
+        |per AS (
+        |  SELECT id, fr, w, h, SUM(gray) AS g FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(fr AS INT) AS n_frames, COUNT(*) AS n,
+        |  CAST(SUM(g) AS BIGINT) AS gray_sum,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w,
+        |  CAST(SUM(h) AS BIGINT) AS sum_h
+        |FROM per
+        |GROUP BY fr
         |ORDER BY n_frames""".stripMargin)
 }

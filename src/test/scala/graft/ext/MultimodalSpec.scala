@@ -72,6 +72,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real video codec: decoded frames match the closed form") {
+    for (id <- Seq(0L, 1L, 3L, 7L, 30L)) {
+      val bytes = Multimodal.encodeGif(id)
+      val f = Multimodal.VideoCodec.decode(
+        Multimodal.Asset(id, "gif", bytes, bytes.length.toLong))
+      val fr = (3 + id % 4).toInt
+      val w = (16 + id % 8).toInt
+      val h = (12 + id % 4).toInt
+      assert(f.n_frames == fr, s"id=$id frame count: ${f.n_frames} vs $fr")
+      assert(f.width == w && f.height == h, s"id=$id geometry")
+      val want = (for (fi <- 0 until fr; y <- 0 until h; x <- 0 until w)
+        yield (x * 7L + y * 13L + fi * 31L + id) % 256L).sum
+      assert(f.checksum == want, s"id=$id gray sum: got ${f.checksum} want $want")
+    }
+  }
+
+  test("video codec rejects non-GIF payloads loudly") {
+    val junk = Multimodal.Asset(9L, "gif", Array[Byte](1, 2, 3, 4), 4L)
+    intercept[Exception](Multimodal.VideoCodec.decode(junk))
+  }
+
   test("audio codec rejects non-RIFF payloads loudly") {
     val junk = Multimodal.Asset(9L, "wav", Array[Byte](1, 2, 3, 4), 4L)
     intercept[Exception](Multimodal.AudioCodec.decode(junk))
