@@ -329,6 +329,83 @@ object Multimodal {
     assets.map(a => a.copy(payload = a.payload.take(maxBytes)))
   }
 
+  /** REAL image downsampling: decode → nearest-neighbor resample by an
+    * integer `factor` → re-encode PNG. Nearest-neighbor (not Graphics2D
+    * interpolation) keeps the transform CLOSED-FORM — out(x, y) =
+    * in(factor·x, factor·y) — so specs recompute resized pixel sums
+    * exactly; a real pipeline swaps the sampling kernel, the decode →
+    * transform → re-encode partition shape is identical. */
+  def downsampleImages(assets: Dataset[Asset],
+                       factor: Int): Dataset[Asset] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload)))
+      require(img != null, s"undecodable image payload: asset ${a.asset_id}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (dw, dh) = (math.max(1, w / factor), math.max(1, h / factor))
+      val out = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val src = img.getRaster
+      val dst = out.getRaster
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val bytes = bos.toByteArray
+      a.copy(payload = bytes, declared_bytes = bytes.length.toLong)
+    })
+  }
+
+  /** REAL video frame sampling: decode the GIF frame sequence, keep
+    * every `everyNth` frame, re-encode — the decimation a training
+    * pipeline runs before feature extraction, done on DECODED frames
+    * rather than byte blocks. Output is itself a valid clip, so the
+    * result feeds straight back into [[VideoCodec.decode]]. */
+  def sampleVideoFrames(assets: Dataset[Asset],
+                        everyNth: Int): Dataset[Asset] = {
+    require(everyNth >= 1, s"everyNth must be >= 1: $everyNth")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val bytes = try {
+        rd.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload)))
+        val n = rd.getNumImages(true)
+        require(n > 0, s"undecodable video payload: asset ${a.asset_id}")
+        val bos = new java.io.ByteArrayOutputStream()
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try {
+          wr.setOutput(out)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            if (f % everyNth == 0)
+              wr.writeToSequence(
+                new javax.imageio.IIOImage(rd.read(f), null, null), null)
+            f += 1
+          }
+          wr.endWriteSequence()
+        } finally {
+          wr.dispose()
+          out.close()
+        }
+        bos.toByteArray
+      } finally rd.dispose()
+      a.copy(payload = bytes, declared_bytes = bytes.length.toLong)
+    })
+  }
+
   /** Frame sampling: treat the payload as fixed-size frame blocks and keep
     * every nth block — the video-decimation plumbing (a real impl swaps the
     * block slicing for keyframe selection; the partition-wise batch shape

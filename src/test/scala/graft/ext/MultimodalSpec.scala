@@ -88,6 +88,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real image downsampling: nearest-neighbor pixels match the " +
+      "closed form after re-decode") {
+    import spark.implicits._
+    val ids = Seq(0L, 2L, 8L, 30L)
+    val assets = ids.map { id =>
+      val bytes = Multimodal.encodeImage(id, "png")
+      Multimodal.Asset(id, "png", bytes, bytes.length.toLong)
+    }.toDS()
+    val small = Multimodal.downsampleImages(assets, 2)
+    val feats = Multimodal.extractFeatures(small, Multimodal.ImageCodec.decode)
+      .collect().map(f => f.asset_id -> f).toMap
+    ids.foreach { id =>
+      val w = (16 + id % 16).toInt
+      val h = (16 + (id / 2) % 16).toInt
+      val (dw, dh) = (w / 2, h / 2)
+      val f = feats(id)
+      assert(f.width == dw && f.height == dh, s"id=$id resized geometry")
+      // out(x, y) = in(2x, 2y): the closed form survives the resample
+      val want = (for (y <- 0 until dh; x <- 0 until dw)
+        yield (2L * x * 7L + 2L * y * 13L + id) % 256L).sum
+      assert(f.checksum == want,
+        s"id=$id resized pixel sum: got ${f.checksum} want $want")
+    }
+  }
+
+  test("real video frame sampling: every nth decoded frame survives, " +
+      "re-encoded output is itself a decodable clip") {
+    import spark.implicits._
+    val ids = Seq(1L, 3L, 7L) // 4, 6, 6 frames
+    val assets = ids.map { id =>
+      val bytes = Multimodal.encodeGif(id)
+      Multimodal.Asset(id, "gif", bytes, bytes.length.toLong)
+    }.toDS()
+    val sampled = Multimodal.sampleVideoFrames(assets, 2)
+    val feats = Multimodal
+      .extractFeatures(sampled, Multimodal.VideoCodec.decode)
+      .collect().map(f => f.asset_id -> f).toMap
+    ids.foreach { id =>
+      val fr = (3 + id % 4).toInt
+      val w = (16 + id % 8).toInt
+      val h = (12 + id % 4).toInt
+      val kept = (0 until fr).filter(_ % 2 == 0)
+      val f = feats(id)
+      assert(f.n_frames == kept.size,
+        s"id=$id sampled frame count: ${f.n_frames} vs ${kept.size}")
+      val want = (for (fi <- kept; y <- 0 until h; x <- 0 until w)
+        yield (x * 7L + y * 13L + fi * 31L + id) % 256L).sum
+      assert(f.checksum == want,
+        s"id=$id sampled gray sum: got ${f.checksum} want $want")
+    }
+  }
+
   test("video codec rejects non-GIF payloads loudly") {
     val junk = Multimodal.Asset(9L, "gif", Array[Byte](1, 2, 3, 4), 4L)
     intercept[Exception](Multimodal.VideoCodec.decode(junk))
