@@ -275,6 +275,11 @@ class VersionedTableOps(protected val io: TableIO) {
     * when absent) — what every stats consumer reads. The `#rows=` totals
     * header is metadata about the payload, not payload: it is excluded
     * here and read via [[rowsHeaderOf]] (raw, O(1)) instead. */
+  /** Max files per statsLines aggregate pass — see the chunking note
+    * there. 512 rows × ~25 KB of sketches ≈ 12 MB per collect.
+    * Mutable only so the chunked path is spec-testable at toy scale. */
+  private[sinks] var StatsChunkFiles = 512
+
   private[graft] def sidecarLines(dir: String, v: Int): Seq[String] = {
     val p = statsPath(dir, v)
     if (!io.exists(p)) Seq.empty
@@ -1517,7 +1522,28 @@ class VersionedTableOps(protected val io: TableIO) {
                          statCols: Seq[String],
                          cbo: Boolean = false): Seq[String] = {
     if (files.isEmpty) return Seq.empty
-    val raw = spark.read.parquet(files: _*)
+    // Bounded driver memory at ANALYZE scale: the grouped aggregate
+    // collects one row PER FILE, and with CBO sketches each row carries
+    // ~25 KB (HLL + KLL base64) — a 100k-file whole-table write_stats
+    // would otherwise materialize gigabytes in one collect. Chunking
+    // caps the in-flight collect at ~512 rows; lines append across
+    // chunks (per-file lines are independent by construction). The
+    // FIRST read's schema pins every chunk: chunks of pre-evolution
+    // files may lack a physical column entirely, and an explicit schema
+    // makes the reader serve it as nulls instead of failing to resolve.
+    if (files.size > StatsChunkFiles) {
+      val schema = spark.read.parquet(files: _*).schema
+      return files.grouped(StatsChunkFiles).flatMap { chunk =>
+        statsLinesChunk(spark,
+          spark.read.schema(schema).parquet(chunk: _*), statCols, cbo)
+      }.toSeq
+    }
+    statsLinesChunk(spark, spark.read.parquet(files: _*), statCols, cbo)
+  }
+
+  private def statsLinesChunk(spark: SparkSession, raw: DataFrame,
+                              statCols: Seq[String],
+                              cbo: Boolean): Seq[String] = {
     val df = raw.withColumn("__file", input_file_name())
     // a stats "column" is either a plain column or a declared partition
     // TRANSFORM spec (e.g. bucket(16,user_id)) — derived stats recompute

@@ -98,4 +98,38 @@ class FastStatsSpec extends SparkSpec {
     ops.writeStats(spark, nulls, 1, Seq("s"))
     assert(ops.fastMinMax(nulls, "s").isEmpty)
   }
+
+  test("statsLines chunking: a many-file ANALYZE folds identically to " +
+      "one pass, including across a schema-evolution boundary") {
+    val ops = VersionedTable
+    val dir = tmpDir("fs-chunk")
+    // 10 single-file commits; files 0-4 lack column `v` entirely (the
+    // pre-ADD shape an evolved table's history has)
+    (0 until 5).foreach { b =>
+      ops.commit((0 until 40).map(i => (b * 40L + i))
+        .toDF("id").coalesce(1), dir)
+    }
+    (5 until 10).foreach { b =>
+      ops.commit((0 until 40).map(i => (b * 40L + i, (b * 40 + i) * 1.5))
+        .toDF("id", "v").coalesce(1), dir)
+    }
+    val head = ops.versions(dir).last
+    def analyze(): (Map[String, (Option[Long], Option[Long])],
+        Map[String, (Long, Long)]) = {
+      ops.writeStats(spark, dir, head, Seq("id"))
+      (ops.columnStatsOf(dir, head), ops.lenStatsOf(dir, head))
+    }
+    val one = analyze()
+    val prev = ops.StatsChunkFiles
+    val chunked = try {
+      ops.StatsChunkFiles = 3 // force 4 chunks over 10 files
+      analyze()
+    } finally ops.StatsChunkFiles = prev
+    assert(chunked == one,
+      s"chunked ANALYZE must fold identically: $chunked vs $one")
+    assert(one._1.get("id").exists(_._1.contains(0L)),
+      s"exact null count must survive: ${one._1}")
+    assert(one._1.get("id").exists(_._2.exists(n => math.abs(n - 400) <= 10)),
+      s"NDV must cover all files: ${one._1}")
+  }
 }
