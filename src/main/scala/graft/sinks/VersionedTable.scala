@@ -2083,15 +2083,21 @@ class VersionedTableOps(protected val io: TableIO) {
       else {
         val posArr = array((0 until k).map(s =>
           pmod(xxhash64(lit(s), col(c)), lit(mBits.toLong))): _*)
-        spark.read.parquet(need: _*)
-          .select(plainPath.as("__file"), explode(posArr).as("pos"))
-          .groupBy(col("__file")).agg(bloomAgg(col("pos")).as("bits"))
-          .collect().toSeq
-          .map { r =>
-            val b64 = java.util.Base64.getEncoder
-              .encodeToString(r.getAs[Array[Byte]](1))
-            s"${r.getString(0)}\t$c\tbloom\t$mBits:$k\t$b64"
-          }
+        // chunked like statsLines: the collect carries a finished m/8-
+        // byte bitmap PER FILE, so one pass over a 100k-file table would
+        // still pull files x m/8 bytes (e.g. 3 GB at the default m)
+        // through a single collect — bound it per chunk instead
+        need.grouped(StatsChunkFiles).toSeq.flatMap { chunk =>
+          spark.read.parquet(chunk: _*)
+            .select(plainPath.as("__file"), explode(posArr).as("pos"))
+            .groupBy(col("__file")).agg(bloomAgg(col("pos")).as("bits"))
+            .collect().toSeq
+            .map { r =>
+              val b64 = java.util.Base64.getEncoder
+                .encodeToString(r.getAs[Array[Byte]](1))
+              s"${r.getString(0)}\t$c\tbloom\t$mBits:$k\t$b64"
+            }
+        }
       }
     }
     if (newLines.nonEmpty) io.writeLines(p, existing ++ newLines)
