@@ -2086,9 +2086,13 @@ class VersionedTableOps(protected val io: TableIO) {
         // chunked like statsLines: the collect carries a finished m/8-
         // byte bitmap PER FILE, so one pass over a 100k-file table would
         // still pull files x m/8 bytes (e.g. 3 GB at the default m)
-        // through a single collect — bound it per chunk instead
+        // through a single collect — bound it per chunk instead. The
+        // full-set schema pins every chunk (a chunk of pre-evolution
+        // files may lack the bloom column; the explicit schema serves it
+        // as nulls instead of failing to resolve).
+        val pinned = spark.read.parquet(need: _*).schema
         need.grouped(StatsChunkFiles).toSeq.flatMap { chunk =>
-          spark.read.parquet(chunk: _*)
+          spark.read.schema(pinned).parquet(chunk: _*)
             .select(plainPath.as("__file"), explode(posArr).as("pos"))
             .groupBy(col("__file")).agg(bloomAgg(col("pos")).as("bits"))
             .collect().toSeq
@@ -3615,7 +3619,19 @@ class VersionedTableOps(protected val io: TableIO) {
       else {
         val dflt = if (f.metadata.contains("EXISTS_DEFAULT"))
           Some(f.metadata.getString("EXISTS_DEFAULT")) else None
-        require(dflt.exists(!_.equalsIgnoreCase("NULL")),
+        // the default must EVALUATE non-null, not merely not spell
+        // "NULL" — catalyst renders a typed null as `CAST(NULL AS INT)`,
+        // which a string compare would wave through and every row of
+        // this batch would then read NULL in a NOT NULL column (and
+        // TopN's zero-null proof would be a lie). Unparseable or
+        // unevaluable defaults fail CLOSED: refuse the commit.
+        val nonNull = dflt.exists { sql =>
+          scala.util.Try {
+            SparkSession.active.sessionState.sqlParser
+              .parseExpression(sql).eval(null) != null
+          }.getOrElse(false)
+        }
+        require(nonNull,
           s"commit to $dir rejected: batch carries no column for " +
             s"declared NOT NULL '${f.name}' and the column has no " +
             "non-null default — every landed row would read NULL")

@@ -178,9 +178,19 @@ object TableStreamSource {
       else VersionedTable.versions(dir).headOption.getOrElse(
         throw new IllegalArgumentException(s"no committed version at $dir"))
     val base = VersionedTable.vintageSchema(spark, dir, anchor)
-    if (changeFeedMode(params))
+    if (changeFeedMode(params)) {
+      // the feed APPENDS its metadata columns; a table that already
+      // carries one (e.g. a CDC landing whose rows store their own `op`)
+      // would get a duplicate field that tagInserts silently overwrites —
+      // refuse loudly instead (read the plain stream, or rename)
+      val reserved = cdfColumns.map(_.name.toLowerCase).toSet
+      val clash = base.fieldNames.filter(n => reserved(n.toLowerCase))
+      require(clash.isEmpty,
+        s"readChangeFeed reserves column(s) ${clash.mkString(", ")} for " +
+          s"change metadata, and the table at $dir already carries them; " +
+          "rename the column(s) or consume the plain table stream")
       StructType(base.fields.toSeq ++ cdfColumns)
-    else base
+    } else base
   }
 
   /** The change-feed rows ride the table's columns plus the change
@@ -198,6 +208,11 @@ object TableStreamSource {
 
   private[sources] def changeFeedMode(params: Map[String, String]): Boolean =
     params.get("readchangefeed").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Default per-trigger version cap in change-feed mode (see the
+    * admission note in latestOffset) — overridable either way with an
+    * explicit `maxVersionsPerTrigger`. */
+  private[sources] val CdfDefaultVersionsPerTrigger = 64
 
   /** `startingVersion`, or `startingTimestamp` resolved to the first
     * version committed at or after the instant (epoch millis or an ISO
@@ -398,7 +413,17 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
     // the V1 admission path passes null before anything is consumed
     val base = Option(start).map(versionOf).getOrElse(0L)
     val head = ops.versions(dir).lastOption.map(_.toLong).getOrElse(0L)
-    val rated = maxVersionsPerTrigger.fold(head)(m =>
+    // change-feed catch-up self-caps: every admitted version transition
+    // contributes its own diff subtree (joins included) to ONE micro-
+    // batch plan, so an uncapped first batch over hundreds of retained
+    // mutation versions would build hundreds of joins in one DAG.
+    // Bounded admission keeps plans flat; AvailableNow drains loop until
+    // the pinned head regardless, and an explicit maxVersionsPerTrigger
+    // still overrides in either direction.
+    val effectiveCap = maxVersionsPerTrigger
+      .orElse(if (changeFeedMode)
+        Some(TableStreamSource.CdfDefaultVersionsPerTrigger) else None)
+    val rated = effectiveCap.fold(head)(m =>
       math.min(head, base + m))
     // row-based admission from the O(1) `#rows` sidecar headers: admit
     // versions while the cumulative appended-row delta fits the cap,
@@ -480,6 +505,18 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
     * transition pays the keyed diff. */
   private def cdfBatch(sV: Int, endV: Int): DataFrame = {
     val vs = ops.versions(dir)
+    // a CHECKPOINTED consumer whose offset version has been expired must
+    // refuse: the gap's deletes/updates are unrecoverable, and quietly
+    // re-serving the first retained snapshot as `i` rows would diverge a
+    // replica forever (keys deleted in the gap come back). A FRESH
+    // consumer is different — snapshot-as-inserts converges an empty
+    // replica, so catch-up stays legal there. The plain stream fails
+    // loudly on the same gap; the feed must too.
+    require(sV == 0 || vs.headOption.forall(sV >= _),
+      s"change-feed offset v$sV of $dir has been expired (oldest " +
+        s"retained: v${vs.headOption.getOrElse(0)}): deletes between " +
+        "them are unrecoverable. Restart from a fresh checkpoint and " +
+        "re-sync the consumer (the initial snapshot serves as inserts).")
     val base = if (sV > 0) sV else startingVersion - 1
     val targets = vs.filter(v => v > base && v <= endV)
     if (targets.isEmpty) {

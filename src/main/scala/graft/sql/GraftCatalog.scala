@@ -649,6 +649,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             require(!partPhys.contains(ColumnMapping.physOf(f).toLowerCase),
               s"column '$n' anchors declared partitioning; re-declare " +
                 "partitioning before dropping it")
+            // same anchor discipline for the declared sort order: with
+            // the column gone, every future compaction would silently
+            // skip the sort (the filter drops unresolvable columns) —
+            // the exact silent decay the born-valid declaration check
+            // exists to prevent
+            require(!ops.sortOrderOf(dir).exists(c =>
+              c.equalsIgnoreCase(ColumnMapping.physOf(f)) ||
+                c.equalsIgnoreCase(n)),
+              s"column '$n' anchors the declared sort.order; clear or " +
+                "re-declare the property before dropping it")
             require(sc.length > 1, "cannot drop a table's last column")
             ops.retireColumn(dir, ColumnMapping.idOf(f).get,
               ColumnMapping.physOf(f))
@@ -981,9 +991,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         "analyzer denies to ALTER COLUMN … SET NOT NULL; enforcement " +
         "is per-commit, and TopN pushdown gets its zero-null proof")(
       (_, a) => {
-        alterTable(Identifier.of(Array.empty, a(0)),
+        val ident = Identifier.of(Array.empty, a(0))
+        alterTable(ident,
           TableChange.updateColumnNullability(Array(a(1)), false))
-        ops.versions(a(0)).lastOption.getOrElse(0)
+        // resolve the SAME way alterTable did (warehouse-relative names
+        // map under the warehouse; absolute paths pass through) — the
+        // raw argument would read a different location under a
+        // configured warehouse
+        ops.versions(dirOf(ident)).lastOption.getOrElse(0)
       }),
     Proc("set_property", Seq("dir", "key", "value"),
       "Set a durable table property (e.g. eqdel.compact.threshold, " +

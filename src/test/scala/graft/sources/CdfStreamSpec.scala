@@ -184,4 +184,56 @@ class CdfStreamSpec extends SparkSpec {
       e3.getCause != null &&
         e3.getCause.getMessage.contains("readChangeFeed"))
   }
+
+  test("a checkpointed consumer whose offset version was expired refuses " +
+      "loudly instead of re-serving the snapshot as inserts") {
+    val tmp = tmpDir("cdf-expired")
+    val dir = s"$tmp/t"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 10), dir) // v1
+    val (first, _) = drain(dir, ck)   // consumer checkpointed at v1
+    assert(first.size == 10)
+    // the gap the consumer must not lose: a delete at v2, appends after
+    ops.deleteWhere(spark, dir, col("id") < 3L) // v2
+    ops.commit(rows(10 until 12), dir)          // v3
+    ops.commit(rows(12 until 14), dir)          // v4
+    ops.compact(spark, dir, targetBytes = 1L << 30) // v5
+    ops.expire(dir, keepLast = 2) // retains v4, v5 — v1 (the offset) gone
+    assert(ops.versions(dir).head > 1, "expire must have dropped v1")
+    val e = intercept[Exception] { drain(dir, ck) }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("expired"),
+      s"expected the expired-offset refusal, got: $msg")
+  }
+
+  test("a table already carrying a reserved change-metadata column " +
+      "refuses the feed instead of silently overwriting it") {
+    val tmp = tmpDir("cdf-reserved")
+    val dir = s"$tmp/t"
+    ops.commit((0 until 3).map(i => (i.toLong, "u")).toDF("id", "op"), dir)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("changeKey", "id")
+        .load(dir).writeStream.format("noop")
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("reserves column"),
+      s"expected the reserved-column refusal, got: $msg")
+  }
+
+  test("change-feed catch-up self-caps versions per micro-batch " +
+      "(bounded plan size); the drain still serves everything") {
+    val tmp = tmpDir("cdf-cap")
+    val dir = s"$tmp/t"; val ck = s"$tmp/ck"
+    val n = graft.sources.TableStreamSource.CdfDefaultVersionsPerTrigger + 6
+    (0 until n).foreach(i => ops.commit(rows(i until (i + 1)), dir))
+    val (got, batches) = drain(dir, ck)
+    assert(got.size == n, s"every version's row must arrive: ${got.size}")
+    assert(batches >= 2,
+      s"an uncapped CDF catch-up would plan $n transitions in one " +
+        s"batch; expected the default cap to split it, got $batches")
+  }
 }

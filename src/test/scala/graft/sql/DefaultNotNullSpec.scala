@@ -113,6 +113,27 @@ class DefaultNotNullSpec extends SparkSpec {
     assert(spark.table(s"graft.`$dir`").count() == 3)
   }
 
+  test("a TYPED null default (CAST(NULL AS INT)) never covers a declared " +
+      "NOT NULL — the cover check evaluates, it does not string-match") {
+    register()
+    val dir = tmpDir("dn-typednull")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT)")
+    // DEFAULT NULL on a nullable add is legal; catalyst renders the
+    // stored EXISTS_DEFAULT as `CAST(NULL AS INT)` — not the bare string
+    // "NULL" a naive check would compare against
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN score INT DEFAULT NULL")
+    spark.sql(s"CALL graft.set_not_null('$dir', 'score')") // empty: legal
+    // a batch NOT carrying the column would serve the default — NULL —
+    // for every row of a NOT NULL column; the commit must refuse
+    val e = intercept[Exception] {
+      ops.commit(Seq(1L).toDF("id"), dir)
+    }
+    assert(e.getMessage.contains("non-null default"), e.getMessage)
+    // and a batch carrying real values still lands
+    ops.commit(Seq((2L, 5)).toDF("id", "score"), dir)
+    assert(spark.table(s"graft.`$dir`").count() == 1)
+  }
+
   test("ALTER COLUMN SET/DROP DEFAULT changes FUTURE inserts only — " +
       "the history contract (EXISTS_DEFAULT) is immutable") {
     register()
