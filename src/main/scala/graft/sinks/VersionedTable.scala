@@ -2606,8 +2606,17 @@ class VersionedTableOps(protected val io: TableIO) {
     val sp = statsPath(dir, version)
     val size = if (io.exists(sp)) io.size(sp) else -1L
     val key = (s"$dir#$tag", version, size)
+    // get/putIfAbsent, NOT computeIfAbsent: the folds nest (lenStats
+    // consults columnStats), and a nested mutation of the same map from
+    // inside a computeIfAbsent mapping function throws "Recursive
+    // update" whenever the two keys land in one bin. A racy duplicate
+    // compute is harmless — the folds are pure functions of the key.
+    val cached = cboFoldCache.get(key)
+    if (cached != null) return cached.asInstanceOf[T]
+    val computed = compute
     if (cboFoldCache.size > 512) cboFoldCache.clear()
-    cboFoldCache.computeIfAbsent(key, _ => compute).asInstanceOf[T]
+    cboFoldCache.putIfAbsent(key, computed)
+    computed
   }
 
   private[graft] def columnStatsOf(dir: String, version: Int)
