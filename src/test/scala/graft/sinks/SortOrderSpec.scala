@@ -91,11 +91,10 @@ class SortOrderSpec extends SparkSpec {
 
   test("sort.order survives RENAME COLUMN (physical anchoring) and " +
       "anchors against DROP COLUMN") {
-    val spark2 = spark
-    spark2.conf.set("spark.sql.catalog.graft",
+    spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sql.GraftCatalog].getName)
     val dir = tmpDir("so-rename") + "/t"
-    spark2.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE)")
     (0 until 3).foreach { b =>
       ops.commitOnce((0 until 300).filter(_ % 3 == b)
         .map(i => (i.toLong, i.toDouble)).toDF("id", "v"), dir, s"sr:$b")
@@ -103,19 +102,19 @@ class SortOrderSpec extends SparkSpec {
     ops.setTableProperty(dir, "sort.order", "v")
     // rename the declared sort column: the declaration anchors the
     // PHYSICAL column, so maintenance keeps sorting the same data
-    spark2.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w")
-    val ver = ops.compact(spark2, dir, targetBytes = 1L << 30)
-    val files = ops.filesMeta(spark2, dir, Some(ver))
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO w")
+    val ver = ops.compact(spark, dir, targetBytes = 1L << 30)
+    val files = ops.filesMeta(spark, dir, Some(ver))
       .select("file").collect().map(_.getString(0)).toSeq
     assert(files.size == 1)
     // files store the ORIGINAL physical name; rows must be sorted on it
-    val vs = spark2.read.parquet(files.head).select("v")
+    val vs = spark.read.parquet(files.head).select("v")
       .collect().map(_.getDouble(0))
     assert(vs.sameElements(vs.sorted),
       "compact must keep sorting the renamed column's physical data")
     // and the renamed LOGICAL name cannot be dropped while anchored
     val e = intercept[Exception] {
-      spark2.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN w")
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN w")
     }
     assert(e.getMessage.contains("sort.order"), e.getMessage)
   }
