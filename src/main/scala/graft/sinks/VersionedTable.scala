@@ -277,8 +277,18 @@ class VersionedTableOps(protected val io: TableIO) {
     * here and read via [[rowsHeaderOf]] (raw, O(1)) instead. */
   /** Max files per statsLines aggregate pass — see the chunking note
     * there. 512 rows × ~25 KB of sketches ≈ 12 MB per collect.
-    * Mutable only so the chunked path is spec-testable at toy scale. */
-  private[sinks] var StatsChunkFiles = 512
+    * Private behind [[withStatsChunkFiles]] so the chunked path is
+    * spec-testable at toy scale without exposing a bare mutable knob. */
+  private var StatsChunkFiles = 512
+
+  /** Test seam: run `f` with the chunk size overridden, always
+    * restoring — the only sanctioned way to mutate [[StatsChunkFiles]]. */
+  private[sinks] def withStatsChunkFiles[T](n: Int)(f: => T): T = {
+    require(n > 0, s"chunk size must be positive, got $n")
+    val prev = StatsChunkFiles
+    StatsChunkFiles = n
+    try f finally StatsChunkFiles = prev
+  }
 
   private[graft] def sidecarLines(dir: String, v: Int): Seq[String] = {
     val p = statsPath(dir, v)
@@ -963,7 +973,16 @@ class VersionedTableOps(protected val io: TableIO) {
           .get("mview.auto.refresh").contains("true")).getOrElse(false)) {
         autoRefreshing.set(active + dir + view)
         try graft.sql.Mview.refreshView(spark, view)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // swallow (maintenance never fails the landing) but SAY SO:
+            // a view whose refresh persistently fails stays safely stale
+            // yet permanently unaccelerated, and silence would hide it
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"mview auto-refresh of '$view' (attached to '$dir') " +
+                s"failed; view stays stale until the next landing or a " +
+                s"manual CALL refresh_view: ${e.getMessage}")
+        }
         finally autoRefreshing.set(active)
       }
     }
@@ -2596,28 +2615,48 @@ class VersionedTableOps(protected val io: TableIO) {
     * correctly). Without this, every query PLAN over a filtered scan of
     * an ANALYZEd table would re-heapify one HLL (and one KLL) sketch
     * per file per column — at 100k files that is real planner latency
-    * paid per query rather than once per snapshot. Bounded: cleared
-    * wholesale past 512 entries (test suites churn thousands of tmp
-    * tables; correctness never rides on a hit). */
-  private val cboFoldCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Long), AnyRef]()
+    * paid per query rather than once per snapshot. Bounded: an
+    * access-ordered LRU capped at 512 entries, so a storm of queries
+    * over UNRELATED tables (test suites churn thousands of tmp tables)
+    * evicts cold folds one by one instead of momentarily re-heapifying
+    * every hot table's sketches after a wholesale clear; correctness
+    * never rides on a hit. */
+  private val cboFoldCache =
+    new java.util.LinkedHashMap[(String, Int, Long), AnyRef](
+      64, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, Long), AnyRef]): Boolean =
+        size > 512
+    }
   private def cboFold[T <: AnyRef](dir: String, version: Int,
                                    tag: Long)(compute: => T): T = {
     val sp = statsPath(dir, version)
     val size = if (io.exists(sp)) io.size(sp) else -1L
     val key = (s"$dir#$tag", version, size)
-    // get/putIfAbsent, NOT computeIfAbsent: the folds nest (lenStats
-    // consults columnStats), and a nested mutation of the same map from
-    // inside a computeIfAbsent mapping function throws "Recursive
-    // update" whenever the two keys land in one bin. A racy duplicate
-    // compute is harmless — the folds are pure functions of the key.
-    val cached = cboFoldCache.get(key)
+    // synchronized get then compute OUTSIDE the lock then synchronized
+    // put: the folds nest (lenStats consults columnStats), so the lock
+    // must never be held across `compute` — the same hazard class as
+    // ConcurrentHashMap's "Recursive update" under computeIfAbsent. A
+    // racy duplicate compute is harmless — the folds are pure functions
+    // of the key.
+    val cached = cboFoldCache.synchronized(cboFoldCache.get(key))
     if (cached != null) return cached.asInstanceOf[T]
     val computed = compute
-    if (cboFoldCache.size > 512) cboFoldCache.clear()
-    cboFoldCache.putIfAbsent(key, computed)
+    cboFoldCache.synchronized(cboFoldCache.putIfAbsent(key, computed))
     computed
   }
+  /** Test seam: number of LIVE entries a set of tables holds in the fold
+    * cache (the LRU-survival spec's probe). */
+  private[sinks] def cboFoldCacheKeysFor(dirs: Set[String]): Int =
+    cboFoldCache.synchronized {
+      val it = cboFoldCache.keySet.iterator
+      var n = 0
+      while (it.hasNext) {
+        val k = it.next()
+        if (dirs.exists(d => k._1.startsWith(d + "#"))) n += 1
+      }
+      n
+    }
 
   private[graft] def columnStatsOf(dir: String, version: Int)
       : Map[String, (Option[Long], Option[Long])] =

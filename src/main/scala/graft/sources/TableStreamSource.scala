@@ -377,10 +377,20 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
   override val schema: StructType =
     TableStreamSource.pinnedSchema(spark, dir, params)
 
-  for (k <- changeKey)
-    require(schema.fields.exists(_.name.equalsIgnoreCase(k)),
+  for (k <- changeKey) {
+    // validate against the BASE table columns, not the CDF-appended
+    // schema: `op`/`_commit_version` are feed metadata, and keying the
+    // diff by them would pass here only to fail deep inside changeFeed
+    // with an unrelated resolution error
+    val reserved = TableStreamSource.cdfColumns.map(_.name.toLowerCase).toSet
+    require(!reserved(k.toLowerCase),
+      s"changeKey '$k' is a reserved change-feed metadata column; key " +
+        "the diff by a column of the table itself")
+    val base = schema.fields.filterNot(f => reserved(f.name.toLowerCase))
+    require(base.exists(_.name.equalsIgnoreCase(k)),
       s"changeKey '$k' is not a column of $dir " +
-        s"(have: ${schema.fieldNames.mkString(", ")})")
+        s"(have: ${base.map(_.name).mkString(", ")})")
+  }
 
   /** Any offset back to a version: live offsets are ours, restored ones
     * arrive as SerializedOffset (V1) / raw json (admission path). */
@@ -523,7 +533,14 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
       val anchor = if (endV > 0 && vs.contains(endV)) endV else vs.head
       tagInserts(ops.read(spark, dir, Some(anchor)).limit(0), 0)
     }
-    else targets.map(v => cdfTransition(v, vs)).reduce(_.unionByName(_))
+    // allowMissingColumns: transitions on either side of an ADD COLUMN
+    // boundary carry different vintage schemas (read/readChanges infer
+    // from the files), and a strict union would refuse the catch-up
+    // batch outright. Missing columns union as nulls here; `conform`
+    // then projects/null-fills the result to the query's PINNED schema,
+    // so the relaxation never leaks a wider vintage downstream.
+    else targets.map(v => cdfTransition(v, vs))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def cdfTransition(v: Int, vs: Seq[Int]): DataFrame = {

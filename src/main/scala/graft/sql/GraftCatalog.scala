@@ -1497,8 +1497,18 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
 
   override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
     captured = filters.map(renameAttrs(_, renames))
-    inner.pushFilters(captured).map(renameAttrs(_, backNames))
+    val postScan = inner.pushFilters(captured)
+    // snapshot-level stats serving (statsServable below) relies on every
+    // pushed DATA filter surviving as a residual Filter above the scan —
+    // parquet row-group skipping is best-effort, so the stock builder
+    // always retains them. Record the invariant instead of assuming it:
+    // if a future inner builder ever fully consumes a filter, stats must
+    // stop serving the whole-snapshot fold or estimates silently
+    // overcount with nothing above the scan correcting them.
+    allFiltersResidual = postScan.size == captured.size
+    postScan.map(renameAttrs(_, backNames))
   }
+  private var allFiltersResidual: Boolean = true
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // once an aggregation is pushed the scan's schema IS the aggregate
@@ -1921,7 +1931,7 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
       // `#changes=` slices stay excluded — there the snapshot fold
       // describes something the scan does not serve.
       val statsServable = snapshotComplete && refuseServe.isEmpty &&
-        !limited
+        !limited && allFiltersResidual
       val rows =
         if (statsServable) VersionedTable.statNumRows(dir, version)
         else None

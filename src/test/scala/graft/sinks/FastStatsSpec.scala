@@ -120,16 +120,44 @@ class FastStatsSpec extends SparkSpec {
       (ops.columnStatsOf(dir, head), ops.lenStatsOf(dir, head))
     }
     val one = analyze()
-    val prev = ops.StatsChunkFiles
-    val chunked = try {
-      ops.StatsChunkFiles = 3 // force 4 chunks over 10 files
+    val chunked = ops.withStatsChunkFiles(3) { // force 4 chunks over 10 files
       analyze()
-    } finally ops.StatsChunkFiles = prev
+    }
     assert(chunked == one,
       s"chunked ANALYZE must fold identically: $chunked vs $one")
     assert(one._1.get("id").exists(_._1.contains(0L)),
       s"exact null count must survive: ${one._1}")
     assert(one._1.get("id").exists(_._2.exists(n => math.abs(n - 400) <= 10)),
       s"NDV must cover all files: ${one._1}")
+  }
+
+  test("cboFold cache is LRU: a hot table's folds survive an " +
+      "unrelated-table storm") {
+    // The round-10 shape was clear-all past 512 entries: one storm of
+    // queries over throwaway tables momentarily re-heapified EVERY hot
+    // table's sketches. Access-ordered eviction must keep a fold that
+    // stays in use while cold storm entries churn through.
+    val hot = tmpDir("cbo-hot")
+    ops.commit((0 until 50).map(i => (i.toLong, i * 1.5)).toDF("id", "v"),
+      hot)
+    ops.writeStats(spark, hot, 1, Seq("id", "v"))
+    ops.columnStatsOf(hot, 1) // prime the hot fold
+    assert(ops.cboFoldCacheKeysFor(Set(hot)) >= 1)
+    // 600 distinct cold keys (> the 512 cap) from a throwaway table —
+    // distinct numBins values key distinct folds, so the storm is 600
+    // cheap driver-side sidecar folds, no 600-table churn. The hot fold
+    // is touched every 50 — that is what "hot" means — and must never
+    // evict.
+    val storm = tmpDir("cbo-storm")
+    ops.commit((0 until 20).map(i => (i.toLong, i * 2.0)).toDF("id", "v"),
+      storm)
+    ops.writeStats(spark, storm, 1, Seq("id"))
+    (0 until 600).foreach { i =>
+      ops.histogramsOf(storm, 1, numBins = i + 2)
+      if (i % 50 == 0) ops.columnStatsOf(hot, 1)
+    }
+    assert(ops.cboFoldCacheKeysFor(Set(hot)) >= 1,
+      "the hot table's fold was evicted by an unrelated-table storm — " +
+        "eviction regressed from LRU to clear-all")
   }
 }

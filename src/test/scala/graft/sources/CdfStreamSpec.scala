@@ -185,6 +185,46 @@ class CdfStreamSpec extends SparkSpec {
         e3.getCause.getMessage.contains("readChangeFeed"))
   }
 
+  test("changeKey naming a reserved change-metadata column refuses " +
+      "up front, not deep inside the diff") {
+    val tmp = tmpDir("cdf-reserved-key")
+    val dir = s"$tmp/t"
+    ops.commit(rows(0 until 3), dir)
+    for (k <- Seq("op", "_commit_version")) {
+      val e = intercept[Exception] {
+        spark.readStream.format("graft-table")
+          .option("readChangeFeed", "true").option("changeKey", k)
+          .load(dir).writeStream.format("noop")
+          .option("checkpointLocation", s"$tmp/ck-$k")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      }
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("reserved change-feed metadata"),
+        s"changeKey '$k' should refuse as reserved, got: $msg")
+    }
+  }
+
+  test("a catch-up batch spanning an ADD COLUMN boundary drains: " +
+      "vintage schemas union, conform pins the query schema") {
+    // the round-10 shape: cdfBatch unioned per-transition frames with a
+    // STRICT unionByName, so two transitions on either side of a schema
+    // evolution (read/readChanges infer from the files) threw an
+    // AnalysisException and the stream could not drain at the default cap
+    val tmp = tmpDir("cdf-evolve")
+    val dir = s"$tmp/t"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 4), dir) // v1: (id, k)
+    ops.commit((4 until 8).map(i => (i.toLong, "a", i * 10))
+      .toDF("id", "k", "extra"), dir) // v2: (id, k, extra) — wider vintage
+    // one admitted range spans both transitions (cap is 64); the pinned
+    // schema is v1's vintage, so the union must not refuse and `extra`
+    // projects away
+    val (got, _) = drain(dir, ck)
+    assert(got == (0L until 4L).map(i => (i, "i", 1L)) ++
+      (4L until 8L).map(i => (i, "i", 2L)),
+      s"the evolution-spanning catch-up must serve every row: $got")
+  }
+
   test("a checkpointed consumer whose offset version was expired refuses " +
       "loudly instead of re-serving the snapshot as inserts") {
     val tmp = tmpDir("cdf-expired")
