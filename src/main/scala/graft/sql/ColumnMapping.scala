@@ -17,12 +17,26 @@ import org.apache.spark.sql.types._
   *    stats/bloom sidecars are keyed physically, so a RENAME touches one
   *    JSON line and nothing else.
   *
+  * The indirection is RECURSIVE: fields nested inside struct columns
+  * (the reference's raw weather document shape — `main.temp`,
+  * weather_etl.py:124–125) carry their own ids and physical names, so
+  * ADD/RENAME/DROP of a struct field is metadata-only too. Collision
+  * scope for a nested physical name is its ENCLOSING struct (parquet
+  * group members are namespaced per group), and the retired ledger
+  * records nested entries under their full dotted PHYSICAL path — which
+  * is rename-stable, because physical names never change.
+  *
   * Because an ADDed column's physical name is chosen to avoid every
-  * physical name the table has EVER used (live or dropped — the retired
+  * physical name its scope has EVER used (live or dropped — the retired
   * ledger), `DROP COLUMN c` followed by `ADD COLUMNS (c T)` cannot
   * resurrect the dropped bytes: the new column addresses a fresh
   * physical name that no landed file carries, so old files serve the
-  * typed nulls a fresh column promises.
+  * typed nulls a fresh column promises. The same holds one level down:
+  * drop-then-re-add of `main.temp` re-adds under `main.temp_<id>`.
+  *
+  * Structs inside ARRAY/MAP types stay immutable: their elements are
+  * repeated groups whose evolution the engine refuses loudly rather
+  * than approximates.
   *
   * The identity mapping (logical == physical everywhere, the state of
   * every table that never renamed) short-circuits to zero translation on
@@ -42,36 +56,128 @@ private[graft] object ColumnMapping {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(IdKey, id).putString(PhysKey, phys).build())
 
+  /** Every id any field of the schema carries, struct members included —
+    * the enumeration every fresh-id computation must fold, or a nested
+    * id could be silently recycled. */
+  def allIds(schema: StructType): Seq[Long] = schema.fields.toSeq.flatMap {
+    f =>
+      idOf(f).toSeq ++ (f.dataType match {
+        case s: StructType => allIds(s)
+        case _ => Seq.empty
+      })
+  }
+
+  /** Every dotted PHYSICAL path the schema addresses (`main`,
+    * `main.temp`, …) — the live half of the collision set fresh
+    * physical names must avoid. */
+  def allPhysicalPaths(schema: StructType): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      val p = physOf(f)
+      p +: (f.dataType match {
+        case s: StructType => allPhysicalPaths(s).map(n => s"$p.$n")
+        case _ => Seq.empty
+      })
+    }
+
   /** Assign ids + physical names to any field lacking them (CREATE TABLE,
-    * or the first ALTER of a Scala-created table). Fresh fields default to
-    * physical == name; ids continue above every id ever used (live or
-    * retired) so they are never recycled. */
+    * or the first ALTER of a Scala-created table), recursing into struct
+    * members. Fresh fields default to physical == name; ids continue
+    * above every id ever used (live or retired, any depth) so they are
+    * never recycled. */
   def assign(schema: StructType, retiredIds: Seq[Long]): StructType = {
-    var next = (schema.fields.flatMap(idOf) ++ retiredIds).foldLeft(0L)(math.max) + 1
-    StructType(schema.fields.map { f =>
+    var next = (allIds(schema) ++ retiredIds).foldLeft(0L)(math.max) + 1
+    def walk(s: StructType): StructType = StructType(s.fields.map { f0 =>
+      val f = f0.dataType match {
+        case st: StructType => f0.copy(dataType = walk(st))
+        case _ => f0
+      }
       if (idOf(f).isDefined) f
       else { val id = next; next += 1; withKeys(f, id, physOf(f)) }
     })
+    walk(schema)
   }
 
   /** A physical name for a NEW column named `logical`, avoiding every
-    * physical name the table has ever addressed (case-insensitive): the
+    * physical name its scope has ever addressed (case-insensitive): the
     * bare name when free, else `name_<id>` — which no landed file can
-    * carry, making drop-then-re-add resurrection structurally impossible. */
+    * carry, making drop-then-re-add resurrection structurally
+    * impossible. */
   def freshPhysical(logical: String, id: Long,
                     usedPhysicals: Set[String]): String =
     if (!usedPhysicals.contains(logical.toLowerCase)) logical
     else s"${logical}_$id"
 
-  /** Add one field with a fresh id + collision-free physical name. */
-  def addField(schema: StructType, name: String, dt: DataType,
+  /** Add one field — top-level (`path = Seq(name)`) or inside nested
+    * structs (`Seq("main", "humidity")`) — with a fresh id and a
+    * collision-free physical name scoped to the enclosing struct.
+    * `retired` entries are (id, dotted physical path). Parents must be
+    * plain structs; array/map elements refuse. */
+  def addField(schema: StructType, path: Seq[String], dt: DataType,
                retired: Seq[(Long, String)]): StructType = {
+    require(path.nonEmpty, "empty column path")
     val s = assign(schema, retired.map(_._1))
-    val id = (s.fields.flatMap(idOf) ++ retired.map(_._1)).max + 1
-    val used = (s.fields.map(physOf) ++ retired.map(_._2))
-      .map(_.toLowerCase).toSet
-    StructType(s.fields :+ withKeys(
-      StructField(name, dt, nullable = true), id, freshPhysical(name, id, used)))
+    val id = (allIds(s) ++ retired.map(_._1)).max + 1
+    val name = path.last
+    def add(cur: StructType, parents: Seq[String],
+            physPrefix: String): StructType = parents match {
+      case Seq() =>
+        val live = cur.fields.map(f => s"$physPrefix${physOf(f)}")
+        val used = (live.toSeq ++
+          retired.map(_._2).filter(p =>
+            p.toLowerCase.startsWith(physPrefix.toLowerCase) &&
+              !p.drop(physPrefix.length).contains('.')))
+          .map(_.toLowerCase.drop(physPrefix.length)).toSet
+        StructType(cur.fields :+ withKeys(
+          StructField(name, dt, nullable = true), id,
+          freshPhysical(name, id, used)))
+      case head +: rest =>
+        val i = cur.fields.indexWhere(_.name.equalsIgnoreCase(head))
+        require(i >= 0, s"no column '$head'")
+        val f = cur.fields(i)
+        val st = f.dataType match {
+          case t: StructType => t
+          case other => throw new IllegalArgumentException(
+            s"ADD COLUMN ${path.mkString(".")}: '$head' is " +
+              s"${other.simpleString}, not a struct (array/map elements " +
+              "do not evolve)")
+        }
+        val updated = f.copy(dataType =
+          add(st, rest, s"$physPrefix${physOf(f)}."))
+        StructType(cur.fields.updated(i, updated))
+    }
+    add(s, path.init, "")
+  }
+
+  /** Backward-compatible top-level add. */
+  def addField(schema: StructType, name: String, dt: DataType,
+               retired: Seq[(Long, String)]): StructType =
+    addField(schema, Seq(name), dt, retired)
+
+  /** All (id, dotted physical path) entries a field retires when dropped
+    * — a struct retires its members too, so a whole-struct drop keeps
+    * every nested physical path in the ledger. */
+  def retireEntries(f: StructField, physPrefix: String = "")
+      : Seq[(Long, String)] = {
+    val p = s"$physPrefix${physOf(f)}"
+    val own = idOf(f).map(id => (id, p)).toSeq
+    own ++ (f.dataType match {
+      case s: StructType => s.fields.toSeq.flatMap(retireEntries(_, s"$p."))
+      case _ => Seq.empty
+    })
+  }
+
+  /** Strip the mapping metadata (any depth) — the shape comparison
+    * REPLACE TABLE uses to decide whether a column "survives". */
+  private def stripKeys(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map { f =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      mb.remove(IdKey); mb.remove(PhysKey)
+      f.copy(dataType = stripKeys(f.dataType), metadata = mb.build())
+    })
+    case a: ArrayType => a.copy(elementType = stripKeys(a.elementType))
+    case m: MapType => m.copy(keyType = stripKeys(m.keyType),
+      valueType = stripKeys(m.valueType))
+    case other => other
   }
 
   /** REPLACE TABLE's schema assignment: a column whose (name, type)
@@ -79,10 +185,12 @@ private[graft] object ColumnMapping {
     * snapshots keep serving it through time travel — while everything
     * else is a NEW column with a fresh id and a physical name avoiding
     * every name the table has ever addressed (the DROP discipline:
-    * same-name-different-type can never resurrect old bytes). Returns
-    * (declared, retiredNow) where retiredNow are the `cur` fields the
-    * new schema dropped or re-typed — the caller records them in the
-    * retired ledger. */
+    * same-name-different-type can never resurrect old bytes). Type
+    * comparison ignores the mapping metadata itself, so a struct that
+    * merely carries nested ids still survives a same-shape REPLACE.
+    * Returns (declared, retiredNow) where retiredNow are the `cur`
+    * fields the new schema dropped or re-typed — the caller records
+    * them in the retired ledger. */
   def replaceAssign(cur0: StructType, retired: Seq[(Long, String)],
                     newSchema: StructType)
       : (StructType, Seq[(Long, String)]) = {
@@ -90,37 +198,85 @@ private[graft] object ColumnMapping {
     // dropped field can enter the retired ledger
     val cur = assign(cur0, retired.map(_._1))
     val byName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
-    var next =
-      (cur.fields.flatMap(idOf) ++ retired.map(_._1)).foldLeft(0L)(math.max)
+    var next = (allIds(cur) ++ retired.map(_._1)).foldLeft(0L)(math.max)
     val used = scala.collection.mutable.Set(
-      (cur.fields.map(physOf) ++ retired.map(_._2)).map(_.toLowerCase): _*)
+      (allPhysicalPaths(cur) ++ retired.map(_._2)).map(_.toLowerCase): _*)
     val declared = StructType(newSchema.fields.map { f =>
       byName.get(f.name.toLowerCase) match {
-        case Some(old) if old.dataType == f.dataType =>
-          withKeys(f, idOf(old).getOrElse { next += 1; next }, physOf(old))
+        case Some(old)
+            if stripKeys(old.dataType) == stripKeys(f.dataType) =>
+          // survives WITH its nested mapping: the old dataType carries
+          // the member ids/physicals the new (plain) declaration lacks
+          old.copy(name = f.name, nullable = f.nullable,
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong(IdKey, idOf(old).getOrElse { next += 1; next })
+              .putString(PhysKey, physOf(old)).build())
         case _ =>
           next += 1
-          val phys = freshPhysical(f.name, next, used.toSet)
+          val id = next
+          val phys = freshPhysical(f.name, id, used.toSet)
           used += phys.toLowerCase
-          withKeys(f, next, phys)
+          // a fresh struct column's members get fresh ids in the same
+          // pass (assign below would also do it, but do it here so
+          // `next` stays the single id source)
+          val dt = f.dataType match {
+            case st: StructType =>
+              def fresh(s: StructType): StructType =
+                StructType(s.fields.map { g =>
+                  next += 1
+                  val g2 = g.dataType match {
+                    case gs: StructType => g.copy(dataType = fresh(gs))
+                    case _ => g
+                  }
+                  withKeys(g2, next, g2.name)
+                })
+              fresh(st)
+            case other => other
+          }
+          withKeys(f.copy(dataType = dt), id, phys)
       }
     })
-    val keptIds = declared.fields.flatMap(idOf).toSet
-    val retiredNow = cur.fields.flatMap(f =>
-      idOf(f).filterNot(keptIds).map(id => (id, physOf(f))))
-    (declared, retiredNow.toSeq)
+    val keptIds = allIds(declared).toSet
+    val retiredNow = cur.fields.toSeq
+      .flatMap(retireEntries(_))
+      .filterNot { case (id, _) => keptIds(id) }
+    (declared, retiredNow)
   }
 
-  /** logical → physical for fields where the two differ (empty = identity
-    * mapping; every translation path short-circuits on empty). */
+  /** logical → physical for TOP-LEVEL fields where the two differ (empty
+    * = identity mapping; every flat translation path short-circuits on
+    * empty). Nested renames do not enter this map — they translate
+    * structurally through [[physicalType]] / the scan's schema mapping. */
   def renames(schema: StructType): Map[String, String] =
     schema.fields.iterator
       .filter(f => physOf(f) != f.name)
       .map(f => f.name -> physOf(f)).toMap
 
-  /** The schema as data files and stats sidecars see it: physical names,
-    * declared (possibly widened) types — the parquet reader upcasts
-    * narrower old files per SPARK-40876 type promotion. */
+  /** True iff any field BELOW the top level addresses a physical name
+    * different from its logical one — the write path's trigger for the
+    * struct-rebuilding cast (a pure positional relabel otherwise). */
+  def hasNestedRenames(schema: StructType): Boolean = {
+    def inner(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        physOf(f) != f.name || inner(f.dataType))
+      case _ => false
+    }
+    schema.fields.exists(f => inner(f.dataType))
+  }
+
+  /** The dataType as data files carry it: nested fields renamed to their
+    * physical names, recursively. */
+  def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physOf(f), dataType = physicalType(f.dataType))))
+    case other => other
+  }
+
+  /** The schema as data files and stats sidecars see it: physical names
+    * at every depth, declared (possibly widened) types — the parquet
+    * reader upcasts narrower old files per SPARK-40876 type promotion. */
   def physicalSchema(schema: StructType): StructType =
-    StructType(schema.fields.map(f => f.copy(name = physOf(f))))
+    StructType(schema.fields.map(f =>
+      f.copy(name = physOf(f),
+        dataType = physicalType(f.dataType))))
 }

@@ -505,8 +505,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     *    the value's TYPE-SPECIFIC bytes, so a widened probe would
     *    silently stop matching and pruning would drop live files.
     *
+    * ADD / DROP / RENAME apply to NESTED struct members too
+    * (`main.humidity`), with the same metadata-only guarantees: member
+    * ids and physical names are per-field at every depth, collision
+    * scope is the enclosing struct, and the retired ledger records full
+    * dotted physical paths — so a raw-document table (the reference's
+    * `main.temp` / `weather[0].description` shape, weather_etl.py:124–125)
+    * evolves when the API adds a field, with zero rewrites. Array/map
+    * element structs stay immutable.
+    *
     * Everything else (narrowing, string↔number re-types, repositioning,
-    * nested paths) refuses loudly — no silent approximation. */
+    * nested type changes/defaults) refuses loudly — no silent
+    * approximation. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (base, ref) = parseRef(dirOf(ident))
     val dir = ref match {
@@ -589,6 +599,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     def fieldOf(sc: StructType, n: String, what: String): StructField =
       sc.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(s"$what: no column '$n'"))
+    // Navigate to the struct containing a NESTED path's last segment and
+    // apply `f` to it — the seam ADD/DROP/RENAME of a struct member
+    // shares. Parents must be plain structs (array/map elements are
+    // repeated groups; their evolution refuses loudly), addressed by
+    // LOGICAL name; `f` receives the enclosing struct and the dotted
+    // PHYSICAL prefix its members land under.
+    def updateStructAt(sc: StructType, parents: Seq[String], what: String)
+        (f: (StructType, String) => StructType): StructType = {
+      def walk(cur: StructType, rest: Seq[String],
+               physPrefix: String): StructType = rest match {
+        case Seq() => f(cur, physPrefix)
+        case head +: tail =>
+          val i = cur.fields.indexWhere(_.name.equalsIgnoreCase(head))
+          require(i >= 0, s"$what: no column '$head'")
+          val fld = cur.fields(i)
+          val st = fld.dataType match {
+            case t: StructType => t
+            case other => throw new UnsupportedOperationException(
+              s"$what: '$head' is ${other.simpleString}, not a struct — " +
+                "only struct members evolve (array/map elements are " +
+                "immutable)")
+          }
+          StructType(cur.fields.updated(i, fld.copy(dataType =
+            walk(st, tail, s"$physPrefix${ColumnMapping.physOf(fld)}."))))
+      }
+      walk(sc, parents, "")
+    }
     val widenings: Map[DataType, Set[DataType]] = Map(
       ByteType -> Set(ShortType, IntegerType, LongType),
       ShortType -> Set(IntegerType, LongType),
@@ -596,6 +633,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       FloatType -> Set(DoubleType))
     val updated = schemaChanges2.foldLeft(cur) { (sc, ch) =>
       ch match {
+        case add: TableChange.AddColumn if add.fieldNames().length > 1 =>
+          // nested ADD — metadata-only like the top-level one: the new
+          // struct member gets a fresh id + a physical name avoiding
+          // everything its ENCLOSING STRUCT ever addressed, and
+          // pre-evolution files serve typed nulls through the stock
+          // parquet nested-schema-evolution read. No DEFAULT: Spark's
+          // existence-default substitution is a top-level-column
+          // mechanism, so a nested default would be declared but never
+          // served — refuse rather than lie. NOT NULL refuses for the
+          // same reason the un-defaulted top-level add does.
+          val path = add.fieldNames().toSeq
+          val dotted = path.mkString(".")
+          require(add.position() == null,
+            s"ADD COLUMN '$dotted' FIRST/AFTER unsupported: columns " +
+              "append at the end (repositioning is not supported)")
+          require(add.defaultValue() == null,
+            s"ADD COLUMN '$dotted' DEFAULT is unsupported on nested " +
+              "fields: existence defaults substitute at the top level " +
+              "only, so the declaration would never be served")
+          require(add.isNullable,
+            s"ADD COLUMN '$dotted' NOT NULL is unsupported: " +
+              "already-landed files have no value for it")
+          updateStructAt(sc, path.init, s"ADD COLUMN '$dotted'") {
+            (st, _) =>
+              require(!st.fieldNames.exists(_.equalsIgnoreCase(path.last)),
+                s"column '$dotted' already exists")
+              st
+          }
+          ColumnMapping.addField(sc, path, add.dataType(),
+            ops.retiredColumns(dir))
         case add: TableChange.AddColumn =>
           val n = one(add.fieldNames(), "ADD COLUMN")
           require(!sc.fieldNames.exists(_.equalsIgnoreCase(n)),
@@ -639,6 +706,38 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               StructType(added.fields.dropRight(1) :+
                 f0.copy(nullable = add.isNullable, metadata = meta))
           }
+        case del: TableChange.DeleteColumn if del.fieldNames().length > 1 =>
+          // nested DROP — removed from the declared struct and recorded
+          // in the retired ledger under its full dotted PHYSICAL path
+          // (rename-stable), so a later re-add inside the same struct
+          // addresses a fresh physical name and cannot resurrect the
+          // dropped bytes. Files keep the bytes; reads project them away.
+          val path = del.fieldNames().toSeq
+          val dotted = path.mkString(".")
+          def resolves(cur: StructType, rest: Seq[String]): Boolean =
+            rest match {
+              case Seq(last) =>
+                cur.fieldNames.exists(_.equalsIgnoreCase(last))
+              case head +: tail =>
+                cur.fields.find(_.name.equalsIgnoreCase(head))
+                  .map(_.dataType).exists {
+                    case st: StructType => resolves(st, tail)
+                    case _ => false
+                  }
+            }
+          if (del.ifExists() && !resolves(sc, path)) sc
+          else updateStructAt(sc, path.init, s"DROP COLUMN '$dotted'") {
+            (st, physPrefix) =>
+              val f = fieldOf(st, path.last, s"DROP COLUMN '$dotted'")
+              require(st.length > 1,
+                s"cannot drop the last member of struct " +
+                  s"'${path.init.mkString(".")}' — drop the struct " +
+                  "column itself")
+              ColumnMapping.retireEntries(f, physPrefix).foreach {
+                case (id, p) => ops.retireColumn(dir, id, p)
+              }
+              StructType(st.filterNot(_.name.equalsIgnoreCase(path.last)))
+          }
         case del: TableChange.DeleteColumn =>
           val n = one(del.fieldNames(), "DROP COLUMN")
           if (!sc.fieldNames.exists(_.equalsIgnoreCase(n))) {
@@ -660,9 +759,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               s"column '$n' anchors the declared sort.order; clear or " +
                 "re-declare the property before dropping it")
             require(sc.length > 1, "cannot drop a table's last column")
-            ops.retireColumn(dir, ColumnMapping.idOf(f).get,
-              ColumnMapping.physOf(f))
+            // a struct retires its members too (full dotted physical
+            // paths), so re-adding the struct later cannot resurrect
+            // nested bytes either
+            ColumnMapping.retireEntries(f).foreach { case (id, p) =>
+              ops.retireColumn(dir, id, p)
+            }
             StructType(sc.filterNot(_.name.equalsIgnoreCase(n)))
+          }
+        case rn: TableChange.RenameColumn if rn.fieldNames().length > 1 =>
+          // nested RENAME — METADATA-ONLY exactly like the top-level one:
+          // the logical name changes, the physical name (what every file
+          // carries inside the parquet group) never does, so zero files
+          // rewrite and old snapshots stay correct.
+          val path = rn.fieldNames().toSeq
+          val dotted = path.mkString(".")
+          val to = rn.newName()
+          updateStructAt(sc, path.init, s"RENAME COLUMN '$dotted'") {
+            (st, _) =>
+              val f = fieldOf(st, path.last, s"RENAME COLUMN '$dotted'")
+              require(!st.fieldNames.exists(c =>
+                c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(path.last)),
+                s"RENAME COLUMN '$dotted' TO '$to': target name already " +
+                  "exists in the struct")
+              StructType(st.fields.map(x =>
+                if (x.name.equalsIgnoreCase(path.last)) f.copy(name = to)
+                else x))
           }
         case rn: TableChange.RenameColumn =>
           val n = one(rn.fieldNames(), "RENAME COLUMN")
@@ -757,10 +879,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             else x))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
-            "supported: ADD COLUMNS (nullable, top-level), DROP COLUMN, " +
-            "RENAME COLUMN, ALTER COLUMN TYPE (safe widening), ALTER " +
-            "COLUMN SET/DROP NOT NULL, ALTER COLUMN SET/DROP DEFAULT, " +
-            "ADD/DROP CONSTRAINT (CHECK)")
+            "supported: ADD COLUMNS (nullable; incl. struct members), " +
+            "DROP COLUMN (incl. struct members), RENAME COLUMN (incl. " +
+            "struct members), ALTER COLUMN TYPE (safe widening, " +
+            "top-level), ALTER COLUMN SET/DROP NOT NULL, ALTER COLUMN " +
+            "SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK)")
       }
     }
     ops.declareSchema(dir, updated.json)
@@ -1283,10 +1406,11 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
             override def insert(data: SqlDataFrame, ignored: Boolean): Unit = {
               // land under PHYSICAL names: Spark has already resolved the
               // insert to the table schema (logical names, positional), so
-              // the rename is a pure positional relabel
-              val out = if (renames.isEmpty) data
-                else data.toDF(schema.fields.map(f =>
-                  renames.getOrElse(f.name, f.name)).toIndexedSeq: _*)
+              // the relabel is positional — toDF at the top level, and
+              // when a NESTED rename exists, a struct cast (field-
+              // positional, value-preserving, codegen'd) that relabels
+              // the members files must carry
+              val out = GraftCatalog.toPhysicalNames(data, schema)
               VersionedTable.commit(out, dir, append = !overwrite)
               ()
             }
@@ -1400,10 +1524,7 @@ private[sql] class StagedGraftTable(tblName: String, dir: String,
               ops.declareSchema(dir, declared.json)
               GraftCatalog.persistUserProperties(dir, info.properties())
               declaredOnDisk = true
-              val renames = ColumnMapping.renames(declared)
-              val out = if (renames.isEmpty) data
-                else data.toDF(info.schema().fields.map(f =>
-                  renames.getOrElse(f.name, f.name)).toIndexedSeq: _*)
+              val out = GraftCatalog.toPhysicalNames(data, declared)
               VersionedTable.commit(out, dir, append = !replacing)
               committed = true
               ()
@@ -1465,16 +1586,39 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   // commit-enforced, so the served values are non-null regardless of
   // what the file schema claims. toLogical restores the declared
   // nullability so the scan's reported schema keeps the contract.
-  private def toPhys(s: StructType): StructType =
-    StructType(s.fields.map(f =>
-      f.copy(name = renames.getOrElse(f.name, f.name), nullable = true)))
-  private val declaredNullable: Map[String, Boolean] =
-    tableSchema.fields.map(f => f.name -> f.nullable).toMap
-  private def toLogical(s: StructType): StructType =
+  // Both directions translate STRUCTURALLY against the declared schema
+  // (fields matched by name at each level, struct members recursed), so
+  // NESTED renames resolve too — the pruned schema Spark hands over may
+  // be any nested subset of the table schema, and the physical read
+  // schema coming back mirrors it.
+  private def toPhys(s: StructType): StructType = physify(s, tableSchema)
+  private def physify(s: StructType, decl: StructType): StructType =
     StructType(s.fields.map { f =>
-      val ln = backNames.getOrElse(f.name, f.name)
-      f.copy(name = ln,
-        nullable = declaredNullable.getOrElse(ln, f.nullable))
+      decl.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(d) =>
+          val dt = (f.dataType, d.dataType) match {
+            case (fs: StructType, ds: StructType) => physify(fs, ds)
+            case _ => f.dataType
+          }
+          f.copy(name = ColumnMapping.physOf(d), dataType = dt,
+            nullable = true)
+        case None => f.copy(nullable = true)
+      }
+    })
+  private def toLogical(s: StructType): StructType =
+    logify(s, tableSchema)
+  private def logify(s: StructType, decl: StructType): StructType =
+    StructType(s.fields.map { f =>
+      decl.fields.find(d =>
+        ColumnMapping.physOf(d).equalsIgnoreCase(f.name)) match {
+        case Some(d) =>
+          val dt = (f.dataType, d.dataType) match {
+            case (fs: StructType, ds: StructType) => logify(fs, ds)
+            case _ => f.dataType
+          }
+          f.copy(name = d.name, dataType = dt, nullable = d.nullable)
+        case None => f
+      }
     })
   // exprId is preserved by withName, so residual predicates translated
   // back still bind to the plan's original attributes
@@ -2082,6 +2226,34 @@ object GraftCatalog {
   import graft.analytics.Parity
   import graft.sources.Tables
 
+  /** Relabel a write batch to the PHYSICAL names files carry, from the
+    * declared schema's column mapping. Positional (Spark resolved the
+    * insert to the declared order): a table with only top-level renames
+    * gets a pure `toDF` relabel; a table with NESTED renames rebuilds
+    * the affected struct columns with a struct cast — field-positional,
+    * value-preserving, whole-stage-codegen'd — so the parquet groups'
+    * member names match what every reader resolves. Identity mapping
+    * short-circuits to the batch untouched. */
+  private[sql] def toPhysicalNames(data: SqlDataFrame,
+                                   declared: StructType): SqlDataFrame = {
+    val flat = ColumnMapping.renames(declared)
+    val nested = ColumnMapping.hasNestedRenames(declared)
+    if (flat.isEmpty && !nested) data
+    else if (!nested)
+      data.toDF(declared.fields.map(ColumnMapping.physOf).toIndexedSeq: _*)
+    else {
+      val cols = declared.fields.toIndexedSeq.zipWithIndex.map {
+        case (f, i) =>
+          val src = org.apache.spark.sql.functions.col(
+            "`" + data.columns(i).replace("`", "``") + "`")
+          val pt = ColumnMapping.physicalType(f.dataType)
+          val c = if (pt == f.dataType) src else src.cast(pt)
+          c.as(ColumnMapping.physOf(f))
+      }
+      data.select(cols: _*)
+    }
+  }
+
   /** DSv2 partition transform → [[graft.sinks.PartitionTransform]] spec
     * string. Loud on anything the engine has no clustering for. */
   private[sql] def transformSpec(t: Transform): String = {
@@ -2515,6 +2687,58 @@ object GraftCatalog {
         max(col("event_id")).as("max_id"),
         round(Parity.decSum2(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** q_sql_nested_evolution — NESTED struct evolution end-to-end, the
+    * reference's raw-document shape (`main.temp`, weather_etl.py:124–125):
+    * half the events land inside a struct column, then `ADD COLUMNS
+    * (main.score BIGINT)` and `RENAME COLUMN main.temp TO reading`
+    * evolve the STRUCT metadata-only (pinned in-query: the `#files`
+    * inventory is byte-identical across both ALTERs, and the old nested
+    * name refuses) — pre-evolution files serve typed NULLs for the new
+    * member and their values under the renamed one — then the other
+    * half lands with all three members stored. One aggregate over
+    * nested fields of both vintages hash-matches a DuckDB oracle
+    * reconstructing null-vs-stored per row. */
+  def qSqlNestedEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlnested_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(event_id BIGINT, main STRUCT<temp: DOUBLE, kind: STRING>)")
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"),
+        struct(col("value").as("temp"), col("event_type").as("kind"))
+          .as("main"))
+      .createOrReplaceTempView("q_sql_nested_v1")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_nested_v1")
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.score BIGINT)")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO reading")
+    val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    require(filesAfter == filesBefore,
+      "nested ADD+RENAME must be metadata-only (zero files rewritten)")
+    require(scala.util.Try(
+      spark.sql(s"SELECT main.temp FROM graft.`$dir`").collect()).isFailure,
+      "the old nested name must not resolve after RENAME")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"),
+        struct(col("value").as("reading"), col("event_type").as("kind"),
+          (col("event_id") % 97).as("score")).as("main"))
+      .createOrReplaceTempView("q_sql_nested_v2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_nested_v2")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(col("main.kind").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        count(col("main.score")).as("n_scored"),
+        sum(col("main.score")).as("sum_score"),
+        round(Parity.decSum2(col("main.reading")), 2).as("sum_reading"))
+      .orderBy(col("kind"))
   }
 
   /** q_sql_default — ADD COLUMN DEFAULT + declared NOT NULL end-to-end:
@@ -3249,6 +3473,7 @@ object GraftCatalog {
     "q_sql_fastagg" -> (qSqlFastAgg _),
     "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_rename" -> (qSqlRename _),
+    "q_sql_nested_evolution" -> (qSqlNestedEvolution _),
     "q_sql_default" -> (qSqlDefault _),
     "q_sql_constraint" -> (qSqlConstraint _),
     "q_sql_merge_full" -> (qSqlMergeFull _),
@@ -3388,6 +3613,22 @@ object GraftCatalog {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_sql_nested_evolution" ->
+      """WITH evolved AS (
+        |  SELECT event_type AS kind, value AS reading,
+        |    CAST(NULL AS BIGINT) AS score
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, value, event_id % 97
+        |  FROM events WHERE event_id % 2 = 1
+        |)
+        |SELECT kind, COUNT(*) AS n, COUNT(score) AS n_scored,
+        |  CAST(SUM(score) AS BIGINT) AS sum_score,
+        |  ROUND(CAST(SUM(CAST(reading AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_reading
+        |FROM evolved
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin,
     "q_sql_default" ->
       """WITH evolved AS (
         |  SELECT event_type, value, 7 AS score, 'c' AS grade

@@ -167,6 +167,115 @@ class RenameWidenSpec extends SparkSpec {
       "bucket transform")
   }
 
+  test("nested evolution is metadata-only: ADD + RENAME inside a struct, " +
+    "pre-evolution files serve typed nulls and the new names") {
+    register()
+    val dir = tmpDir("rw-nested") + "/t"
+    // the reference's raw-document shape: a struct column an API can grow
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, pressure: BIGINT>)")
+    spark.range(0, 6).select(col("id"),
+        struct((col("id") * 1.5).as("temp"), (col("id") + 1000).as("pressure"))
+          .as("main"))
+      .createOrReplaceTempView("rw_nested_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_nested_src")
+    val before = filesOf(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.humidity BIGINT)")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO temperature")
+    assert(filesOf(dir) == before, "nested evolution rewrote files")
+    // pre-evolution files: new member reads as typed NULL, renamed member
+    // serves its values under the new logical name
+    val old = spark.sql(s"SELECT id, main.temperature, main.humidity " +
+      s"FROM graft.`$dir`").collect()
+    assert(old.length == 6)
+    assert(old.forall(_.isNullAt(2)), "pre-evolution rows must serve NULL")
+    assert(old.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .forall { case (i, t) => t == i * 1.5 })
+    // post-evolution insert lands under the FIXED physical names; both
+    // vintages serve through one schema, filters resolve
+    spark.range(6, 9).select(col("id"),
+        struct((col("id") * 1.5).as("temperature"),
+          (col("id") + 1000).as("pressure"),
+          (col("id") * 10).as("humidity")).as("main"))
+      .createOrReplaceTempView("rw_nested_src2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_nested_src2")
+    val agg = spark.sql(s"SELECT COUNT(*) AS n, SUM(main.humidity) AS h, " +
+      s"SUM(main.temperature) AS t FROM graft.`$dir`").head()
+    assert(agg.getLong(0) == 9)
+    assert(agg.getLong(1) == (6 to 8).map(_ * 10L).sum)
+    assert(agg.getDouble(2) == (0 to 8).map(_ * 1.5).sum)
+    assert(spark.sql(s"SELECT id FROM graft.`$dir` " +
+      "WHERE main.humidity = 70").as[Long].collect().toSeq == Seq(7L))
+    // the old nested name is gone
+    assert(scala.util.Try(spark.sql(
+      s"SELECT main.temp FROM graft.`$dir`").collect()).isFailure)
+  }
+
+  test("nested DROP then re-ADD serves typed nulls, never the dropped " +
+    "member's stale bytes; evolution composes with a parent rename") {
+    register()
+    val dir = tmpDir("rw-nested-readd") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, note: STRING>)")
+    spark.range(0, 4).select(col("id"),
+        struct((col("id") * 2.0).as("temp"),
+          concat(lit("old-"), col("id")).as("note")).as("main"))
+      .createOrReplaceTempView("rw_nreadd_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_nreadd_src")
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN main.note")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.note STRING)")
+    // resurrection hazard: the re-added member must address a FRESH
+    // physical name inside the struct, so old files serve NULL
+    assert(spark.sql(s"SELECT COUNT(main.note) FROM graft.`$dir`")
+      .head().getLong(0) == 0L,
+      "re-added struct member resurrected dropped bytes")
+    // rename the PARENT struct; nested physical paths anchor to the
+    // parent's PHYSICAL name, so the mapping survives
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main TO doc")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (doc.extra BIGINT)")
+    Seq((100L, (9.0, "new", 7L))).toDF("id", "doc")
+      .createOrReplaceTempView("rw_nreadd_src2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_nreadd_src2")
+    val got = spark.sql(s"SELECT doc.note, doc.extra FROM graft.`$dir` " +
+      "WHERE doc.note IS NOT NULL").collect()
+    assert(got.length == 1 && got.head.getString(0) == "new" &&
+      got.head.getLong(1) == 7L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir` " +
+      "WHERE doc.extra IS NULL").head().getLong(0) == 4L)
+  }
+
+  test("nested evolution refusals: DEFAULT/NOT NULL on a nested add, " +
+    "rename collision, array elements, nested widen, last member") {
+    register()
+    val dir = tmpDir("rw-nested-refuse") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, pressure: BIGINT>, " +
+      "tags ARRAY<STRUCT<k: STRING>>, lone STRUCT<only: BIGINT>)")
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected failure containing '$frag', got: ${msgs(e).mkString(" | ")}")
+    }
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(main.rh BIGINT DEFAULT 50)", "top level")
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(main.rh BIGINT NOT NULL)", "NOT NULL")
+    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO pressure",
+      "already exists")
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.temp STRING)",
+      "already exists")
+    // array elements are immutable — the struct inside `tags` can't grow
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (tags.element.x INT)",
+      "not a struct")
+    refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.pressure TYPE " +
+      "DOUBLE", "nested")
+    refuses(s"ALTER TABLE graft.`$dir` DROP COLUMN lone.only",
+      "last member")
+  }
+
   test("CREATE TABLE refuses ref fragments (branch/tag/metadata views)") {
     register()
     val dir = tmpDir("rw-frag") + "/t"
