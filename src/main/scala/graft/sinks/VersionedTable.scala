@@ -2315,9 +2315,39 @@ class VersionedTableOps(protected val io: TableIO) {
       predicates)
   }
 
+  /** Predicate-scoped MULTI-KEY clustering — [[optimizeZorder]]
+    * restricted to the files a conjunctive `(column, lo, hi)` scope
+    * ADMITS through the stats layer, exactly [[compactWhere]]'s
+    * admission (and its degenerate-scope refusals: un-encodable bounds,
+    * a type-family mismatch, or a column with no range stats would
+    * silently admit — and rewrite — the whole table, so they refuse
+    * loudly). The 100 TB shape this exists for: a hot slice (today's
+    * partition, one tenant's key range) that needs genuinely
+    * multi-dimensional layout gets it at O(slice) — every in-scope live
+    * file rewrites range-partitioned and sorted by the Morton value of
+    * `zCols` ([[Layout.writeZordered]]), while out-of-scope files
+    * survive byte-identical; [[optimizeZorder]]'s whole-table rewrite
+    * stays for global re-layout. Output file count is sized by
+    * `targetBytes` like every compaction. Deletes touching the rewritten
+    * files materialize; vectors for kept files consolidate and carry;
+    * stats for `zCols` are recorded alongside the head's tracked columns
+    * (clustering without stats would skip nothing). SQL:
+    * `CALL graft.zorder_where(dir, column, lo, hi, zcols, target_bytes)`. */
+  def zorderWhere(spark: SparkSession, dir: String,
+                  predicates: Seq[(String, Any, Any)], zCols: Seq[String],
+                  targetBytes: Long, bitsPerDim: Int = 6): Int = {
+    require(predicates.nonEmpty,
+      "zorderWhere needs at least one (column, lo, hi) predicate; " +
+        "use optimizeZorder() for the whole table")
+    require(zCols.nonEmpty, "zorderWhere needs at least one cluster column")
+    compactScoped(spark, dir, targetBytes, minInputFiles = 1,
+      statCols = Seq.empty, predicates, zorder = Some((zCols, bitsPerDim)))
+  }
+
   private def compactScoped(spark: SparkSession, dir: String,
       targetBytes: Long, minInputFiles: Int, statCols: Seq[String],
-      scope: Seq[(String, Any, Any)]): Int = retryingShape(3) {
+      scope: Seq[(String, Any, Any)],
+      zorder: Option[(Seq[String], Int)] = None): Int = retryingShape(3) {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
@@ -2328,20 +2358,21 @@ class VersionedTableOps(protected val io: TableIO) {
     // turning the "O(hot slice)" call into a full-table rewrite. Refuse
     // loudly instead: the superset guarantee is fine for a scan, but a
     // rewrite's cost must never ride on a degenerate admission.
+    val what = if (zorder.isDefined) "zorderWhere" else "compactWhere"
     scope.foreach { case (c, lo, hi) =>
       val fam = (StatValue.encodeBound(lo), StatValue.encodeBound(hi)) match {
         case (Some((tl, _)), Some((th, _))) if tl == th => tl
         case _ => throw new IllegalArgumentException(
-          s"compactWhere: bounds for '$c' ($lo .. $hi) are not " +
+          s"$what: bounds for '$c' ($lo .. $hi) are not " +
             "stats-comparable; pass values of the column's own type")
       }
       val tags = statsOf(dir, head, c).values.map(_._1).toSet
       require(tags.nonEmpty,
-        s"compactWhere: column '$c' has no range stats at v$head of " +
+        s"$what: column '$c' has no range stats at v$head of " +
           s"$dir — writeStats first, or the scope would admit (and " +
           "rewrite) the whole table")
       require(tags == Set(fam),
-        s"compactWhere: '$c' bounds are $fam but its stats are " +
+        s"$what: '$c' bounds are $fam but its stats are " +
           s"${tags.mkString(",")} — a mismatched probe admits everything")
     }
     // scope admission re-resolves per OCC attempt — a retry against a
@@ -2349,8 +2380,11 @@ class VersionedTableOps(protected val io: TableIO) {
     val inScope: String => Boolean =
       if (scope.isEmpty) _ => true
       else prunedFilesAll(dir, head, scope).toSet
+    // a z-order pass rewrites EVERY admitted file regardless of size —
+    // re-layout is the point, not bin-packing — while a plain compact
+    // only gathers the under-target ones
     val small = filesOf(dir, head)
-      .filter(f => inScope(f) && io.size(f) < targetBytes)
+      .filter(f => inScope(f) && (zorder.isDefined || io.size(f) < targetBytes))
     val delsAtStart = delFilesOf(dir, head)
     val eqsAtStart = eqDelsOf(dir, head)
     // minInputFiles is a bin-packing heuristic; it must not veto a
@@ -2401,12 +2435,19 @@ class VersionedTableOps(protected val io: TableIO) {
     // the declared sort order rides every compaction: range-partition on
     // the sort key (globally disjoint file ranges, so min/max pruning
     // actually skips) + local sort (row-group stats tighten too); absent
-    // a declaration the rewrite is a plain bin-pack as before
-    if (sortCols.nonEmpty)
-      live.repartitionByRange(numOut, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.parquet(batchDir)
-    else live.coalesce(numOut).write.parquet(batchDir)
+    // a declaration the rewrite is a plain bin-pack as before. A z-order
+    // pass clusters by the Morton value instead — multi-dimensional
+    // layout IS the request, so it overrides the declared prefix order
+    // for the rewritten slice.
+    zorder match {
+      case Some((zc, bits)) =>
+        Layout.writeZordered(live, zc, batchDir, numOut, bits)
+      case None if sortCols.nonEmpty =>
+        live.repartitionByRange(numOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.parquet(batchDir)
+      case None => live.coalesce(numOut).write.parquet(batchDir)
+    }
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
     // delete rows still referencing KEPT files survive, consolidated into
@@ -2435,7 +2476,7 @@ class VersionedTableOps(protected val io: TableIO) {
     // is worthless if no range stats record it)
     val cols =
       ((if (statCols.nonEmpty) statCols else statColsOf(dir, head)) ++
-        sortCols).distinct
+        sortCols ++ zorder.toSeq.flatMap(_._1)).distinct
     val newStats =
       if (cols.isEmpty) rowsLines(spark, newFiles)
       else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))

@@ -1054,6 +1054,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       "Rewrite live rows z-ordered on comma-separated cols; delete-free")(
       (s, a) => ops.optimizeZorder(s, a(0),
         a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)),
+    Proc("zorder_where",
+      Seq("dir", "column", "lo", "hi", "zcols", "target_bytes"),
+      "Scoped multi-key clustering: only files whose [column] stats may " +
+        "intersect [lo, hi] rewrite z-ordered on comma-separated zcols — " +
+        "O(hot slice), never O(table)")(
+      (s, a) => {
+        // bound typing + logical→physical resolution: the compact_where
+        // discipline verbatim (a string bound against a numeric column
+        // would silently admit everything)
+        val sc = ops.declaredSchema(a(0))
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(ops.vintageSchema(s, a(0), ops.versions(a(0)).last))
+        def phys(n: String, what: String): StructField =
+          sc.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+            throw new IllegalArgumentException(
+              s"zorder_where: no $what column '$n' in ${a(0)}"))
+        val f = phys(a(1), "scope")
+        val r = s.range(1)
+          .select(org.apache.spark.sql.functions.lit(a(2)).cast(f.dataType),
+            org.apache.spark.sql.functions.lit(a(3)).cast(f.dataType))
+          .head()
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"zorder_where: bounds '${a(2)}'..'${a(3)}' do not cast to " +
+            s"${f.dataType.simpleString}")
+        val zCols = a(4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          .map(c => ColumnMapping.physOf(phys(c, "cluster")))
+        ops.zorderWhere(s, a(0),
+          Seq((ColumnMapping.physOf(f), r.get(0), r.get(1))), zCols,
+          a(5).toLong)
+      }),
     Proc("rollback", Seq("dir", "to_version"),
       "Restore an old file set as a new inspectable version")(
       (_, a) => ops.rollback(a(0), a(1).toInt)),
@@ -3459,7 +3489,65 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_zorder_where — scoped MULTI-KEY clustering under the oracle
+    * gate: events lands as three disjoint event_id bands of two
+    * arrival-ordered files each, `CALL zorder_where` re-lays out ONE
+    * band z-ordered on (event_id, value) — pinned in-query: exactly that
+    * band rewrites (every other file survives at its original path, the
+    * O(slice) contract) AND a narrow probe on EACH z-column skips some
+    * of the new z-files (multi-dimensional layout actually prunes, on
+    * both dimensions) — then the hash-matched aggregate reads THROUGH
+    * the pruned path: the final WHERE carries both z-columns. At 100 TB
+    * this is clustering a hot slice without touching the other 10^5
+    * files' worth of history — optimizeZorder's whole-table rewrite
+    * stays for global re-layout. */
+  def qSqlZorderWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val (ev, dir) = eventsTmp(spark, sfDir, "graft_sqlzw_")
+    val hi = ev.agg(max("event_id")).head().getLong(0)
+    val cut = hi / 3 + 1
+    (0 until 3).foreach(i => VersionedTable.commit(
+      ev.filter(col("event_id") >= i * cut &&
+        col("event_id") < (i + 1) * cut).repartition(2), dir))
+    val v0 = VersionedTable.versions(dir).last
+    VersionedTable.writeStats(spark, dir, v0, Seq("event_id"))
+    val before = VersionedTable.prunedFiles(dir, v0,
+      "event_id", Long.MinValue, Long.MaxValue)
+    val band0 = VersionedTable.prunedFiles(dir, v0,
+      "event_id", 0L, cut - 1).toSet
+    require(before.size == 6 && band0.size == 2,
+      s"fixture shape: ${before.size} files, band0 ${band0.size}")
+    val bandBytes = band0.toSeq.map(f => new java.io.File(f).length).sum
+    spark.sql(s"CALL graft.zorder_where('$dir', 'event_id', '0', " +
+      s"'${cut - 1}', 'event_id,value', '${math.max(1L, bandBytes / 6)}')")
+      .collect()
+    val v1 = VersionedTable.versions(dir).last
+    val after = VersionedTable.prunedFiles(dir, v1,
+      "event_id", Long.MinValue, Long.MaxValue)
+    val kept = before.toSet -- band0
+    require(kept.subsetOf(after.toSet),
+      "out-of-scope files must survive at their original paths")
+    val zFiles = (after.toSet -- kept).toSeq
+    require(zFiles.size >= 4, s"z-rewrite produced ${zFiles.size} files")
+    val idAdmit = VersionedTable.prunedFiles(dir, v1,
+      "event_id", 0L, cut / 8).toSet
+    require(zFiles.count(idAdmit) < zFiles.size,
+      "event_id probe skipped nothing inside the z-scope")
+    val vAdmit = VersionedTable.prunedFiles(dir, v1,
+      "value", 0.0d, 30.0d).toSet
+    require(zFiles.count(vAdmit) < zFiles.size,
+      "value probe skipped nothing inside the z-scope")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .filter(col("event_id") < cut / 4 &&
+        col("value").between(5.0, 60.0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_zorder_where" -> (qSqlZorderWhere _),
     "q_sql_compact_where" -> (qSqlCompactWhere _),
     "q_sql_group" -> (qSqlGroup _),
     "q_sql_colstats" -> (qSqlColstats _),
@@ -3489,6 +3577,15 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_zorder_where" ->
+      """WITH m AS (SELECT MAX(event_id) // 3 + 1 AS cut FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events, m
+        |WHERE event_id < m.cut // 4 AND value BETWEEN 5.0 AND 60.0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_compact_where" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
