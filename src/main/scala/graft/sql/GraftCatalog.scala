@@ -1183,6 +1183,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // table readable as graft.`out_dir`) and returns the committed
     // version — results never collect to the driver, so the procedures
     // scale exactly as their Scala twins do ----
+    Proc("asof_join",
+      Seq("left_view", "right_view", "left_key", "left_ts", "right_key",
+        "right_ts", "out_dir", "direction"),
+      "Land the as-of join of two views: for every left row, the latest " +
+        "right row with the same key and right_ts <= left_ts " +
+        "(direction 'backward'), or the earliest with right_ts >= " +
+        "left_ts ('forward'). Left-outer; right-side ts ties must be " +
+        "pre-deduped. The engine's sorted-merge AsOfJoinExec — one " +
+        "shuffle + sort per side, never an inequality-join explosion")(
+      (s, a) => {
+        val (left, right) = (s.table(a(0)), s.table(a(1)))
+        val out = a(7).toLowerCase(java.util.Locale.ROOT) match {
+          case "backward" =>
+            graft.operators.AsOf.join(left, right, a(2), a(3), a(4), a(5))
+          case "forward" =>
+            graft.operators.AsOf.joinForward(left, right, a(2), a(3),
+              a(4), a(5))
+          case other => throw new IllegalArgumentException(
+            s"asof_join direction must be 'backward' or 'forward': '$other'")
+        }
+        ops.commit(out, a(6), append = false)
+      }),
     Proc("dedup_ngram", Seq("docs_view", "out_dir", "k", "max_df"),
       "Land all n-gram Jaccard near-dup pairs (id_a, id_b, common, " +
         "jaccard) of a (doc_id, text) view; max_df <= 0 disables the " +
@@ -3546,7 +3568,36 @@ object GraftCatalog {
       .orderBy(col("event_type"))
   }
 
+  /** q_sql_asof — the engine's one custom relational operator through
+    * its SQL front door: `CALL graft.asof_join(...)` lands the sorted-
+    * merge as-of join of two views through the table protocol (the
+    * ext-procedure pattern), and the landed table hash-matches DuckDB's
+    * NATIVE `ASOF LEFT JOIN` — [[graft.operators.AsOf.qAsofJoin]]'s
+    * oracle verbatim, so the Scala DSL and the SQL door provably compute
+    * the same operator. */
+  def qSqlAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .createOrReplaceTempView("q_sql_asof_purchases")
+    ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+      .agg(org.apache.spark.sql.functions.min(col("event_id"))
+        .as("signup_event_id"))
+      .createOrReplaceTempView("q_sql_asof_signups")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlasof_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CALL graft.asof_join('q_sql_asof_purchases', " +
+      "'q_sql_asof_signups', 'user_id', 'ts', 's_user_id', 's_ts', " +
+      s"'$dir', 'backward')").collect()
+    spark.sql(s"SELECT event_id, user_id, signup_event_id " +
+      s"FROM graft.`$dir` ORDER BY event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_asof" -> (qSqlAsof _),
     "q_sql_zorder_where" -> (qSqlZorderWhere _),
     "q_sql_compact_where" -> (qSqlCompactWhere _),
     "q_sql_group" -> (qSqlGroup _),
@@ -3577,6 +3628,9 @@ object GraftCatalog {
     "q_sql_update" -> (qSqlUpdate _))
 
   val oracles: Map[String, String] = Map(
+    // the SQL door provably computes the same operator as the Scala DSL:
+    // one oracle, shared verbatim (DuckDB's native ASOF LEFT JOIN)
+    "q_sql_asof" -> graft.operators.AsOf.oracles("q_asof_join"),
     "q_sql_zorder_where" ->
       """WITH m AS (SELECT MAX(event_id) // 3 + 1 AS cut FROM events)
         |SELECT event_type, COUNT(*) AS n,
