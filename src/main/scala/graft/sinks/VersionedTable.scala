@@ -911,6 +911,63 @@ class VersionedTableOps(protected val io: TableIO) {
     }
   }
 
+  private def analyzeCountPath(dir: String) =
+    s"${manifestDir(dir)}/analyzecount"
+
+  /** Landing-cadence auto-ANALYZE (the `stats.auto.rows` table
+    * property) — the CBO-stats twin of [[maybeAutoCompact]], completing
+    * the "maintenance rides the landing cadence" story: an advisory
+    * counter next to the manifests accumulates rows landed since the
+    * last ANALYZE, and the commit that crosses the threshold pays one
+    * [[writeStats]] pass over the head (NDV + null counts + KLL
+    * histograms for `stats.auto.cols`, falling back to the head's
+    * already-tracked stat columns) and resets. Plans between refreshes
+    * fall back to defaults — never wrong, just unpriced — so the
+    * threshold trades planner freshness against the ANALYZE scan cost,
+    * exactly the trade `stats.cbo=true` (every landing) and manual
+    * `CALL write_stats` (operator cadence) bracket. Failures restore
+    * the counter, log at warn, and never fail the landing that
+    * triggered them. */
+  private def maybeAutoAnalyze(spark: SparkSession, dir: String,
+                               rowsLanded: Long): Unit = {
+    val props = tableProperties(dir)
+    props.get("stats.auto.rows").flatMap(_.toLongOption).filter(_ > 0)
+      .foreach { t =>
+        val cur =
+          if (!io.exists(analyzeCountPath(dir))) 0L
+          else io.readLines(analyzeCountPath(dir)).headOption
+            .flatMap(_.toLongOption).getOrElse(0L)
+        val acc = cur + rowsLanded
+        if (acc < t)
+          io.writeLines(analyzeCountPath(dir), Seq(acc.toString))
+        else {
+          io.writeLines(analyzeCountPath(dir), Seq("0"))
+          try {
+            val head = versions(dir).last
+            val cols = props.get("stats.auto.cols").toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty) match {
+              case Seq() => statColsOf(dir, head)
+              case cs => cs
+            }
+            if (cols.nonEmpty) writeStats(spark, dir, head, cols)
+            else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"stats.auto.rows is set on '$dir' but there are no " +
+                "columns to ANALYZE — set stats.auto.cols or land " +
+                "stats-tracked data first")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              // opportunistic maintenance never fails the landing; the
+              // restored counter makes the next landing retry exactly
+              io.writeLines(analyzeCountPath(dir), Seq(acc.toString))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"auto-ANALYZE of '$dir' failed; CBO stats stay stale " +
+                  s"until the next landing or CALL write_stats: " +
+                  s"${e.getMessage}")
+          }
+        }
+      }
+  }
+
   /** Retention-policy auto-expire (the `retention.keep.last` table
     * property): landing-time advisory GC completing the self-maintaining
     * table story (land → auto-compact → auto-expire). A pass only
@@ -1033,6 +1090,7 @@ class VersionedTableOps(protected val io: TableIO) {
         hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
       val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
       maybeAutoExpire(dir)
+      maybeAutoAnalyze(df.sparkSession, dir, sumRows(rowsNew))
       maybeAutoRefresh(df.sparkSession, dir)
       out
     } else {
@@ -1045,6 +1103,7 @@ class VersionedTableOps(protected val io: TableIO) {
         io.writeLines(smallCountPath(dir), Seq("0"))
       val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
       maybeAutoExpire(dir)
+      maybeAutoAnalyze(df.sparkSession, dir, sumRows(rowsNew))
       maybeAutoRefresh(df.sparkSession, dir)
       out
     }
