@@ -200,7 +200,7 @@ object TableStreamSource {
     * transition produced the row — the stream's provenance column, and
     * the replay anchor: a row's identity is (key, op, version), so a
     * redelivered micro-batch re-serves exactly the same rows). */
-  private[sources] val cdfColumns: Seq[org.apache.spark.sql.types.StructField] =
+  private[graft] val cdfColumns: Seq[org.apache.spark.sql.types.StructField] =
     Seq(org.apache.spark.sql.types.StructField("op",
           org.apache.spark.sql.types.StringType, nullable = true),
         org.apache.spark.sql.types.StructField("_commit_version",
@@ -231,6 +231,65 @@ object TableStreamSource {
     require(sv.isEmpty || st.isEmpty,
       "set startingVersion OR startingTimestamp, not both")
     sv.orElse(st).getOrElse(1)
+  }
+
+  /** The keyed change-data feed for the version range `(base, endV]` —
+    * the shared core the STREAMING source (cdfBatch) and the SQL
+    * `#cdf=A..B` read fragment both serve, so the two doors provably
+    * compute the same feed: the union of PER-VERSION-TRANSITION diffs
+    * (a consumer sees every intermediate state change, not one net diff),
+    * each transition replay-deterministic between two PINNED snapshots.
+    * A transition whose predecessor was expired serves its whole
+    * snapshot as `i` rows; a pure-append transition serves its appended
+    * files directly (O(delta), no diff); only a genuinely rewriting
+    * transition pays the keyed diff.
+    *
+    * `fresh = false` (a pinned range, or a checkpointed offset) REFUSES
+    * when `base` has been expired: the gap's deletes/updates are
+    * unrecoverable, and quietly re-serving the first retained snapshot
+    * as inserts would diverge a replica forever. A FRESH consumer
+    * (`fresh = true`) legally catches up snapshot-as-inserts. */
+  private[graft] def cdfSlice(spark: SparkSession, dir: String,
+      changeKey: String, base: Int, endV: Int,
+      fresh: Boolean): DataFrame = {
+    val vs = VersionedTable.versions(dir)
+    require(fresh || base == 0 || vs.headOption.forall(base >= _),
+      s"change-feed start v$base of $dir has been expired (oldest " +
+        s"retained: v${vs.headOption.getOrElse(0)}): deletes between " +
+        "them are unrecoverable. Re-sync the consumer from a fresh " +
+        "snapshot (a range starting at 0 serves it as inserts).")
+    val targets = vs.filter(v => v > base && v <= endV)
+    if (targets.isEmpty) {
+      val anchor = if (endV > 0 && vs.contains(endV)) endV else vs.head
+      tagInserts(VersionedTable.read(spark, dir, Some(anchor)).limit(0), 0)
+    }
+    // allowMissingColumns: transitions on either side of an ADD COLUMN
+    // boundary carry different vintage schemas; the streaming side
+    // conforms to its pinned schema afterward, the SQL side serves the
+    // union shape (missing members as nulls)
+    else targets.map(v => cdfTransition(spark, dir, changeKey, v, vs))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def cdfTransition(spark: SparkSession, dir: String,
+      changeKey: String, v: Int, vs: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    vs.takeWhile(_ < v).lastOption match {
+      case None =>
+        tagInserts(VersionedTable.read(spark, dir, Some(v)), v)
+      case Some(p) if VersionedTable.isPureAppend(dir, p, v) =>
+        tagInserts(VersionedTable.readChanges(spark, dir, p, v), v)
+      case Some(p) =>
+        VersionedTable.changeFeed(spark, dir, changeKey, p, v)
+          .withColumn("_commit_version", lit(v.toLong))
+    }
+  }
+
+  private def tagInserts(df: org.apache.spark.sql.DataFrame,
+                         v: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("op", lit("i"))
+      .withColumn("_commit_version", lit(v.toLong))
   }
 
   /** The last source version a dead query FULLY consumed, recovered from
@@ -513,54 +572,18 @@ private[sources] class TableVersionSource(sqlContext: SQLContext,
     * semantics. A pure-append transition serves its appended files
     * directly (O(delta), no diff). Only a genuinely rewriting
     * transition pays the keyed diff. */
-  private def cdfBatch(sV: Int, endV: Int): DataFrame = {
-    val vs = ops.versions(dir)
-    // a CHECKPOINTED consumer whose offset version has been expired must
-    // refuse: the gap's deletes/updates are unrecoverable, and quietly
-    // re-serving the first retained snapshot as `i` rows would diverge a
-    // replica forever (keys deleted in the gap come back). A FRESH
-    // consumer is different — snapshot-as-inserts converges an empty
-    // replica, so catch-up stays legal there. The plain stream fails
-    // loudly on the same gap; the feed must too.
-    require(sV == 0 || vs.headOption.forall(sV >= _),
-      s"change-feed offset v$sV of $dir has been expired (oldest " +
-        s"retained: v${vs.headOption.getOrElse(0)}): deletes between " +
-        "them are unrecoverable. Restart from a fresh checkpoint and " +
-        "re-sync the consumer (the initial snapshot serves as inserts).")
-    val base = if (sV > 0) sV else startingVersion - 1
-    val targets = vs.filter(v => v > base && v <= endV)
-    if (targets.isEmpty) {
-      val anchor = if (endV > 0 && vs.contains(endV)) endV else vs.head
-      tagInserts(ops.read(spark, dir, Some(anchor)).limit(0), 0)
-    }
-    // allowMissingColumns: transitions on either side of an ADD COLUMN
-    // boundary carry different vintage schemas (read/readChanges infer
-    // from the files), and a strict union would refuse the catch-up
-    // batch outright. Missing columns union as nulls here; `conform`
-    // then projects/null-fills the result to the query's PINNED schema,
-    // so the relaxation never leaks a wider vintage downstream.
-    else targets.map(v => cdfTransition(v, vs))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-  }
-
-  private def cdfTransition(v: Int, vs: Seq[Int]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    vs.takeWhile(_ < v).lastOption match {
-      case None =>
-        tagInserts(ops.read(spark, dir, Some(v)), v)
-      case Some(p) if ops.isPureAppend(dir, p, v) =>
-        tagInserts(ops.readChanges(spark, dir, p, v), v)
-      case Some(p) =>
-        ops.changeFeed(spark, dir, changeKey.get, p, v)
-          .withColumn("_commit_version", lit(v.toLong))
-    }
-  }
-
-  private def tagInserts(df: DataFrame, v: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    df.withColumn("op", lit("i"))
-      .withColumn("_commit_version", lit(v.toLong))
-  }
+  /** A CHECKPOINTED consumer whose offset version has been expired must
+    * refuse (the shared [[TableStreamSource.cdfSlice]] refusal): the
+    * gap's deletes/updates are unrecoverable, and quietly re-serving the
+    * first retained snapshot as `i` rows would diverge a replica forever
+    * (keys deleted in the gap come back). A FRESH consumer is different —
+    * snapshot-as-inserts converges an empty replica, so catch-up stays
+    * legal there. The streaming side then `conform`s each batch to the
+    * query's pinned schema. */
+  private def cdfBatch(sV: Int, endV: Int): DataFrame =
+    TableStreamSource.cdfSlice(spark, dir, changeKey.get,
+      base = if (sV > 0) sV else startingVersion - 1, endV = endV,
+      fresh = sV == 0)
 
   /** Schema conformance per micro-batch — every batch is served AT the
     * query's pinned schema, the explicit-schema read discipline of

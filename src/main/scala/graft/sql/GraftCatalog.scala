@@ -146,6 +146,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private case object RefSegments extends Ref
   private case object RefColStats extends Ref
   private case class RefChanges(from: Int, to: Int) extends Ref
+  private case class RefCdf(from: Int, to: Int) extends Ref
   private case class RefGroupTable(alias: String) extends Ref
   private case object RefMembers extends Ref
 
@@ -177,6 +178,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             s"malformed changes fragment '#$s' — expected " +
               "'#changes=<fromVersion>..<toVersion>'")
         }
+      case s if s.startsWith("cdf=") =>
+        // `#cdf=A..B`: the KEYED i/u/d change feed across the version
+        // transitions in (A, B] — the streaming reader's feed as a
+        // read-only SQL handle (keyed by the `cdf.key` table property)
+        s.drop(4).split("""\.\.""", -1) match {
+          case Array(a, b) if a.nonEmpty && b.nonEmpty &&
+              a.forall(_.isDigit) && b.forall(_.isDigit) =>
+            (raw.substring(0, i), RefCdf(a.toInt, b.toInt))
+          case _ => throw new IllegalArgumentException(
+            s"malformed cdf fragment '#$s' — expected " +
+              "'#cdf=<fromVersion>..<toVersion>'")
+        }
       case _ => (raw, RefHead)
     }
   }
@@ -205,6 +218,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case RefChanges(_, _) =>
         throw new UnsupportedOperationException(
           "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
+      case RefCdf(_, _) =>
+        throw new UnsupportedOperationException(
+          "a '#cdf=' range pins both endpoints; AS OF cannot re-pin")
       case RefGroupTable(_) =>
         throw new UnsupportedOperationException(
           "a snapshot-group handle is read-only; mutate the member " +
@@ -262,6 +278,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         val (gv, gFiles, gDebt) = ops.snapshotInfo(m.dir, Some(m.version))
         return new GraftTable(s"$catName.$base#table=$alias", spark,
           catName, m.dir, gv, gFiles, gDebt, declaredG, readOnly = true)
+      case (base, RefCdf(a, b)) =>
+        // the KEYED i/u/d feed across (a, b] — the exact per-transition
+        // union the streaming reader serves (TableStreamSource.cdfSlice
+        // is the shared core: pure-append transitions serve files
+        // directly, only rewriting transitions pay the keyed diff, an
+        // expired start refuses). Read-only; the key comes from the
+        // `cdf.key` table property (a table-level identity, like the
+        // streaming option("changeKey", ...)).
+        require(pinned.isEmpty,
+          "a '#cdf=' range pins both endpoints; AS OF cannot re-pin")
+        val cvs = ops.versions(base)
+        if (cvs.isEmpty) throw new NoSuchTableException(ident)
+        require(a <= b && b <= cvs.last,
+          s"'#cdf=$a..$b' is not a valid range of $base " +
+            s"(head: v${cvs.last})")
+        val cdfKey = ops.tableProperties(base).getOrElse("cdf.key",
+          throw new IllegalArgumentException(
+            s"the '#cdf=' feed of $base is keyed; declare the key once " +
+              "with ALTER TABLE ... SET TBLPROPERTIES ('cdf.key' = " +
+              "'<unique key column>')"))
+        val baseSc = ops.read(spark, base,
+          Some(if (cvs.contains(b)) b else cvs.last)).schema
+        val reservedCdf = graft.sources.TableStreamSource.cdfColumns
+          .map(_.name.toLowerCase).toSet
+        val clash = baseSc.fieldNames.filter(n => reservedCdf(n.toLowerCase))
+        require(clash.isEmpty,
+          s"'#cdf=' reserves column(s) ${clash.mkString(", ")} for change " +
+            s"metadata, and the table at $base already carries them")
+        require(!reservedCdf(cdfKey.toLowerCase) &&
+          baseSc.fieldNames.exists(_.equalsIgnoreCase(cdfKey)),
+          s"cdf.key '$cdfKey' is not a column of $base " +
+            s"(have: ${baseSc.fieldNames.mkString(", ")})")
+        return new GraftFrameTable(s"$catName.$base#cdf=$a..$b",
+          () => graft.sources.TableStreamSource.cdfSlice(
+            spark, base, cdfKey, a, b, fresh = false))
       case (base, RefChanges(a, b)) =>
         require(pinned.isEmpty,
           "a '#changes=' range pins both endpoints; AS OF cannot re-pin")
@@ -347,6 +398,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case (base, RefChanges(a, b)) =>
         val vs = ops.versions(base)
         vs.contains(a) && vs.contains(b)
+      case (base, RefCdf(a, b)) =>
+        val vs = ops.versions(base)
+        vs.nonEmpty && a <= b && b <= vs.last
       case (base, RefMembers) => graft.sinks.SnapshotGroup.isGroup(base)
       case (base, RefGroupTable(alias)) =>
         graft.sinks.SnapshotGroup.isGroup(base) &&
@@ -1497,6 +1551,43 @@ private[sql] class GraftMetaTable(tblName: String, thunk: () => SqlDataFrame)
         }
         override def readSchema(): StructType = frame.schema
       }
+    }
+}
+
+/** A DATA-SIZED derived frame (the `#cdf=` feed) as a read-only DSv2
+  * table. Unlike [[GraftMetaTable]] — whose LocalScan collects a
+  * manifest-sized frame through the driver — this serves the frame's
+  * own DISTRIBUTED plan through the DSv2→v1 bridge ([[V1Scan]]):
+  * `buildScan()` hands Spark the DataFrame's RDD, so the feed's joins
+  * and unions execute exactly as the streaming reader's do, no row ever
+  * moving through the driver. Resolution is lazy and snapshots once per
+  * table resolution; a re-query re-resolves the identifier. */
+private[sql] class GraftFrameTable(tblName: String,
+    thunk: () => SqlDataFrame)
+    extends Table with SupportsRead {
+
+  private lazy val frame = thunk()
+
+  override def name(): String = tblName
+  override lazy val schema: StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = frame.schema
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext =
+                context
+              override def schema: StructType = frame.schema
+              override def buildScan(): org.apache.spark.rdd.RDD[
+                org.apache.spark.sql.Row] = frame.rdd
+            }.asInstanceOf[T]
+        }
     }
 }
 
@@ -3596,7 +3687,50 @@ object GraftCatalog {
       s"FROM graft.`$dir` ORDER BY event_id")
   }
 
+  /** q_sql_cdf — the keyed change-data feed as a read-only SQL handle:
+    * the same two-appends-then-MERGE lineage as q_cdf_stream, consumed
+    * through `graft.`t#cdf=0..3`` instead of the streaming reader — the
+    * two doors share [[graft.sources.TableStreamSource.cdfSlice]] AND
+    * this query shares q_cdf_stream's oracle verbatim, so SQL parity is
+    * proven end-to-end: per-transition i/u/d history (u = after image,
+    * d = before image), keyed by the `cdf.key` table property. Pinned
+    * in-query: the feed plan is distributed (no LocalTableScan — the
+    * fragment serves through the DSv2→v1 bridge, never a driver
+    * collect) and a sub-range serves only its own transitions. */
+  def qSqlCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlcdf_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val src = s"$tmp/t"
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 0), src)
+    VersionedTable.commit(ev.filter(col("event_id") % 2 === 1), src)
+    val changes = ev.filter(col("event_id") % 7 === 0 &&
+        col("event_id") % 10 =!= 0)
+      .withColumn("value", col("value") + 1).withColumn("op", lit("u"))
+      .unionByName(ev.filter(col("event_id") % 10 === 0)
+        .withColumn("op", lit("d")))
+    VersionedTable.mergeChanges(spark, src, changes, "event_id")
+    spark.sql(s"ALTER TABLE graft.`$src` " +
+      "SET TBLPROPERTIES ('cdf.key' = 'event_id')")
+    val feed = spark.sql(s"SELECT * FROM graft.`$src#cdf=0..3`")
+    val plan = feed.queryExecution.executedPlan.toString
+    require(!plan.contains("LocalTableScan"),
+      "the #cdf= feed must serve distributed, never a driver collect")
+    // a sub-range serves only its own transitions: (2, 3] is the MERGE
+    // diff alone — no `i` rows from the two appends
+    require(spark.sql(s"SELECT DISTINCT op FROM graft.`$src#cdf=2..3`")
+      .collect().map(_.getString(0)).sorted.sameElements(Array("d", "u")),
+      "'#cdf=2..3' must serve only the MERGE transition's u/d rows")
+    feed.groupBy(col("op"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(Parity.decSum2(col("value")), 2).as("sum_value"))
+      .orderBy(col("op"), col("event_type"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_cdf" -> (qSqlCdf _),
     "q_sql_asof" -> (qSqlAsof _),
     "q_sql_zorder_where" -> (qSqlZorderWhere _),
     "q_sql_compact_where" -> (qSqlCompactWhere _),
@@ -3631,6 +3765,9 @@ object GraftCatalog {
     // the SQL door provably computes the same operator as the Scala DSL:
     // one oracle, shared verbatim (DuckDB's native ASOF LEFT JOIN)
     "q_sql_asof" -> graft.operators.AsOf.oracles("q_asof_join"),
+    // the '#cdf=' fragment provably serves the streaming reader's feed:
+    // q_cdf_stream's oracle, shared verbatim
+    "q_sql_cdf" -> graft.sources.TableStream.oracles("q_cdf_stream"),
     "q_sql_zorder_where" ->
       """WITH m AS (SELECT MAX(event_id) // 3 + 1 AS cut FROM events)
         |SELECT event_type, COUNT(*) AS n,

@@ -264,6 +264,60 @@ class CdfStreamSpec extends SparkSpec {
       s"expected the reserved-column refusal, got: $msg")
   }
 
+  test("the '#cdf=A..B' SQL fragment serves the STREAM's exact feed " +
+      "(shared core), distributed, with the same refusal semantics") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val tmp = tmpDir("cdf-sql")
+    val dir = s"$tmp/t"; val ck = s"$tmp/ck"
+    ops.commit(rows(0 until 10), dir)                   // v1
+    ops.commit(rows(10 until 15), dir)                  // v2
+    ops.merge(spark, dir, rows(0 until 3, "up"), "id")  // v3
+    ops.deleteWhere(spark, dir, col("id") === 14L)      // v4
+    val (streamed, _) = drain(dir, ck)
+    ops.setTableProperty(dir, "cdf.key", "id")
+    val viaSql = spark.sql(s"SELECT id, op, _commit_version " +
+      s"FROM graft.`$dir#cdf=0..4`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(viaSql == streamed,
+      s"SQL fragment diverged from the stream: ${viaSql.take(5)}... vs " +
+        s"${streamed.take(5)}...")
+    // the feed must execute distributed — never a driver collect
+    val plan = spark.sql(s"SELECT * FROM graft.`$dir#cdf=0..4`")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-collected feed:\n$plan")
+    // a sub-range serves only its transitions
+    assert(spark.sql(s"SELECT DISTINCT _commit_version " +
+      s"FROM graft.`$dir#cdf=2..4`")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // refusals: missing key property, reserved key, bad range, expired start
+    ops.removeTableProperty(dir, "cdf.key")
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#cdf=0..4`").collect()
+    }
+    assert(e1.getMessage.contains("cdf.key"))
+    ops.setTableProperty(dir, "cdf.key", "op")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#cdf=0..4`").collect()
+    }
+    assert(e2.getMessage.contains("not a column"))
+    ops.setTableProperty(dir, "cdf.key", "id")
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#cdf=0..9`").collect()
+    }
+    assert(e3.getMessage.contains("not a valid range"))
+    ops.commit(rows(20 until 22), dir) // v5
+    ops.expire(dir, keepLast = 2)      // v1..v3 gone
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir#cdf=1..5`").collect()
+    }
+    assert(e4.getMessage.contains("expired"),
+      s"an expired pinned start must refuse: ${e4.getMessage}")
+    // a range starting at 0 stays legal: snapshot-as-inserts catch-up
+    assert(spark.sql(s"SELECT * FROM graft.`$dir#cdf=0..5`").count() > 0)
+  }
+
   test("change-feed catch-up self-caps versions per micro-batch " +
       "(bounded plan size); the drain still serves everything") {
     val tmp = tmpDir("cdf-cap")
