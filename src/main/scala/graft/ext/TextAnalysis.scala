@@ -134,9 +134,13 @@ object TextAnalysis {
         sum(col("n_bpeish")).as("bpeish_tokens"))
       .orderBy(col("source"))
 
-  /** q_text_langid — confusion counts of predicted vs labeled language
-    * (rows-only oracle: the voting heuristic isn't portable SQL; accuracy is
-    * asserted in TextAnalysisSpec instead). */
+  /** q_text_langid — confusion counts of predicted vs labeled language,
+    * hash-matched against a DuckDB oracle reconstructing the vote
+    * exactly: `list_intersect` is the distinct-common-elements twin of
+    * `array_intersect`, and the tie-to-lexicographically-larger-lang
+    * argmax (greatest over (score, lang) structs) unrolls to a CASE
+    * chain probing languages in DESCENDING name order with `>=`.
+    * TextAnalysisSpec keeps the behavioral accuracy assertion. */
   def qLangId(spark: SparkSession, sfDir: String): DataFrame =
     withLangId(Tables.documents(spark, sfDir))
       .groupBy(col("lang"), col("lang_pred"))
@@ -245,7 +249,41 @@ object TextAnalysis {
   private[ext] val stopwordsSqlList =
     stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The langid oracle's SQL is GENERATED from [[markers]] (the
+    * stopwordsSqlList discipline — the two vote definitions cannot
+    * drift): one `list_intersect` score per language, and the
+    * tie-to-larger-lang argmax as a CASE chain probing languages in
+    * DESCENDING name order with `>=`. */
+  private val langIdOracle: String = {
+    val langs = markers.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val lst = markers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+      s"    len(list_intersect(toks, $lst)) AS s_$l"
+    }.mkString(",\n")
+    val desc = langs.reverse
+    val caseChain = desc.init.zipWithIndex.map { case (l, i) =>
+      val rest = desc.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n    ") + s"\n    ELSE '${desc.last}' END AS lang_pred"
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT lang,
+       |$scores
+       |  FROM t
+       |), p AS (
+       |  SELECT lang, CASE
+       |    $caseChain
+       |  FROM s)
+       |SELECT lang, lang_pred, COUNT(*) AS n
+       |FROM p
+       |GROUP BY lang, lang_pred
+       |ORDER BY lang, lang_pred""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_text_langid" -> langIdOracle,
     "q_token_hist" ->
       """SELECT CAST(FLOOR(len(string_split_regex(trim(text), '\s+')) / 32.0)
         |    * 32 AS BIGINT) AS bucket_lo,

@@ -20,9 +20,11 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    // rows-only by design: hash-family / LSH / heuristic internals that no
+    // rows-only by design: hash-family / LSH / recall internals that no
     // portable SQL reproduces; each has behavioral assertions in its spec.
-    val rowsOnly = Set("q_text_langid", "q_dedup_minhash", "q_dedup_simhash",
+    // (q_text_langid left this list in round 11 — the marker vote IS
+    // portable: list_intersect + a CASE-chain argmax.)
+    val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_embedding", "q_sim_ann", "q_sim_ivf", "q_approx_distinct",
       "q_quant_recall", "q_dedup_semantic", "q_dedup_incr", "q_sim_pq",
       "q_sim_ivfpq")
