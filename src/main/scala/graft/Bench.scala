@@ -68,7 +68,8 @@ object Bench {
         }
       }
       val ok = times.filter(_ >= 0)
-      (name, if (ok.nonEmpty) ok.min else -1.0, lastShuffleMb)
+      (name, if (ok.nonEmpty) ok.min else -1.0, lastShuffleMb,
+        if (ok.size >= 2) ok.max - ok.min else -1.0)
     }
     // Artifact queries (landed index / bucketed layout) are measured a
     // second way: build ONCE per session (timed as <q>_build), then time
@@ -99,12 +100,20 @@ object Bench {
           Seq((s"${name}_serve", -1.0, -1.0))
         }
       }
-    val reported = results ++ artifactResults
+    val reported = results.map { case (k, v, m, _) => (k, v, m) } ++
+      artifactResults
     val qs = reported.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val sh = reported.map { case (k, _, m) => "\"" + k + f"""\":$m%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Noise-vs-drift at a glance (round-10 directive): the three heaviest
+    // queries' run-to-run spread (max − min across the N timed runs) rides
+    // in the artifact — a "regression" smaller than its query's recorded
+    // spread is load noise, not drift, with no second capture needed.
+    val spread = results.filter(_._2 >= 0).sortBy(-_._2).take(3)
+      .map { case (k, _, _, sp) => "\"" + k + f"""\":$sp%.3f""" }
+      .mkString("{", ",", "}")
     // Capture hygiene (round-9 directive): identical code benched twice
     // differed uniformly under background load (q_pagerank 3.6 -> 8.6 s
     // with zero code change) — min-of-N absorbs per-query noise but not a
@@ -113,7 +122,7 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir","bench_runs":$benchRuns,"load_avg_1m":$loadAvg%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"spread_sec":$spread,"sf":"$sfDir","bench_runs":$benchRuns,"load_avg_1m":$loadAvg%.2f}"""
     println(fullLine)
     // Durable copy of the full record: the driver's tail capture only
     // preserves the compact line, which made round 4's per-query map
