@@ -121,12 +121,17 @@ private[graft] object ColumnMapping {
     def add(cur: StructType, parents: Seq[String],
             physPrefix: String): StructType = parents match {
       case Seq() =>
-        val live = cur.fields.map(f => s"$physPrefix${physOf(f)}")
-        val used = (live.toSeq ++
-          retired.map(_._2).filter(p =>
-            p.toLowerCase.startsWith(physPrefix.toLowerCase) &&
-              !p.drop(physPrefix.length).contains('.')))
-          .map(_.toLowerCase.drop(physPrefix.length)).toSet
+        // drop BEFORE lowercasing: toLowerCase can change string length
+        // (e.g. İ → i̇), which would corrupt the prefix strip
+        val retiredHere = retired.map(_._2).collect {
+          case p if p.length > physPrefix.length &&
+              p.substring(0, physPrefix.length)
+                .equalsIgnoreCase(physPrefix) &&
+              !p.substring(physPrefix.length).contains('.') =>
+            p.substring(physPrefix.length)
+        }
+        val used = (cur.fields.map(physOf).toSeq ++ retiredHere)
+          .map(_.toLowerCase).toSet
         StructType(cur.fields :+ withKeys(
           StructField(name, dt, nullable = true), id,
           freshPhysical(name, id, used)))

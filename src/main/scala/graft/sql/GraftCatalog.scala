@@ -653,6 +653,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     def fieldOf(sc: StructType, n: String, what: String): StructField =
       sc.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(s"$what: no column '$n'"))
+    // The anchor discipline, extended to CHECK constraints: a declared
+    // predicate references columns by (logical-at-declaration ==
+    // physical-forever) name, so renaming or dropping any PREFIX of a
+    // referenced path would leave a constraint every future commit
+    // fails to resolve — the table bricks until dropConstraint. Refuse
+    // up front instead, exactly like partitioning / sort.order anchors.
+    def refuseConstraintAnchored(path: Seq[String], what: String): Unit = {
+      val parser = SparkSession.active.sessionState.sqlParser
+      ops.constraints(dir).foreach { case (cn, sql) =>
+        val refs = scala.util.Try(parser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts
+        }).getOrElse(Seq.empty)
+        val hit = refs.exists(r => r.length >= path.length &&
+          r.take(path.length).zip(path).forall {
+            case (x, y) => x.equalsIgnoreCase(y)
+          })
+        require(!hit,
+          s"$what: column '${path.mkString(".")}' is referenced by CHECK " +
+            s"constraint '$cn' ($sql); drop or re-declare the constraint " +
+            "first")
+      }
+    }
     // Navigate to the struct containing a NESTED path's last segment and
     // apply `f` to it — the seam ADD/DROP/RENAME of a struct member
     // shares. Parents must be plain structs (array/map elements are
@@ -780,7 +803,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                   }
             }
           if (del.ifExists() && !resolves(sc, path)) sc
-          else updateStructAt(sc, path.init, s"DROP COLUMN '$dotted'") {
+          else {
+            refuseConstraintAnchored(path, s"DROP COLUMN '$dotted'")
+            updateStructAt(sc, path.init, s"DROP COLUMN '$dotted'") {
             (st, physPrefix) =>
               val f = fieldOf(st, path.last, s"DROP COLUMN '$dotted'")
               require(st.length > 1,
@@ -791,6 +816,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                 case (id, p) => ops.retireColumn(dir, id, p)
               }
               StructType(st.filterNot(_.name.equalsIgnoreCase(path.last)))
+            }
           }
         case del: TableChange.DeleteColumn =>
           val n = one(del.fieldNames(), "DROP COLUMN")
@@ -813,6 +839,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               s"column '$n' anchors the declared sort.order; clear or " +
                 "re-declare the property before dropping it")
             require(sc.length > 1, "cannot drop a table's last column")
+            refuseConstraintAnchored(Seq(n), s"DROP COLUMN '$n'")
             // a struct retires its members too (full dotted physical
             // paths), so re-adding the struct later cannot resurrect
             // nested bytes either
@@ -829,6 +856,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           val path = rn.fieldNames().toSeq
           val dotted = path.mkString(".")
           val to = rn.newName()
+          refuseConstraintAnchored(path, s"RENAME COLUMN '$dotted'")
           updateStructAt(sc, path.init, s"RENAME COLUMN '$dotted'") {
             (st, _) =>
               val f = fieldOf(st, path.last, s"RENAME COLUMN '$dotted'")
@@ -843,6 +871,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         case rn: TableChange.RenameColumn =>
           val n = one(rn.fieldNames(), "RENAME COLUMN")
           val to = rn.newName()
+          refuseConstraintAnchored(Seq(n), s"RENAME COLUMN '$n'")
           val f = fieldOf(sc, n, "RENAME COLUMN")
           require(!sc.fieldNames.exists(c =>
             c.equalsIgnoreCase(to) && !c.equalsIgnoreCase(n)),
@@ -883,8 +912,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             // the bytes, and refusing on them is the conservative side.
             val phys = ColumnMapping.physOf(f)
             val spark = SparkSession.active
+            // physicalType: a struct column's MEMBERS must be addressed
+            // by their physical names too, or a renamed member reads as
+            // missing and the group's nullness proof degrades
             val nulls = spark.read
-              .schema(StructType(Seq(f.copy(name = phys, nullable = true))))
+              .schema(StructType(Seq(f.copy(name = phys,
+                dataType = ColumnMapping.physicalType(f.dataType),
+                nullable = true))))
               .parquet(ops.manifestLines(dir, ops.versions(dir).last)
                 .filter(_.nonEmpty).filterNot(_.startsWith("#")): _*)
               .filter(col(phys).isNull).limit(1).count()
@@ -1574,20 +1608,34 @@ private[sql] class GraftFrameTable(tblName: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning at the V2 layer: the pruned projection folds into
+      // the frame's own plan (Catalyst prunes the feed's joins/unions
+      // underneath), so `SELECT op FROM t#cdf=…` never moves full rows.
+      // An EMPTY required schema (COUNT(*)) keeps the full frame — the
+      // rows only need counting, and a zero-column v1 scan is undefined.
+      private var required: Option[StructType] = None
+      override def pruneColumns(s: StructType): Unit =
+        required = Some(s).filter(_.fields.nonEmpty)
+      override def build(): Scan = {
+        val served = required match {
+          case Some(s) => frame.select(s.fieldNames.toIndexedSeq.map(n =>
+            frame.col("`" + n.replace("`", "``") + "`")): _*)
+          case None => frame
+        }
         new org.apache.spark.sql.connector.read.V1Scan {
-          override def readSchema(): StructType = frame.schema
+          override def readSchema(): StructType = served.schema
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: org.apache.spark.sql.SQLContext): T =
             new BaseRelation with TableScan {
               override def sqlContext: org.apache.spark.sql.SQLContext =
                 context
-              override def schema: StructType = frame.schema
+              override def schema: StructType = served.schema
               override def buildScan(): org.apache.spark.rdd.RDD[
-                org.apache.spark.sql.Row] = frame.rdd
+                org.apache.spark.sql.Row] = served.rdd
             }.asInstanceOf[T]
         }
+      }
     }
 }
 

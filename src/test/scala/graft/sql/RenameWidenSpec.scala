@@ -276,6 +276,49 @@ class RenameWidenSpec extends SparkSpec {
       "last member")
   }
 
+  test("RENAME/DROP of a column a CHECK constraint references refuses " +
+    "up front — the anchor discipline, not a bricked table") {
+    register()
+    val dir = tmpDir("rw-canchor") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.range(0, 3).select(col("id"), (col("id") + 1.0).as("v"),
+        struct(lit(1.0).as("temp"), lit("a").as("kind")).as("main"))
+      .createOrReplaceTempView("rw_canchor_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_canchor_src")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT c_v CHECK (v > 0)")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD CONSTRAINT c_t CHECK (main.temp > 0)")
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected failure containing '$frag', got: ${msgs(e).mkString(" | ")}")
+    }
+    // without the refusal, each of these leaves a constraint no future
+    // commit can resolve — every INSERT fails until dropConstraint
+    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO amount", "c_v")
+    refuses(s"ALTER TABLE graft.`$dir` DROP COLUMN v", "c_v")
+    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO r", "c_t")
+    refuses(s"ALTER TABLE graft.`$dir` DROP COLUMN main.temp", "c_t")
+    // renaming the PREFIX (the struct itself) breaks 'main.temp' too
+    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN main TO doc", "c_t")
+    // an unreferenced column stays freely evolvable
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.kind TO k")
+    // and after dropping the constraints, evolution proceeds + commits land
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT c_v")
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT c_t")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN v TO amount")
+    spark.range(3, 5).select(col("id"), (col("id") + 1.0).as("amount"),
+        struct(lit(2.0).as("temp"), lit("b").as("k")).as("main"))
+      .createOrReplaceTempView("rw_canchor_src2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_canchor_src2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir`")
+      .head().getLong(0) == 5L)
+  }
+
   test("CREATE TABLE refuses ref fragments (branch/tag/metadata views)") {
     register()
     val dir = tmpDir("rw-frag") + "/t"
