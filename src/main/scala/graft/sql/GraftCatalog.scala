@@ -1821,6 +1821,35 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
           if m.contains(a.name) => a.withName(m(a.name))
     }
 
+  private lazy val nestedRenames: Boolean =
+    ColumnMapping.hasNestedRenames(tableSchema)
+
+  /** Filter translation for the INNER parquet builder, logical →
+    * physical at EVERY depth: the top-level rename is the attribute
+    * name, and a NESTED rename is the attribute's dataType — parquet's
+    * nested-predicate pushdown derives dotted paths from
+    * `childSchema(ordinal).name`, so without the type rewrite a filter
+    * on a renamed struct member names a column no file carries and
+    * row-group skipping silently stops. Ordinal-based extraction makes
+    * the rewrite value-safe (positions are identical in the physical
+    * type); exprIds are preserved. Only ever applied to the expressions
+    * handed to the inner builder — the plan's own attributes are never
+    * touched. */
+  private def toPhysExpr(e: CatalystExpr): CatalystExpr =
+    if (renames.isEmpty && !nestedRenames) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(a.name)) match {
+          case Some(d) =>
+            val pt = ColumnMapping.physicalType(d.dataType)
+            val renamed = a.withName(ColumnMapping.physOf(d))
+            if (pt == d.dataType) renamed
+            else renamed.copy(dataType = pt)(renamed.exprId,
+              renamed.qualifier)
+          case None => a
+        }
+    }
+
   private def parquetBuilder(paths: Seq[String]): FileScanBuilder =
     ParquetTable(s"graft.$dir@v$version", spark, options, paths,
       Some(toPhys(tableSchema)), classOf[ParquetFileFormat])
@@ -1831,7 +1860,7 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   private var required: Option[StructType] = None
 
   override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
-    captured = filters.map(renameAttrs(_, renames))
+    captured = filters.map(toPhysExpr)
     val postScan = inner.pushFilters(captured)
     // snapshot-level stats serving (statsServable below) relies on every
     // pushed DATA filter surviving as a residual Filter above the scan —
@@ -1841,7 +1870,13 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     // stop serving the whole-snapshot fold or estimates silently
     // overcount with nothing above the scan correcting them.
     allFiltersResidual = postScan.size == captured.size
-    postScan.map(renameAttrs(_, backNames))
+    // the residuals Spark keeps must be the plan's OWN expressions
+    // (original attribute names AND types): when every filter was
+    // retained — the parquet invariant just recorded — hand back the
+    // originals; a partially-consuming inner builder falls back to the
+    // name-only back-translation
+    if (allFiltersResidual) filters
+    else postScan.map(renameAttrs(_, backNames))
   }
   private var allFiltersResidual: Boolean = true
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters

@@ -276,6 +276,36 @@ class RenameWidenSpec extends SparkSpec {
       "last member")
   }
 
+  test("a filter on a RENAMED nested field still pushes to parquet under " +
+    "its physical path, and nested pruning drops unused members") {
+    register()
+    val dir = tmpDir("rw-npush") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.range(0, 10).select(col("id"),
+        struct((col("id") * 1.5).as("temp"), lit("a").as("kind")).as("main"))
+      .createOrReplaceTempView("rw_npush_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_npush_src")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO temperature")
+    val df = spark.sql(
+      s"SELECT id FROM graft.`$dir` WHERE main.temperature = 3.0")
+    assert(df.as[Long].collect().toSeq == Seq(2L))
+    val plan = df.queryExecution.executedPlan.toString
+    // row-group skipping needs the filter under the PHYSICAL member name
+    // (what the files carry) — without the dataType translation it names
+    // a column no file has and silently stops pruning
+    assert(plan.contains("EqualTo(main.temp,3.0)"),
+      s"renamed-nested filter not pushed under its physical path:\n$plan")
+    // nested schema pruning survives the mapping: the untouched member
+    // must not be read
+    assert(plan.contains("main:struct<temp:double>") &&
+      !plan.contains("kind:string"),
+      s"nested pruning lost through the mapping:\n$plan")
+    // and the residual Filter upstream uses the plan's own (logical) attrs
+    assert(plan.contains("main#") && plan.contains(".temperature"),
+      s"residual filter must stay in logical terms:\n$plan")
+  }
+
   test("RENAME/DROP of a column a CHECK constraint references refuses " +
     "up front — the anchor discipline, not a bricked table") {
     register()
