@@ -1629,6 +1629,26 @@ class VersionedTableOps(protected val io: TableIO) {
     // merge, zorder) that re-derives via statColsOf carries them forward
     def exprOf(c: String): Column = PartitionTransform.parseOpt(c)
       .map(t => t.expr(raw.schema(t.source).dataType)).getOrElse(col(c))
+    // a stat column may be a NESTED leaf ("main.temp" — the raw-document
+    // shape): col() already resolves dotted paths, so only the TYPE
+    // lookups below need to walk the schema. A literal top-level name
+    // containing a dot wins over the dotted interpretation (pre-existing
+    // col() semantics).
+    def leafType(c: String)
+        : Option[org.apache.spark.sql.types.DataType] = {
+      def walk(dt: org.apache.spark.sql.types.DataType,
+               parts: List[String])
+          : Option[org.apache.spark.sql.types.DataType] =
+        (dt, parts) match {
+          case (t, Nil) => Some(t)
+          case (s: org.apache.spark.sql.types.StructType, h :: t) =>
+            s.fields.find(_.name.equalsIgnoreCase(h))
+              .flatMap(f => walk(f.dataType, t))
+          case _ => None
+        }
+      raw.schema.fields.find(_.name == c).map(_.dataType)
+        .orElse(walk(raw.schema, c.split('.').toList))
+    }
     // plain columns (not transform specs) additionally record the CBO
     // ingredients in the SAME grouped pass when asked: exact per-file
     // null counts and a mergeable per-file HLL sketch (union across
@@ -1637,8 +1657,8 @@ class VersionedTableOps(protected val io: TableIO) {
     val plainCols =
       if (!cbo) Seq.empty
       else statCols.filter(c => PartitionTransform.parseOpt(c).isEmpty)
-    def sketchable(c: String): Column = raw.schema(c).dataType match {
-      case IntegerType | LongType | StringType | BinaryType => col(c)
+    def sketchable(c: String): Column = leafType(c) match {
+      case Some(IntegerType | LongType | StringType | BinaryType) => col(c)
       // everything else goes through an injective-enough string form
       // (dates/decimals exact; float formatting is 1:1 up to -0.0) —
       // NDV is approximate by construction, the cast is not the error
@@ -1655,12 +1675,12 @@ class VersionedTableOps(protected val io: TableIO) {
     // numerics as-is, dates as days-since-epoch, timestamps as MICROS
     // (a bare cast-to-double gives seconds — off by 1e6 and the
     // estimator would price every time-range predicate absurdly)
-    def kllExpr(c: String): Option[Column] = raw.schema(c).dataType match {
-      case _: NumericType => Some(col(c).cast("double"))
-      case org.apache.spark.sql.types.DateType =>
+    def kllExpr(c: String): Option[Column] = leafType(c) match {
+      case Some(_: NumericType) => Some(col(c).cast("double"))
+      case Some(org.apache.spark.sql.types.DateType) =>
         Some(datediff(col(c),
           lit(java.sql.Date.valueOf("1970-01-01"))).cast("double"))
-      case org.apache.spark.sql.types.TimestampType =>
+      case Some(org.apache.spark.sql.types.TimestampType) =>
         Some(col(c).cast("double") * lit(1e6))
       case _ => None
     }
@@ -1669,8 +1689,8 @@ class VersionedTableOps(protected val io: TableIO) {
     // the same pass: the fold serves ColumnStat.avgLen/maxLen, the row-
     // width ingredients that make broadcast BYTE estimates honest for
     // string-heavy tables (defaultSize guesses 20 for every string)
-    val lenCols = plainCols.filter(c => raw.schema(c).dataType match {
-      case StringType | BinaryType => true
+    val lenCols = plainCols.filter(c => leafType(c) match {
+      case Some(StringType | BinaryType) => true
       case _ => false
     })
     val aggs = statCols.flatMap { c =>

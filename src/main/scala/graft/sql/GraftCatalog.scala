@@ -1183,10 +1183,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       (_, a) => { ops.expireBefore(a(0), a(1).toLong)
         ops.versions(a(0)).last }),
     Proc("write_stats", Seq("dir", "cols"),
-      "(Re)collect per-file min/max stats for comma-separated cols")(
+      "(Re)collect per-file min/max stats for comma-separated cols " +
+        "(nested leaves as dotted paths, e.g. main.temp)")(
       (s, a) => { val d = a(0); val v = ops.versions(d).last
+        // resolve LOGICAL (possibly dotted) names to the PHYSICAL paths
+        // the files and sidecars carry — the compact_where discipline;
+        // names that don't resolve against a declared schema pass
+        // through as-is (Scala-created tables have identity mapping)
+        val declaredS = ops.declaredSchema(d)
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        def physPath(c: String): String = declaredS.flatMap { sc =>
+          def walk(s: StructType, parts: List[String]): Option[String] =
+            parts match {
+              case Nil => None
+              case h :: t =>
+                s.fields.find(_.name.equalsIgnoreCase(h)).flatMap { f =>
+                  val p = ColumnMapping.physOf(f)
+                  t match {
+                    case Nil => Some(p)
+                    case _ => f.dataType match {
+                      case st: StructType => walk(st, t).map(n => s"$p.$n")
+                      case _ => None
+                    }
+                  }
+                }
+            }
+          walk(sc, c.split('.').toList)
+        }.getOrElse(c)
         ops.writeStats(s, d, v,
-          a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq); v }),
+          a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            .map(physPath)); v }),
     Proc("create_tag", Seq("dir", "name", "at_version"),
       "Pin a committed version ('head' or a number) under an immutable " +
         "name; a GC anchor expire() refuses to cross")(
@@ -3812,8 +3838,59 @@ object GraftCatalog {
       .orderBy(col("op"), col("event_type"))
   }
 
+  /** q_sql_nested_stats — file-level pruning on a NESTED leaf, composed
+    * with a nested RENAME: events land as three disjoint bands inside a
+    * struct column, the member renames (metadata-only), `CALL
+    * write_stats(dir, 'main.reading')` records bounds for the LOGICAL
+    * dotted path (translated to the physical one the sidecar is keyed
+    * by), and the hash-matched aggregate reads through a nested-leaf
+    * WHERE — pinned in-query to have skipped two of the three band
+    * files. At 100 TB this is the raw-document table (weather_etl.py's
+    * `main.temp`) answering a nested range predicate by opening one
+    * band, not the archive. */
+  def qSqlNestedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlnstats_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (event_id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    val hi = ev.agg(max("event_id")).head().getLong(0)
+    val cut = hi / 3 + 1
+    (0 until 3).foreach { i =>
+      ev.filter(col("event_id") >= i * cut && col("event_id") < (i + 1) * cut)
+        .select(col("event_id"),
+          struct(col("event_id").cast("double").as("temp"),
+            col("event_type").as("kind")).as("main"))
+        .coalesce(1)
+        .createOrReplaceTempView(s"q_sql_nstats_b$i")
+      spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_nstats_b$i")
+    }
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO reading")
+    spark.sql(s"CALL graft.write_stats('$dir', 'main.reading')").collect()
+    // pin the prune on a forced probe; the RETURNED frame stays a live
+    // distributed plan (PlanInvariantsSpec expects codegen spans)
+    // <= cut-1, not < cut: the manifest range probe is closed-interval
+    // (superset guarantee), so a strict bound AT band 1's exact min
+    // would admit that band too
+    spark.sql(s"SELECT COUNT(*) FROM graft.`$dir` " +
+      s"WHERE main.reading <= ${cut - 1}").collect()
+    val (total, kept) = GraftCatalog.lastScanPrune
+    require(total == 3 && kept == 1,
+      s"nested-leaf pruning kept $kept of $total band files")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .filter(col("main.reading") <= cut - 1)
+      .groupBy(col("main.kind").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("main.reading")).cast("long").as("sum_reading"))
+      .orderBy(col("kind"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_cdf" -> (qSqlCdf _),
+    "q_sql_nested_stats" -> (qSqlNestedStats _),
     "q_sql_asof" -> (qSqlAsof _),
     "q_sql_zorder_where" -> (qSqlZorderWhere _),
     "q_sql_compact_where" -> (qSqlCompactWhere _),
@@ -3851,6 +3928,14 @@ object GraftCatalog {
     // the '#cdf=' fragment provably serves the streaming reader's feed:
     // q_cdf_stream's oracle, shared verbatim
     "q_sql_cdf" -> graft.sources.TableStream.oracles("q_cdf_stream"),
+    "q_sql_nested_stats" ->
+      """WITH m AS (SELECT MAX(event_id) // 3 + 1 AS cut FROM events)
+        |SELECT event_type AS kind, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_reading
+        |FROM events, m
+        |WHERE event_id < m.cut
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_sql_zorder_where" ->
       """WITH m AS (SELECT MAX(event_id) // 3 + 1 AS cut FROM events)
         |SELECT event_type, COUNT(*) AS n,

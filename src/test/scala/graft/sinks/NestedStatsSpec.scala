@@ -1,0 +1,71 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** File-level stats pruning on NESTED leaves ("main.temp" — the raw
+  * weather-document shape): the stats sidecar is dotted-path-keyed, so
+  * min/max lines for struct members record, fold, and prune exactly like
+  * top-level columns — including through the SQL scan, and through a
+  * nested RENAME (the pushed filter carries the physical dotted path the
+  * sidecar is keyed by). */
+class NestedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  /** Four single-file commits with DISJOINT nested temp bands. */
+  private def land(dir: String): Unit =
+    (0 until 4).foreach { b =>
+      ops.commit((0 until 100).map { i =>
+        (b * 100L + i, (b * 100.0 + i, s"k${i % 5}"))
+      }.toDF("id", "main").coalesce(1), dir)
+    }
+
+  test("writeStats on a nested leaf records per-file bounds; prunedFiles " +
+      "and prunedRead skip disjoint files; fastMinMax folds") {
+    val dir = tmpDir("nstats")
+    land(dir)
+    val head = ops.versions(dir).last
+    ops.writeStats(spark, dir, head, Seq("main._1"))
+    val all = ops.prunedFiles(dir, head, "main._1",
+      Double.MinValue, Double.MaxValue)
+    assert(all.size == 4, s"fixture: ${all.size} files")
+    val kept = ops.prunedFiles(dir, head, "main._1", 0.0, 99.0)
+    assert(kept.size == 1,
+      s"nested-leaf pruning kept ${kept.size} of 4 disjoint files")
+    assert(ops.prunedRead(spark, dir, "main._1", 0.0, 99.0)
+      .filter(col("main._1").between(0.0, 99.0)).count() == 100L)
+    // the sidecar fold serves metadata-only extremes for the leaf too
+    assert(ops.fastMinMax(dir, "main._1").exists { case (t, lo, hi) =>
+      t == "num" && BigDecimal(lo) == 0 && BigDecimal(hi) == 399
+    }, s"fastMinMax on a nested leaf: ${ops.fastMinMax(dir, "main._1")}")
+  }
+
+  test("the SQL scan prunes files on a nested predicate, including " +
+      "through a nested RENAME (physical dotted key)") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val dir = tmpDir("nstats-sql") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    (0 until 4).foreach { b =>
+      spark.range(0, 100).select((col("id") + b * 100L).as("id"),
+          struct((col("id") + b * 100.0).as("temp"),
+            lit(s"k$b").as("kind")).as("main"))
+        .coalesce(1).createOrReplaceTempView(s"nstats_sql_b$b")
+      spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM nstats_sql_b$b")
+    }
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO reading")
+    val head = ops.versions(dir).last
+    ops.writeStats(spark, dir, head, Seq("main.temp")) // PHYSICAL path
+    val n = spark.sql(s"SELECT COUNT(*) FROM graft.`$dir` " +
+      "WHERE main.reading BETWEEN 100.0 AND 199.0").head().getLong(0)
+    assert(n == 100L)
+    val (total, kept) = graft.sql.GraftCatalog.lastScanPrune
+    assert(total == 4 && kept == 1,
+      s"nested predicate through the renamed member kept $kept of $total " +
+        "files — manifest pruning lost the physical dotted key")
+  }
+}
