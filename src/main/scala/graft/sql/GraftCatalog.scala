@@ -878,6 +878,40 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             s"RENAME COLUMN '$n' TO '$to': target name already exists")
           StructType(sc.fields.map(x =>
             if (x.name.equalsIgnoreCase(n)) f.copy(name = to) else x))
+        case ut: TableChange.UpdateColumnType if ut.fieldNames().length > 1 =>
+          // nested widening — metadata-only like the top-level one: the
+          // parquet reader promotes narrow struct members per file
+          // (probed: int→long, float→double inside a group), range stats
+          // compare as decimal strings so pruning survives, and the same
+          // bucket/bloom guards apply at the dotted physical path
+          val path = ut.fieldNames().toSeq
+          val dotted = path.mkString(".")
+          val nt = ut.newDataType()
+          updateStructAt(sc, path.init, s"ALTER COLUMN '$dotted' TYPE") {
+            (st, physPrefix) =>
+              val f = fieldOf(st, path.last, s"ALTER COLUMN '$dotted' TYPE")
+              require(widenings.get(f.dataType).exists(_.contains(nt)),
+                s"ALTER COLUMN '$dotted' TYPE ${nt.simpleString}: only " +
+                  s"safe widenings are supported " +
+                  s"(${f.dataType.simpleString} allows: " +
+                  widenings.getOrElse(f.dataType, Set.empty)
+                    .map(_.simpleString).mkString(", ") + ")")
+              val physPath = s"$physPrefix${ColumnMapping.physOf(f)}"
+              require(!ops.partitioningOf(dir).exists {
+                case b: graft.sinks.PartitionTransform.Bucket =>
+                  b.source == physPath
+                case _ => false
+              }, s"column '$dotted' anchors a declared bucket transform, " +
+                "which hashes type-specific bytes; re-declare " +
+                "partitioning before widening")
+              require(!ops.hasBloomStats(dir, physPath),
+                s"column '$dotted' carries bloom sidecars built over the " +
+                  "narrow type; rebuild blooms (write_blooms) after " +
+                  "widening instead")
+              StructType(st.fields.map(x =>
+                if (x.name.equalsIgnoreCase(path.last)) f.copy(dataType = nt)
+                else x))
+          }
         case ut: TableChange.UpdateColumnType =>
           val n = one(ut.fieldNames(), "ALTER COLUMN TYPE")
           val f = fieldOf(sc, n, "ALTER COLUMN TYPE")
@@ -969,9 +1003,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
             "supported: ADD COLUMNS (nullable; incl. struct members), " +
             "DROP COLUMN (incl. struct members), RENAME COLUMN (incl. " +
-            "struct members), ALTER COLUMN TYPE (safe widening, " +
-            "top-level), ALTER COLUMN SET/DROP NOT NULL, ALTER COLUMN " +
-            "SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK)")
+            "struct members), ALTER COLUMN TYPE (safe widening; incl. " +
+            "struct members), ALTER COLUMN SET/DROP NOT NULL, ALTER " +
+            "COLUMN SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK)")
       }
     }
     ops.declareSchema(dir, updated.json)

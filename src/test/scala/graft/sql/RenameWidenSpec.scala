@@ -244,6 +244,36 @@ class RenameWidenSpec extends SparkSpec {
       "WHERE doc.extra IS NULL").head().getLong(0) == 4L)
   }
 
+  test("nested ALTER COLUMN TYPE widens a struct member metadata-only; " +
+    "old narrow files promote per file") {
+    register()
+    val dir = tmpDir("rw-nwiden") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<k: INT, x: FLOAT>)")
+    spark.range(0, 5).select(col("id"),
+        struct(col("id").cast("int").as("k"),
+          (col("id") * 1.5).cast("float").as("x")).as("main"))
+      .createOrReplaceTempView("rw_nwiden_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_nwiden_src")
+    val before = filesOf(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.x TYPE DOUBLE")
+    assert(filesOf(dir) == before, "nested widening rewrote files")
+    val mt = spark.sql(s"SELECT * FROM graft.`$dir`").schema("main")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(mt("k").dataType.simpleString == "bigint" &&
+      mt("x").dataType.simpleString == "double")
+    // beyond-int-range members only a genuine long member can carry
+    Seq((100L, (10000000000L, 2.25d))).toDF("id", "main")
+      .createOrReplaceTempView("rw_nwiden_src2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_nwiden_src2")
+    val got = spark.sql(s"SELECT main.k, main.x FROM graft.`$dir`")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 6 && got(10000000000L) == 2.25 && got(3L) == 4.5)
+    assert(spark.sql(s"SELECT id FROM graft.`$dir` WHERE main.k > 100")
+      .as[Long].collect().toSeq == Seq(100L))
+  }
+
   test("nested evolution refusals: DEFAULT/NOT NULL on a nested add, " +
     "rename collision, array elements, nested widen, last member") {
     register()
@@ -270,8 +300,10 @@ class RenameWidenSpec extends SparkSpec {
     // array elements are immutable — the struct inside `tags` can't grow
     refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (tags.element.x INT)",
       "not a struct")
+    // nested widening exists, but only within the engine's parquet
+    // promotion allowlist — bigint→double is not in it
     refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.pressure TYPE " +
-      "DOUBLE", "nested")
+      "DOUBLE", "safe widenings")
     refuses(s"ALTER TABLE graft.`$dir` DROP COLUMN lone.only",
       "last member")
   }
