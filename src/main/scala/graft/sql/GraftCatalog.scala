@@ -1976,24 +1976,50 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     // of the appended slice the query addressed
     if (!snapshotComplete || captured.nonEmpty ||
         agg.groupByExpressions.nonEmpty) return None
+    // a reference — top-level OR a nested leaf ("main.temp") — resolved
+    // to (physical dotted path, leaf type). The sidecar is dotted-path-
+    // keyed, so nested MIN/MAX serve from metadata exactly like flat
+    // ones once writeStats recorded the leaf. Complex-typed leaves
+    // decline (MIN over a struct has no sidecar encoding).
+    def resolveLeaf(parts: Seq[String]): Option[(String, DataType)] = {
+      def walk(s: StructType, ps: List[String]): Option[(String, DataType)] =
+        ps match {
+          case h :: Nil =>
+            s.fields.find(_.name.equalsIgnoreCase(h))
+              .map(f => (ColumnMapping.physOf(f), f.dataType))
+          case h :: t =>
+            s.fields.find(_.name.equalsIgnoreCase(h)).flatMap { f =>
+              f.dataType match {
+                case st: StructType => walk(st, t).map {
+                  case (p, dt) => (s"${ColumnMapping.physOf(f)}.$p", dt)
+                }
+                case _ => None
+              }
+            }
+          case Nil => None
+        }
+      walk(tableSchema, parts.toList).filter {
+        case (_, _: StructType | _: ArrayType | _: MapType) => false
+        case _ => true
+      }
+    }
     def minMaxPart(e: V2Expression, isMin: Boolean)
         : Option[(StructField, Any)] = e match {
-      case ref: NamedReference if ref.fieldNames.length == 1 =>
-        val logical = ref.fieldNames.head
-        tableSchema.fields.find(_.name.equalsIgnoreCase(logical)).flatMap { f =>
+      case ref: NamedReference =>
+        resolveLeaf(ref.fieldNames.toSeq).flatMap { case (physPath, dt) =>
           val field = StructField(
-            s"${if (isMin) "min" else "max"}($logical)", f.dataType)
+            s"${if (isMin) "min" else "max"}" +
+              s"(${ref.fieldNames.mkString(".")})", dt)
           // a provably-empty snapshot (no files, or all files 0-row with
           // no debt) has null extremes by SQL semantics
           if (files.isEmpty ||
               (!VersionedTable.hasDeleteDebt(dir, version) &&
                 VersionedTable.statNumRows(dir, version).contains(0L)))
             Some((field, null))
-          else VersionedTable.fastMinMax(dir,
-              renames.getOrElse(f.name, f.name), Some(version))
+          else VersionedTable.fastMinMax(dir, physPath, Some(version))
             .flatMap { case (tag, lo, hi) =>
               GraftCatalog.statBoundToCatalyst(
-                tag, if (isMin) lo else hi, f.dataType) }
+                tag, if (isMin) lo else hi, dt) }
             .map(v => (field, v))
         }
       case _ => None

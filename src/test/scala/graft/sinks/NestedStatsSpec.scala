@@ -43,6 +43,36 @@ class NestedStatsSpec extends SparkSpec {
     }, s"fastMinMax on a nested leaf: ${ops.fastMinMax(dir, "main._1")}")
   }
 
+  test("MIN/MAX of a nested leaf serve from the sidecar: a pushed " +
+      "aggregate scan opens zero data files; missing stats decline to " +
+      "the real scan") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val dir = tmpDir("nstats-agg") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.range(0, 10).select(col("id"),
+        struct((col("id") * 1.5).as("temp"), lit("a").as("kind")).as("main"))
+      .createOrReplaceTempView("nstats_agg_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM nstats_agg_src")
+    def q() = spark.sql(
+      s"SELECT MIN(main.temp) AS lo, MAX(main.temp) AS hi FROM graft.`$dir`")
+    // no stats yet: the aggregate declines to the scan path — still right
+    val noStats = q()
+    assert(noStats.head() == org.apache.spark.sql.Row(0.0, 13.5))
+    assert(!noStats.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "an unstated leaf must not fake a metadata answer")
+    ops.writeStats(spark, dir, 1, Seq("main.temp"))
+    val served = q()
+    assert(served.head() == org.apache.spark.sql.Row(0.0, 13.5))
+    assert(served.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"),
+      "nested MIN/MAX with recorded leaf stats must serve from the " +
+        "sidecar (zero files opened):\n" +
+        served.queryExecution.executedPlan.toString)
+  }
+
   test("the SQL scan prunes files on a nested predicate, including " +
       "through a nested RENAME (physical dotted key)") {
     spark.conf.set("spark.sql.catalog.graft",
