@@ -1954,6 +1954,32 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   private var agged: Option[(StructType, InternalRow)] = None
   private var aggCache: Option[(Aggregation, Option[(StructType, InternalRow)])] = None
 
+  /** A reference — top-level OR a nested leaf ("main.temp") — resolved
+    * to (physical dotted path, leaf type); the sidecar is dotted-path-
+    * keyed, so nested stats consumers (agg pushdown, TopN) resolve here.
+    * Complex-typed leaves decline. */
+  private def resolveLeaf(parts: Seq[String]): Option[(String, DataType)] = {
+      def walk(s: StructType, ps: List[String]): Option[(String, DataType)] =
+        ps match {
+          case h :: Nil =>
+            s.fields.find(_.name.equalsIgnoreCase(h))
+              .map(f => (ColumnMapping.physOf(f), f.dataType))
+          case h :: t =>
+            s.fields.find(_.name.equalsIgnoreCase(h)).flatMap { f =>
+              f.dataType match {
+                case st: StructType => walk(st, t).map {
+                  case (p, dt) => (s"${ColumnMapping.physOf(f)}.$p", dt)
+                }
+                case _ => None
+              }
+            }
+          case Nil => None
+        }
+      walk(tableSchema, parts.toList).filter {
+        case (_, _: StructType | _: ArrayType | _: MapType) => false
+        case _ => true
+      }
+    }
   /** Metadata-served aggregation, or None to decline to the scan path.
     * Sound only when the scan would serve the WHOLE snapshot exactly:
     * Spark only pushes aggregates when no post-scan Filter remains, but
@@ -1976,33 +2002,6 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     // of the appended slice the query addressed
     if (!snapshotComplete || captured.nonEmpty ||
         agg.groupByExpressions.nonEmpty) return None
-    // a reference — top-level OR a nested leaf ("main.temp") — resolved
-    // to (physical dotted path, leaf type). The sidecar is dotted-path-
-    // keyed, so nested MIN/MAX serve from metadata exactly like flat
-    // ones once writeStats recorded the leaf. Complex-typed leaves
-    // decline (MIN over a struct has no sidecar encoding).
-    def resolveLeaf(parts: Seq[String]): Option[(String, DataType)] = {
-      def walk(s: StructType, ps: List[String]): Option[(String, DataType)] =
-        ps match {
-          case h :: Nil =>
-            s.fields.find(_.name.equalsIgnoreCase(h))
-              .map(f => (ColumnMapping.physOf(f), f.dataType))
-          case h :: t =>
-            s.fields.find(_.name.equalsIgnoreCase(h)).flatMap { f =>
-              f.dataType match {
-                case st: StructType => walk(st, t).map {
-                  case (p, dt) => (s"${ColumnMapping.physOf(f)}.$p", dt)
-                }
-                case _ => None
-              }
-            }
-          case Nil => None
-        }
-      walk(tableSchema, parts.toList).filter {
-        case (_, _: StructType | _: ArrayType | _: MapType) => false
-        case _ => true
-      }
-    }
     def minMaxPart(e: V2Expression, isMin: Boolean)
         : Option[(StructField, Any)] = e match {
       case ref: NamedReference =>
@@ -2124,21 +2123,28 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     val ok = limit > 0 && captured.isEmpty && refuseServe.isEmpty &&
       orders.nonEmpty && !VersionedTable.hasDeleteDebt(dir, version) &&
       (orders.head.expression() match {
-        case ref: NamedReference if ref.fieldNames.length == 1 =>
-          val logical = ref.fieldNames.head
-          tableSchema.fields.find(_.name.equalsIgnoreCase(logical))
-            .exists { f =>
-              val phys = renames.getOrElse(f.name, f.name)
-              val noNulls = !f.nullable ||
-                VersionedTable.statNullCount(dir, version, phys)
-                  .contains(0L)
-              if (noNulls) {
-                topNPushed = Some((phys,
-                  orders.head.direction() == SortDirection.DESCENDING,
-                  limit))
-              }
-              noNulls
+        case ref: NamedReference =>
+          // top-level OR a nested leaf ("main.temp"): the bound cover on
+          // the dotted physical path prunes the same way. Zero-null proof
+          // for a nested key: a declared NOT NULL only covers the leaf
+          // (a NULL parent struct still nulls the path), so nested keys
+          // require the ANALYZE null count of the DOTTED path — which
+          // counts null-struct rows too, by construction of count(col).
+          resolveLeaf(ref.fieldNames.toSeq).exists { case (physPath, dt) =>
+            val declaredNotNull = ref.fieldNames.length == 1 &&
+              tableSchema.fields.find(
+                _.name.equalsIgnoreCase(ref.fieldNames.head))
+                .exists(!_.nullable)
+            val noNulls = declaredNotNull ||
+              VersionedTable.statNullCount(dir, version, physPath)
+                .contains(0L)
+            if (noNulls) {
+              topNPushed = Some((physPath,
+                orders.head.direction() == SortDirection.DESCENDING,
+                limit))
             }
+            noNulls
+          }
         case _ => false
       })
     ok

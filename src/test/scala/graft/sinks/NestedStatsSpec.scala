@@ -73,6 +73,38 @@ class NestedStatsSpec extends SparkSpec {
         served.queryExecution.executedPlan.toString)
   }
 
+  test("TopN pushdown admits by a NESTED sort key: ORDER BY main.temp " +
+      "LIMIT n opens one band file once the leaf is ANALYZE-proven " +
+      "null-free; without the proof it declines") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val dir = tmpDir("nstats-topn") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    (0 until 4).foreach { b =>
+      spark.range(0, 100).select((col("id") + b * 100L).as("id"),
+          struct((col("id") + b * 100.0).as("temp"),
+            lit("k").as("kind")).as("main"))
+        .coalesce(1).createOrReplaceTempView(s"nstats_topn_b$b")
+      spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM nstats_topn_b$b")
+    }
+    def top3() = spark.sql(s"SELECT main.temp FROM graft.`$dir` " +
+      "ORDER BY main.temp LIMIT 3").collect().map(_.getDouble(0)).toSeq
+    // the leaf is nullable and unproven: admission must decline (a NULL
+    // parent struct could hide outside every bound)
+    graft.sql.GraftCatalog.lastTopNAdmit = (0, 0)
+    assert(top3() == Seq(0.0, 1.0, 2.0))
+    assert(graft.sql.GraftCatalog.lastTopNAdmit == ((0, 0)),
+      "an unproven nested key must not admit a TopN cover")
+    // ANALYZE proves zero nulls on the dotted path (incl. null structs)
+    ops.writeStats(spark, dir, ops.versions(dir).last, Seq("main.temp"))
+    graft.sql.GraftCatalog.lastTopNAdmit = (0, 0)
+    assert(top3() == Seq(0.0, 1.0, 2.0))
+    assert(graft.sql.GraftCatalog.lastTopNAdmit == ((4, 1)),
+      s"expected a 1-file nested ASC cover: " +
+        s"${graft.sql.GraftCatalog.lastTopNAdmit}")
+  }
+
   test("the SQL scan prunes files on a nested predicate, including " +
       "through a nested RENAME (physical dotted key)") {
     spark.conf.set("spark.sql.catalog.graft",
