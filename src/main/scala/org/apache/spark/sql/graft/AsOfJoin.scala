@@ -153,7 +153,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rtsGet = longGetter(attr(right, rightTs), "right ts")
     val rightWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
-      new Iterator[InternalRow] {
+      // the merge emits JoinedRow views; project to UnsafeRow before
+      // handing rows upstream — SparkPlan's exchange/collect/write paths
+      // cast to UnsafeRow (getByteArrayRdd), so a plan where this exec
+      // feeds them DIRECTLY (no intervening shuffle re-encoding) would
+      // ClassCastException. Codegen'd projection, one per partition.
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(output, output)
+      val it = new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)
         private val joined = new JoinedRow
         private val rBuf = ri.buffered
@@ -193,6 +200,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             joined(l, nullRight)
         }
       }
+      it.map(toUnsafe)
     }
   }
 

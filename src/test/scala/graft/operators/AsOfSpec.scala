@@ -32,6 +32,36 @@ class AsOfSpec extends SparkSpec {
     assert(got == Map("l1" -> "r1", "l2" -> "r3", "l3" -> null, "l4" -> null))
   }
 
+  test("CALL graft.asof_join lands both directions identical to the " +
+    "Scala DSL; a bad direction refuses") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val left = Seq((1L, 10L, "l1"), (1L, 30L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "ltag")
+    val right = Seq((1L, 8L, "r1"), (1L, 20L, "r2"), (2L, 9L, "r3"))
+      .toDF("rk", "rt", "rtag")
+    left.createOrReplaceTempView("asof_call_l")
+    right.createOrReplaceTempView("asof_call_r")
+    val tmp = tmpDir("asof-call")
+    for (dir <- Seq("backward", "forward")) {
+      spark.sql(s"CALL graft.asof_join('asof_call_l', 'asof_call_r', " +
+        s"'k', 't', 'rk', 'rt', '$tmp/$dir', '$dir')")
+      val landed = graft.sinks.VersionedTable.read(spark, s"$tmp/$dir")
+        .collect().map(r => r.getString(2) -> r.getString(5)).toMap
+      val dsl = (if (dir == "backward")
+          AsOf.join(left, right, "k", "t", "rk", "rt")
+        else AsOf.joinForward(left, right, "k", "t", "rk", "rt"))
+        .collect().map(r => r.getString(2) -> r.getString(5)).toMap
+      assert(landed == dsl, s"$dir CALL diverged from the DSL: $landed")
+    }
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.asof_join('asof_call_l', 'asof_call_r', " +
+        s"'k', 't', 'rk', 'rt', '$tmp/x', 'sideways')")
+    }
+    assert(e.getMessage.contains("backward") ||
+      Option(e.getCause).exists(_.getMessage.contains("backward")))
+  }
+
   test("forward variant: earliest at-or-after match, nulls when none") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "l1"), // next right at 11:00

@@ -80,6 +80,47 @@ class ZorderWhereSpec extends SparkSpec {
     assert(ops.read(spark, dir, Some(v - 1)).collect().toSet == before)
   }
 
+  test("CALL zorder_where resolves LOGICAL names (post-rename) to the " +
+      "physical paths the stats carry") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val dir = tmpDir("zw-sql") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(ts BIGINT, x BIGINT, y BIGINT, payload STRING)")
+    (0 until 2).foreach { band =>
+      spark.range(0, 500).select((col("id") + band * 500L).as("ts"),
+          (col("id") % 50).as("x"), (col("id") / 10 % 50).as("y"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("p"), col("id"))
+            .as("payload"))
+        .coalesce(1)
+        .createOrReplaceTempView(s"zw_sql_b$band")
+      spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM zw_sql_b$band")
+    }
+    val v0 = ops.versions(dir).last
+    ops.writeStats(spark, dir, v0, Seq("ts"))
+    // rename the scope column AND a cluster column: the CALL takes the
+    // NEW logical names; stats/files stay keyed by the physical ones
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN ts TO event_ts")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN x TO dim_x")
+    val before = ops.read(spark, dir).count()
+    val band0 = ops.prunedFiles(dir, v0, "ts", 0L, 499L)
+    val bandBytes = band0.map(f => new java.io.File(f).length).sum
+    spark.sql(s"CALL graft.zorder_where('$dir', 'event_ts', '0', '499', " +
+      s"'dim_x,y', '${math.max(1L, bandBytes / 4)}')")
+    assert(ops.read(spark, dir).count() == before)
+    // the z-files carry stats for the PHYSICAL cluster columns, and a
+    // narrow probe on the renamed dimension skips some of them (the
+    // out-of-scope band has no x stats and is always kept — superset)
+    val head = ops.versions(dir).last
+    val all = ops.prunedFiles(dir, head, "ts", Long.MinValue, Long.MaxValue)
+    assert(all.size >= 4, s"z-rewrite produced ${all.size - 1} files")
+    val admit = ops.prunedFiles(dir, head, "x", 0L, 5L)
+    assert(admit.size < all.size,
+      s"post-rename zorder_where kept ${admit.size} of ${all.size} — " +
+        "the logical→physical translation missed")
+  }
+
   test("degenerate scopes refuse loudly, exactly like compactWhere") {
     val dir = tmpDir("zw-refuse")
     land(dir)
