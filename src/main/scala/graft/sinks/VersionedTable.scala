@@ -587,8 +587,10 @@ class VersionedTableOps(protected val io: TableIO) {
   }
 
   // `#`-prefixed manifest lines are metadata headers (e.g. the transaction
-  // id a streaming commit carries), never file paths
-  private def filesOf(dir: String, version: Int): Seq[String] =
+  // id a streaming commit carries), never file paths.
+  // private[sinks]: specs pin per-version file sets (e.g. "the
+  // incremental ANALYZE scanned exactly the files this window landed").
+  private[sinks] def filesOf(dir: String, version: Int): Seq[String] =
     manifestLines(dir, version)
       .filter(_.nonEmpty).filterNot(_.startsWith("#"))
 
@@ -911,8 +913,31 @@ class VersionedTableOps(protected val io: TableIO) {
     }
   }
 
+  /** Legacy single-file counter (pre-delta-ledger); still folded into
+    * the sum so an in-flight table upgrades seamlessly, reset by the
+    * first crossing after the upgrade. */
   private def analyzeCountPath(dir: String) =
     s"${manifestDir(dir)}/analyzecount"
+
+  private def analyzeDeltaDir(dir: String) =
+    s"${manifestDir(dir)}/analyzecount.d"
+
+  /** Rows landed since the last auto-ANALYZE, summed from the delta
+    * ledger (plus the legacy counter file, if one predates it) — the
+    * spec seam for the loss-free accumulation contract. A delta a racer
+    * consumed between our list and read counts as 0 here: the racer
+    * summed it, crossed, and paid the ANALYZE on its side. */
+  private[sinks] def analyzePendingRows(dir: String): Long = {
+    val legacy =
+      if (!io.exists(analyzeCountPath(dir))) 0L
+      else io.readLines(analyzeCountPath(dir)).headOption
+        .flatMap(_.toLongOption).getOrElse(0L)
+    val dd = analyzeDeltaDir(dir)
+    legacy + io.list(dd).map { n =>
+      scala.util.Try(io.readLines(s"$dd/$n").headOption
+        .flatMap(_.toLongOption).getOrElse(0L)).getOrElse(0L)
+    }.sum
+  }
 
   /** Landing-cadence auto-ANALYZE (the `stats.auto.rows` table
     * property) — the CBO-stats twin of [[maybeAutoCompact]], completing
@@ -933,15 +958,34 @@ class VersionedTableOps(protected val io: TableIO) {
     val props = tableProperties(dir)
     props.get("stats.auto.rows").flatMap(_.toLongOption).filter(_ > 0)
       .foreach { t =>
-        val cur =
+        // Loss-free accumulation: each landing publishes its OWN delta
+        // file (atomic create of a fresh name never contends), so two
+        // racing committers cannot lose an increment the way a
+        // read-modify-write of one counter file could. The crossing
+        // landing consumes exactly the deltas it SUMMED — a racer's
+        // concurrent delta survives the sweep and counts toward the
+        // next cadence. Two committers may both observe a crossing and
+        // both ANALYZE: the pass is idempotent over immutable files, so
+        // the race costs a redundant (incremental, O(delta)) scan,
+        // never a wrong counter. The counter stays advisory — it gates
+        // WHEN stats refresh, never WHAT they say.
+        val dd = analyzeDeltaDir(dir)
+        io.mkdirs(dd)
+        if (rowsLanded > 0)
+          io.createExclusive(s"$dd/${java.util.UUID.randomUUID}",
+            Seq(rowsLanded.toString))
+        val names = io.list(dd)
+        val legacy =
           if (!io.exists(analyzeCountPath(dir))) 0L
           else io.readLines(analyzeCountPath(dir)).headOption
             .flatMap(_.toLongOption).getOrElse(0L)
-        val acc = cur + rowsLanded
-        if (acc < t)
-          io.writeLines(analyzeCountPath(dir), Seq(acc.toString))
-        else {
-          io.writeLines(analyzeCountPath(dir), Seq("0"))
+        val acc = legacy + names.map { n =>
+          scala.util.Try(io.readLines(s"$dd/$n").headOption
+            .flatMap(_.toLongOption).getOrElse(0L)).getOrElse(0L)
+        }.sum
+        if (acc >= t) {
+          names.foreach(n => io.delete(s"$dd/$n"))
+          io.delete(analyzeCountPath(dir))
           try {
             val head = versions(dir).last
             val cols = props.get("stats.auto.cols").toSeq
@@ -949,7 +993,11 @@ class VersionedTableOps(protected val io: TableIO) {
               case Seq() => statColsOf(dir, head)
               case cs => cs
             }
-            if (cols.nonEmpty) writeStats(spark, dir, head, cols)
+            // incremental by design: only files missing their CBO lines
+            // rescan; the kept per-file sketches fold identically (the
+            // full-rescan door stays CALL write_stats)
+            if (cols.nonEmpty)
+              writeStats(spark, dir, head, cols, onlyMissing = true)
             else org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"stats.auto.rows is set on '$dir' but there are no " +
                 "columns to ANALYZE — set stats.auto.cols or land " +
@@ -957,8 +1005,9 @@ class VersionedTableOps(protected val io: TableIO) {
           } catch {
             case scala.util.control.NonFatal(e) =>
               // opportunistic maintenance never fails the landing; the
-              // restored counter makes the next landing retry exactly
-              io.writeLines(analyzeCountPath(dir), Seq(acc.toString))
+              // restored delta makes the next landing retry exactly
+              io.createExclusive(s"$dd/${java.util.UUID.randomUUID}",
+                Seq(acc.toString))
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
                 s"auto-ANALYZE of '$dir' failed; CBO stats stay stale " +
                   s"until the next landing or CALL write_stats: " +
@@ -1565,21 +1614,100 @@ class VersionedTableOps(protected val io: TableIO) {
     *  - `null`: an all-null (or non-finite-extreme) file — no usable
     *    bound, always kept. */
   def writeStats(spark: SparkSession, dir: String, version: Int,
-                 statCols: Seq[String]): Unit = {
+                 statCols: Seq[String], onlyMissing: Boolean = false): Unit = {
     val p = statsPath(dir, version)
+    val existing = sidecarLines(dir, version)
     // re-deriving range bounds must not discard the OTHER sidecar layers
     // (bloom bitmaps, `rows` counts for data AND delete-vector files)
     // already landed for this version. statsLines re-emits rows lines for
     // the files it scans; keeping the originals too is harmless — a file
     // is immutable, so duplicate rows lines agree and consumers fold maps.
     val keep =
-      sidecarLines(dir, version).filter { l =>
+      existing.filter { l =>
         val a = l.split('\t')
         a.length >= 3 && (a(1) == "#" || a(2) == "bloom")
       }
-    val lines = keep ++
-      statsLines(spark, filesOf(dir, version), statCols, cbo = true)
+    val lines =
+      if (!onlyMissing)
+        keep ++ statsLines(spark, filesOf(dir, version), statCols,
+          cbo = true)
+      else keep ++ incrementalStatsLines(spark, dir, version, statCols,
+        existing)
     io.writeLines(p, derivedHeader(dir, version, lines) ++ lines)
+  }
+
+  /** The incremental ANALYZE body (`writeStats(onlyMissing = true)`, the
+    * auto-ANALYZE door): per-file CBO lines are immutable and MERGEABLE
+    * by construction (HLL union / KLL merge / exact null+length sums ARE
+    * the serving fold), so a refresh only needs to scan the files still
+    * MISSING their lines and keep every already-covered file's lines
+    * verbatim — O(files landed since the last ANALYZE) per threshold
+    * crossing instead of O(table), the same incremental discipline
+    * [[writeBlooms]] follows for unbloomed files. The snapshot fold over
+    * (kept ++ fresh) equals the full-rescan fold exactly: the fold is a
+    * per-file map keyed by immutable paths, and a file's line does not
+    * depend on WHICH pass scanned it. The explicit `CALL write_stats`
+    * keeps the full rescan — the loud operator door for "re-derive
+    * everything" (changed stat columns, suspected sidecar damage).
+    *
+    * Coverage is judged in two passes because the expected tag set is
+    * type-dependent (`kll` only for numeric/date/timestamp leaves, `len`
+    * only for string/binary) and this path deliberately avoids a schema
+    * resolution of its own: pass 1 rescans files missing the
+    * type-independent core (bounds + nulls + hll per requested column);
+    * pass 2 rescans files missing any tag class that ANY line — kept or
+    * fresh — shows for that column, so a vintage that predates the kll
+    * layer rescans too rather than leaving the snapshot histogram fold
+    * muted where a full rescan would serve it. */
+  private def incrementalStatsLines(spark: SparkSession, dir: String,
+      version: Int, statCols: Seq[String],
+      existing: Seq[String]): Seq[String] = {
+    val all = filesOf(dir, version)
+    val allSet = all.toSet
+    val statLines = existing.filter { l =>
+      val a = l.split('\t')
+      a.length >= 3 && a(1) != "#" && a(2) != "bloom" && allSet(a(0))
+    }
+    // tag CLASSES per (file, col): the four bounds tags collapse to one
+    // class — "null"/"wild" are complete answers for a file, not gaps
+    def cls(t: String): String = t match {
+      case "num" | "str" | "null" | "wild" => "bounds"
+      case other => other
+    }
+    def tagsOf(lines: Seq[String]): Map[String, Map[String, Set[String]]] =
+      lines.map(_.split('\t')).groupBy(_.head).map { case (f, as) =>
+        f -> as.groupBy(_(1)).map { case (c, cs) =>
+          c -> cs.map(a => cls(a(2))).toSet
+        }
+      }
+    val have = tagsOf(statLines)
+    val plain = statCols.filter(c => PartitionTransform.parseOpt(c).isEmpty)
+    val miss1 = all.filter { f =>
+      val m = have.getOrElse(f, Map.empty[String, Set[String]])
+      statCols.exists(c => !m.getOrElse(c, Set.empty)("bounds")) ||
+        plain.exists { c =>
+          val t = m.getOrElse(c, Set.empty[String])
+          !t("nulls") || !t("hll")
+        }
+    }
+    val fresh1 = statsLines(spark, miss1, statCols, cbo = true)
+    val freshTags = tagsOf(fresh1.filter { l =>
+      val a = l.split('\t'); a.length >= 3 && a(1) != "#"
+    })
+    val expected: Map[String, Set[String]] = statCols.map { c =>
+      val seen = (have.values ++ freshTags.values)
+        .flatMap(_.getOrElse(c, Set.empty)).toSet
+      c -> seen
+    }.toMap
+    val done1 = miss1.toSet
+    val miss2 = all.filterNot(done1).filter { f =>
+      val m = have.getOrElse(f, Map.empty[String, Set[String]])
+      statCols.exists(c => !expected(c).subsetOf(m.getOrElse(c, Set.empty)))
+    }
+    val fresh2 = statsLines(spark, miss2, statCols, cbo = true)
+    val rescanned = done1 ++ miss2
+    statLines.filterNot(l => rescanned(l.takeWhile(_ != '\t'))) ++
+      fresh1 ++ fresh2
   }
 
   /** One stats line per (file, col) over exactly `files` — one grouped
@@ -1596,10 +1724,18 @@ class VersionedTableOps(protected val io: TableIO) {
   private def cboOnCommit(dir: String): Boolean =
     tableProperties(dir).get("stats.cbo").contains("true")
 
+  /** Files fed through a [[statsLines]] scan, cumulatively — the test
+    * seam (like [[footerReads]]) that lets specs pin the incremental
+    * ANALYZE contract: "the second threshold crossing scanned ONLY the
+    * files landed since the first". */
+  private[sinks] val statsFilesScanned =
+    new java.util.concurrent.atomic.AtomicLong
+
   private def statsLines(spark: SparkSession, files: Seq[String],
                          statCols: Seq[String],
                          cbo: Boolean = false): Seq[String] = {
     if (files.isEmpty) return Seq.empty
+    statsFilesScanned.addAndGet(files.size)
     // Bounded driver memory at ANALYZE scale: the grouped aggregate
     // collects one row PER FILE, and with CBO sketches each row carries
     // ~25 KB (HLL + KLL base64) — a 100k-file whole-table write_stats

@@ -47,4 +47,65 @@ class AutoAnalyzeSpec extends SparkSpec {
     val v = land(dir, 0, 500)
     assert(ops.columnStatsOf(dir, v).isEmpty)
   }
+
+  test("a threshold crossing is INCREMENTAL: it scans only the files " +
+      "missing CBO lines, and the fold equals the full rescan's") {
+    val dir = tmpDir("auto-analyze-incr")
+    land(dir, 0, 10)
+    ops.setTableProperty(dir, "stats.auto.rows", "50")
+    ops.setTableProperty(dir, "stats.auto.cols", "id,k")
+    // crossing #1 (acc 70 >= 50): every head file lacks CBO lines, so
+    // this first pass legitimately scans the whole head
+    val vA = land(dir, 10, 80)
+    val mark = ops.statsFilesScanned.get()
+    land(dir, 80, 100) // acc 20 < 50: no ANALYZE (and, unpartitioned,
+    // the landing's own bounds pass reads footers, not statsLines — the
+    // counter window below contains ONLY the crossing's ANALYZE scan)
+    val v3 = land(dir, 100, 160) // acc 80 >= 50: crossing #2
+    val added = ops.filesOf(dir, v3).toSet -- ops.filesOf(dir, vA).toSet
+    val scanned = ops.statsFilesScanned.get() - mark
+    assert(scanned == added.size,
+      s"incremental ANALYZE must scan only the ${added.size} files " +
+        s"landed since the last pass, not the whole head ($scanned)")
+    // fold equality: the kept per-file sketches fold to exactly what a
+    // full rescan derives (HLL is order-insensitive and deterministic,
+    // null counts exact) — "incremental" changes cost, never answers
+    val incr = ops.columnStatsOf(dir, v3)
+    ops.writeStats(spark, dir, v3, Seq("id", "k")) // the full-rescan door
+    val full = ops.columnStatsOf(dir, v3)
+    assert(incr == full,
+      s"incremental fold $incr must equal the full-rescan fold $full")
+    assert(incr.get("id").exists { case (nulls, ndv) =>
+      nulls.contains(0L) && ndv.exists(n => math.abs(n - 160) <= 6)
+    }, s"crossing #2 must serve fresh whole-snapshot stats: $incr")
+    assert(incr.get("k").exists(_._2.exists(n => math.abs(n - 7) <= 1)))
+  }
+
+  test("racing committers never lose an increment: the accumulated " +
+      "count equals the rows landed") {
+    val dir = tmpDir("auto-analyze-race")
+    land(dir, 0, 10)
+    // threshold far above what the race lands: no crossing consumes
+    ops.setTableProperty(dir, "stats.auto.rows", "1000000")
+    ops.setTableProperty(dir, "stats.auto.cols", "id")
+    val threads = 8
+    val rowsEach = 25
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val tasks = (0 until threads).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val lo = 100 + i * rowsEach
+            land(dir, lo, lo + rowsEach); ()
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val pending = ops.analyzePendingRows(dir)
+    assert(pending == threads.toLong * rowsEach,
+      s"the delta ledger must accumulate exactly ${threads * rowsEach} " +
+        s"rows across $threads racing committers, got $pending — a " +
+        "read-modify-write counter would lose increments here")
+  }
 }
