@@ -267,8 +267,181 @@ object TableStreamSource {
     // boundary carry different vintage schemas; the streaming side
     // conforms to its pinned schema afterward, the SQL side serves the
     // union shape (missing members as nulls)
-    else targets.map(v => cdfTransition(spark, dir, changeKey, v, vs))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // Plan-size discipline: one union leg PER TRANSITION would grow
+      // the plan linearly in the pinned range (the reference's own
+      // 2-minute landing cadence makes a day 720 transitions — a month
+      // would brick the analyzer), so consecutive pure-append
+      // transitions COLLAPSE into one scan leg: appended files are
+      // disjoint per transition and carry no delete debt
+      // (changedFiles' precondition), so a single multi-file read with
+      // `_commit_version` looked up from the manifest's file→version
+      // map serves exactly the rows the per-transition legs did. Legs
+      // end up O(rewriting transitions + append runs), and the
+      // rewriting count is CAPPED — each rewrite leg is a keyed
+      // snapshot diff, and an uncapped range of them is a planner
+      // bomb no collapse can fix.
+      val legs = collectLegs(dir, targets, vs)
+      val rewrites = legs.count(_.isInstanceOf[RewriteLeg])
+      require(rewrites <= CdfMaxRewritesPerRange,
+        s"'#cdf=$base..$endV' of $dir spans $rewrites rewriting " +
+          s"transitions (cap $CdfMaxRewritesPerRange): each one plans a " +
+          "keyed snapshot diff, and this many in one statement is a " +
+          "planner-breaking union. Chunk the range ('#cdf=A..M' then " +
+          "'#cdf=M..B') or consume the streaming change feed " +
+          "(readChangeFeed), which self-paces at " +
+          s"$CdfDefaultVersionsPerTrigger transitions per trigger.")
+      legs.map {
+        case SnapshotLeg(v) =>
+          tagInserts(VersionedTable.read(spark, dir, Some(v)), v)
+        case RewriteLeg(v) =>
+          cdfTransition(spark, dir, changeKey, v, vs)
+        case AppendRunLeg(run) if run.size == 1 =>
+          cdfTransition(spark, dir, changeKey, run.head, vs)
+        case AppendRunLeg(run) =>
+          appendRunLeg(spark, dir, changeKey, run, vs)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Hard ceiling on rewriting transitions a single `#cdf=` range may
+    * plan — equal to the streaming door's per-trigger version cap, so a
+    * feed the stream can serve in one micro-batch is always plannable
+    * from SQL too. Private behind [[withCdfMaxRewrites]] so the refusal
+    * path is testable without 65 real rewrite commits. */
+  private var CdfMaxRewritesVar = 64
+  private[graft] def CdfMaxRewritesPerRange: Int = CdfMaxRewritesVar
+
+  /** Run `f` with the rewrite cap lowered, restoring — the only
+    * sanctioned way to mutate [[CdfMaxRewritesPerRange]]. */
+  private[sources] def withCdfMaxRewrites[T](n: Int)(f: => T): T =
+    synchronized {
+      val prev = CdfMaxRewritesVar
+      CdfMaxRewritesVar = n
+      try f finally CdfMaxRewritesVar = prev
+    }
+
+  private sealed trait CdfLeg
+  private case class SnapshotLeg(v: Int) extends CdfLeg
+  private case class AppendRunLeg(run: Vector[Int]) extends CdfLeg
+  private case class RewriteLeg(v: Int) extends CdfLeg
+
+  private def collectLegs(dir: String, targets: Seq[Int],
+                          vs: Seq[Int]): Seq[CdfLeg] = {
+    val legs = scala.collection.mutable.ArrayBuffer.empty[CdfLeg]
+    targets.foreach { v =>
+      vs.takeWhile(_ < v).lastOption match {
+        case None => legs += SnapshotLeg(v)
+        case Some(p) if VersionedTable.isPureAppend(dir, p, v) =>
+          legs.lastOption match {
+            case Some(AppendRunLeg(run)) =>
+              legs(legs.size - 1) = AppendRunLeg(run :+ v)
+            case _ => legs += AppendRunLeg(Vector(v))
+          }
+        case Some(_) => legs += RewriteLeg(v)
+      }
+    }
+    legs.toSeq
+  }
+
+  /** One scan leg for a RUN of consecutive pure-append transitions.
+    * `_commit_version` is per FILE (a file lands in exactly one
+    * transition), derived from the manifest lineage and attached by a
+    * broadcast hash join on the normalized `input_file_name()` — O(1)
+    * per row and codegen-resident, where a map-literal `element_at`
+    * would scan the whole literal per row. The read schema is the
+    * run's vintage schemas folded with the engine's own widening rules
+    * (one footer per transition): parquet's `mergeSchema` refuses
+    * int→long across an ALTER COLUMN TYPE boundary, while an explicit
+    * widened schema reads narrow per-file members fine (probed, round
+    * 11). A fold the rules can't bridge falls back to per-transition
+    * legs for this run — correctness first, the collapsed plan is an
+    * optimization. */
+  private def appendRunLeg(spark: SparkSession, dir: String,
+      changeKey: String, run: Seq[Int], vs: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def prevOf(v: Int): Int = vs.takeWhile(_ < v).last
+    val filesByV: Seq[(Int, Seq[String])] = run.map { v =>
+      v -> VersionedTable.changedFiles(dir, prevOf(v), v)
+    }
+    val fileToV = filesByV.flatMap { case (v, fs) => fs.map(_ -> v.toLong) }
+    if (fileToV.isEmpty) // a run of metadata-only commits: no rows
+      return tagInserts(
+        VersionedTable.read(spark, dir, Some(run.last)).limit(0), run.last)
+    val vintages = filesByV.filter(_._2.nonEmpty)
+      .map { case (_, fs) => spark.read.parquet(fs: _*).schema }
+    val merged = vintages.tail
+      .foldLeft(Option(vintages.head: org.apache.spark.sql.types.DataType)) {
+        (acc, s) => acc.flatMap(a => widenMerge(a, s))
+      }.collect { case s: org.apache.spark.sql.types.StructType => s }
+    merged match {
+      case None => // unbridgeable vintage mix: per-transition legs
+        run.map(v => cdfTransition(spark, dir, changeKey, v, vs))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      case Some(schema) =>
+        val files = fileToV.map(_._1)
+        val mapDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            fileToV.map { case (f, v) => org.apache.spark.sql.Row(f, v) },
+            1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__cdf_file",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("_commit_version",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        spark.read.schema(schema).parquet(files: _*)
+          .withColumn("__cdf_file",
+            regexp_replace(input_file_name(), "^file:(//)?", ""))
+          .join(broadcast(mapDf), Seq("__cdf_file"), "left")
+          .drop("__cdf_file")
+          .withColumn("_commit_version",
+            coalesce(col("_commit_version"), raise_error(lit(
+              "cdf append-run file→version lookup missed — " +
+                "input_file_name normalization drifted from the " +
+                "manifest path form"))))
+          .withColumn("op", lit("i"))
+    }
+  }
+
+  /** Schema union with the engine's safe widenings (byte→short→int→long,
+    * float→double), recursive through structs/arrays/maps; fields
+    * present on one side only join as nullable (they read as nulls from
+    * the other side's files). None = the vintages need more than
+    * widening — the caller falls back rather than guessing. */
+  private def widenMerge(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (x: StructType, y: StructType) =>
+        val yByName = y.fields.map(f => f.name -> f).toMap
+        val fromX = x.fields.map { xf =>
+          yByName.get(xf.name) match {
+            case None => Some(xf.copy(nullable = true))
+            case Some(yf) => widenMerge(xf.dataType, yf.dataType)
+              .map(t => StructField(xf.name, t, nullable = true))
+          }
+        }
+        val extraY = y.fields.filterNot(f => x.fieldNames.contains(f.name))
+          .map(f => Option(f.copy(nullable = true)))
+        val all = fromX ++ extraY
+        if (all.exists(_.isEmpty)) None
+        else Some(StructType(all.flatten.toIndexedSeq))
+      case (ArrayType(xe, xn), ArrayType(ye, yn)) =>
+        widenMerge(xe, ye).map(ArrayType(_, xn || yn))
+      case (MapType(xk, xv, xn), MapType(yk, yv, yn)) =>
+        for { k <- widenMerge(xk, yk); v <- widenMerge(xv, yv) }
+          yield MapType(k, v, xn || yn)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (x, y) =>
+        val rank = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        (rank.indexOf(x), rank.indexOf(y)) match {
+          case (i, j) if i >= 0 && j >= 0 => Some(rank(math.max(i, j)))
+          case _ => None
+        }
+    }
   }
 
   private def cdfTransition(spark: SparkSession, dir: String,

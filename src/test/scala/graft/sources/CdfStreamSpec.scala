@@ -318,6 +318,79 @@ class CdfStreamSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dir#cdf=0..5`").count() > 0)
   }
 
+  test("a 50-append range collapses to a constant number of scan legs — " +
+      "plan size independent of the transition count — and still serves " +
+      "per-transition _commit_version") {
+    val tmp = tmpDir("cdf-collapse")
+    val dir = s"$tmp/t"
+    (0 until 50).foreach(i => ops.commit(rows(i until i + 1), dir))
+    val feed = TableStreamSource.cdfSlice(spark, dir, "id", 0, 50,
+      fresh = true)
+    val plan = feed.queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans <= 3,
+      s"a 50-append range must plan O(1) scan legs (snapshot + one " +
+        s"collapsed run), got $scans FileScans:\n${plan.take(1500)}")
+    val got = feed.select("id", "op", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == (0 until 50).map(i => (i.toLong, "i", (i + 1).toLong)),
+      s"the collapsed feed must serve each row under ITS transition: " +
+        s"${got.take(5)}...")
+    // the SQL door shares the collapsed core verbatim
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    ops.setTableProperty(dir, "cdf.key", "id")
+    val viaSql = spark.sql(s"SELECT id, op, _commit_version " +
+      s"FROM graft.`$dir#cdf=0..50`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(viaSql == got, "SQL fragment diverged from the collapsed feed")
+  }
+
+  test("an append run spanning a vintage type boundary still collapses: " +
+      "the widened read schema serves narrow files") {
+    val tmp = tmpDir("cdf-collapse-widen")
+    val dir = s"$tmp/t"
+    ops.commit((0 until 3).map(i => (i, "a")).toDF("id", "k"), dir)  // int
+    ops.commit((3 until 6).map(i => (i, "a")).toDF("id", "k"), dir)  // int
+    ops.commit((6 until 9).map(i => (i.toLong, "a")).toDF("id", "k"),
+      dir) // long vintage — parquet mergeSchema would refuse this mix
+    val feed = TableStreamSource.cdfSlice(spark, dir, "k", 0, 3,
+      fresh = true)
+    val got = feed.select(col("id").cast("long").as("id"), col("op"),
+      col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == (0 until 9).map(i => (i.toLong, "i", (i / 3 + 1).toLong)),
+      s"widened run must serve every vintage's rows: $got")
+  }
+
+  test("a range spanning more rewriting transitions than the cap refuses " +
+      "with a chunking instruction; at-cap ranges plan") {
+    val tmp = tmpDir("cdf-rewrite-cap")
+    val dir = s"$tmp/t"
+    ops.commit(rows(0 until 10), dir)                   // v1
+    ops.merge(spark, dir, rows(0 until 2, "u1"), "id")  // v2: rewrite
+    ops.merge(spark, dir, rows(2 until 4, "u2"), "id")  // v3: rewrite
+    ops.merge(spark, dir, rows(4 until 6, "u3"), "id")  // v4: rewrite
+    TableStreamSource.withCdfMaxRewrites(2) {
+      val e = intercept[IllegalArgumentException] {
+        TableStreamSource.cdfSlice(spark, dir, "id", 1, 4, fresh = false)
+      }
+      assert(e.getMessage.contains("rewriting transitions") &&
+        e.getMessage.contains("Chunk the range"),
+        s"over-cap rewriting range must refuse with the chunking " +
+          s"instruction: ${e.getMessage}")
+      // exactly at the cap plans fine (and the chunked halves cover it)
+      val half1 = TableStreamSource.cdfSlice(spark, dir, "id", 1, 3,
+        fresh = false).count()
+      val half2 = TableStreamSource.cdfSlice(spark, dir, "id", 3, 4,
+        fresh = false).count()
+      assert(half1 == 4 && half2 == 2,
+        s"chunked halves must serve the feed: $half1 + $half2")
+    }
+  }
+
   test("change-feed catch-up self-caps versions per micro-batch " +
       "(bounded plan size); the drain still serves everything") {
     val tmp = tmpDir("cdf-cap")
