@@ -34,9 +34,18 @@ import org.apache.spark.sql.types._
   * typed nulls a fresh column promises. The same holds one level down:
   * drop-then-re-add of `main.temp` re-adds under `main.temp_<id>`.
   *
-  * Structs inside ARRAY/MAP types stay immutable: their elements are
-  * repeated groups whose evolution the engine refuses loudly rather
-  * than approximates.
+  * Structs inside ARRAY/MAP types evolve too, but only ADDITIVELY:
+  * ADD of an element-struct member and safe TYPE widening ride the
+  * stock parquet reader exactly like plain struct members (probed:
+  * missing members of a repeated group serve typed nulls and narrow
+  * members promote per file, vectorized included — the reference's
+  * own raw document carries `weather: array<struct<...>>`,
+  * weather_etl.py:125). RENAME and DROP inside an element struct stay
+  * refused: they would make element physical names diverge from
+  * logical ones, and the read-side rename is a per-element rebuild
+  * this engine does not do silently. Because of that refusal, element
+  * members always satisfy physical == logical, so no translation path
+  * below ever rebuilds an array.
   *
   * The identity mapping (logical == physical everywhere, the state of
   * every table that never renamed) short-circuits to zero translation on
@@ -56,41 +65,52 @@ private[graft] object ColumnMapping {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(IdKey, id).putString(PhysKey, phys).build())
 
-  /** Every id any field of the schema carries, struct members included —
-    * the enumeration every fresh-id computation must fold, or a nested
-    * id could be silently recycled. */
+  /** Struct types reachable one level below `dt` for evolution purposes:
+    * the struct itself, an array's element struct, a map's value struct
+    * (map KEYS are identity-bearing — key structs do not evolve). */
+  private def childStructs(dt: DataType): Seq[StructType] = dt match {
+    case s: StructType => Seq(s)
+    case ArrayType(s: StructType, _) => Seq(s)
+    case MapType(_, s: StructType, _) => Seq(s)
+    case _ => Seq.empty
+  }
+
+  /** Rebuild `dt` with its evolution-reachable child struct (see
+    * [[childStructs]]) replaced by `f(struct)`; identity otherwise. */
+  private def mapChildStruct(dt: DataType)(f: StructType => StructType)
+      : DataType = dt match {
+    case s: StructType => f(s)
+    case a @ ArrayType(s: StructType, _) => a.copy(elementType = f(s))
+    case m @ MapType(_, s: StructType, _) => m.copy(valueType = f(s))
+    case other => other
+  }
+
+  /** Every id any field of the schema carries — struct members AND
+    * array/map element-struct members — the enumeration every fresh-id
+    * computation must fold, or a nested id could be silently recycled. */
   def allIds(schema: StructType): Seq[Long] = schema.fields.toSeq.flatMap {
-    f =>
-      idOf(f).toSeq ++ (f.dataType match {
-        case s: StructType => allIds(s)
-        case _ => Seq.empty
-      })
+    f => idOf(f).toSeq ++ childStructs(f.dataType).flatMap(allIds)
   }
 
   /** Every dotted PHYSICAL path the schema addresses (`main`,
-    * `main.temp`, …) — the live half of the collision set fresh
-    * physical names must avoid. */
+    * `main.temp`, `weather.description` through the array, …) — the
+    * live half of the collision set fresh physical names must avoid. */
   def allPhysicalPaths(schema: StructType): Seq[String] =
     schema.fields.toSeq.flatMap { f =>
       val p = physOf(f)
-      p +: (f.dataType match {
-        case s: StructType => allPhysicalPaths(s).map(n => s"$p.$n")
-        case _ => Seq.empty
-      })
+      p +: childStructs(f.dataType)
+        .flatMap(allPhysicalPaths).map(n => s"$p.$n")
     }
 
   /** Assign ids + physical names to any field lacking them (CREATE TABLE,
     * or the first ALTER of a Scala-created table), recursing into struct
-    * members. Fresh fields default to physical == name; ids continue
-    * above every id ever used (live or retired, any depth) so they are
-    * never recycled. */
+    * members (array/map element structs included). Fresh fields default
+    * to physical == name; ids continue above every id ever used (live or
+    * retired, any depth) so they are never recycled. */
   def assign(schema: StructType, retiredIds: Seq[Long]): StructType = {
     var next = (allIds(schema) ++ retiredIds).foldLeft(0L)(math.max) + 1
     def walk(s: StructType): StructType = StructType(s.fields.map { f0 =>
-      val f = f0.dataType match {
-        case st: StructType => f0.copy(dataType = walk(st))
-        case _ => f0
-      }
+      val f = f0.copy(dataType = mapChildStruct(f0.dataType)(walk))
       if (idOf(f).isDefined) f
       else { val id = next; next += 1; withKeys(f, id, physOf(f)) }
     })
@@ -139,15 +159,27 @@ private[graft] object ColumnMapping {
         val i = cur.fields.indexWhere(_.name.equalsIgnoreCase(head))
         require(i >= 0, s"no column '$head'")
         val f = cur.fields(i)
-        val st = f.dataType match {
-          case t: StructType => t
+        val pfx = s"$physPrefix${physOf(f)}."
+        // traversal descends plain structs, and — through the literal
+        // `element`/`value` path segment Spark's
+        // findNestedField(includeCollections = true) convention uses —
+        // array ELEMENT / map VALUE structs (ADD is additive, see the
+        // element evolution note in the header). The segment is
+        // structural: it consumes no physical-path part, so ledger
+        // paths stay `tags.x`, matching allPhysicalPaths/retireEntries.
+        def seg(s: String) = rest.headOption.exists(_.equalsIgnoreCase(s))
+        val updated = f.dataType match {
+          case t: StructType => f.copy(dataType = add(t, rest, pfx))
+          case a @ ArrayType(t: StructType, _) if seg("element") =>
+            f.copy(dataType = a.copy(elementType = add(t, rest.tail, pfx)))
+          case m @ MapType(_, t: StructType, _) if seg("value") =>
+            f.copy(dataType = m.copy(valueType = add(t, rest.tail, pfx)))
           case other => throw new IllegalArgumentException(
             s"ADD COLUMN ${path.mkString(".")}: '$head' is " +
-              s"${other.simpleString}, not a struct (array/map elements " +
-              "do not evolve)")
+              s"${other.simpleString}, which has no evolvable struct " +
+              "at this path (arrays via `.element.`, map values via " +
+              "`.value.`; map keys do not evolve)")
         }
-        val updated = f.copy(dataType =
-          add(st, rest, s"$physPrefix${physOf(f)}."))
         StructType(cur.fields.updated(i, updated))
     }
     add(s, path.init, "")
@@ -165,10 +197,8 @@ private[graft] object ColumnMapping {
       : Seq[(Long, String)] = {
     val p = s"$physPrefix${physOf(f)}"
     val own = idOf(f).map(id => (id, p)).toSeq
-    own ++ (f.dataType match {
-      case s: StructType => s.fields.toSeq.flatMap(retireEntries(_, s"$p."))
-      case _ => Seq.empty
-    })
+    own ++ childStructs(f.dataType)
+      .flatMap(_.fields.toSeq.flatMap(retireEntries(_, s"$p.")))
   }
 
   /** Strip the mapping metadata (any depth) — the shape comparison
@@ -261,20 +291,18 @@ private[graft] object ColumnMapping {
     * different from its logical one — the write path's trigger for the
     * struct-rebuilding cast (a pure positional relabel otherwise). */
   def hasNestedRenames(schema: StructType): Boolean = {
-    def inner(dt: DataType): Boolean = dt match {
-      case s: StructType => s.fields.exists(f =>
-        physOf(f) != f.name || inner(f.dataType))
-      case _ => false
-    }
+    def inner(dt: DataType): Boolean = childStructs(dt).exists(
+      _.fields.exists(f => physOf(f) != f.name || inner(f.dataType)))
     schema.fields.exists(f => inner(f.dataType))
   }
 
   /** The dataType as data files carry it: nested fields renamed to their
-    * physical names, recursively. */
-  def physicalType(dt: DataType): DataType = dt match {
-    case s: StructType => StructType(s.fields.map(f =>
+    * physical names, recursively (array/map element structs included —
+    * identity there by the element-evolution refusal, kept recursive so
+    * the invariant is structural, not assumed). */
+  def physicalType(dt: DataType): DataType = mapChildStruct(dt) { s =>
+    StructType(s.fields.map(f =>
       f.copy(name = physOf(f), dataType = physicalType(f.dataType))))
-    case other => other
   }
 
   /** The schema as data files and stats sidecars see it: physical names

@@ -678,11 +678,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
     // Navigate to the struct containing a NESTED path's last segment and
     // apply `f` to it — the seam ADD/DROP/RENAME of a struct member
-    // shares. Parents must be plain structs (array/map elements are
-    // repeated groups; their evolution refuses loudly), addressed by
-    // LOGICAL name; `f` receives the enclosing struct and the dotted
-    // PHYSICAL prefix its members land under.
-    def updateStructAt(sc: StructType, parents: Seq[String], what: String)
+    // shares. Parents are plain structs, or — for ADDITIVE changes only
+    // (`elemOk`: ADD COLUMN, safe TYPE widening, both probed to ride the
+    // stock parquet reader through repeated groups) — array ELEMENT /
+    // map VALUE structs. RENAME/DROP keep `elemOk = false`: they would
+    // make element physical names diverge from logical ones, and the
+    // engine refuses rather than silently rebuilding every array on
+    // read. Addressed by LOGICAL name; `f` receives the enclosing
+    // struct and the dotted PHYSICAL prefix its members land under.
+    def updateStructAt(sc: StructType, parents: Seq[String], what: String,
+                       elemOk: Boolean = false)
         (f: (StructType, String) => StructType): StructType = {
       def walk(cur: StructType, rest: Seq[String],
                physPrefix: String): StructType = rest match {
@@ -691,15 +696,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           val i = cur.fields.indexWhere(_.name.equalsIgnoreCase(head))
           require(i >= 0, s"$what: no column '$head'")
           val fld = cur.fields(i)
-          val st = fld.dataType match {
-            case t: StructType => t
+          val pfx = s"$physPrefix${ColumnMapping.physOf(fld)}."
+          // Spark addresses through collections with literal `element`
+          // (arrays) / `value` (maps) path segments — the
+          // findNestedField(includeCollections = true) convention; the
+          // segment is structural, so it consumes no physical-path part
+          def seg(s: String) = tail.headOption.exists(_.equalsIgnoreCase(s))
+          val updated = fld.dataType match {
+            case t: StructType => fld.copy(dataType = walk(t, tail, pfx))
+            case a @ ArrayType(t: StructType, _)
+                if elemOk && seg("element") =>
+              fld.copy(dataType = a.copy(
+                elementType = walk(t, tail.tail, pfx)))
+            case m @ MapType(_, t: StructType, _)
+                if elemOk && seg("value") =>
+              fld.copy(dataType = m.copy(
+                valueType = walk(t, tail.tail, pfx)))
             case other => throw new UnsupportedOperationException(
               s"$what: '$head' is ${other.simpleString}, not a struct — " +
-                "only struct members evolve (array/map elements are " +
-                "immutable)")
+                (if (elemOk)
+                  "there is no evolvable struct at this path"
+                 else
+                  "only struct members evolve this way (array/map " +
+                    "element members support ADD and type widening " +
+                    "only; RENAME/DROP inside elements are refused)"))
           }
-          StructType(cur.fields.updated(i, fld.copy(dataType =
-            walk(st, tail, s"$physPrefix${ColumnMapping.physOf(fld)}."))))
+          StructType(cur.fields.updated(i, updated))
       }
       walk(sc, parents, "")
     }
@@ -732,7 +754,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           require(add.isNullable,
             s"ADD COLUMN '$dotted' NOT NULL is unsupported: " +
               "already-landed files have no value for it")
-          updateStructAt(sc, path.init, s"ADD COLUMN '$dotted'") {
+          updateStructAt(sc, path.init, s"ADD COLUMN '$dotted'",
+            elemOk = true) {
             (st, _) =>
               require(!st.fieldNames.exists(_.equalsIgnoreCase(path.last)),
                 s"column '$dotted' already exists")
@@ -887,7 +910,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           val path = ut.fieldNames().toSeq
           val dotted = path.mkString(".")
           val nt = ut.newDataType()
-          updateStructAt(sc, path.init, s"ALTER COLUMN '$dotted' TYPE") {
+          updateStructAt(sc, path.init, s"ALTER COLUMN '$dotted' TYPE",
+            elemOk = true) {
             (st, physPrefix) =>
               val f = fieldOf(st, path.last, s"ALTER COLUMN '$dotted' TYPE")
               require(widenings.get(f.dataType).exists(_.contains(nt)),
@@ -3059,6 +3083,67 @@ object GraftCatalog {
       .orderBy(col("kind"))
   }
 
+  /** q_sql_elem_evolution — ARRAY-OF-STRUCT element evolution, the
+    * reference's raw-document repeated group (`weather[0].description`,
+    * weather_etl.py:125): half the events land with a 1-element
+    * `weather ARRAY<STRUCT<cond, n:INT>>`, then `ADD COLUMNS
+    * (weather.element.score DOUBLE)` and `ALTER COLUMN
+    * weather.element.n TYPE BIGINT` evolve the ELEMENT struct
+    * metadata-only (pinned in-query: the `#files` inventory is
+    * byte-identical across both ALTERs, and element RENAME refuses —
+    * additive-only evolution inside repeated groups) — pre-evolution
+    * files serve typed NULLs for the new member and promote the
+    * widened one per file — then the other half lands with the full
+    * element shape, including beyond-int `n` values only the widened
+    * type can carry. One aggregate over element fields of both
+    * vintages hash-matches a DuckDB oracle reconstructing
+    * null-vs-stored per row. */
+  def qSqlElemEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlelem_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(event_id BIGINT, weather ARRAY<STRUCT<cond: STRING, n: INT>>)")
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"),
+        array(struct(col("event_type").as("cond"),
+          (col("event_id") % 50).cast("int").as("n"))).as("weather"))
+      .createOrReplaceTempView("q_sql_elem_v1")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_elem_v1")
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (weather.element.score DOUBLE)")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ALTER COLUMN weather.element.n TYPE BIGINT")
+    val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    require(filesAfter == filesBefore,
+      "element ADD+widen must be metadata-only (zero files rewritten)")
+    require(scala.util.Try(spark.sql(
+      s"ALTER TABLE graft.`$dir` RENAME COLUMN weather.element.cond " +
+        "TO sky")).isFailure,
+      "element RENAME must refuse (additive-only element evolution)")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"),
+        array(struct(col("event_type").as("cond"),
+          (col("event_id") % 50 + 10000000000L).as("n"),
+          col("value").as("score"))).as("weather"))
+      .createOrReplaceTempView("q_sql_elem_v2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_elem_v2")
+    val el = element_at(col("weather"), 1)
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .groupBy(el.getField("cond").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        count(el.getField("score")).as("n_scored"),
+        sum(el.getField("n")).as("sum_n"),
+        round(Parity.decSum2(el.getField("score")), 2).as("sum_score"))
+      .orderBy(col("kind"))
+  }
+
   /** q_sql_default — ADD COLUMN DEFAULT + declared NOT NULL end-to-end:
     * half the events land, then `ADD COLUMN score INT DEFAULT 7` and
     * `ADD COLUMN grade STRING NOT NULL DEFAULT 'c'` evolve the table
@@ -3973,6 +4058,7 @@ object GraftCatalog {
     "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_rename" -> (qSqlRename _),
     "q_sql_nested_evolution" -> (qSqlNestedEvolution _),
+    "q_sql_elem_evolution" -> (qSqlElemEvolution _),
     "q_sql_default" -> (qSqlDefault _),
     "q_sql_constraint" -> (qSqlConstraint _),
     "q_sql_merge_full" -> (qSqlMergeFull _),
@@ -4148,6 +4234,23 @@ object GraftCatalog {
         |  CAST(SUM(score) AS BIGINT) AS sum_score,
         |  ROUND(CAST(SUM(CAST(reading AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS sum_reading
+        |FROM evolved
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin,
+    "q_sql_elem_evolution" ->
+      """WITH evolved AS (
+        |  SELECT event_type AS kind,
+        |    CAST(event_id % 50 AS BIGINT) AS n_val,
+        |    CAST(NULL AS DOUBLE) AS score
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, event_id % 50 + 10000000000, value
+        |  FROM events WHERE event_id % 2 = 1
+        |)
+        |SELECT kind, COUNT(*) AS n, COUNT(score) AS n_scored,
+        |  CAST(SUM(n_val) AS BIGINT) AS sum_n,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_score
         |FROM evolved
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,

@@ -297,9 +297,12 @@ class RenameWidenSpec extends SparkSpec {
       "already exists")
     refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.temp STRING)",
       "already exists")
-    // array elements are immutable — the struct inside `tags` can't grow
-    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (tags.element.x INT)",
-      "not a struct")
+    // element-struct members ADD and widen, but never RENAME or DROP —
+    // that would fork element physical names from logical ones
+    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN tags.element.k TO j",
+      "RENAME/DROP inside elements are refused")
+    refuses(s"ALTER TABLE graft.`$dir` DROP COLUMN tags.element.k",
+      "RENAME/DROP inside elements are refused")
     // nested widening exists, but only within the engine's parquet
     // promotion allowlist — bigint→double is not in it
     refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.pressure TYPE " +
@@ -388,6 +391,49 @@ class RenameWidenSpec extends SparkSpec {
       spark.sql(s"CREATE TABLE graft.`$dir#branch=b` (id BIGINT)")
     }
     assert(e.getMessage.contains("base table"))
+  }
+
+  test("array/map element-struct members ADD and widen metadata-only: " +
+    "pre-evolution files serve typed nulls / promoted values") {
+    register()
+    val dir = tmpDir("rw-elem") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "weather ARRAY<STRUCT<k: STRING, n: INT>>, " +
+      "props MAP<STRING, STRUCT<v: INT>>)")
+    spark.range(0, 4).select(col("id"),
+        array(struct(concat(lit("c"), col("id")).as("k"),
+          col("id").cast("int").as("n"))).as("weather"),
+        map(lit("a"), struct(col("id").cast("int").as("v"))).as("props"))
+      .createOrReplaceTempView("rw_elem_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_elem_src")
+    val before = filesOf(dir)
+    // ADD a member to the array's element struct and the map's value
+    // struct; widen an existing element member — all metadata-only
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(weather.element.score DOUBLE, props.value.w BIGINT)")
+    spark.sql(
+      s"ALTER TABLE graft.`$dir` ALTER COLUMN weather.element.n TYPE BIGINT")
+    assert(filesOf(dir) == before, "element evolution rewrote files")
+    // pre-evolution files: missing members serve typed nulls, the
+    // widened member promotes per file
+    val old = spark.sql("SELECT id, weather[0].score, weather[0].n, " +
+      s"element_at(props, 'a').w FROM graft.`$dir` ORDER BY id")
+      .collect()
+    assert(old.length == 4 && old.forall(r => r.isNullAt(1) && r.isNullAt(3)))
+    assert(old.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // post-evolution insert carries the full element shape, including a
+    // beyond-int value only a genuine long member can hold
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT 100L, " +
+      "array(named_struct('k', 'cx', 'n', 10000000000L, 'score', 0.5)), " +
+      "map('a', named_struct('v', 7, 'w', 8L))")
+    val got = spark.sql("SELECT weather[0].n, weather[0].score, " +
+      s"element_at(props, 'a').w FROM graft.`$dir` WHERE id = 100")
+      .head()
+    assert(got.getLong(0) == 10000000000L && got.getDouble(1) == 0.5 &&
+      got.getLong(2) == 8L)
+    // both vintages aggregate through one schema
+    assert(spark.sql(s"SELECT SUM(weather[0].n) FROM graft.`$dir`")
+      .head().getLong(0) == 6L + 10000000000L)
   }
 
   test("manifest stats pruning follows the physical name after a rename") {
