@@ -3947,6 +3947,44 @@ object GraftCatalog {
       s"FROM graft.`$dir` ORDER BY event_id")
   }
 
+  /** q_sql_asof_tvf — the as-of join INLINE in SELECT via the
+    * table-valued function (`FROM asof_join(...)`) — the composing twin
+    * of q_sql_asof's landing CALL: no materialization, the TVF expands
+    * at analysis time to the same AsOfJoinPlan the Scala DSL builds, and
+    * the surrounding query (projection + ORDER BY here) composes around
+    * it like any relation. Pinned in-query: the EXECUTED plan contains
+    * AsOfJoinExec (the sorted-merge exec, not a rewrite), and a bad
+    * direction refuses. Hash-matches [[graft.operators.AsOf.qAsofJoin]]'s
+    * DuckDB native-ASOF oracle verbatim — third surface, same oracle. */
+  def qSqlAsofTvf(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.AsOfJoinTvf.register(spark)
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .createOrReplaceTempView("q_sql_asof_tvf_purchases")
+    ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
+      .agg(org.apache.spark.sql.functions.min(col("event_id"))
+        .as("signup_event_id"))
+      .createOrReplaceTempView("q_sql_asof_tvf_signups")
+    val out = spark.sql(
+      "SELECT event_id, user_id, signup_event_id " +
+        "FROM asof_join('q_sql_asof_tvf_purchases', " +
+        "'q_sql_asof_tvf_signups', 'user_id', 'ts', 's_user_id', 's_ts', " +
+        "'backward') " +
+        "ORDER BY event_id")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("AsOfJoin"),
+      "the TVF must plan through AsOfJoinExec (sorted-merge), not a " +
+        s"rewrite:\n$plan")
+    require(scala.util.Try(spark.sql(
+      "SELECT * FROM asof_join('q_sql_asof_tvf_purchases', " +
+        "'q_sql_asof_tvf_signups', 'user_id', 'ts', 's_user_id', 's_ts', " +
+        "'sideways')").collect()).isFailure,
+      "a bad direction must refuse at analysis time")
+    out
+  }
+
   /** q_sql_cdf — the keyed change-data feed as a read-only SQL handle:
     * the same two-appends-then-MERGE lineage as q_cdf_stream, consumed
     * through `graft.`t#cdf=0..3`` instead of the streaming reader — the
@@ -4043,6 +4081,7 @@ object GraftCatalog {
     "q_sql_cdf" -> (qSqlCdf _),
     "q_sql_nested_stats" -> (qSqlNestedStats _),
     "q_sql_asof" -> (qSqlAsof _),
+    "q_sql_asof_tvf" -> (qSqlAsofTvf _),
     "q_sql_zorder_where" -> (qSqlZorderWhere _),
     "q_sql_compact_where" -> (qSqlCompactWhere _),
     "q_sql_group" -> (qSqlGroup _),
@@ -4077,6 +4116,7 @@ object GraftCatalog {
     // the SQL door provably computes the same operator as the Scala DSL:
     // one oracle, shared verbatim (DuckDB's native ASOF LEFT JOIN)
     "q_sql_asof" -> graft.operators.AsOf.oracles("q_asof_join"),
+    "q_sql_asof_tvf" -> graft.operators.AsOf.oracles("q_asof_join"),
     // the '#cdf=' fragment provably serves the streaming reader's feed:
     // q_cdf_stream's oracle, shared verbatim
     "q_sql_cdf" -> graft.sources.TableStream.oracles("q_cdf_stream"),

@@ -230,6 +230,62 @@ object AsOfJoin {
   }
 }
 
+/** `asof_join(...)` as a TABLE-VALUED function, so the as-of composes
+  * INLINE in a larger SELECT (join it, aggregate it, subquery it) without
+  * materializing — the landing twin is `CALL graft.asof_join` (same name,
+  * same argument order minus `out_dir`; the CALL lands a table through the
+  * protocol, the TVF returns the relation). Expands at analysis time to
+  * the same [[AsOfJoinPlan]] the Scala DSL builds, so the planner pins and
+  * the sorted-merge exec are shared, not reimplemented.
+  *
+  * `asof_join(left_view, right_view, left_key, left_ts, right_key,
+  * right_ts [, direction])` — view names resolve through the session
+  * (temp views and catalog tables alike); direction defaults to
+  * 'backward', 'forward' reuses [[graft.operators.AsOf.joinForward]]'s
+  * order-reversal reduction. Arguments must be string LITERALS: the
+  * expansion happens at analysis time, before any row exists to evaluate
+  * a non-literal against. */
+object AsOfJoinTvf {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.StringType
+
+  private def str(e: Expression, pos: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"asof_join: $pos must be a string literal, got ${other.sql}")
+  }
+
+  def plan(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 6 || exprs.length == 7,
+      "asof_join(left_view, right_view, left_key, left_ts, right_key, " +
+        s"right_ts [, direction]) takes 6 or 7 arguments, got ${exprs.length}")
+    val names = Seq("left_view", "right_view", "left_key", "left_ts",
+      "right_key", "right_ts")
+    val Seq(lv, rv, lk, lts, rk, rts) =
+      exprs.take(6).zip(names).map { case (e, n) => str(e, n) }
+    val dir = if (exprs.length == 7) str(exprs(6), "direction") else "backward"
+    val spark = SparkSession.active
+    AsOfJoin.install(spark)
+    val (left, right) = (spark.table(lv), spark.table(rv))
+    val df = dir.toLowerCase(java.util.Locale.ROOT) match {
+      case "backward" => AsOfJoin.join(left, right, lk, lts, rk, rts)
+      case "forward" =>
+        graft.operators.AsOf.joinForward(left, right, lk, lts, rk, rts)
+      case other => throw new IllegalArgumentException(
+        s"asof_join direction must be 'backward' or 'forward': '$other'")
+    }
+    df.queryExecution.analyzed
+  }
+
+  /** Idempotently register the TVF (and the planner strategy its expansion
+    * needs) in this session's table-function registry. */
+  def register(spark: SparkSession): Unit = {
+    AsOfJoin.install(spark)
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "asof_join", plan, "built-in")
+  }
+}
+
 /** Global registration (`--conf spark.sql.extensions=
   * org.apache.spark.sql.graft.GraftExtensions`): planner strategy + the
   * native function kernels. */
@@ -279,5 +335,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (exprs: Seq[Expression]) => GraftExpressions.pqAdcFn(exprs)))
+    e.injectTableFunction((FunctionIdentifier("asof_join"),
+      new ExpressionInfo(AsOfJoinTvf.getClass.getName, "asof_join"),
+      (exprs: Seq[Expression]) => AsOfJoinTvf.plan(exprs)))
   }
 }

@@ -724,6 +724,8 @@ object GraftExpressions {
       exprs => pqLutFn(exprs), "built-in")
     reg.createOrReplaceTempFunction("pq_adc",
       exprs => pqAdcFn(exprs), "built-in")
+    // the one TABLE-valued function rides along: inline as-of join
+    AsOfJoinTvf.register(spark)
   }
 
   // ---- the ANN-kernel surface as SQL functions ------------------------

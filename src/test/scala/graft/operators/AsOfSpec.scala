@@ -62,6 +62,46 @@ class AsOfSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("backward")))
   }
 
+  test("asof_join TVF composes inline in SELECT: both directions match " +
+    "the DSL, plan has AsOfJoinExec, non-literal and bad args refuse") {
+    org.apache.spark.sql.graft.AsOfJoinTvf.register(spark)
+    val left = Seq((1L, 10L, "l1"), (1L, 30L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "ltag")
+    val right = Seq((1L, 8L, "r1"), (1L, 20L, "r2"), (2L, 9L, "r3"))
+      .toDF("rk", "rt", "rtag")
+    left.createOrReplaceTempView("asof_tvf_l")
+    right.createOrReplaceTempView("asof_tvf_r")
+    for (dir <- Seq("backward", "forward")) {
+      val got = spark.sql("SELECT ltag, rtag FROM asof_join('asof_tvf_l', " +
+        s"'asof_tvf_r', 'k', 't', 'rk', 'rt', '$dir')")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val dsl = (if (dir == "backward")
+          AsOf.join(left, right, "k", "t", "rk", "rt")
+        else AsOf.joinForward(left, right, "k", "t", "rk", "rt"))
+        .collect().map(r => r.getString(2) -> r.getString(5)).toMap
+      assert(got == dsl, s"$dir TVF diverged from the DSL: $got")
+    }
+    // default direction = backward
+    val dflt = spark.sql("SELECT ltag, rtag FROM asof_join('asof_tvf_l', " +
+      "'asof_tvf_r', 'k', 't', 'rk', 'rt')")
+    assert(dflt.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "TVF expansion must plan through AsOfJoinExec")
+    // ...and it COMPOSES: aggregate over the TVF like any relation
+    val n = spark.sql("SELECT COUNT(rtag) FROM asof_join('asof_tvf_l', " +
+      "'asof_tvf_r', 'k', 't', 'rk', 'rt')").head().getLong(0)
+    assert(n == 2L) // l1->r1, l2->r2; l3 has no prior right row
+    for (bad <- Seq(
+        "SELECT * FROM asof_join('asof_tvf_l', 'asof_tvf_r', 'k', 't', " +
+          "'rk', 'rt', 'sideways')",
+        "SELECT * FROM asof_join('asof_tvf_l', 'asof_tvf_r', 'k', 't', " +
+          "'rk')",
+        "SELECT * FROM asof_join(asof_tvf_l, 'asof_tvf_r', 'k', 't', " +
+          "'rk', 'rt')")) {
+      assert(scala.util.Try(spark.sql(bad).collect()).isFailure,
+        s"expected refusal: $bad")
+    }
+  }
+
   test("forward variant: earliest at-or-after match, nulls when none") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "l1"), // next right at 11:00
