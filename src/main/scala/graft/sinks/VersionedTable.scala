@@ -1100,7 +1100,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val newFiles =
       if (pt.isEmpty) writeBatch(df, dir)
       else writeBatch(PartitionTransform.clusterFor(df, pt, ptNumFiles(dir)), dir)
-    validateConstraints(df.sparkSession, dir, newFiles)
+    validateConstraints(df.sparkSession, dir, newFiles, userBatch = true)
     // per-file row counts land with EVERY commit (footers of the batch
     // just written — O(batch), local), and the head's stats lines carry
     // forward, so a plain append no longer silently discards the pruning
@@ -1108,7 +1108,7 @@ class VersionedTableOps(protected val io: TableIO) {
     // full covering stats (rows lines ride in the same aggregate).
     val rowsNew =
       if (pt.isEmpty) rowsLines(df.sparkSession, newFiles)
-      else statsLines(df.sparkSession, newFiles,
+      else statsLines(df.sparkSession, dir, newFiles,
         pt.flatMap(_.statNames).distinct, cbo = cboOnCommit(dir))
     val meta = txnId.map(t => s"#txn=$t").toSeq :+ s"#ts=${now()}"
     // an append inherits the head's delete vectors (they reference the
@@ -1409,7 +1409,7 @@ class VersionedTableOps(protected val io: TableIO) {
       validateConstraints(spark, dir, newFiles)
       val rowsNew =
         if (pt.isEmpty) rowsLines(spark, newFiles)
-        else statsLines(spark, newFiles,
+        else statsLines(spark, dir, newFiles,
           pt.flatMap(_.statNames).distinct, cbo = cboOnCommit(dir))
       val referenced = spark.read.parquet(newDel: _*)
         .select("file_path").distinct()
@@ -1629,7 +1629,7 @@ class VersionedTableOps(protected val io: TableIO) {
       }
     val lines =
       if (!onlyMissing)
-        keep ++ statsLines(spark, filesOf(dir, version), statCols,
+        keep ++ statsLines(spark, dir, filesOf(dir, version), statCols,
           cbo = true)
       else keep ++ incrementalStatsLines(spark, dir, version, statCols,
         existing)
@@ -1690,7 +1690,7 @@ class VersionedTableOps(protected val io: TableIO) {
           !t("nulls") || !t("hll")
         }
     }
-    val fresh1 = statsLines(spark, miss1, statCols, cbo = true)
+    val fresh1 = statsLines(spark, dir, miss1, statCols, cbo = true)
     val freshTags = tagsOf(fresh1.filter { l =>
       val a = l.split('\t'); a.length >= 3 && a(1) != "#"
     })
@@ -1704,7 +1704,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val m = have.getOrElse(f, Map.empty[String, Set[String]])
       statCols.exists(c => !expected(c).subsetOf(m.getOrElse(c, Set.empty)))
     }
-    val fresh2 = statsLines(spark, miss2, statCols, cbo = true)
+    val fresh2 = statsLines(spark, dir, miss2, statCols, cbo = true)
     val rescanned = done1 ++ miss2
     statLines.filterNot(l => rescanned(l.takeWhile(_ != '\t'))) ++
       fresh1 ++ fresh2
@@ -1731,11 +1731,30 @@ class VersionedTableOps(protected val io: TableIO) {
   private[sinks] val statsFilesScanned =
     new java.util.concurrent.atomic.AtomicLong
 
-  private def statsLines(spark: SparkSession, files: Seq[String],
+  /** The declared PHYSICAL schema iff the table carries nested existence
+    * defaults — the stats scan substitutes through it so every sidecar
+    * line (bounds, null counts, NDV/KLL) describes SERVED values; the
+    * manifest pruning, sidecar MIN/MAX serving, TopN admission and CBO
+    * folds built on those lines then agree with what the scan returns
+    * (see [[graft.sql.NestedDefaults]]). Tables without nested defaults
+    * — including every Scala-door table — pay one metadata read. */
+  private def statsSubstitution(dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    declaredSchema(dir)
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .filter(graft.sql.NestedDefaults.hasAny)
+      .map(graft.sql.ColumnMapping.physicalSchema)
+
+  private def statsLines(spark: SparkSession, dir: String,
+                         files: Seq[String],
                          statCols: Seq[String],
                          cbo: Boolean = false): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     statsFilesScanned.addAndGet(files.size)
+    val subst = statsSubstitution(dir)
+    def substituted(df: DataFrame): DataFrame =
+      subst.map(graft.sql.NestedDefaults.substitute(df, _)).getOrElse(df)
     // Bounded driver memory at ANALYZE scale: the grouped aggregate
     // collects one row PER FILE, and with CBO sketches each row carries
     // ~25 KB (HLL + KLL base64) — a 100k-file whole-table write_stats
@@ -1749,10 +1768,12 @@ class VersionedTableOps(protected val io: TableIO) {
       val schema = spark.read.parquet(files: _*).schema
       return files.grouped(StatsChunkFiles).flatMap { chunk =>
         statsLinesChunk(spark,
-          spark.read.schema(schema).parquet(chunk: _*), statCols, cbo)
+          substituted(spark.read.schema(schema).parquet(chunk: _*)),
+          statCols, cbo)
       }.toSeq
     }
-    statsLinesChunk(spark, spark.read.parquet(files: _*), statCols, cbo)
+    statsLinesChunk(spark, substituted(spark.read.parquet(files: _*)),
+      statCols, cbo)
   }
 
   private def statsLinesChunk(spark: SparkSession, raw: DataFrame,
@@ -1957,11 +1978,11 @@ class VersionedTableOps(protected val io: TableIO) {
     Layout.writeZordered(df, zCols, batchDir, numFiles, bitsPerDim)
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
-    validateConstraints(spark, dir, newFiles)
+    validateConstraints(spark, dir, newFiles, userBatch = true)
     // the new files' stats need a scan — do it ONCE, outside the OCC
     // loop; a partition-declared table keeps its transform stats too, so
     // a z-ordered landing never silently drops bucket pruning
-    val newStats = statsLines(spark, newFiles,
+    val newStats = statsLines(spark, dir, newFiles,
       (statCols ++ partitioningOf(dir).flatMap(_.statNames)).distinct,
       cbo = cboOnCommit(dir))
     if (!append) {
@@ -2694,7 +2715,7 @@ class VersionedTableOps(protected val io: TableIO) {
         sortCols ++ zorder.toSeq.flatMap(_._1)).distinct
     val newStats =
       if (cols.isEmpty) rowsLines(spark, newFiles)
-      else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))
+      else statsLines(spark, dir, newFiles, cols, cbo = cboOnCommit(dir))
     val delRows = rowsLines(spark, survivorDel)
     // old vectors are replaced by the consolidated survivor — their rows
     // lines drop with the rewritten data files' (segment-preserving
@@ -3181,7 +3202,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val newFiles = io.list(batchDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$batchDir/$n")
     val cols = (statColsOf(dir, head) ++ zCols).distinct
-    val newStats = statsLines(spark, newFiles, cols,
+    val newStats = statsLines(spark, dir, newFiles, cols,
       cbo = cboOnCommit(dir))
     // the superseded delete vectors' rows lines drop with the rewrite
     // (their rows were materialized into the clustered copy)
@@ -3395,7 +3416,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newStats =
         if (newFiles.isEmpty) Seq.empty
         else if (cols.isEmpty) rowsLines(spark, newFiles)
-        else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))
+        else statsLines(spark, dir, newFiles, cols, cbo = cboOnCommit(dir))
       val delRows = rowsLines(spark, survivorDel)
       val removed = touchedSet ++ delsAtStart
       val newSeg = segLine(dir, newFiles, coversOf(newStats))
@@ -3643,7 +3664,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newStats =
         if (newFiles.isEmpty) Seq.empty
         else if (cols.isEmpty) rowsLines(spark, newFiles)
-        else statsLines(spark, newFiles, cols, cbo = cboOnCommit(dir))
+        else statsLines(spark, dir, newFiles, cols, cbo = cboOnCommit(dir))
       val delRows = rowsLines(spark, survivorDel)
       val removed = touchedSet ++ delsAtStart
       val newSeg = segLine(dir, newFiles, coversOf(newStats))
@@ -3873,12 +3894,16 @@ class VersionedTableOps(protected val io: TableIO) {
     * throw with per-constraint counts; the unpublished files are left
     * for the orphan sweep, exactly like any crashed commit. */
   private def validateConstraints(spark: SparkSession, dir: String,
-                                  newFiles: Seq[String]): Unit =
+                                  newFiles: Seq[String],
+                                  userBatch: Boolean = false): Unit =
     if (newFiles.nonEmpty)
-      validateConstraintsDf(dir, spark.read.parquet(newFiles: _*))
+      validateConstraintsDf(dir, spark.read.parquet(newFiles: _*),
+        userBatch)
 
-  private def validateConstraintsDf(dir: String, batch: DataFrame): Unit = {
-    val cs = (constraints(dir).toSeq ++ notNullChecks(dir, batch))
+  private def validateConstraintsDf(dir: String, batch: DataFrame,
+                                    userBatch: Boolean = false): Unit = {
+    val cs = (constraints(dir).toSeq ++ notNullChecks(dir, batch) ++
+        (if (userBatch) nestedDefaultChecks(dir, batch) else Seq.empty))
       .sortBy(_._1)
     if (cs.isEmpty) return
     val aggs = cs.map { case (n, e) =>
@@ -3942,6 +3967,50 @@ class VersionedTableOps(protected val io: TableIO) {
         None
       }
     }
+  }
+
+  /** Nested existence defaults as synthetic CHECK predicates for USER
+    * batches (the append doors only): a stored NULL in a defaulted
+    * member under a non-null parent is indistinguishable per-file from
+    * an absent member, so it would silently READ BACK as the default —
+    * refuse the write instead of serving the lie. Engine rewrite paths
+    * (compaction, COW DML carrying pre-evolution rows forward) are
+    * exempt by the userBatch flag: there a stored NULL is the faithful
+    * carry of a pre-evolution row, and the coalesce read serves its
+    * default correctly (see [[graft.sql.NestedDefaults]]). Physical
+    * names throughout (batch files carry them); a batch lacking the
+    * path entirely skips — the absent member serves its default. */
+  private def nestedDefaultChecks(dir: String,
+                                  batch: DataFrame): Seq[(String, String)] = {
+    val declPhys = statsSubstitution(dir).getOrElse(return Seq.empty)
+    val logical = declaredSchema(dir).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).get
+    def present(s: org.apache.spark.sql.types.StructType,
+                rest: Seq[String]): Boolean = rest match {
+      case Seq() => true
+      case h +: t => s.fields.find(_.name.equalsIgnoreCase(h)).exists {
+        f => t.isEmpty || (f.dataType match {
+          case st: org.apache.spark.sql.types.StructType => present(st, t)
+          case _ => false
+        })
+      }
+    }
+    graft.sql.NestedDefaults.paths(declPhys)
+      .zip(graft.sql.NestedDefaults.paths(logical)).flatMap {
+        case ((physPath, _, _), (logPath, _, _)) =>
+          if (!present(batch.schema, physPath)) None
+          else {
+            val parents = physPath.init.indices.map { i =>
+              physPath.take(i + 1).map(p => s"`$p`").mkString(".") +
+                " IS NULL"
+            }
+            val leaf = physPath.map(p => s"`$p`").mkString(".") +
+              " IS NOT NULL"
+            Some(s"nested DEFAULT ${logPath.mkString(".")}" ->
+              (parents :+ leaf).mkString(" OR "))
+          }
+      }
   }
 
   // ---- named refs: tags (immutable) and branches (forked lineages) ----

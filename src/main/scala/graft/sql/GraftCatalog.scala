@@ -231,6 +231,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   private def snapshot(ident: Identifier, pinned: Option[Int]): Table = {
     val spark = SparkSession.active
+    // every session that can load a table gets the nested-existence-
+    // default substitution rule (idempotent, one list-contains check) —
+    // a session reading a defaulted table without it would serve nulls
+    // where the declaration promises values
+    NestedDefaultRewrite.install(spark)
     parseRef(dirOf(ident)) match {
       case (base, RefHistory) =>
         require(pinned.isEmpty, "metadata views do not time-travel")
@@ -737,23 +742,62 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           // struct member gets a fresh id + a physical name avoiding
           // everything its ENCLOSING STRUCT ever addressed, and
           // pre-evolution files serve typed nulls through the stock
-          // parquet nested-schema-evolution read. No DEFAULT: Spark's
-          // existence-default substitution is a top-level-column
-          // mechanism, so a nested default would be declared but never
-          // served — refuse rather than lie. NOT NULL refuses for the
-          // same reason the un-defaulted top-level add does.
+          // parquet nested-schema-evolution read. DEFAULT declares a
+          // nested EXISTENCE default, substituted by the ENGINE's own
+          // read path (Spark's mechanism is top-level-only) — see
+          // [[NestedDefaults]] for the full semantics (coalesce reads,
+          // append-door NULL gate, substituted ANALYZE). NOT NULL
+          // refuses for the same reason the un-defaulted top-level add
+          // does.
           val path = add.fieldNames().toSeq
           val dotted = path.mkString(".")
           require(add.position() == null,
             s"ADD COLUMN '$dotted' FIRST/AFTER unsupported: columns " +
               "append at the end (repositioning is not supported)")
-          require(add.defaultValue() == null,
-            s"ADD COLUMN '$dotted' DEFAULT is unsupported on nested " +
-              "fields: existence defaults substitute at the top level " +
-              "only, so the declaration would never be served")
           require(add.isNullable,
             s"ADD COLUMN '$dotted' NOT NULL is unsupported: " +
               "already-landed files have no value for it")
+          val dv = Option(add.defaultValue())
+          val existsLit = dv.map { d =>
+            // only PLAIN struct parents: a defaulted member inside an
+            // array/map element has no batch-shaped write gate and no
+            // per-element substitution contract — refuse, like element
+            // RENAME/DROP
+            def plainParents(cur: StructType, rest: Seq[String]): Boolean =
+              rest match {
+                case Seq() => true
+                case head +: tail =>
+                  cur.fields.find(_.name.equalsIgnoreCase(head))
+                    .map(_.dataType).exists {
+                      case st: StructType => plainParents(st, tail)
+                      case _ => false
+                    }
+              }
+            require(plainParents(sc, path.init),
+              s"ADD COLUMN '$dotted' DEFAULT is unsupported inside " +
+                "array/map element structs: nested existence defaults " +
+                "cover plain struct members only")
+            require(!(add.dataType().isInstanceOf[StructType] ||
+                add.dataType().isInstanceOf[ArrayType] ||
+                add.dataType().isInstanceOf[MapType]),
+              s"ADD COLUMN '$dotted' DEFAULT needs an atomic-typed " +
+                s"member, got ${add.dataType().simpleString}")
+            val v = d.getValue
+            require(v != null,
+              s"ADD COLUMN '$dotted' DEFAULT must be a constant-foldable " +
+                "expression (the value already-landed rows serve)")
+            val folded = org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                v.value(), v.dataType()), add.dataType(),
+              Some(SparkSession.active.sessionState.conf
+                .sessionLocalTimeZone)).eval(null)
+            require(folded != null,
+              s"ADD COLUMN '$dotted' DEFAULT NULL is the absent-default " +
+                "behavior (or the default does not fit the member type) " +
+                "— omit the DEFAULT instead")
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              folded, add.dataType())
+          }
           updateStructAt(sc, path.init, s"ADD COLUMN '$dotted'",
             elemOk = true) {
             (st, _) =>
@@ -761,8 +805,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                 s"column '$dotted' already exists")
               st
           }
-          ColumnMapping.addField(sc, path, add.dataType(),
+          val added = ColumnMapping.addField(sc, path, add.dataType(),
             ops.retiredColumns(dir))
+          existsLit match {
+            case None => added
+            case Some(lit) =>
+              // stamp the EXISTS_DEFAULT (canonical literal SQL, parsed
+              // + re-cast at read time so later member widening needs no
+              // metadata rewrite) onto the new member — CURRENT_DEFAULT
+              // is deliberately absent: an INSERT can never OMIT a
+              // struct member, so only the existence half is meaningful
+              updateStructAt(added, path.init,
+                  s"ADD COLUMN '$dotted'", elemOk = true) { (st, _) =>
+                val i = st.fields.indexWhere(
+                  _.name.equalsIgnoreCase(path.last))
+                val f = st.fields(i)
+                StructType(st.fields.updated(i, f.copy(metadata =
+                  new MetadataBuilder().withMetadata(f.metadata)
+                    .putString(NestedDefaults.ExistsKey, lit.sql)
+                    .build())))
+              }
+          }
         case add: TableChange.AddColumn =>
           val n = one(add.fieldNames(), "ADD COLUMN")
           require(!sc.fieldNames.exists(_.equalsIgnoreCase(n)),
@@ -1941,11 +2004,29 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
 
   private val inner = parquetBuilder(files)
   private var captured: Seq[CatalystExpr] = Seq.empty
+  private var innerCaptured: Seq[CatalystExpr] = Seq.empty
   private var required: Option[StructType] = None
+
+  // Top-level columns owning a nested existence default (lowercase
+  // LOGICAL names). Filters referencing them are withheld from the
+  // INNER parquet builder: parquet row-group stats describe STORED
+  // values, and a row group whose defaulted member is stored NULL (a
+  // rewrite carrying pre-evolution rows forward) or absent would be
+  // skipped by a predicate its SERVED (substituted) values match.
+  // Manifest-level pruning keeps them — the stats sidecar is written
+  // from SUBSTITUTED values (statsLines), so its bounds describe what
+  // the scan serves; files not yet covered are kept conservatively.
+  private lazy val defaultedRoots: Set[String] =
+    NestedDefaults.defaultedRoots(tableSchema)
 
   override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
     captured = filters.map(toPhysExpr)
-    val postScan = inner.pushFilters(captured)
+    val innerSafe =
+      if (defaultedRoots.isEmpty) filters
+      else filters.filterNot(_.references.exists(a =>
+        defaultedRoots(a.name.toLowerCase)))
+    innerCaptured = innerSafe.map(toPhysExpr)
+    val postScan = inner.pushFilters(innerCaptured)
     // snapshot-level stats serving (statsServable below) relies on every
     // pushed DATA filter surviving as a residual Filter above the scan —
     // parquet row-group skipping is best-effort, so the stock builder
@@ -1953,14 +2034,17 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
     // if a future inner builder ever fully consumes a filter, stats must
     // stop serving the whole-snapshot fold or estimates silently
     // overcount with nothing above the scan correcting them.
-    allFiltersResidual = postScan.size == captured.size
+    // withheld (defaulted-root) filters are residual by construction —
+    // counting against innerCaptured keeps the invariant exact
+    allFiltersResidual = postScan.size == innerCaptured.size
     // the residuals Spark keeps must be the plan's OWN expressions
     // (original attribute names AND types): when every filter was
     // retained — the parquet invariant just recorded — hand back the
     // originals; a partially-consuming inner builder falls back to the
-    // name-only back-translation
+    // name-only back-translation (plus the withheld originals)
     if (allFiltersResidual) filters
-    else postScan.map(renameAttrs(_, backNames))
+    else postScan.map(renameAttrs(_, backNames)) ++
+      filters.filterNot(innerSafe.contains)
   }
   private var allFiltersResidual: Boolean = true
   override def pushedFilters(): Array[Predicate] = inner.pushedFilters
@@ -2350,10 +2434,22 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
       if (paths.size == files.size) inner.build()
       else {
         val b2 = parquetBuilder(paths)
-        b2.pushFilters(captured)
+        // replay the INNER filter set (defaulted-root filters stay
+        // withheld — row-group stats see stored, not served, values)
+        b2.pushFilters(innerCaptured)
         required.foreach(b2.pruneColumns)
         b2.build()
       }
+
+    /** The declared LOGICAL schema iff it carries nested existence
+      * defaults — what [[NestedDefaultRewrite]] wraps this scan's
+      * relation with. Time travel follows the engine's top-level
+      * convention (schema — and its declared defaults — travels with
+      * the HEAD, data with the version): a `VERSION AS OF` scan built
+      * before the ADD serves the member's default over its pinned
+      * files, byte-identical on disk. */
+    private[sql] def nestedDefaultDecl: Option[StructType] =
+      if (NestedDefaults.hasAny(tableSchema)) Some(tableSchema) else None
 
     private def refuse[T](serve: => T): T = refuseServe match {
       case Some(msg) => throw new IllegalArgumentException(msg)
@@ -3191,6 +3287,67 @@ object GraftCatalog {
         sum(col("score")).as("sum_score"),
         round(Parity.decSum2(col("value")), 2).as("sum_value"))
       .orderBy(col("grade"))
+  }
+
+  /** q_sql_nested_default — ADD COLUMN DEFAULT on a NESTED struct member,
+    * substituted by the ENGINE's own read path where Spark's
+    * EXISTS_DEFAULT machinery is top-level-only (see [[NestedDefaults]]):
+    * half the events land inside a struct, then `ADD COLUMNS (main.score
+    * BIGINT DEFAULT 7)` evolves the member metadata-only (pinned
+    * in-query: the `#files` inventory is byte-identical, and an INSERT
+    * storing NULL in the defaulted member under a non-null parent
+    * refuses — the append-door gate that keeps stored and served values
+    * aligned) — pre-ADD rows serve 7 wherever their parent struct is
+    * non-null, NULL parents stay NULL — then the other half lands with
+    * stored values. One aggregate over default-vs-stored rows of both
+    * vintages (including a filter ON the defaulted member, served by the
+    * substitution Project above the scan) hash-matches a DuckDB oracle
+    * reconstructing the substitution per row. */
+  def qSqlNestedDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    register(spark)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlndef_")
+    java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
+    val dir = s"$tmp/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(event_id BIGINT, main STRUCT<kind: STRING, reading: DOUBLE>)")
+    // every third pre-ADD row lands a NULL parent struct: the default
+    // must NOT be fabricated under it
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"),
+        when(col("event_id") % 3 =!= 0,
+          struct(col("event_type").as("kind"), col("value").as("reading")))
+          .as("main"))
+      .createOrReplaceTempView("q_sql_ndef_v1")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_ndef_v1")
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.score BIGINT DEFAULT 7)")
+    val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    require(filesAfter == filesBefore,
+      "nested ADD DEFAULT must be metadata-only (zero files rewritten)")
+    require(scala.util.Try(spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(0, named_struct('kind', 'x', 'reading', 0.0, 'score', " +
+      "CAST(NULL AS BIGINT)))")).isFailure,
+      "NULL into a defaulted nested member under a non-null parent " +
+        "must refuse (it would silently read back as the default)")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"),
+        struct(col("event_type").as("kind"), col("value").as("reading"),
+          (col("event_id") % 97 + 1).as("score")).as("main"))
+      .createOrReplaceTempView("q_sql_ndef_v2")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_ndef_v2")
+    spark.sql(s"SELECT * FROM graft.`$dir`")
+      .filter(col("main").isNull || col("main.score") >= 7)
+      .groupBy(coalesce(col("main.kind"), lit("(none)")).as("kind"))
+      .agg(count(lit(1)).as("n"),
+        count(col("main.score")).as("n_scored"),
+        sum(col("main.score")).as("sum_score"),
+        round(Parity.decSum2(col("main.reading")), 2).as("sum_reading"))
+      .orderBy(col("kind"))
   }
 
   /** q_sql_constraint — the q_constraint_gate twin driven purely via
@@ -4098,6 +4255,7 @@ object GraftCatalog {
     "q_sql_rename" -> (qSqlRename _),
     "q_sql_nested_evolution" -> (qSqlNestedEvolution _),
     "q_sql_elem_evolution" -> (qSqlElemEvolution _),
+    "q_sql_nested_default" -> (qSqlNestedDefault _),
     "q_sql_default" -> (qSqlDefault _),
     "q_sql_constraint" -> (qSqlConstraint _),
     "q_sql_merge_full" -> (qSqlMergeFull _),
@@ -4294,6 +4452,27 @@ object GraftCatalog {
         |FROM evolved
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
+    "q_sql_nested_default" ->
+      """WITH evolved AS (
+        |  SELECT CASE WHEN event_id % 3 <> 0 THEN event_type END AS kind,
+        |    CASE WHEN event_id % 3 <> 0 THEN value END AS reading,
+        |    CASE WHEN event_id % 3 <> 0 THEN CAST(7 AS BIGINT) END
+        |      AS score,
+        |    (event_id % 3 = 0) AS parent_null
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, value, event_id % 97 + 1, FALSE
+        |  FROM events WHERE event_id % 2 = 1
+        |)
+        |SELECT COALESCE(kind, '(none)') AS kind, COUNT(*) AS n,
+        |  COUNT(score) AS n_scored,
+        |  CAST(SUM(score) AS BIGINT) AS sum_score,
+        |  ROUND(CAST(SUM(CAST(reading AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_reading
+        |FROM evolved
+        |WHERE parent_null OR score >= 7
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q_sql_default" ->
       """WITH evolved AS (
         |  SELECT event_type, value, 7 AS score, 'c' AS grade

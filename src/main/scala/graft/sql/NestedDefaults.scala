@@ -1,0 +1,214 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Coalesce, CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.types._
+
+/** NESTED existence defaults — `ALTER TABLE t ADD COLUMNS (main.rh BIGINT
+  * DEFAULT 50)` — substituted by the ENGINE's own read path where Spark's
+  * EXISTS_DEFAULT machinery cannot reach (Spark's substitution is a
+  * top-level-column mechanism: the parquet readers fill missing TOP-LEVEL
+  * columns from the read schema's metadata, but a missing STRUCT MEMBER is
+  * assembled as a plain null at any depth).
+  *
+  * Semantics — an existence default with COALESCE reads, declared rather
+  * than approximated:
+  *
+  *   - Rows landed BEFORE the ADD serve the default wherever their parent
+  *     struct is non-null (a NULL parent stays NULL: the member only
+  *     "exists" where the parent does). Zero files rewrite.
+  *   - Rows landed AFTER the ADD serve their stored value. The append
+  *     doors REFUSE a batch storing NULL in a defaulted member under a
+  *     non-null parent ([[graft.sinks.VersionedTable]] commit validation)
+  *     — with a per-file reader there is no way to tell a stored NULL
+  *     from an absent member, so the engine refuses the write that would
+  *     read back as the default rather than serving the lie. Engine
+  *     rewrite paths (compaction, COW DML carrying pre-evolution rows
+  *     forward under a pinned schema) are exempt: a rewritten
+  *     pre-evolution row MAY store NULL, and the coalesce read serves the
+  *     default for it — value-identical to reading the original file.
+  *   - The ANALYZE scan substitutes too ([[graft.sinks.VersionedTable]]
+  *     statsLines), so every sidecar line (range bounds, null counts,
+  *     NDV/KLL sketches) describes SERVED values — manifest pruning,
+  *     sidecar MIN/MAX serving, TopN admission and CBO estimates stay
+  *     coherent with what the scan returns. Parquet row-group pruning,
+  *     by contrast, sees only STORED values, so filters referencing a
+  *     defaulted member are withheld from the inner parquet builder
+  *     (manifest-level pruning keeps working) — see PruningScanBuilder.
+  *
+  * The substitution itself is [[NestedDefaultRewrite]]: a post-pushdown
+  * optimizer rule (the [[Mview]] installation pattern) wrapping the
+  * catalog scan in a Project that rebuilds only the struct columns that
+  * carry defaulted members in their PRUNED shape — aliases keep the scan
+  * attributes' exprIds, so the surrounding plan binds unchanged, and
+  * column pruning has already happened when the rule runs, so the rebuild
+  * touches exactly the members the query reads. Time travel is immune by
+  * construction: a pre-ADD vintage's declared schema carries no default,
+  * so its scans build no rebuild — history is immutable.
+  *
+  * Scope: members of PLAIN structs (any depth). Defaults inside array/map
+  * ELEMENT structs refuse at DDL time (a per-element gate has no
+  * batch-shaped predicate), as do struct-typed defaults and nested NOT
+  * NULL (unchanged).
+  */
+private[graft] object NestedDefaults {
+  /** Spark's own metadata key — reused so one convention names the
+    * "value already-landed rows serve" on top-level AND nested fields. */
+  val ExistsKey = "EXISTS_DEFAULT"
+
+  /** Dotted LOGICAL paths (depth >= 2) of members carrying an existence
+    * default, with the member's declared type and the default's SQL. */
+  def paths(schema: StructType): Seq[(Seq[String], DataType, String)] = {
+    def walk(s: StructType, prefix: Seq[String])
+        : Seq[(Seq[String], DataType, String)] =
+      s.fields.toSeq.flatMap { f =>
+        val here =
+          if (prefix.nonEmpty && f.metadata.contains(ExistsKey))
+            Seq((prefix :+ f.name, f.dataType,
+              f.metadata.getString(ExistsKey)))
+          else Seq.empty
+        here ++ (f.dataType match {
+          case st: StructType => walk(st, prefix :+ f.name)
+          case _ => Seq.empty
+        })
+      }
+    walk(schema, Seq.empty)
+  }
+
+  def hasAny(schema: StructType): Boolean = paths(schema).nonEmpty
+
+  /** Top-level column names (lowercase) owning at least one defaulted
+    * member — the conservative unit for filter-pushdown withholding. */
+  def defaultedRoots(schema: StructType): Set[String] =
+    paths(schema).map(_._1.head.toLowerCase).toSet
+
+  /** The default as a folded literal of the member's CURRENT declared
+    * type — parsed from the stored SQL and cast at use time, so a later
+    * type widening of the member needs no metadata rewrite. */
+  private def foldedDefault(sql: String, dt: DataType): Literal = {
+    val spark = SparkSession.active
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    require(parsed.foldable,
+      s"nested DEFAULT must be a constant-foldable expression: $sql")
+    val cast = Cast(parsed, dt,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+    Literal(cast.eval(null), dt)
+  }
+
+  /** Rebuild `input` (a struct-typed expression whose type is `actual`, a
+    * by-name subset of the declared struct `decl` — the pruned read shape)
+    * substituting defaults into its defaulted members, parent-null-guarded
+    * at every level. None when nothing under `actual` carries a default
+    * (the rebuild would be the identity). */
+  def rebuild(input: Expression, decl: StructType,
+              actual: StructType): Option[Expression] = {
+    var changed = false
+    val members = actual.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val child = GetStructField(input, i, Some(f.name))
+      val d = decl.fields.find(_.name.equalsIgnoreCase(f.name))
+      val value: Expression = (f.dataType, d.map(_.dataType)) match {
+        case (as: StructType, Some(ds: StructType)) =>
+          rebuild(child, ds, as) match {
+            case Some(r) => changed = true; r
+            case None => child
+          }
+        case _ =>
+          d.filter(_.metadata.contains(ExistsKey)) match {
+            case Some(df) =>
+              changed = true
+              Coalesce(Seq(child,
+                foldedDefault(df.metadata.getString(ExistsKey), f.dataType)))
+            case None => child
+          }
+      }
+      (f.name, value)
+    }
+    if (!changed) return None
+    val struct = CreateNamedStruct(members.flatMap { case (n, v) =>
+      Seq(Literal(n), v) })
+    Some(If(IsNull(input), Literal(null, struct.dataType), struct))
+  }
+
+  /** Project list over `output` substituting defaults per `decl` (the
+    * declared schema in the SAME naming as the attributes — logical for
+    * the SQL scan, physical for engine-internal frames). Rebuilt columns
+    * get FRESH exprIds — reusing the scan attribute's id would make the
+    * Project look identity-shaped and the physical planner would remove
+    * it as redundant; [[NestedDefaultRewrite]] rewrites upstream
+    * references through transformUpWithNewOutput instead. None = no
+    * attribute needs a rebuild. */
+  def projectList(output: Seq[Attribute],
+                  decl: StructType): Option[Seq[NamedExpression]] = {
+    var changed = false
+    val list: Seq[NamedExpression] = output.map { a =>
+      val rebuilt = for {
+        d <- decl.fields.find(_.name.equalsIgnoreCase(a.name))
+        ds <- Some(d.dataType).collect { case s: StructType => s }
+        as <- Some(a.dataType).collect { case s: StructType => s }
+        r <- rebuild(a, ds, as)
+      } yield Alias(r, a.name)()
+      rebuilt match {
+        case Some(al) => changed = true; al
+        case None => a
+      }
+    }
+    if (changed) Some(list) else None
+  }
+
+  /** DataFrame door ([[graft.sinks.VersionedTable]] statsLines): the same
+    * substitution as Columns over a frame carrying PHYSICAL names —
+    * presence-guarded, so a frame of pre-evolution files (member column
+    * absent from the read schema entirely) passes through untouched; the
+    * absent member serves its default at read, not at stats time. */
+  def substitute(df: DataFrame, declPhysical: StructType): DataFrame = {
+    def asCol(e: Expression): Column =
+      org.apache.spark.sql.graft.GraftExpressions.column(e)
+    val exprs = df.queryExecution.analyzed.output.map { a =>
+      val rebuilt = for {
+        d <- declPhysical.fields.find(_.name.equalsIgnoreCase(a.name))
+        ds <- Some(d.dataType).collect { case s: StructType => s }
+        as <- Some(a.dataType).collect { case s: StructType => s }
+        r <- rebuild(a, ds, as)
+      } yield asCol(Alias(r, a.name)())
+      rebuilt.getOrElse(asCol(a))
+    }
+    if (exprs.isEmpty) df else df.select(exprs: _*)
+  }
+}
+
+/** Post-pushdown substitution rule (see [[NestedDefaults]]): wraps each
+  * catalog scan whose table declares nested defaults in a Project
+  * rebuilding the defaulted struct columns. Runs in the "User Provided
+  * Optimizers" batch (a fixed point), so the wrap is guarded by a node
+  * tag to stay idempotent. Installed per-session like [[MviewRewrite]]
+  * ([[GraftCatalog]] loadTable installs it on every table load, so any
+  * session that can reach a defaulted table has it). */
+object NestedDefaultRewrite extends Rule[LogicalPlan] {
+  private val Done = TreeNodeTag[Boolean]("graft.nestedDefaults.done")
+
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(NestedDefaultRewrite))
+      spark.experimental.extraOptimizations = cur :+ NestedDefaultRewrite
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithNewOutput {
+      case r: DataSourceV2ScanRelation
+          if r.getTagValue(Done).isEmpty &&
+            r.scan.isInstanceOf[PruningScanBuilder#GraftScan] =>
+        r.setTagValue(Done, true)
+        r.scan.asInstanceOf[PruningScanBuilder#GraftScan].nestedDefaultDecl
+          .flatMap(NestedDefaults.projectList(r.output, _)) match {
+          case Some(list) =>
+            val proj = Project(list, r)
+            (proj, r.output.zip(proj.output)
+              .filter { case (a, b) => a.exprId != b.exprId })
+          case None => (r, Seq.empty)
+        }
+    }
+}

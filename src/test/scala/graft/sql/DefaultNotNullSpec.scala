@@ -46,6 +46,106 @@ class DefaultNotNullSpec extends SparkSpec {
         "default")
   }
 
+  test("NESTED ADD COLUMN DEFAULT: the engine substitutes where Spark's " +
+      "EXISTS_DEFAULT cannot — history serves it, parents stay null, " +
+      "appends storing NULL refuse, pre-ADD snapshots are immutable") {
+    register()
+    val dir = tmpDir("dn-nested")
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.5, 'kind', 'a')), " +
+      "(2, named_struct('temp', 2.5, 'kind', 'b')), " +
+      "(3, NULL)") // null PARENT: the member must stay null under it
+    val vBefore = ops.versions(dir)
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    assert(ops.versions(dir) == vBefore &&
+      spark.sql(s"SELECT file FROM graft.`$dir#files`")
+        .collect().map(_.getString(0)).toSet == filesBefore,
+      "nested ADD DEFAULT must be metadata-only")
+    def rows() = spark.sql(s"SELECT id, main.rh FROM graft.`$dir`")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
+    assert(rows() == Seq(1L -> Some(50L), 2L -> Some(50L), 3L -> None),
+      s"history must serve the default under non-null parents, got " +
+        s"${rows()}")
+    // post-ADD writes store real values...
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(4, named_struct('temp', 4.5, 'kind', 'd', 'rh', 77L)), " +
+      "(5, NULL)")
+    assert(rows() == Seq(1L -> Some(50L), 2L -> Some(50L), 3L -> None,
+      4L -> Some(77L), 5L -> None))
+    // ...and an append storing NULL in the defaulted member under a
+    // non-null parent REFUSES: per-file it would be indistinguishable
+    // from an absent member and silently read back as 50
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        "(6, named_struct('temp', 6.5, 'kind', 'f', 'rh', " +
+        "CAST(NULL AS BIGINT)))")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("nested DEFAULT")),
+      s"expected the nested-DEFAULT gate, got: ${msgs(e).mkString(" | ")}")
+    assert(rows().size == 5, "the refused batch must land nothing")
+    // filters see SUBSTITUTED values: pre-ADD rows match rh = 50
+    assert(spark.sql(
+      s"SELECT id FROM graft.`$dir` WHERE main.rh = 50 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // history immutability: the pre-ADD snapshot's FILES are untouched
+    // (pinned above) and its rows serve unchanged originals; the member
+    // itself serves the default there too — schema (and its declared
+    // defaults) travels with the HEAD, data with the version, exactly
+    // the engine's top-level EXISTS_DEFAULT time-travel convention
+    val v0 = vBefore.last
+    val old = spark.sql(s"SELECT id, main.temp, main.rh " +
+      s"FROM graft.`$dir` VERSION AS OF $v0 WHERE id = 1").head()
+    assert(old.getDouble(1) == 1.5 && old.getLong(2) == 50L,
+      s"pre-ADD snapshot must serve original values + the default, got $old")
+    // ANALYZE writes SERVED-value lines: sidecar MIN/MAX includes the
+    // default of pre-ADD rows, not just stored values
+    spark.sql(s"CALL graft.write_stats('$dir', 'main.rh')").collect()
+    val mm = spark.sql(
+      s"SELECT MIN(main.rh) AS lo, MAX(main.rh) AS hi FROM graft.`$dir`")
+      .head()
+    assert(mm.getLong(0) == 50L && mm.getLong(1) == 77L,
+      s"sidecar-served extremes must describe served values, got $mm")
+    // widening the defaulted member re-casts the default at read
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(main.grade INT DEFAULT 3)")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ALTER COLUMN main.grade TYPE BIGINT")
+    assert(spark.sql(s"SELECT main.grade FROM graft.`$dir` WHERE id = 1")
+      .head().getLong(0) == 3L)
+  }
+
+  test("nested DEFAULT refusals: element structs, struct-typed defaults, " +
+      "DEFAULT NULL") {
+    register()
+    val dir = tmpDir("dn-nested-refuse")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE>, tags ARRAY<STRUCT<k: STRING>>)")
+    def refuses(sql: String, frag: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected failure containing '$frag', got: " +
+          msgs(e).mkString(" | "))
+    }
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(tags.element.w INT DEFAULT 1)", "element structs")
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(main.rh BIGINT DEFAULT NULL)", "absent-default")
+  }
+
   test("ADD COLUMN NOT NULL needs a non-null DEFAULT") {
     register()
     val dir = tmpDir("dn-add-nn")

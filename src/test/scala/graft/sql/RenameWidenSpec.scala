@@ -289,8 +289,9 @@ class RenameWidenSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains(frag)),
         s"expected failure containing '$frag', got: ${msgs(e).mkString(" | ")}")
     }
-    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
-      "(main.rh BIGINT DEFAULT 50)", "top level")
+    // nested ADD ... DEFAULT is SUPPORTED since round 12 (engine-side
+    // existence defaults — DefaultNotNullSpec covers it); NOT NULL and
+    // element-struct defaults keep refusing
     refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
       "(main.rh BIGINT NOT NULL)", "NOT NULL")
     refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO pressure",
