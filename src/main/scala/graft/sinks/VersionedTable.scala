@@ -1198,14 +1198,49 @@ class VersionedTableOps(protected val io: TableIO) {
   private def plainPath = regexp_replace(
     col("_metadata.file_path"), "^file:/*", "/")
 
+  /** Nullability-relaxed declared PHYSICAL schema, when the table has a
+    * declaration — the schema pin every engine-internal read of a
+    * possibly-mixed-vintage file set must use: schema inference samples
+    * ONE footer, so on a file set straddling a schema evolution the
+    * sample may predate it and a later-added column would silently
+    * VANISH from the read (and, through a rewrite, from the rewritten
+    * files — data loss). The pin makes pre-evolution files serve typed
+    * nulls instead, the read path's own semantics. Nullability relaxes
+    * because a declared NOT NULL column may be absent from pre-ADD
+    * files and the vectorized reader refuses a missing REQUIRED column;
+    * dropped columns project away (a rewrite sheds retired bytes — the
+    * ledger keeps re-adds safe regardless). */
+  private[graft] def declPhysOf(dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relax(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = relax(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = relax(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+    declaredSchema(dir)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .map(s => relax(graft.sql.ColumnMapping.physicalSchema(s))
+        .asInstanceOf[StructType])
+  }
+
   /** The raw scan of `files` tagged with (file, position) identity columns
     * and with `dels` anti-joined away — the live view, keeping the identity
     * columns so [[deleteWhere]] can address surviving rows. Position comes
     * from parquet row index (`_metadata.row_index`): stable because data
     * files are immutable. */
   private def taggedLive(spark: SparkSession, files: Seq[String],
-                         dels: Seq[String]): DataFrame = {
-    val raw = spark.read.parquet(files: _*)
+                         dels: Seq[String],
+                         pin: Option[org.apache.spark.sql.types.StructType]
+                           = None): DataFrame = {
+    val raw = pin match {
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
     val tagged = raw.select(
       (Seq(plainPath.as("__graft_file"),
         col("_metadata.row_index").as("__graft_pos")) ++
@@ -1224,9 +1259,15 @@ class VersionedTableOps(protected val io: TableIO) {
   }
 
   private def readFiles(spark: SparkSession, files: Seq[String],
-                        dels: Seq[String]): DataFrame =
-    if (dels.isEmpty) spark.read.parquet(files: _*)
-    else taggedLive(spark, files, dels).drop("__graft_file", "__graft_pos")
+                        dels: Seq[String],
+                        pin: Option[org.apache.spark.sql.types.StructType]
+                          = None): DataFrame =
+    if (dels.isEmpty) pin match {
+      case Some(sc) => spark.read.schema(sc).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+    else taggedLive(spark, files, dels, pin)
+      .drop("__graft_file", "__graft_pos")
 
   /** Scan of `files` with the version's FULL row-erasure state applied:
     * positional vectors anti-joined on (file, pos), then every equality
@@ -1241,15 +1282,16 @@ class VersionedTableOps(protected val io: TableIO) {
     * contract rather than SQL join semantics. */
   private def readLive(spark: SparkSession, dir: String, version: Int,
                        files: Seq[String]): DataFrame = {
+    val pin = declPhysOf(dir)
     val dels = delFilesOf(dir, version)
     val eqs = eqDelsOf(dir, version)
-    if (eqs.isEmpty || files.isEmpty) readFiles(spark, files, dels)
+    if (eqs.isEmpty || files.isEmpty) readFiles(spark, files, dels, pin)
     else {
       val added = addedAtOf(dir, files)
       val groups = files.groupBy(f =>
         eqs.filter { case (s, _, _) => added.getOrElse(f, 0) < s })
       groups.toSeq.sortBy(_._2.head).map { case (applicable, fs) =>
-        val base = readFiles(spark, fs, dels)
+        val base = readFiles(spark, fs, dels, pin)
         applicable.groupBy(_._2).toSeq.sortBy(_._1)
           .foldLeft(base) { case (acc, (c, ds)) =>
             val keys = spark.read.parquet(ds.map(_._3): _*)
@@ -1294,7 +1336,7 @@ class VersionedTableOps(protected val io: TableIO) {
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
     val matched = taggedLive(spark, filesOf(dir, head),
-      delFilesOf(dir, head))
+      delFilesOf(dir, head), declPhysOf(dir))
       .filter(predicate)
       .select(col("__graft_file").as("file_path"),
         col("__graft_pos").as("pos"))
@@ -1387,7 +1429,8 @@ class VersionedTableOps(protected val io: TableIO) {
     val headDels = delFilesOf(dir, head)
     // matched rows serve BOTH halves (positions out, updated copies out):
     // one scan, cached for the second pass
-    val matched = taggedLive(spark, files, headDels).filter(predicate).persist()
+    val matched = taggedLive(spark, files, headDels, declPhysOf(dir))
+      .filter(predicate).persist()
     try {
       val dataCols = matched.columns.drop(2).toSeq // after (file, pos) tags
       val bad = assignments.keySet -- dataCols.toSet
@@ -1752,7 +1795,14 @@ class VersionedTableOps(protected val io: TableIO) {
                          cbo: Boolean = false): Seq[String] = {
     if (files.isEmpty) return Seq.empty
     statsFilesScanned.addAndGet(files.size)
-    val subst = statsSubstitution(dir)
+    // A DECLARED table pins its physical schema on the stats scan:
+    // schema inference samples ONE footer, and on a mixed-vintage file
+    // set the sample may predate an evolution — a nested member added
+    // later would then fail to resolve (nondeterministically, by file
+    // order). The pin makes pre-evolution files serve typed nulls for
+    // later members, exactly the read path's own semantics.
+    val declPhys = declPhysOf(dir)
+    val subst = declPhys.filter(graft.sql.NestedDefaults.hasAny)
     def substituted(df: DataFrame): DataFrame =
       subst.map(graft.sql.NestedDefaults.substitute(df, _)).getOrElse(df)
     // Bounded driver memory at ANALYZE scale: the grouped aggregate
@@ -1764,16 +1814,21 @@ class VersionedTableOps(protected val io: TableIO) {
     // FIRST read's schema pins every chunk: chunks of pre-evolution
     // files may lack a physical column entirely, and an explicit schema
     // makes the reader serve it as nulls instead of failing to resolve.
+    def rawRead(fs: Seq[String]): DataFrame = declPhys match {
+      case Some(s) => spark.read.schema(s).parquet(fs: _*)
+      case None => spark.read.parquet(fs: _*)
+    }
     if (files.size > StatsChunkFiles) {
-      val schema = spark.read.parquet(files: _*).schema
+      // undeclared tables still need ONE schema pinned across chunks
+      // (chunks of pre-evolution files may lack a column entirely)
+      val schema = declPhys.getOrElse(spark.read.parquet(files: _*).schema)
       return files.grouped(StatsChunkFiles).flatMap { chunk =>
         statsLinesChunk(spark,
           substituted(spark.read.schema(schema).parquet(chunk: _*)),
           statCols, cbo)
       }.toSeq
     }
-    statsLinesChunk(spark, substituted(spark.read.parquet(files: _*)),
-      statCols, cbo)
+    statsLinesChunk(spark, substituted(rawRead(files)), statCols, cbo)
   }
 
   private def statsLinesChunk(spark: SparkSession, raw: DataFrame,
@@ -2345,7 +2400,8 @@ class VersionedTableOps(protected val io: TableIO) {
         // full-set schema pins every chunk (a chunk of pre-evolution
         // files may lack the bloom column; the explicit schema serves it
         // as nulls instead of failing to resolve).
-        val pinned = spark.read.parquet(need: _*).schema
+        val pinned = declPhysOf(dir)
+          .getOrElse(spark.read.parquet(need: _*).schema)
         need.grouped(StatsChunkFiles).toSeq.flatMap { chunk =>
           spark.read.schema(pinned).parquet(chunk: _*)
             .select(plainPath.as("__file"), explode(posArr).as("pos"))
@@ -3367,10 +3423,12 @@ class VersionedTableOps(protected val io: TableIO) {
       // as a plain new file, in the table's column order (schema-only
       // read, no data scanned)
       val batchDir = s"$dir/data/${java.util.UUID.randomUUID}"
-      val tableCols = spark.read.parquet(filesAtStart.head).columns
+      val mergePin = declPhysOf(dir)
+      val tableCols = mergePin.map(_.fieldNames)
+        .getOrElse(spark.read.parquet(filesAtStart.head).columns)
       val rewritten =
         if (touched.isEmpty) src.select(tableCols.map(col).toSeq: _*)
-        else readFiles(spark, touched, delsAtStart)
+        else readFiles(spark, touched, delsAtStart, mergePin)
           .join(affectedKeys, Seq(key), "left_anti")
           .unionByName(src)
           .select(tableCols.map(col).toSeq: _*)
@@ -3528,7 +3586,9 @@ class VersionedTableOps(protected val io: TableIO) {
       require(dupes == 0,
         s"source has duplicate '$sourceKey' values — a MERGE with a " +
           s"many-to-one match is ambiguous; dedupe the source first")
-      val tschema = spark.read.parquet(filesAtStart.head).schema
+      val updPin = declPhysOf(dir)
+      val tschema = updPin
+        .getOrElse(spark.read.parquet(filesAtStart.head).schema)
       val tcols = tschema.fieldNames.toSeq
       notMatched.foreach { c =>
         val vals = c.action.asInstanceOf[MergeInsert].values
@@ -3569,7 +3629,7 @@ class VersionedTableOps(protected val io: TableIO) {
               }
             }
           if (candidates.isEmpty) Seq.empty
-          else taggedLive(spark, candidates, delsAtStart)
+          else taggedLive(spark, candidates, delsAtStart, updPin)
             .join(src.select(col(sourceKey).as(targetKey)),
               Seq(targetKey), "left_semi")
             .select("__graft_file").distinct()
@@ -3579,7 +3639,7 @@ class VersionedTableOps(protected val io: TableIO) {
 
       // the joined frame: live target rows of touched files as __t_*,
       // source rows as __s_*, presence markers on both sides
-      val t0 = readFiles(spark, touched, delsAtStart)
+      val t0 = readFiles(spark, touched, delsAtStart, updPin)
       val t = t0.select(tcols.map(c => col(c).as(s"__t_$c")) :+
         lit(true).as("__t_present"): _*)
       val s0 = src.select(src.columns.toSeq.map(c =>

@@ -54,6 +54,17 @@ import org.apache.spark.sql.types._
   * ELEMENT structs refuse at DDL time (a per-element gate has no
   * batch-shaped predicate), as do struct-typed defaults and nested NOT
   * NULL (unchanged).
+  *
+  * Door map: the CATALOG scan substitutes (SELECT, `@v` time travel —
+  * which follows the engine's top-level convention: schema and its
+  * declared defaults travel with the HEAD, data with the version — and
+  * `#changes=` slices, which plan through the same scan builder). The
+  * CHANGE FEEDS (`#cdf=`, the streaming reader) and the Scala raw door
+  * ([[graft.sinks.VersionedTable]] read) serve STORED values — a change
+  * feed is a physical log and the Scala door is declaredly physical;
+  * both already serve stored values for top-level defaults, so the
+  * nested behavior matches the existing convention rather than forking
+  * it.
   */
 private[graft] object NestedDefaults {
   /** Spark's own metadata key — reused so one convention names the

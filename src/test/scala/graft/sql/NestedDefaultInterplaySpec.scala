@@ -1,0 +1,167 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.VersionedTable
+
+/** Adversarial interplay probes for nested existence defaults
+  * ([[NestedDefaults]]): every other evolution/maintenance feature the
+  * default could collide with, pinned. The hazards each test hunts:
+  * a rename detaching the default from its member, a drop-then-re-add
+  * resurrecting it, a rewrite (MERGE / compaction) turning substituted
+  * values back into nulls, and pruning dropping files whose SERVED
+  * values match a predicate their STORED values don't. */
+class NestedDefaultInterplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ops = VersionedTable
+
+  private def register(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+
+  private def filesOf(dir: String): Set[String] =
+    spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .as[String].collect().toSet
+
+  test("the default survives RENAME of the member AND of its parent " +
+      "struct (metadata rides the field; physical paths never move)") {
+    register()
+    val dir = tmpDir("ndi-ren") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.rh TO humidity")
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main TO obs")
+    assert(spark.sql(s"SELECT obs.humidity FROM graft.`$dir`")
+      .head().getLong(0) == 50L,
+      "the default must follow the member through both renames")
+    // post-rename writes land under the fixed physical name and still
+    // gate explicit NULLs
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(2, named_struct('temp', 2.0, 'humidity', 60L))")
+    assert(scala.util.Try(spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(3, named_struct('temp', 3.0, 'humidity', CAST(NULL AS BIGINT)))"))
+      .isFailure, "the NULL gate must follow the rename too")
+    assert(spark.sql(s"SELECT SUM(obs.humidity) FROM graft.`$dir`")
+      .head().getLong(0) == 110L)
+  }
+
+  test("DROP of a defaulted member retires default and bytes together; " +
+      "a re-added same-name member starts clean (no resurrection)") {
+    register()
+    val dir = tmpDir("ndi-drop") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(2, named_struct('temp', 2.0, 'rh', 60L))")
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN main.rh")
+    // re-add WITHOUT a default: all history (including the vintage that
+    // stored 60 under the RETIRED physical name) serves typed nulls
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.rh BIGINT)")
+    val got = spark.sql(s"SELECT id, main.rh FROM graft.`$dir`")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> None),
+      s"re-added member must serve nulls, not the dropped default or " +
+        s"the retired bytes — got $got")
+  }
+
+  test("keyed MERGE (CALL merge_into) on a defaulted table: upserts " +
+      "store their values; unmatched pre-evolution rows carried through " +
+      "the COW rewrite keep serving the default") {
+    register()
+    val dir = tmpDir("ndi-merge") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    spark.range(0, 20).select(col("id"),
+        struct((col("id") * 1.0).as("temp")).as("main"))
+      .createOrReplaceTempView("ndi_merge_base")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM ndi_merge_base")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    // upsert half the rows with STORED rh through the keyed-merge door:
+    // the COW rewrite carries unmatched pre-evolution rows of touched
+    // files forward — the vintage-mix the schema pin exists for
+    spark.range(0, 10).select(col("id"),
+        struct(lit(-1.0).as("temp"), lit(77L).as("rh")).as("main"))
+      .createOrReplaceTempView("ndi_merge_src")
+    spark.sql(s"CALL graft.merge_into('$dir', 'ndi_merge_src', 'id')")
+      .collect()
+    val got = spark.sql(s"SELECT id, main.temp, main.rh FROM graft.`$dir`")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 20)
+    assert((0L until 10L).forall(i => got(i) == ((-1.0, 77L))),
+      s"upserted rows must serve their stored values: " +
+        s"${got.toSeq.sortBy(_._1).take(3)}")
+    assert((10L until 20L).forall(i => got(i) == ((i * 1.0, 50L))),
+      "pre-evolution rows carried by the rewrite must keep the default")
+  }
+
+  test("compaction of a defaulted table: rewritten files keep serving " +
+      "the default, filters on the member still find those rows") {
+    register()
+    val dir = tmpDir("ndi-compact") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    // several small pre-evolution commits so compaction has work
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+        s"($i, named_struct('temp', $i.5))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(3, named_struct('temp', 3.5, 'rh', 60L))")
+    val before = filesOf(dir)
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')").collect()
+    assert(filesOf(dir) != before, "compaction should have rewritten")
+    val got = spark.sql(s"SELECT id, main.rh FROM graft.`$dir`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 50L, 1L -> 50L, 2L -> 50L, 3L -> 60L),
+      s"post-compaction reads must still substitute: $got")
+    // the predicate the row-group-stats hazard would break: stored
+    // values in the compacted file may be NULL, served values are 50
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.`$dir` WHERE main.rh = 50")
+      .head().getLong(0) == 3L,
+      "filters must see SERVED values through the compacted file")
+    // and ANALYZE over the compacted lineage describes served values
+    spark.sql(s"CALL graft.write_stats('$dir', 'main.rh')").collect()
+    val mm = spark.sql(
+      s"SELECT MIN(main.rh) AS lo, MAX(main.rh) AS hi FROM graft.`$dir`")
+      .head()
+    assert(mm.getLong(0) == 50L && mm.getLong(1) == 60L)
+  }
+
+  test("two defaulted members at different depths; a query reading one " +
+      "rebuilds only its pruned shape") {
+    register()
+    val dir = tmpDir("ndi-deep") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "a STRUCT<x: DOUBLE, inner: STRUCT<y: DOUBLE>>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('x', 1.0, 'inner', named_struct('y', 2.0))), " +
+      "(2, named_struct('x', 1.0, 'inner', CAST(NULL AS " +
+      "STRUCT<y: DOUBLE>)))")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(a.p INT DEFAULT 1, a.inner.q INT DEFAULT 2)")
+    val got = spark.sql(
+      s"SELECT id, a.p, a.inner.q FROM graft.`$dir` ORDER BY id")
+      .collect()
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 2)
+    // NULL INNER parent: q stays null under it, p still serves
+    assert(got(1).getInt(1) == 1 && got(1).isNullAt(2),
+      "a NULL intermediate struct must not fabricate its members")
+    // reading ONLY the deep member works through the pruned rebuild
+    assert(spark.sql(s"SELECT a.inner.q FROM graft.`$dir` WHERE id = 1")
+      .head().getInt(0) == 2)
+  }
+}
