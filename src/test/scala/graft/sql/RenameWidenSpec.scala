@@ -409,19 +409,24 @@ class RenameWidenSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_elem_src")
     val before = filesOf(dir)
     // ADD a member to the array's element struct and the map's value
-    // struct; widen an existing element member — all metadata-only
+    // struct; widen existing members of BOTH — all metadata-only
     spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
       "(weather.element.score DOUBLE, props.value.w BIGINT)")
     spark.sql(
       s"ALTER TABLE graft.`$dir` ALTER COLUMN weather.element.n TYPE BIGINT")
+    spark.sql(
+      s"ALTER TABLE graft.`$dir` ALTER COLUMN props.value.v TYPE BIGINT")
     assert(filesOf(dir) == before, "element evolution rewrote files")
     // pre-evolution files: missing members serve typed nulls, the
     // widened member promotes per file
     val old = spark.sql("SELECT id, weather[0].score, weather[0].n, " +
-      s"element_at(props, 'a').w FROM graft.`$dir` ORDER BY id")
+      s"element_at(props, 'a').w, element_at(props, 'a').v " +
+      s"FROM graft.`$dir` ORDER BY id")
       .collect()
     assert(old.length == 4 && old.forall(r => r.isNullAt(1) && r.isNullAt(3)))
     assert(old.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // map VALUE member widened: old int values promote per file
+    assert(old.map(_.getLong(4)).toSeq == Seq(0L, 1L, 2L, 3L))
     // post-evolution insert carries the full element shape, including a
     // beyond-int value only a genuine long member can hold
     spark.sql(s"INSERT INTO graft.`$dir` SELECT 100L, " +
