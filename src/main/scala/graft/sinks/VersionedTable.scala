@@ -1335,8 +1335,12 @@ class VersionedTableOps(protected val io: TableIO) {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
-    val matched = taggedLive(spark, filesOf(dir, head),
-      delFilesOf(dir, head), declPhysOf(dir))
+    // predicates evaluate over SERVED values (nested existence defaults
+    // substituted) so DELETE WHERE and SELECT WHERE agree on the same
+    // rows; the position computation is unaffected by the substitution
+    val matched = substDefaults(dir,
+        taggedLive(spark, filesOf(dir, head),
+          delFilesOf(dir, head), declPhysOf(dir)))
       .filter(predicate)
       .select(col("__graft_file").as("file_path"),
         col("__graft_pos").as("pos"))
@@ -1429,7 +1433,11 @@ class VersionedTableOps(protected val io: TableIO) {
     val headDels = delFilesOf(dir, head)
     // matched rows serve BOTH halves (positions out, updated copies out):
     // one scan, cached for the second pass
-    val matched = taggedLive(spark, files, headDels, declPhysOf(dir))
+    // served-value semantics for both the predicate AND the assignment
+    // expressions (an UPDATE reading main.rh sees the default, like any
+    // SELECT); rewritten rows then MATERIALIZE the substituted values
+    val matched = substDefaults(dir,
+        taggedLive(spark, files, headDels, declPhysOf(dir)))
       .filter(predicate).persist()
     try {
       val dataCols = matched.columns.drop(2).toSeq // after (file, pos) tags
@@ -1788,6 +1796,14 @@ class VersionedTableOps(protected val io: TableIO) {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .filter(graft.sql.NestedDefaults.hasAny)
       .map(graft.sql.ColumnMapping.physicalSchema)
+
+  /** Served-value view of an engine-internal frame: nested existence
+    * defaults substituted when the table declares any (identity
+    * otherwise) — what predicate evaluation in the DML doors uses so
+    * DELETE/UPDATE WHERE agree with SELECT WHERE on the same rows. */
+  private def substDefaults(dir: String, df: DataFrame): DataFrame =
+    statsSubstitution(dir)
+      .map(graft.sql.NestedDefaults.substitute(df, _)).getOrElse(df)
 
   private def statsLines(spark: SparkSession, dir: String,
                          files: Seq[String],

@@ -207,7 +207,25 @@ object NestedDefaultRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = cur :+ NestedDefaultRewrite
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // The TARGET relation of a row-level command must stay bare: the
+    // DML planner strategies pattern-match the relation directly (a
+    // Project wrapped around it planned as an internal error), and the
+    // engine's own doors substitute served values themselves
+    // (deleteWhere/updateWhere filter over the substituted frame), so
+    // excluding the target loses no semantics. Source-side scans (a
+    // MERGE's source, an INSERT's SELECT) still substitute.
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
+    def exclude(target: LogicalPlan): Unit = target.foreach {
+      case r: DataSourceV2ScanRelation => r.setTagValue(Done, true)
+      case _ => ()
+    }
+    plan.foreach {
+      case d: DeleteFromTable => exclude(d.table)
+      case u: UpdateTable => exclude(u.table)
+      case m: MergeIntoTable => exclude(m.targetTable)
+      case _ => ()
+    }
     plan.transformUpWithNewOutput {
       case r: DataSourceV2ScanRelation
           if r.getTagValue(Done).isEmpty &&
@@ -222,4 +240,5 @@ object NestedDefaultRewrite extends Rule[LogicalPlan] {
           case None => (r, Seq.empty)
         }
     }
+  }
 }

@@ -141,6 +141,45 @@ class NestedDefaultInterplaySpec extends SparkSpec {
     assert(mm.getLong(0) == 50L && mm.getLong(1) == 60L)
   }
 
+  test("SQL DELETE/UPDATE WHERE on a defaulted member see SERVED " +
+      "values — DML and SELECT agree on the same rows") {
+    register()
+    val dir = tmpDir("ndi-dml") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0)), (2, named_struct('temp', 2.0))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(3, named_struct('temp', 3.0, 'rh', 60L))")
+    // SELECT sees 1,2 at rh=50 (substituted); DELETE must remove the
+    // SAME rows, not evaluate over stored values (where 1,2 are NULL)
+    assert(spark.sql(
+      s"SELECT id FROM graft.`$dir` WHERE main.rh = 50 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE main.rh = 50")
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')").collect()
+    assert(spark.sql(s"SELECT id FROM graft.`$dir`")
+      .as[Long].collect().toSeq == Seq(3L),
+      "DELETE must erase exactly the rows SELECT showed at rh=50")
+    // UPDATE's predicate AND assignment expressions read served values
+    val dir2 = tmpDir("ndi-dml2") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir2` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    spark.sql(s"INSERT INTO graft.`$dir2` VALUES " +
+      "(1, named_struct('temp', 1.0))")
+    spark.sql(s"ALTER TABLE graft.`$dir2` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    spark.sql(s"UPDATE graft.`$dir2` SET main = " +
+      "named_struct('temp', main.temp, 'rh', main.rh + 1) " +
+      "WHERE main.rh = 50")
+    spark.sql(s"CALL graft.compact('$dir2', '${1L << 30}')").collect()
+    assert(spark.sql(s"SELECT main.rh FROM graft.`$dir2`")
+      .head().getLong(0) == 51L,
+      "UPDATE reading main.rh must see the default (50), like SELECT")
+  }
+
   test("two defaulted members at different depths; a query reading one " +
       "rebuilds only its pruned shape") {
     register()
