@@ -90,6 +90,17 @@ class AsOfSpec extends SparkSpec {
     val n = spark.sql("SELECT COUNT(rtag) FROM asof_join('asof_tvf_l', " +
       "'asof_tvf_r', 'k', 't', 'rk', 'rt')").head().getLong(0)
     assert(n == 2L) // l1->r1, l2->r2; l3 has no prior right row
+    // ...and resolves CATALOG tables, not just temp views: land both
+    // sides as graft tables and address them by path
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val cdir = tmpDir("asof-tvf-cat")
+    graft.sinks.VersionedTable.commit(left, s"$cdir/l", append = false)
+    graft.sinks.VersionedTable.commit(right, s"$cdir/r", append = false)
+    val viaCat = spark.sql("SELECT COUNT(rtag) FROM asof_join(" +
+      s"'graft.`$cdir/l`', 'graft.`$cdir/r`', 'k', 't', 'rk', 'rt')")
+      .head().getLong(0)
+    assert(viaCat == 2L, "the TVF must resolve catalog tables too")
     for (bad <- Seq(
         "SELECT * FROM asof_join('asof_tvf_l', 'asof_tvf_r', 'k', 't', " +
           "'rk', 'rt', 'sideways')",

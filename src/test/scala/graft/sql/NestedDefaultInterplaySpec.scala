@@ -141,6 +141,30 @@ class NestedDefaultInterplaySpec extends SparkSpec {
     assert(mm.getLong(0) == 50L && mm.getLong(1) == 60L)
   }
 
+  test("ORDER BY a defaulted member LIMIT n returns served-value order " +
+      "(defaults rank among stored values)") {
+    register()
+    val dir = tmpDir("ndi-topn") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0)), (2, named_struct('temp', 2.0))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(3, named_struct('temp', 3.0, 'rh', 40L)), " +
+      "(4, named_struct('temp', 4.0, 'rh', 60L))")
+    spark.sql(s"CALL graft.write_stats('$dir', 'main.rh')").collect()
+    // ascending: stored 40 first, then the two substituted 50s, then 60
+    assert(spark.sql(s"SELECT id FROM graft.`$dir` " +
+      "ORDER BY main.rh, id LIMIT 3")
+      .as[Long].collect().toSeq == Seq(3L, 1L, 2L),
+      "TopN over the defaulted member must rank SERVED values")
+    assert(spark.sql(s"SELECT id FROM graft.`$dir` " +
+      "ORDER BY main.rh DESC, id LIMIT 1")
+      .as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("SQL DELETE/UPDATE WHERE on a defaulted member see SERVED " +
       "values — DML and SELECT agree on the same rows") {
     register()
