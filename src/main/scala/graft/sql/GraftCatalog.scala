@@ -1056,7 +1056,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           // INSERTs resolve); EXISTS_DEFAULT — what already-landed
           // history serves — is immutable by contract: changing it would
           // metadata-rewrite the PAST, silently altering rows that were
-          // committed under the old declaration.
+          // committed under the old declaration. A NESTED member refuses
+          // with the full story: its default IS the existence half
+          // (INSERTs can never OMIT a struct member, so CURRENT_DEFAULT
+          // has nothing to resolve) and the existence half is immutable
+          // — drop and re-add the member to change what new history
+          // would serve.
+          require(ud.fieldNames().length == 1,
+            s"ALTER COLUMN '${ud.fieldNames().mkString(".")}' SET/DROP " +
+              "DEFAULT is unsupported on nested members: a nested " +
+              "default is an EXISTENCE default (INSERTs cannot omit a " +
+              "struct member, so there is no current-default to " +
+              "change), and existence defaults are immutable — history " +
+              "already serves the declared value. DROP COLUMN and " +
+              "re-ADD the member to change it.")
           val n = one(ud.fieldNames(), "ALTER COLUMN DEFAULT")
           val f = fieldOf(sc, n, "ALTER COLUMN")
           val sqlOpt = Option(ud.newCurrentDefault()).map(_.getSql)

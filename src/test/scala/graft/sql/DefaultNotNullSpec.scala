@@ -144,6 +144,13 @@ class DefaultNotNullSpec extends SparkSpec {
       "(tags.element.w INT DEFAULT 1)", "element structs")
     refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
       "(main.rh BIGINT DEFAULT NULL)", "absent-default")
+    // the existence half is immutable once declared
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(main.sc INT DEFAULT 1)")
+    refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.sc SET DEFAULT 2",
+      "existence defaults are immutable")
+    refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.sc DROP DEFAULT",
+      "existence defaults are immutable")
   }
 
   test("ADD COLUMN NOT NULL needs a non-null DEFAULT") {
