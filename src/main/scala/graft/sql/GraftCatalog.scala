@@ -2020,24 +2020,52 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   private var innerCaptured: Seq[CatalystExpr] = Seq.empty
   private var required: Option[StructType] = None
 
-  // Top-level columns owning a nested existence default (lowercase
-  // LOGICAL names). Filters referencing them are withheld from the
+  // Filters that REACH a nested existence default are withheld from the
   // INNER parquet builder: parquet row-group stats describe STORED
   // values, and a row group whose defaulted member is stored NULL (a
   // rewrite carrying pre-evolution rows forward) or absent would be
   // skipped by a predicate its SERVED (substituted) values match.
-  // Manifest-level pruning keeps them — the stats sidecar is written
-  // from SUBSTITUTED values (statsLines), so its bounds describe what
-  // the scan serves; files not yet covered are kept conservatively.
+  // Path-precise, not root-conservative: a predicate on main.temp still
+  // pushes when only main.rh carries a default — its stored values ARE
+  // its served values. Unsafe = a GetStructField chain that resolves TO
+  // a defaulted leaf or extracts a substruct CONTAINING one (wholesale
+  // use), or a bare reference to a defaulted root outside any member
+  // extraction (struct-wholesale comparison). Manifest-level pruning
+  // keeps every filter — the stats sidecar is written from SUBSTITUTED
+  // values (statsLines), so its bounds describe what the scan serves;
+  // files not yet covered are kept conservatively.
   private lazy val defaultedRoots: Set[String] =
     NestedDefaults.defaultedRoots(tableSchema)
+  private lazy val defaultedPaths: Seq[Seq[String]] =
+    NestedDefaults.paths(tableSchema).map(_._1.map(_.toLowerCase))
+
+  private def reachesDefaulted(e: CatalystExpr): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GetStructField}
+    def pathOf(x: CatalystExpr): Option[Seq[String]] = x match {
+      case a: AttributeReference => Some(Seq(a.name.toLowerCase))
+      case g: GetStructField =>
+        val n = g.name.getOrElse(
+          g.child.dataType.asInstanceOf[StructType](g.ordinal).name)
+        pathOf(g.child).map(_ :+ n.toLowerCase)
+      case _ => None
+    }
+    def unsafe(x: CatalystExpr): Boolean = x match {
+      case g: GetStructField => pathOf(g) match {
+        case Some(p) => defaultedPaths.exists(dp =>
+          dp.startsWith(p) || p.startsWith(dp))
+        case None => g.children.exists(unsafe)
+      }
+      case a: AttributeReference => defaultedRoots(a.name.toLowerCase)
+      case other => other.children.exists(unsafe)
+    }
+    unsafe(e)
+  }
 
   override def pushFilters(filters: Seq[CatalystExpr]): Seq[CatalystExpr] = {
     captured = filters.map(toPhysExpr)
     val innerSafe =
-      if (defaultedRoots.isEmpty) filters
-      else filters.filterNot(_.references.exists(a =>
-        defaultedRoots(a.name.toLowerCase)))
+      if (defaultedPaths.isEmpty) filters
+      else filters.filterNot(reachesDefaulted)
     innerCaptured = innerSafe.map(toPhysExpr)
     val postScan = inner.pushFilters(innerCaptured)
     // snapshot-level stats serving (statsServable below) relies on every

@@ -141,6 +141,39 @@ class NestedDefaultInterplaySpec extends SparkSpec {
     assert(mm.getLong(0) == 50L && mm.getLong(1) == 60L)
   }
 
+  test("filter withholding is path-precise: predicates on a NON-defaulted " +
+      "member of a defaulted struct still push to parquet") {
+    register()
+    val dir = tmpDir("ndi-push") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<temp: DOUBLE>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0)), (2, named_struct('temp', 2.0))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT DEFAULT 50)")
+    def planOf(sql: String): String = {
+      val df = spark.sql(sql)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // stored == served for main.temp: the row-group filter stays pushed
+    val safe = planOf(
+      s"SELECT id FROM graft.`$dir` WHERE main.temp = 2.0")
+    assert(safe.contains("PushedFilters: [") &&
+      safe.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("temp"),
+      s"non-defaulted member predicate must push to parquet:\n$safe")
+    // stored != served for main.rh: withheld from row-group pruning
+    val held = planOf(
+      s"SELECT id FROM graft.`$dir` WHERE main.rh = 50")
+    assert(held.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+      .trim.isEmpty,
+      s"defaulted member predicate must be withheld from parquet:\n$held")
+    // ...and both return served-value-correct rows
+    assert(spark.sql(s"SELECT id FROM graft.`$dir` WHERE main.rh = 50")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("ORDER BY a defaulted member LIMIT n returns served-value order " +
       "(defaults rank among stored values)") {
     register()
