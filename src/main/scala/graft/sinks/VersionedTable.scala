@@ -3979,6 +3979,7 @@ class VersionedTableOps(protected val io: TableIO) {
   private def validateConstraintsDf(dir: String, batch: DataFrame,
                                     userBatch: Boolean = false): Unit = {
     val cs = (constraints(dir).toSeq ++ notNullChecks(dir, batch) ++
+        nestedNotNullChecks(dir, batch, userBatch) ++
         (if (userBatch) nestedDefaultChecks(dir, batch) else Seq.empty))
       .sortBy(_._1)
     if (cs.isEmpty) return
@@ -4040,6 +4041,42 @@ class VersionedTableOps(protected val io: TableIO) {
           s"commit to $dir rejected: batch carries no column for " +
             s"declared NOT NULL '${f.name}' and the column has no " +
             "non-null default — every landed row would read NULL")
+        None
+      }
+    }
+  }
+
+  /** Declared NESTED NOT NULL members as synthetic CHECK predicates —
+    * the dotted-path twin of [[notNullChecks]], parent-null-guarded at
+    * every level (a NULL parent satisfies the member declaration
+    * vacuously; see [[graft.sql.NestedNotNull]]). Only UN-defaulted
+    * members enforce raw: a member carrying an existence default
+    * legitimately stores NULL in engine rewrites (the coalesce read
+    * serves the default), and user batches storing NULL there are
+    * already refused by [[nestedDefaultChecks]]. A USER batch that
+    * doesn't carry the member's path at all refuses up front — every
+    * row under a non-null parent would read NULL; engine rewrites
+    * always carry the declared physical shape (the a43738c schema pin),
+    * so an absent path there is a pinned-vintage carry, skipped. */
+  private def nestedNotNullChecks(dir: String, batch: DataFrame,
+                                  userBatch: Boolean)
+      : Seq[(String, String)] = {
+    val logical = declaredSchema(dir) match {
+      case Some(j) => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case None => return Seq.empty
+    }
+    val nn = graft.sql.NestedNotNull
+    if (!nn.hasAny(logical)) return Seq.empty
+    nn.paths(logical).filter(nn.undefaulted(logical, _)).flatMap { p =>
+      if (nn.presentIn(batch.schema, logical, p))
+        Some(s"nested NOT NULL ${p.mkString(".")}" ->
+          nn.predicate(logical, p))
+      else {
+        require(!userBatch,
+          s"commit to $dir rejected: batch carries no member for " +
+            s"declared nested NOT NULL '${p.mkString(".")}' — every " +
+            "row under a non-null parent would read NULL")
         None
       }
     }

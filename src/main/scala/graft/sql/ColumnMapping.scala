@@ -34,18 +34,18 @@ import org.apache.spark.sql.types._
   * typed nulls a fresh column promises. The same holds one level down:
   * drop-then-re-add of `main.temp` re-adds under `main.temp_<id>`.
   *
-  * Structs inside ARRAY/MAP types evolve too, but only ADDITIVELY:
-  * ADD of an element-struct member and safe TYPE widening ride the
-  * stock parquet reader exactly like plain struct members (probed:
-  * missing members of a repeated group serve typed nulls and narrow
-  * members promote per file, vectorized included — the reference's
-  * own raw document carries `weather: array<struct<...>>`,
-  * weather_etl.py:125). RENAME and DROP inside an element struct stay
-  * refused: they would make element physical names diverge from
-  * logical ones, and the read-side rename is a per-element rebuild
-  * this engine does not do silently. Because of that refusal, element
-  * members always satisfy physical == logical, so no translation path
-  * below ever rebuilds an array.
+  * Structs inside ARRAY/MAP types evolve the same way: ADD of an
+  * element-struct member and safe TYPE widening ride the stock parquet
+  * reader exactly like plain struct members (probed: missing members of
+  * a repeated group serve typed nulls and narrow members promote per
+  * file, vectorized included — the reference's own raw document carries
+  * `weather: array<struct<...>>`, weather_etl.py:125), and RENAME/DROP
+  * are metadata-only relabels there too: element rows are POSITIONAL at
+  * every depth (an ArrayData holds InternalRows, which carry no names),
+  * so the scan-seam name translation and the write path's physicalType
+  * cast recurse through collections without ever rebuilding an array's
+  * values. Map KEY structs are the one frozen shape — keys are
+  * identity-bearing, so key structs never evolve.
   *
   * The identity mapping (logical == physical everywhere, the state of
   * every table that never renamed) short-circuits to zero translation on
@@ -298,8 +298,8 @@ private[graft] object ColumnMapping {
 
   /** The dataType as data files carry it: nested fields renamed to their
     * physical names, recursively (array/map element structs included —
-    * identity there by the element-evolution refusal, kept recursive so
-    * the invariant is structural, not assumed). */
+    * their members carry the same per-field mapping plain struct
+    * members do). */
   def physicalType(dt: DataType): DataType = mapChildStruct(dt) { s =>
     StructType(s.fields.map(f =>
       f.copy(name = physOf(f), dataType = physicalType(f.dataType))))

@@ -570,8 +570,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * scope is the enclosing struct, and the retired ledger records full
     * dotted physical paths — so a raw-document table (the reference's
     * `main.temp` / `weather[0].description` shape, weather_etl.py:124–125)
-    * evolves when the API adds a field, with zero rewrites. Array/map
-    * element structs stay immutable.
+    * evolves when the API adds a field, with zero rewrites. Array ELEMENT
+    * and map VALUE structs evolve the same way (addressed via the
+    * literal `.element.` / `.value.` path segments); map KEY structs are
+    * identity-bearing and never evolve.
     *
     * Everything else (narrowing, string↔number re-types, repositioning,
     * nested type changes/defaults) refuses loudly — no silent
@@ -682,17 +684,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       }
     }
     // Navigate to the struct containing a NESTED path's last segment and
-    // apply `f` to it — the seam ADD/DROP/RENAME of a struct member
-    // shares. Parents are plain structs, or — for ADDITIVE changes only
-    // (`elemOk`: ADD COLUMN, safe TYPE widening, both probed to ride the
-    // stock parquet reader through repeated groups) — array ELEMENT /
-    // map VALUE structs. RENAME/DROP keep `elemOk = false`: they would
-    // make element physical names diverge from logical ones, and the
-    // engine refuses rather than silently rebuilding every array on
-    // read. Addressed by LOGICAL name; `f` receives the enclosing
+    // apply `f` to it — the seam ADD/DROP/RENAME/widen of a struct
+    // member shares. Parents are plain structs, array ELEMENT structs,
+    // or map VALUE structs; map KEY structs are structurally
+    // unreachable (keys are identity-bearing — they never evolve).
+    // Element members carry their own ids and physical names exactly
+    // like plain struct members, and every translation seam (the scan's
+    // physify/logify relabel, the write path's physicalType cast, the
+    // retired ledger's dotted physical paths) recurses through
+    // collections — so RENAME/DROP inside elements are metadata-only
+    // too; the rows themselves are POSITIONAL at every depth and never
+    // rebuild. Addressed by LOGICAL name; `f` receives the enclosing
     // struct and the dotted PHYSICAL prefix its members land under.
-    def updateStructAt(sc: StructType, parents: Seq[String], what: String,
-                       elemOk: Boolean = false)
+    def updateStructAt(sc: StructType, parents: Seq[String], what: String)
         (f: (StructType, String) => StructType): StructType = {
       def walk(cur: StructType, rest: Seq[String],
                physPrefix: String): StructType = rest match {
@@ -709,22 +713,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           def seg(s: String) = tail.headOption.exists(_.equalsIgnoreCase(s))
           val updated = fld.dataType match {
             case t: StructType => fld.copy(dataType = walk(t, tail, pfx))
-            case a @ ArrayType(t: StructType, _)
-                if elemOk && seg("element") =>
+            case a @ ArrayType(t: StructType, _) if seg("element") =>
               fld.copy(dataType = a.copy(
                 elementType = walk(t, tail.tail, pfx)))
-            case m @ MapType(_, t: StructType, _)
-                if elemOk && seg("value") =>
+            case m @ MapType(_, t: StructType, _) if seg("value") =>
               fld.copy(dataType = m.copy(
                 valueType = walk(t, tail.tail, pfx)))
             case other => throw new UnsupportedOperationException(
               s"$what: '$head' is ${other.simpleString}, not a struct — " +
-                (if (elemOk)
-                  "there is no evolvable struct at this path"
-                 else
-                  "only struct members evolve this way (array/map " +
-                    "element members support ADD and type widening " +
-                    "only; RENAME/DROP inside elements are refused)"))
+                "there is no evolvable struct at this path (arrays via " +
+                "`.element.`, map values via `.value.`; map keys do " +
+                "not evolve)")
           }
           StructType(cur.fields.updated(i, updated))
       }
@@ -754,9 +753,6 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           require(add.position() == null,
             s"ADD COLUMN '$dotted' FIRST/AFTER unsupported: columns " +
               "append at the end (repositioning is not supported)")
-          require(add.isNullable,
-            s"ADD COLUMN '$dotted' NOT NULL is unsupported: " +
-              "already-landed files have no value for it")
           val dv = Option(add.defaultValue())
           val existsLit = dv.map { d =>
             // only PLAIN struct parents: a defaulted member inside an
@@ -798,8 +794,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             org.apache.spark.sql.catalyst.expressions.Literal(
               folded, add.dataType())
           }
-          updateStructAt(sc, path.init, s"ADD COLUMN '$dotted'",
-            elemOk = true) {
+          // NOT NULL is legal exactly when a non-null existence default
+          // covers already-landed history (the top-level convention) —
+          // existsLit is non-null by construction above. The member
+          // constraint is parent-null-guarded and commit-enforced
+          // ([[graft.sql.NestedNotNull]]); user batches storing NULL
+          // under a non-null parent already refuse via the defaults gate.
+          require(add.isNullable || existsLit.isDefined,
+            s"ADD COLUMN '$dotted' NOT NULL needs a non-null DEFAULT: " +
+              "already-landed files have no value for it")
+          updateStructAt(sc, path.init, s"ADD COLUMN '$dotted'") {
             (st, _) =>
               require(!st.fieldNames.exists(_.equalsIgnoreCase(path.last)),
                 s"column '$dotted' already exists")
@@ -816,14 +820,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               // is deliberately absent: an INSERT can never OMIT a
               // struct member, so only the existence half is meaningful
               updateStructAt(added, path.init,
-                  s"ADD COLUMN '$dotted'", elemOk = true) { (st, _) =>
+                  s"ADD COLUMN '$dotted'") { (st, _) =>
                 val i = st.fields.indexWhere(
                   _.name.equalsIgnoreCase(path.last))
                 val f = st.fields(i)
-                StructType(st.fields.updated(i, f.copy(metadata =
-                  new MetadataBuilder().withMetadata(f.metadata)
-                    .putString(NestedDefaults.ExistsKey, lit.sql)
-                    .build())))
+                StructType(st.fields.updated(i, f.copy(
+                  nullable = add.isNullable,
+                  metadata =
+                    new MetadataBuilder().withMetadata(f.metadata)
+                      .putString(NestedDefaults.ExistsKey, lit.sql)
+                      .build())))
               }
           }
         case add: TableChange.AddColumn =>
@@ -882,9 +888,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               case Seq(last) =>
                 cur.fieldNames.exists(_.equalsIgnoreCase(last))
               case head +: tail =>
+                def seg(s: String) =
+                  tail.headOption.exists(_.equalsIgnoreCase(s))
                 cur.fields.find(_.name.equalsIgnoreCase(head))
                   .map(_.dataType).exists {
                     case st: StructType => resolves(st, tail)
+                    case ArrayType(st: StructType, _) if seg("element") =>
+                      resolves(st, tail.tail)
+                    case MapType(_, st: StructType, _) if seg("value") =>
+                      resolves(st, tail.tail)
                     case _ => false
                   }
             }
@@ -973,8 +985,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           val path = ut.fieldNames().toSeq
           val dotted = path.mkString(".")
           val nt = ut.newDataType()
-          updateStructAt(sc, path.init, s"ALTER COLUMN '$dotted' TYPE",
-            elemOk = true) {
+          updateStructAt(sc, path.init, s"ALTER COLUMN '$dotted' TYPE") {
             (st, physPrefix) =>
               val f = fieldOf(st, path.last, s"ALTER COLUMN '$dotted' TYPE")
               require(widenings.get(f.dataType).exists(_.contains(nt)),
@@ -1020,6 +1031,60 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               "type; rebuild blooms (write_blooms) after widening instead")
           StructType(sc.fields.map(x =>
             if (x.name.equalsIgnoreCase(n)) f.copy(dataType = nt) else x))
+        case un: TableChange.UpdateColumnNullability
+            if un.fieldNames().length > 1 =>
+          // nested SET NOT NULL — born-valid or refused, like the
+          // top-level one, under the parent-null-guarded semantics
+          // ([[NestedNotNull]]): the member constraint applies where its
+          // enclosing parent (struct, array element, map value) is
+          // non-null. The born-valid probe evaluates over SERVED values:
+          // raw files at the declared physical schema (relaxed — pre-ADD
+          // vintages may lack members; EXISTS_DEFAULT rides top-level
+          // fields), nested defaults substituted first so a faithful
+          // stored NULL under a defaulted member doesn't misfire, then
+          // ONE violation probe of the guarded predicate. Raw files, not
+          // the live view: delete-vector-hidden rows still carry bytes,
+          // and refusing on them is the conservative side. SET NULLABLE
+          // relaxes freely.
+          val path = un.fieldNames().toSeq
+          val dotted = path.mkString(".")
+          if (!un.nullable()) {
+            val pred = NestedNotNull.predicate(sc, path)
+            if (ops.versions(dir).nonEmpty) {
+              val files = ops.manifestLines(dir, ops.versions(dir).last)
+                .filter(_.nonEmpty).filterNot(_.startsWith("#"))
+              if (files.nonEmpty) {
+                val spark = SparkSession.active
+                def relaxDt(dt: DataType): DataType = dt match {
+                  case s: StructType => StructType(s.fields.map(f =>
+                    f.copy(dataType = relaxDt(f.dataType), nullable = true)))
+                  case a: ArrayType => a.copy(
+                    elementType = relaxDt(a.elementType), containsNull = true)
+                  case m: MapType => m.copy(
+                    valueType = relaxDt(m.valueType), valueContainsNull = true)
+                  case o => o
+                }
+                val declPhys = ColumnMapping.physicalSchema(sc)
+                val raw = spark.read
+                  .schema(relaxDt(declPhys).asInstanceOf[StructType])
+                  .parquet(files: _*)
+                val served = NestedDefaults.substitute(raw, declPhys)
+                val bad = served.filter(!expr(pred)).limit(1).count()
+                require(bad == 0,
+                  s"ALTER COLUMN '$dotted' SET NOT NULL: existing row(s) " +
+                    "violate it (a NULL member under a non-null parent); " +
+                    "a declaration born broken proves nothing")
+              }
+            }
+          }
+          updateStructAt(sc, path.init,
+              s"ALTER COLUMN '$dotted' NULLABILITY") { (st, _) =>
+            val f = fieldOf(st, path.last, s"ALTER COLUMN '$dotted'")
+            StructType(st.fields.map(x =>
+              if (x.name.equalsIgnoreCase(path.last))
+                f.copy(nullable = un.nullable())
+              else x))
+          }
         case un: TableChange.UpdateColumnNullability =>
           val n = one(un.fieldNames(), "ALTER COLUMN NULLABILITY")
           val f = fieldOf(sc, n, "ALTER COLUMN")
@@ -1387,14 +1452,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           a(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           a(2).toInt); v }),
     Proc("set_not_null", Seq("dir", "column"),
-      "Declare a column NOT NULL, born-true or refused (one raw scan " +
-        "proves zero existing NULLs) — the SQL front door Spark's " +
-        "analyzer denies to ALTER COLUMN … SET NOT NULL; enforcement " +
-        "is per-commit, and TopN pushdown gets its zero-null proof")(
+      "Declare a column — or a dotted nested member, 'main.rh' / " +
+        "'tags.element.k' — NOT NULL, born-true or refused (one raw " +
+        "scan over SERVED values proves zero violations) — the SQL " +
+        "front door Spark's analyzer denies to ALTER COLUMN … SET NOT " +
+        "NULL; enforcement is per-commit (nested: parent-null-guarded), " +
+        "and TopN pushdown gets its zero-null proof (nested: when the " +
+        "whole chain declares)")(
       (_, a) => {
         val ident = Identifier.of(Array.empty, a(0))
         alterTable(ident,
-          TableChange.updateColumnNullability(Array(a(1)), false))
+          TableChange.updateColumnNullability(a(1).split("\\."), false))
         // resolve the SAME way alterTable did (warehouse-relative names
         // map under the warehouse; absolute paths pass through) — the
         // raw argument would read a different location under a
@@ -1938,20 +2006,29 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
   // what the file schema claims. toLogical restores the declared
   // nullability so the scan's reported schema keeps the contract.
   // Both directions translate STRUCTURALLY against the declared schema
-  // (fields matched by name at each level, struct members recursed), so
-  // NESTED renames resolve too — the pruned schema Spark hands over may
-  // be any nested subset of the table schema, and the physical read
-  // schema coming back mirrors it.
+  // (fields matched by name at each level, struct members recursed —
+  // through array ELEMENT and map VALUE structs too, where member rows
+  // are just as positional), so NESTED renames resolve at every depth —
+  // the pruned schema Spark hands over may be any nested subset of the
+  // table schema (collection element subsets included), and the
+  // physical read schema coming back mirrors it.
   private def toPhys(s: StructType): StructType = physify(s, tableSchema)
+  private def childPair(fdt: DataType, ddt: DataType)
+      (recurse: (StructType, StructType) => StructType): DataType =
+    (fdt, ddt) match {
+      case (fs: StructType, ds: StructType) => recurse(fs, ds)
+      case (fa @ ArrayType(fs: StructType, _), ArrayType(ds: StructType, _))
+        => fa.copy(elementType = recurse(fs, ds))
+      case (fm @ MapType(_, fs: StructType, _), MapType(_, ds: StructType, _))
+        => fm.copy(valueType = recurse(fs, ds))
+      case _ => fdt
+    }
   private def physify(s: StructType, decl: StructType): StructType =
     StructType(s.fields.map { f =>
       decl.fields.find(_.name.equalsIgnoreCase(f.name)) match {
         case Some(d) =>
-          val dt = (f.dataType, d.dataType) match {
-            case (fs: StructType, ds: StructType) => physify(fs, ds)
-            case _ => f.dataType
-          }
-          f.copy(name = ColumnMapping.physOf(d), dataType = dt,
+          f.copy(name = ColumnMapping.physOf(d),
+            dataType = childPair(f.dataType, d.dataType)(physify),
             nullable = true)
         case None => f.copy(nullable = true)
       }
@@ -1963,11 +2040,9 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
       decl.fields.find(d =>
         ColumnMapping.physOf(d).equalsIgnoreCase(f.name)) match {
         case Some(d) =>
-          val dt = (f.dataType, d.dataType) match {
-            case (fs: StructType, ds: StructType) => logify(fs, ds)
-            case _ => f.dataType
-          }
-          f.copy(name = d.name, dataType = dt, nullable = d.nullable)
+          f.copy(name = d.name,
+            dataType = childPair(f.dataType, d.dataType)(logify),
+            nullable = d.nullable)
         case None => f
       }
     })
@@ -2275,15 +2350,29 @@ private[sql] class PruningScanBuilder(spark: SparkSession, dir: String,
         case ref: NamedReference =>
           // top-level OR a nested leaf ("main.temp"): the bound cover on
           // the dotted physical path prunes the same way. Zero-null proof
-          // for a nested key: a declared NOT NULL only covers the leaf
-          // (a NULL parent struct still nulls the path), so nested keys
-          // require the ANALYZE null count of the DOTTED path — which
-          // counts null-struct rows too, by construction of count(col).
+          // for a nested key: a declared NOT NULL on the LEAF alone is
+          // not enough (a NULL parent struct still nulls the path), but
+          // the WHOLE-CHAIN declaration — every field on the path NOT
+          // NULL, each commit-enforced ([[NestedNotNull]]; defaulted
+          // members serve their non-null default, and sidecar bounds
+          // describe served values) — is: no level can null the path.
+          // Anything less requires the ANALYZE null count of the DOTTED
+          // path, which counts null-parent rows too by construction of
+          // count(col).
           resolveLeaf(ref.fieldNames.toSeq).exists { case (physPath, dt) =>
-            val declaredNotNull = ref.fieldNames.length == 1 &&
-              tableSchema.fields.find(
-                _.name.equalsIgnoreCase(ref.fieldNames.head))
-                .exists(!_.nullable)
+            def chainNotNull(st: StructType, ps: List[String]): Boolean =
+              ps match {
+                case h :: t =>
+                  st.fields.find(_.name.equalsIgnoreCase(h)).exists { f =>
+                    !f.nullable && (t.isEmpty || (f.dataType match {
+                      case cs: StructType => chainNotNull(cs, t)
+                      case _ => false
+                    }))
+                  }
+                case Nil => false
+              }
+            val declaredNotNull =
+              chainNotNull(tableSchema, ref.fieldNames.toList)
             val noNulls = declaredNotNull ||
               VersionedTable.statNullCount(dir, version, physPath)
                 .contains(0L)
@@ -3224,17 +3313,19 @@ object GraftCatalog {
     * reference's raw-document repeated group (`weather[0].description`,
     * weather_etl.py:125): half the events land with a 1-element
     * `weather ARRAY<STRUCT<cond, n:INT>>`, then `ADD COLUMNS
-    * (weather.element.score DOUBLE)` and `ALTER COLUMN
-    * weather.element.n TYPE BIGINT` evolve the ELEMENT struct
-    * metadata-only (pinned in-query: the `#files` inventory is
-    * byte-identical across both ALTERs, and element RENAME refuses —
-    * additive-only evolution inside repeated groups) — pre-evolution
-    * files serve typed NULLs for the new member and promote the
-    * widened one per file — then the other half lands with the full
-    * element shape, including beyond-int `n` values only the widened
-    * type can carry. One aggregate over element fields of both
-    * vintages hash-matches a DuckDB oracle reconstructing
-    * null-vs-stored per row. */
+    * (weather.element.score DOUBLE)`, `ALTER COLUMN weather.element.n
+    * TYPE BIGINT` and `RENAME COLUMN weather.element.cond TO sky`
+    * evolve the ELEMENT struct metadata-only (pinned in-query: the
+    * `#files` inventory is byte-identical across all three ALTERs) —
+    * pre-evolution files serve typed NULLs for the new member, promote
+    * the widened one per file, and serve the RENAMED member's stored
+    * values under its new logical name (element physical names are
+    * rename-stable; the relabel is positional) — then the other half
+    * lands with the full evolved element shape, including beyond-int
+    * `n` values only the widened type can carry. One aggregate over
+    * element fields of both vintages hash-matches a DuckDB oracle
+    * reconstructing null-vs-stored per row; a broken relabel would
+    * group the pre-rename half under NULL and hash-mismatch. */
   def qSqlElemEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     register(spark)
     val ev = Tables.events(spark, sfDir)
@@ -3256,24 +3347,23 @@ object GraftCatalog {
       "ADD COLUMNS (weather.element.score DOUBLE)")
     spark.sql(s"ALTER TABLE graft.`$dir` " +
       "ALTER COLUMN weather.element.n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "RENAME COLUMN weather.element.cond TO sky")
     val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
       .collect().map(_.getString(0)).toSet
     require(filesAfter == filesBefore,
-      "element ADD+widen must be metadata-only (zero files rewritten)")
-    require(scala.util.Try(spark.sql(
-      s"ALTER TABLE graft.`$dir` RENAME COLUMN weather.element.cond " +
-        "TO sky")).isFailure,
-      "element RENAME must refuse (additive-only element evolution)")
+      "element ADD+widen+RENAME must be metadata-only (zero files " +
+        "rewritten)")
     ev.filter(col("event_id") % 2 === 1)
       .select(col("event_id"),
-        array(struct(col("event_type").as("cond"),
+        array(struct(col("event_type").as("sky"),
           (col("event_id") % 50 + 10000000000L).as("n"),
           col("value").as("score"))).as("weather"))
       .createOrReplaceTempView("q_sql_elem_v2")
     spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_elem_v2")
     val el = element_at(col("weather"), 1)
     spark.sql(s"SELECT * FROM graft.`$dir`")
-      .groupBy(el.getField("cond").as("kind"))
+      .groupBy(el.getField("sky").as("kind"))
       .agg(count(lit(1)).as("n"),
         count(el.getField("score")).as("n_scored"),
         sum(el.getField("n")).as("sum_n"),
@@ -3330,19 +3420,23 @@ object GraftCatalog {
       .orderBy(col("grade"))
   }
 
-  /** q_sql_nested_default — ADD COLUMN DEFAULT on a NESTED struct member,
-    * substituted by the ENGINE's own read path where Spark's
-    * EXISTS_DEFAULT machinery is top-level-only (see [[NestedDefaults]]):
-    * half the events land inside a struct, then `ADD COLUMNS (main.score
-    * BIGINT DEFAULT 7)` evolves the member metadata-only (pinned
-    * in-query: the `#files` inventory is byte-identical, and an INSERT
-    * storing NULL in the defaulted member under a non-null parent
+  /** q_sql_nested_default — ADD COLUMN NOT NULL DEFAULT on a NESTED
+    * struct member, substituted by the ENGINE's own read path where
+    * Spark's EXISTS_DEFAULT machinery is top-level-only (see
+    * [[NestedDefaults]]), with the NOT NULL declaration landing
+    * alongside (parent-null-guarded, commit-enforced — see
+    * [[NestedNotNull]]): half the events land inside a struct, then
+    * `ADD COLUMNS (main.score BIGINT NOT NULL DEFAULT 7)` evolves the
+    * member metadata-only (pinned in-query: the `#files` inventory is
+    * byte-identical, the member declares NOT NULL in the reported
+    * schema, and an INSERT storing NULL in it under a non-null parent
     * refuses — the append-door gate that keeps stored and served values
     * aligned) — pre-ADD rows serve 7 wherever their parent struct is
-    * non-null, NULL parents stay NULL — then the other half lands with
-    * stored values. One aggregate over default-vs-stored rows of both
-    * vintages (including a filter ON the defaulted member, served by the
-    * substitution Project above the scan) hash-matches a DuckDB oracle
+    * non-null, NULL parents stay NULL (the member exists where the
+    * parent does) — then the other half lands with stored values. One
+    * aggregate over default-vs-stored rows of both vintages (including
+    * a filter ON the defaulted member, served by the substitution
+    * Project above the scan) hash-matches a DuckDB oracle
     * reconstructing the substitution per row. */
   def qSqlNestedDefault(spark: SparkSession, sfDir: String): DataFrame = {
     register(spark)
@@ -3365,16 +3459,21 @@ object GraftCatalog {
     val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
       .collect().map(_.getString(0)).toSet
     spark.sql(s"ALTER TABLE graft.`$dir` " +
-      "ADD COLUMNS (main.score BIGINT DEFAULT 7)")
+      "ADD COLUMNS (main.score BIGINT NOT NULL DEFAULT 7)")
     val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
       .collect().map(_.getString(0)).toSet
     require(filesAfter == filesBefore,
-      "nested ADD DEFAULT must be metadata-only (zero files rewritten)")
+      "nested ADD NOT NULL DEFAULT must be metadata-only (zero files " +
+        "rewritten)")
+    require(!spark.table(s"graft.`$dir`").schema("main").dataType
+      .asInstanceOf[StructType]("score").nullable,
+      "the added member must declare NOT NULL (parent-null-guarded, " +
+        "commit-enforced)")
     require(scala.util.Try(spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
       "(0, named_struct('kind', 'x', 'reading', 0.0, 'score', " +
       "CAST(NULL AS BIGINT)))")).isFailure,
-      "NULL into a defaulted nested member under a non-null parent " +
-        "must refuse (it would silently read back as the default)")
+      "NULL into a defaulted NOT NULL nested member under a non-null " +
+        "parent must refuse (it would silently read back as the default)")
     ev.filter(col("event_id") % 2 === 1)
       .select(col("event_id"),
         struct(col("event_type").as("kind"), col("value").as("reading"),

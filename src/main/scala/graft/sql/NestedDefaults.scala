@@ -51,9 +51,12 @@ import org.apache.spark.sql.types._
   * so its scans build no rebuild — history is immutable.
   *
   * Scope: members of PLAIN structs (any depth). Defaults inside array/map
-  * ELEMENT structs refuse at DDL time (a per-element gate has no
-  * batch-shaped predicate), as do struct-typed defaults and nested NOT
-  * NULL (unchanged).
+  * ELEMENT structs refuse at DDL time (a per-element substitution has no
+  * stored-vs-absent distinction to serve), as do struct-typed defaults.
+  * Nested NOT NULL is a sibling concern with its own commit-enforced
+  * machinery — see [[NestedNotNull]]; a member may declare both (ADD …
+  * NOT NULL DEFAULT d), where the default covers history and the
+  * NOT NULL governs new writes.
   *
   * Door map: the CATALOG scan substitutes (SELECT, `@v` time travel —
   * which follows the engine's top-level convention: schema and its
@@ -188,6 +191,149 @@ private[graft] object NestedDefaults {
       rebuilt.getOrElse(asCol(a))
     }
     if (exprs.isEmpty) df else df.select(exprs: _*)
+  }
+}
+
+/** NESTED `NOT NULL` — declared on a struct member (any depth, array
+  * ELEMENT / map VALUE structs included) and commit-ENFORCED through the
+  * same one-pass batch aggregate as user CHECK constraints and top-level
+  * NOT NULL ([[graft.sinks.VersionedTable]] validateConstraints).
+  *
+  * Semantics — parent-null-guarded, matching the nested-defaults
+  * convention: the member constraint applies exactly where its enclosing
+  * parent EXISTS. A NULL parent struct (or a NULL array element / map
+  * value) satisfies every member declaration vacuously; a non-null
+  * parent whose declared-NOT-NULL member is NULL refuses the commit.
+  * Declarations arrive via CREATE TABLE, `ALTER COLUMN p.m SET NOT
+  * NULL` (born-valid or refused: one raw scan over SERVED values — the
+  * nested-defaults substitution applies first, so a faithful stored
+  * NULL under a defaulted member doesn't misfire), or `ADD COLUMNS
+  * (p.m T NOT NULL DEFAULT d)` (legal exactly when the non-null default
+  * covers already-landed history, the top-level convention).
+  *
+  * Members that ALSO carry an existence default are skipped here: for
+  * user batches [[graft.sinks.VersionedTable]] nestedDefaultChecks
+  * already refuses the only observable violation (a stored NULL under a
+  * non-null parent), and engine rewrites carrying pre-evolution rows
+  * forward legitimately STORE NULL there (the coalesce read serves the
+  * non-null default) — enforcing the raw predicate would refuse a
+  * faithful carry. Un-defaulted members enforce on every commit, engine
+  * rewrites included: born-valid proved the live table reads non-null,
+  * so a rewrite's stored values satisfy the predicate by construction.
+  *
+  * What the declaration buys at plan time: the whole-chain case (every
+  * field on the dotted path declared NOT NULL) is a ZERO-NULL PROOF for
+  * the dotted path — TopN pushdown accepts it with no ANALYZE, exactly
+  * like a top-level NOT NULL (PruningScanBuilder.pushTopN). */
+private[graft] object NestedNotNull {
+  import org.apache.spark.sql.types.{ArrayType, MapType}
+
+  /** Dotted LOGICAL paths (depth >= 2, literal `element`/`value`
+    * segments included) of nested members declared NOT NULL. Map KEY
+    * structs are not walked — they never evolve and never declare. */
+  def paths(schema: StructType): Seq[Seq[String]] = {
+    def walk(dt: DataType, prefix: Seq[String]): Seq[Seq[String]] =
+      dt match {
+        case s: StructType => s.fields.toSeq.flatMap { f =>
+          val p = prefix :+ f.name
+          (if (!f.nullable && prefix.nonEmpty) Seq(p) else Seq.empty) ++
+            walk(f.dataType, p)
+        }
+        case ArrayType(s: StructType, _) => walk(s, prefix :+ "element")
+        case MapType(_, s: StructType, _) => walk(s, prefix :+ "value")
+        case _ => Seq.empty
+      }
+    walk(schema, Seq.empty)
+  }
+
+  def hasAny(schema: StructType): Boolean = paths(schema).nonEmpty
+
+  /** True iff the member at `path` (and every member on the way) is free
+    * of an existence default — the gate for raw (stored-value)
+    * enforcement; see the class doc. */
+  def undefaulted(schema: StructType, path: Seq[String]): Boolean = {
+    def walk(dt: DataType, ps: List[String]): Boolean = (dt, ps) match {
+      case (_, Nil) => true
+      case (s: StructType, h :: t) =>
+        s.fields.find(_.name.equalsIgnoreCase(h)).forall(f =>
+          !f.metadata.contains(NestedDefaults.ExistsKey) &&
+            walk(f.dataType, t))
+      case (ArrayType(s: StructType, _), "element" :: t) => walk(s, t)
+      case (MapType(_, s: StructType, _), "value" :: t) => walk(s, t)
+      case _ => true
+    }
+    walk(schema, path.toList)
+  }
+
+  /** The enforcement predicate for one declared path, over PHYSICAL
+    * names (what batch files carry), parent-null-guarded at every level.
+    * Plain chains render as `a IS NULL OR a.b IS NULL OR a.b.c IS NOT
+    * NULL`; collection hops render as `forall` lambdas whose NULL
+    * elements pass (a null element is a null parent). The predicate
+    * never evaluates to NULL, so the commit aggregate's
+    * NULL-passes-CHECK convention cannot mask a violation. */
+  def predicate(schema: StructType, path: Seq[String]): String = {
+    def q(s: String) = "`" + s.replace("`", "``") + "`"
+    def okIn(sql: String, st: StructType, ps: List[String],
+             depth: Int): String = {
+      val f = st.fields.find(_.name.equalsIgnoreCase(ps.head)).getOrElse(
+        throw new IllegalArgumentException(
+          s"nested NOT NULL: no member '${ps.head}' on path " +
+            path.mkString(".")))
+      val child =
+        if (sql.isEmpty) q(ColumnMapping.physOf(f))
+        else s"$sql.${q(ColumnMapping.physOf(f))}"
+      (f.dataType, ps.tail) match {
+        case (_, Nil) => s"$child IS NOT NULL"
+        case (cs: StructType, rest) =>
+          s"($child IS NULL OR ${okIn(child, cs, rest, depth)})"
+        case (ArrayType(cs: StructType, _), "element" :: rest) =>
+          val v = s"_e$depth"
+          s"($child IS NULL OR forall($child, $v -> $v IS NULL OR " +
+            okIn(v, cs, rest, depth + 1) + "))"
+        case (MapType(_, cs: StructType, _), "value" :: rest) =>
+          val v = s"_e$depth"
+          s"($child IS NULL OR forall(map_values($child), $v -> " +
+            s"$v IS NULL OR " + okIn(v, cs, rest, depth + 1) + "))"
+        case (other, _) => throw new IllegalArgumentException(
+          s"nested NOT NULL path ${path.mkString(".")}: '${ps.head}' is " +
+            s"${other.simpleString}, which has no members at this path")
+      }
+    }
+    okIn("", schema, path.toList, 0)
+  }
+
+  /** (label, physical predicate SQL) for every UN-DEFAULTED nested NOT
+    * NULL declaration — what [[graft.sinks.VersionedTable]] folds into
+    * the one-pass commit aggregate. */
+  def checks(schema: StructType): Seq[(String, String)] =
+    paths(schema).filter(undefaulted(schema, _)).map { p =>
+      (s"nested NOT NULL ${p.mkString(".")}", predicate(schema, p))
+    }
+
+  /** True iff `batch` (a frame under PHYSICAL names) carries the member
+    * at declared logical `path` — resolved structurally: each declared
+    * segment maps to its physical name, matched in the batch's shape at
+    * the same depth. An absent member cannot be predicate-checked (the
+    * SQL would not resolve); the caller decides refuse-vs-skip. */
+  def presentIn(batch: StructType, decl: StructType,
+                path: Seq[String]): Boolean = {
+    def walk(b: DataType, d: DataType, ps: List[String]): Boolean =
+      (b, d, ps) match {
+        case (_, _, Nil) => true
+        case (bs: StructType, ds: StructType, h :: t) =>
+          ds.fields.find(_.name.equalsIgnoreCase(h)).exists { df =>
+            bs.fields.find(_.name.equalsIgnoreCase(
+              ColumnMapping.physOf(df))).exists(bf =>
+              walk(bf.dataType, df.dataType, t))
+          }
+        case (ArrayType(be, _), ArrayType(de, _), "element" :: t) =>
+          walk(be, de, t)
+        case (MapType(_, bv, _), MapType(_, dv, _), "value" :: t) =>
+          walk(bv, dv, t)
+        case _ => false
+      }
+    walk(batch, decl, path.toList)
   }
 }
 

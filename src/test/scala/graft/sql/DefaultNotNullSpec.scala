@@ -307,4 +307,148 @@ class DefaultNotNullSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, -1.0)")
     assert(spark.table(s"graft.`$dir`").count() == 3)
   }
+
+  test("nested NOT NULL: ADD … NOT NULL DEFAULT covers history " +
+      "metadata-only; enforcement is parent-null-guarded at commit") {
+    register()
+    val dir = tmpDir("dn-nested-nn")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    // history: one row with a live struct, one with a NULL parent
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.5, 'kind', 'a')), (2, NULL)")
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh BIGINT NOT NULL DEFAULT 50)")
+    assert(spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet == filesBefore,
+      "nested NOT NULL DEFAULT add must be metadata-only")
+    // the declaration landed on the member
+    val mt = spark.table(s"graft.`$dir`").schema("main")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(!mt("rh").nullable, "member must declare NOT NULL")
+    // history serves the default under a non-null parent, NULL parents
+    // stay NULL (the member only exists where the parent does)
+    val got = spark.sql(s"SELECT id, main.rh FROM graft.`$dir` ORDER BY id")
+      .collect()
+    assert(got(0).getLong(1) == 50L && got(1).isNullAt(1))
+    // an un-NOT-NULLed ADD without DEFAULT still refuses
+    val e0 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` " +
+        "ADD COLUMNS (main.xx BIGINT NOT NULL)")
+    }
+    assert(e0.getMessage.contains("non-null DEFAULT"), e0.getMessage)
+    // commit enforcement (defaulted member → the defaults gate): a
+    // stored NULL under a non-null parent refuses; a NULL parent lands
+    val e1 = intercept[Exception] {
+      ops.commit(spark.sql("SELECT 3L AS id, named_struct(" +
+        "'temp', 2.0D, 'kind', 'b', 'rh', CAST(NULL AS BIGINT)) AS main"),
+        dir)
+    }
+    assert(e1.getMessage.contains("main.rh"), e1.getMessage)
+    ops.commit(spark.sql(
+      "SELECT 4L AS id, CAST(NULL AS STRUCT<temp: DOUBLE, kind: STRING, " +
+        "rh: BIGINT>) AS main"), dir)
+    assert(spark.table(s"graft.`$dir`").count() == 3)
+  }
+
+  test("nested SET NOT NULL is born-valid over SERVED values or " +
+      "refused; enforcement and DROP NOT NULL follow; element members " +
+      "enforce through forall") {
+    register()
+    val dir = tmpDir("dn-nested-setnn")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>, " +
+      "weather ARRAY<STRUCT<cond: STRING, n: INT>>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0, 'kind', 'a'), " +
+      "array(named_struct('cond', 'ok', 'n', 1))), " +
+      "(2, named_struct('temp', 2.0, 'kind', CAST(NULL AS STRING)), " +
+      "array(named_struct('cond', 'ok', 'n', 2))), " +
+      "(3, NULL, NULL)")
+    // born-broken: row 2 has kind NULL under a non-null parent
+    val e0 = intercept[Exception] {
+      spark.sql(s"CALL graft.set_not_null('$dir', 'main.kind')")
+    }
+    assert(e0.getMessage.contains("SET NOT NULL"), e0.getMessage)
+    // temp is non-null wherever main is (row 3's NULL parent passes —
+    // the member constraint applies where the parent exists)
+    spark.sql(s"CALL graft.set_not_null('$dir', 'main.temp')")
+    val mt = spark.table(s"graft.`$dir`").schema("main")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(!mt("temp").nullable)
+    // enforced from then on: NULL temp under a live parent refuses…
+    val e1 = intercept[Exception] {
+      ops.commit(spark.sql("SELECT 5L AS id, named_struct(" +
+        "'temp', CAST(NULL AS DOUBLE), 'kind', 'x') AS main, " +
+        "CAST(NULL AS ARRAY<STRUCT<cond: STRING, n: INT>>) AS weather"),
+        dir)
+    }
+    assert(e1.getMessage.contains("nested NOT NULL main.temp"),
+      e1.getMessage)
+    // …a NULL parent still lands (vacuous), and DROP NOT NULL relaxes
+    ops.commit(spark.sql("SELECT 6L AS id, " +
+      "CAST(NULL AS STRUCT<temp: DOUBLE, kind: STRING>) AS main, " +
+      "CAST(NULL AS ARRAY<STRUCT<cond: STRING, n: INT>>) AS weather"),
+      dir)
+    spark.sql(
+      s"ALTER TABLE graft.`$dir` ALTER COLUMN main.temp DROP NOT NULL")
+    ops.commit(spark.sql("SELECT 7L AS id, named_struct(" +
+      "'temp', CAST(NULL AS DOUBLE), 'kind', 'x') AS main, " +
+      "CAST(NULL AS ARRAY<STRUCT<cond: STRING, n: INT>>) AS weather"),
+      dir) // legal again
+    // ELEMENT members: the declaration enforces per element via forall
+    spark.sql(
+      s"CALL graft.set_not_null('$dir', 'weather.element.cond')")
+    val e2 = intercept[Exception] {
+      ops.commit(spark.sql("SELECT 8L AS id, " +
+        "CAST(NULL AS STRUCT<temp: DOUBLE, kind: STRING>) AS main, " +
+        "array(named_struct('cond', CAST(NULL AS STRING), 'n', 9)) " +
+          "AS weather"), dir)
+    }
+    assert(e2.getMessage.contains("nested NOT NULL weather.element.cond"),
+      e2.getMessage)
+    // a NULL element and a NULL array are null parents: both land
+    ops.commit(spark.sql("SELECT 9L AS id, " +
+      "CAST(NULL AS STRUCT<temp: DOUBLE, kind: STRING>) AS main, " +
+      "array(CAST(NULL AS STRUCT<cond: STRING, n: INT>)) AS weather"),
+      dir)
+    assert(spark.table(s"graft.`$dir`").count() == 6)
+  }
+
+  test("a whole-chain nested NOT NULL declaration is TopN pushdown's " +
+      "zero-null proof — no ANALYZE needed on the dotted path") {
+    register()
+    val dir = tmpDir("dn-nested-topn")
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<ts: BIGINT, kind: STRING>)")
+    // clustered commits land RANGE BOUNDS for the dotted path with every
+    // batch (cbo stays off — no null counts anywhere), the streaming-
+    // landing shape where an ANALYZE-free zero-null proof matters
+    ops.commitClustered(
+      spark.range(0, 100).select(col("id"),
+        struct(col("id").as("ts"), lit("a").as("kind")).as("main")),
+      dir, Seq("id"), Seq("main.ts"), numFiles = 1)
+    ops.commitClustered(
+      spark.range(100, 200).select(col("id"),
+        struct(col("id").as("ts"), lit("b").as("kind")).as("main")),
+      dir, Seq("id"), Seq("main.ts"), numFiles = 1)
+    // leaf-only declaration is NOT enough (a NULL parent nulls the path)
+    spark.sql(s"CALL graft.set_not_null('$dir', 'main.ts')")
+    GraftCatalog.lastTopNAdmit = (-1, -1)
+    assert(spark.sql(s"SELECT main.ts FROM graft.`$dir` " +
+      "ORDER BY main.ts LIMIT 3").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L))
+    assert(GraftCatalog.lastTopNAdmit == ((-1, -1)),
+      "leaf-only declaration must decline — a NULL parent nulls the path")
+    // whole chain declared → the proof holds with zero ANALYZE
+    spark.sql(s"CALL graft.set_not_null('$dir', 'main')")
+    GraftCatalog.lastTopNAdmit = (-1, -1)
+    assert(spark.sql(s"SELECT main.ts FROM graft.`$dir` " +
+      "ORDER BY main.ts LIMIT 3").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L))
+    assert(GraftCatalog.lastTopNAdmit == ((2, 1)),
+      s"expected a 1-file cover: ${GraftCatalog.lastTopNAdmit}")
+  }
 }

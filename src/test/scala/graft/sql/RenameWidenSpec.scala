@@ -280,7 +280,8 @@ class RenameWidenSpec extends SparkSpec {
     val dir = tmpDir("rw-nested-refuse") + "/t"
     spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
       "main STRUCT<temp: DOUBLE, pressure: BIGINT>, " +
-      "tags ARRAY<STRUCT<k: STRING>>, lone STRUCT<only: BIGINT>)")
+      "tags ARRAY<STRUCT<k: STRING>>, lone STRUCT<only: BIGINT>, " +
+      "kprops MAP<STRUCT<k: STRING>, INT>)")
     def refuses(sql: String, frag: String): Unit = {
       val e = intercept[Exception] { spark.sql(sql) }
       def msgs(t: Throwable): Seq[String] =
@@ -298,12 +299,15 @@ class RenameWidenSpec extends SparkSpec {
       "already exists")
     refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.temp STRING)",
       "already exists")
-    // element-struct members ADD and widen, but never RENAME or DROP —
-    // that would fork element physical names from logical ones
-    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN tags.element.k TO j",
-      "RENAME/DROP inside elements are refused")
+    // element members evolve fully, but dropping the LAST element member
+    // refuses like any struct's, and map KEY structs never evolve —
+    // keys are identity-bearing
     refuses(s"ALTER TABLE graft.`$dir` DROP COLUMN tags.element.k",
-      "RENAME/DROP inside elements are refused")
+      "last member")
+    refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN kprops.key.k TO j",
+      "no evolvable struct")
+    refuses(s"ALTER TABLE graft.`$dir` DROP COLUMN kprops.key.k",
+      "no evolvable struct")
     // nested widening exists, but only within the engine's parquet
     // promotion allowlist — bigint→double is not in it
     refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.pressure TYPE " +
@@ -440,6 +444,71 @@ class RenameWidenSpec extends SparkSpec {
     // both vintages aggregate through one schema
     assert(spark.sql(s"SELECT SUM(weather[0].n) FROM graft.`$dir`")
       .head().getLong(0) == 6L + 10000000000L)
+  }
+
+  test("element-struct RENAME/DROP are metadata-only: old files serve " +
+    "the new names, drop-then-re-add serves typed nulls, never the " +
+    "dropped element bytes") {
+    register()
+    val dir = tmpDir("rw-elem-ren") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "weather ARRAY<STRUCT<cond: STRING, n: INT>>, " +
+      "props MAP<STRING, STRUCT<v: INT, w: INT>>)")
+    spark.range(0, 4).select(col("id"),
+        array(struct(concat(lit("c"), col("id")).as("cond"),
+          col("id").cast("int").as("n"))).as("weather"),
+        map(lit("a"), struct(col("id").cast("int").as("v"),
+          (col("id") * 10).cast("int").as("w"))).as("props"))
+      .createOrReplaceTempView("rw_elemren_src")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM rw_elemren_src")
+    val before = filesOf(dir)
+    spark.sql(
+      s"ALTER TABLE graft.`$dir` RENAME COLUMN weather.element.cond TO sky")
+    spark.sql(
+      s"ALTER TABLE graft.`$dir` RENAME COLUMN props.value.v TO score")
+    assert(filesOf(dir) == before, "element RENAME rewrote files")
+    // pre-rename files serve their values under the NEW logical names
+    val old = spark.sql("SELECT id, weather[0].sky, " +
+      s"element_at(props, 'a').score FROM graft.`$dir` ORDER BY id")
+      .collect()
+    assert(old.length == 4)
+    assert(old.map(_.getString(1)).toSeq == Seq("c0", "c1", "c2", "c3"))
+    assert(old.map(_.getInt(2)).toSeq == Seq(0, 1, 2, 3))
+    // the old element-member names are gone
+    assert(scala.util.Try(spark.sql(
+      s"SELECT weather[0].cond FROM graft.`$dir`").collect()).isFailure)
+    // DROP an element member, then re-ADD the same name: the re-added
+    // member addresses a FRESH physical name inside the element struct,
+    // so pre-drop files must serve NULL, not the retired bytes they
+    // still carry
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN props.value.w")
+    assert(filesOf(dir) == before, "element DROP rewrote files")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (props.value.w INT)")
+    assert(spark.sql(
+      s"SELECT COUNT(element_at(props, 'a').w) FROM graft.`$dir`")
+      .head().getLong(0) == 0L,
+      "re-added element member resurrected dropped bytes")
+    // a post-evolution insert lands under the FIXED physical names: both
+    // vintages serve through one schema, renamed + re-added members
+    // resolve across files
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT 100L, " +
+      "array(named_struct('sky', 'cx', 'n', 9)), " +
+      "map('a', named_struct('score', 7, 'w', 8))")
+    val agg = spark.sql("SELECT COUNT(*), SUM(weather[0].n), " +
+      "SUM(element_at(props, 'a').score), " +
+      s"SUM(element_at(props, 'a').w) FROM graft.`$dir`").head()
+    assert(agg.getLong(0) == 5L)
+    assert(agg.getLong(1) == (0 + 1 + 2 + 3 + 9).toLong)
+    assert(agg.getLong(2) == (0 + 1 + 2 + 3 + 7).toLong)
+    assert(agg.getLong(3) == 8L, "old files must serve NULL for the " +
+      "re-added member; the new file serves its stored 8")
+    // nested pruning through the element mapping: a query touching only
+    // the renamed member reads exactly its PHYSICAL member from parquet
+    val df = spark.sql(s"SELECT weather[0].sky AS s FROM graft.`$dir`")
+    assert(df.as[String].collect().toSet == Set("c0", "c1", "c2", "c3", "cx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cond") && !plan.contains("sky:"),
+      s"element pruning must request the physical member name:\n$plan")
   }
 
   test("manifest stats pruning follows the physical name after a rename") {
