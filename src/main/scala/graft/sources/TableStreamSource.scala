@@ -281,7 +281,7 @@ object TableStreamSource {
       // rewriting count is CAPPED — each rewrite leg is a keyed
       // snapshot diff, and an uncapped range of them is a planner
       // bomb no collapse can fix.
-      val legs = collectLegs(dir, targets, vs)
+      val legs = collectLegs(dir, targets, predecessorMap(vs))
       val rewrites = legs.count(_.isInstanceOf[RewriteLeg])
       require(rewrites <= CdfMaxRewritesPerRange,
         s"'#cdf=$base..$endV' of $dir spans $rewrites rewriting " +
@@ -326,11 +326,24 @@ object TableStreamSource {
   private case class AppendRunLeg(run: Vector[Int]) extends CdfLeg
   private case class RewriteLeg(v: Int) extends CdfLeg
 
+  /** Footer-schema probes paid by [[appendRunLeg]] — the spec seam that
+    * pins "a declared table's append run opens ZERO files at planning":
+    * only the undeclared Scala-door fallback increments. */
+  private[graft] val vintageProbes =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** version → its predecessor in the lineage, built ONCE per slice —
+    * the per-target `takeWhile` scan it replaces was O(range²) driver
+    * integer work (harmless at the rewrite cap, pointless all the
+    * same). `vs` is the sorted version list. */
+  private def predecessorMap(vs: Seq[Int]): Map[Int, Option[Int]] =
+    vs.zip(None +: vs.map(Some(_))).toMap
+
   private def collectLegs(dir: String, targets: Seq[Int],
-                          vs: Seq[Int]): Seq[CdfLeg] = {
+                          prevOf: Map[Int, Option[Int]]): Seq[CdfLeg] = {
     val legs = scala.collection.mutable.ArrayBuffer.empty[CdfLeg]
     targets.foreach { v =>
-      vs.takeWhile(_ < v).lastOption match {
+      prevOf(v) match {
         case None => legs += SnapshotLeg(v)
         case Some(p) if VersionedTable.isPureAppend(dir, p, v) =>
           legs.lastOption match {
@@ -349,31 +362,44 @@ object TableStreamSource {
     * transition), derived from the manifest lineage and attached by a
     * broadcast hash join on the normalized `input_file_name()` — O(1)
     * per row and codegen-resident, where a map-literal `element_at`
-    * would scan the whole literal per row. The read schema is the
-    * run's vintage schemas folded with the engine's own widening rules
-    * (one footer per transition): parquet's `mergeSchema` refuses
-    * int→long across an ALTER COLUMN TYPE boundary, while an explicit
-    * widened schema reads narrow per-file members fine (probed, round
-    * 11). A fold the rules can't bridge falls back to per-transition
-    * legs for this run — correctness first, the collapsed plan is an
-    * optimization. */
+    * would scan the whole literal per row. The read schema: a DECLARED
+    * table pins its nullability-relaxed declared physical schema
+    * ([[VersionedTable.declPhysOf]]) — ZERO file opens, and the only
+    * schema that is sound over a MULTI-commit file set (the a43738c
+    * lesson: footer inference is per-commit; the run's widened members
+    * read narrow per-file fine, later-added members serve typed nulls).
+    * An undeclared Scala-door table keeps the per-transition footer
+    * probe ([[vintageProbes]] counts them — the spec seam for "zero
+    * probes on a declared run") folded with the engine's own widening
+    * rules: parquet's `mergeSchema` refuses int→long across an ALTER
+    * COLUMN TYPE boundary, while an explicit widened schema reads
+    * narrow per-file members fine (probed, round 11). A fold the rules
+    * can't bridge falls back to per-transition legs for this run —
+    * correctness first, the collapsed plan is an optimization. */
   private def appendRunLeg(spark: SparkSession, dir: String,
       changeKey: String, run: Seq[Int], vs: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.functions._
-    def prevOf(v: Int): Int = vs.takeWhile(_ < v).last
+    val prev = predecessorMap(vs)
     val filesByV: Seq[(Int, Seq[String])] = run.map { v =>
-      v -> VersionedTable.changedFiles(dir, prevOf(v), v)
+      v -> VersionedTable.changedFiles(dir, prev(v).get, v)
     }
     val fileToV = filesByV.flatMap { case (v, fs) => fs.map(_ -> v.toLong) }
     if (fileToV.isEmpty) // a run of metadata-only commits: no rows
       return tagInserts(
         VersionedTable.read(spark, dir, Some(run.last)).limit(0), run.last)
-    val vintages = filesByV.filter(_._2.nonEmpty)
-      .map { case (_, fs) => spark.read.parquet(fs: _*).schema }
-    val merged = vintages.tail
-      .foldLeft(Option(vintages.head: org.apache.spark.sql.types.DataType)) {
-        (acc, s) => acc.flatMap(a => widenMerge(a, s))
-      }.collect { case s: org.apache.spark.sql.types.StructType => s }
+    val merged: Option[org.apache.spark.sql.types.StructType] =
+      VersionedTable.declPhysOf(dir).orElse {
+        val vintages = filesByV.filter(_._2.nonEmpty)
+          .map { case (_, fs) =>
+            vintageProbes.incrementAndGet()
+            spark.read.parquet(fs: _*).schema
+          }
+        vintages.tail
+          .foldLeft(
+            Option(vintages.head: org.apache.spark.sql.types.DataType)) {
+            (acc, s) => acc.flatMap(a => widenMerge(a, s))
+          }.collect { case s: org.apache.spark.sql.types.StructType => s }
+      }
     merged match {
       case None => // unbridgeable vintage mix: per-transition legs
         run.map(v => cdfTransition(spark, dir, changeKey, v, vs))

@@ -4249,24 +4249,34 @@ object GraftCatalog {
     * of q_sql_asof's landing CALL: no materialization, the TVF expands
     * at analysis time to the same AsOfJoinPlan the Scala DSL builds, and
     * the surrounding query (projection + ORDER BY here) composes around
-    * it like any relation. Pinned in-query: the EXECUTED plan contains
-    * AsOfJoinExec (the sorted-merge exec, not a rewrite), and a bad
-    * direction refuses. Hash-matches [[graft.operators.AsOf.qAsofJoin]]'s
+    * it like any relation. The purchase side arrives as an INLINE
+    * relation via the standard `TABLE(SELECT … WHERE …)` argument
+    * syntax (mixed with a named view on the other side) — composing the
+    * as-of over a filtered subquery needs no temp-view hop. Pinned
+    * in-query: the EXECUTED plan contains AsOfJoinExec (the sorted-merge
+    * exec, not a rewrite), a bad direction refuses, and a PARTITION
+    * BY-decorated TABLE argument refuses (the as-of defines its own
+    * per-key ordering). Hash-matches [[graft.operators.AsOf.qAsofJoin]]'s
     * DuckDB native-ASOF oracle verbatim — third surface, same oracle. */
   def qSqlAsofTvf(spark: SparkSession, sfDir: String): DataFrame = {
     org.apache.spark.sql.graft.AsOfJoinTvf.register(spark)
     val ev = Tables.events(spark, sfDir)
-    ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts"))
-      .createOrReplaceTempView("q_sql_asof_tvf_purchases")
+    ev.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .createOrReplaceTempView("q_sql_asof_tvf_events")
     ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id").as("s_user_id"), col("ts").as("s_ts"))
       .agg(org.apache.spark.sql.functions.min(col("event_id"))
         .as("signup_event_id"))
       .createOrReplaceTempView("q_sql_asof_tvf_signups")
+    // the purchase side arrives as an INLINE relation — the standard
+    // `TABLE(SELECT … WHERE …)` argument, no temp-view hop — mixed with
+    // a named view on the signup side; both expand into ONE AsOfJoinPlan
     val out = spark.sql(
       "SELECT event_id, user_id, signup_event_id " +
-        "FROM asof_join('q_sql_asof_tvf_purchases', " +
+        "FROM asof_join(" +
+        "TABLE(SELECT user_id, event_id, ts FROM q_sql_asof_tvf_events " +
+        "WHERE event_type = 'purchase'), " +
         "'q_sql_asof_tvf_signups', 'user_id', 'ts', 's_user_id', 's_ts', " +
         "'backward') " +
         "ORDER BY event_id")
@@ -4275,10 +4285,17 @@ object GraftCatalog {
       "the TVF must plan through AsOfJoinExec (sorted-merge), not a " +
         s"rewrite:\n$plan")
     require(scala.util.Try(spark.sql(
-      "SELECT * FROM asof_join('q_sql_asof_tvf_purchases', " +
+      "SELECT * FROM asof_join('q_sql_asof_tvf_events', " +
         "'q_sql_asof_tvf_signups', 'user_id', 'ts', 's_user_id', 's_ts', " +
         "'sideways')").collect()).isFailure,
       "a bad direction must refuse at analysis time")
+    require(scala.util.Try(spark.sql(
+      "SELECT * FROM asof_join(" +
+        "TABLE(SELECT * FROM q_sql_asof_tvf_events) PARTITION BY user_id, " +
+        "'q_sql_asof_tvf_signups', 'user_id', 'ts', 's_user_id', 's_ts')")
+      .collect()).isFailure,
+      "PARTITION BY on a TABLE argument must refuse — the as-of defines " +
+        "its own per-key ordering")
     out
   }
 

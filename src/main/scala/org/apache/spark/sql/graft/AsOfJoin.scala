@@ -239,14 +239,16 @@ object AsOfJoin {
   * the sorted-merge exec are shared, not reimplemented.
   *
   * `asof_join(left_view, right_view, left_key, left_ts, right_key,
-  * right_ts [, direction])` — view names resolve through the session
-  * (temp views and catalog tables alike); direction defaults to
-  * 'backward', 'forward' reuses [[graft.operators.AsOf.joinForward]]'s
-  * order-reversal reduction. Arguments must be string LITERALS: the
-  * expansion happens at analysis time, before any row exists to evaluate
-  * a non-literal against. */
+  * right_ts [, direction])` — each side is a view NAME (temp views and
+  * catalog tables alike) or an INLINE RELATION via the standard
+  * `TABLE(SELECT …)` argument syntax, so the as-of composes over a
+  * filtered/derived relation with no temp-view hop; direction defaults
+  * to 'backward', 'forward' reuses [[graft.operators.AsOf.joinForward]]'s
+  * order-reversal reduction. Scalar arguments must be string LITERALS:
+  * the expansion happens at analysis time, before any row exists to
+  * evaluate a non-literal against. */
 object AsOfJoinTvf {
-  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.expressions.{Expression, FunctionTableSubqueryArgumentExpression, Literal}
   import org.apache.spark.sql.types.StringType
 
   private def str(e: Expression, pos: String): String = e match {
@@ -255,18 +257,39 @@ object AsOfJoinTvf {
       s"asof_join: $pos must be a string literal, got ${other.sql}")
   }
 
+  /** A side argument as a DataFrame: a string literal resolves as a view
+    * or catalog table name; a `TABLE(…)` argument contributes its plan
+    * directly (re-analyzed through Dataset.ofRows — the expansion runs
+    * inside analysis, exactly like the `spark.table` path). PARTITION
+    * BY / ORDER BY decoration on the TABLE argument refuses: the as-of
+    * defines its own per-key ordering, and silently ignoring a
+    * user-declared one would lie. */
+  private def side(spark: SparkSession, e: Expression,
+                   pos: String): org.apache.spark.sql.DataFrame = e match {
+    case t: FunctionTableSubqueryArgumentExpression =>
+      require(t.partitionByExpressions.isEmpty && t.orderByExpressions.isEmpty
+          && !t.withSinglePartition,
+        s"asof_join: $pos TABLE(...) argument must not declare PARTITION " +
+          "BY / ORDER BY / WITH SINGLE PARTITION — the as-of defines its " +
+          "own per-key ordering")
+      Dataset.ofRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        t.plan)
+    case other => spark.table(str(other, pos))
+  }
+
   def plan(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 6 || exprs.length == 7,
       "asof_join(left_view, right_view, left_key, left_ts, right_key, " +
         s"right_ts [, direction]) takes 6 or 7 arguments, got ${exprs.length}")
-    val names = Seq("left_view", "right_view", "left_key", "left_ts",
-      "right_key", "right_ts")
-    val Seq(lv, rv, lk, lts, rk, rts) =
-      exprs.take(6).zip(names).map { case (e, n) => str(e, n) }
+    val names = Seq("left_key", "left_ts", "right_key", "right_ts")
+    val Seq(lk, lts, rk, rts) =
+      exprs.slice(2, 6).zip(names).map { case (e, n) => str(e, n) }
     val dir = if (exprs.length == 7) str(exprs(6), "direction") else "backward"
     val spark = SparkSession.active
     AsOfJoin.install(spark)
-    val (left, right) = (spark.table(lv), spark.table(rv))
+    val (left, right) = (side(spark, exprs(0), "left_view"),
+      side(spark, exprs(1), "right_view"))
     val df = dir.toLowerCase(java.util.Locale.ROOT) match {
       case "backward" => AsOfJoin.join(left, right, lk, lts, rk, rts)
       case "forward" =>

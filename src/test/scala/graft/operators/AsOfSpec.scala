@@ -101,6 +101,29 @@ class AsOfSpec extends SparkSpec {
       s"'graft.`$cdir/l`', 'graft.`$cdir/r`', 'k', 't', 'rk', 'rt')")
       .head().getLong(0)
     assert(viaCat == 2L, "the TVF must resolve catalog tables too")
+    // ...and takes INLINE relations via the standard TABLE(SELECT …)
+    // argument syntax — the as-of composes over a filtered/derived
+    // relation with no temp-view hop (mixing TABLE and name args is fine)
+    val inline = spark.sql("SELECT ltag, rtag FROM asof_join(" +
+      "TABLE(SELECT * FROM asof_tvf_l WHERE k = 1), " +
+      "TABLE(SELECT * FROM asof_tvf_r WHERE rt < 10), " +
+      "'k', 't', 'rk', 'rt')")
+    assert(inline.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "TABLE-arg expansion must plan through AsOfJoinExec")
+    assert(inline.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map("l1" -> "r1", "l2" -> "r1"),
+      "filtered TABLE args must drive the same as-of semantics")
+    val mixed = spark.sql("SELECT COUNT(rtag) FROM asof_join(" +
+      "TABLE(SELECT * FROM asof_tvf_l), 'asof_tvf_r', " +
+      "'k', 't', 'rk', 'rt')").head().getLong(0)
+    assert(mixed == 2L)
+    // a PARTITION BY-decorated TABLE argument refuses: the as-of defines
+    // its own per-key ordering
+    assert(scala.util.Try(spark.sql("SELECT * FROM asof_join(" +
+      "TABLE(SELECT * FROM asof_tvf_l) PARTITION BY k, 'asof_tvf_r', " +
+      "'k', 't', 'rk', 'rt')").collect()).isFailure,
+      "PARTITION BY on a TABLE argument must refuse")
     for (bad <- Seq(
         "SELECT * FROM asof_join('asof_tvf_l', 'asof_tvf_r', 'k', 't', " +
           "'rk', 'rt', 'sideways')",

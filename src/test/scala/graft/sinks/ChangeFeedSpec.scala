@@ -68,4 +68,58 @@ class ChangeFeedSpec extends SparkSpec {
     val live = ops.read(spark, replica)
     assert(live.exceptAll(v2).isEmpty && v2.exceptAll(live).isEmpty)
   }
+
+  test("a day at the reference cadence — 720 append transitions — plans " +
+      "a constant-leg cdf feed with ZERO footer probes on a declared " +
+      "table, and still serves per-transition _commit_version") {
+    // the reference lands one observation per 2-minute DAG run
+    // (weather_etl.py:29): a day is 720 append transitions. Building 720
+    // real commits would dominate the suite, so synthesize the lineage:
+    // ONE write job producing 720 one-row files, then 720 hand-published
+    // manifests — version v appends exactly file v (the engine's own
+    // manifest format: one path per line), byte-identical to what 720
+    // appends would publish.
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sql.GraftCatalog].getName)
+    val dir = tmpDir("cdf-day") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, k STRING)")
+    val batchDir = s"$dir/data/synthetic"
+    // 720 input partitions, one row each, NO shuffle — AQE would
+    // coalesce a repartition(720) of rows this small into fewer files
+    spark.range(0, 720, 1, 720).select(col("id"), lit("a").as("k"))
+      .write.parquet(batchDir)
+    val files = new java.io.File(batchDir).listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).sorted.toSeq
+    assert(files.size == 720, s"expected 720 one-row files: ${files.size}")
+    files.indices.foreach { i =>
+      assert(ops.publish(dir, i + 1, files.take(i + 1)) == i + 1)
+    }
+    graft.sources.TableStreamSource.vintageProbes.set(0)
+    val t0 = System.nanoTime()
+    val feed = graft.sources.TableStreamSource.cdfSlice(
+      spark, dir, "id", 0, 720, fresh = true)
+    val plan = feed.queryExecution.executedPlan.toString
+    val planMs = (System.nanoTime() - t0) / 1000000L
+    // leg count independent of the transition count: the v1 snapshot leg
+    // plus ONE collapsed append-run leg
+    val scans = "FileScan".r.findAllIn(plan).size
+    assert(scans <= 3,
+      s"720 append transitions must plan O(1) scan legs, got $scans " +
+        s"FileScans:\n${plan.take(1500)}")
+    // a declared table folds the run's read schema from its declaration:
+    // zero per-transition footer probes at planning
+    assert(graft.sources.TableStreamSource.vintageProbes.get() == 0L,
+      "declared-table append run must not open footers at planning")
+    // planning is metadata-bounded — a per-transition union (720 legs)
+    // or a quadratic driver loop would blow far past this ceiling
+    assert(planMs < 60000L, s"planning took ${planMs}ms on a " +
+      "720-transition range — the collapse is not holding")
+    // and the feed is still per-transition: 720 rows, each under ITS
+    // commit version
+    val vsServed = feed.select("_commit_version")
+      .collect().map(_.getLong(0)).sorted
+    assert(vsServed.length == 720 && vsServed.head == 1L &&
+      vsServed.last == 720L && vsServed.distinct.length == 720,
+      s"expected one row per transition: ${vsServed.take(5).toSeq}...")
+  }
 }
