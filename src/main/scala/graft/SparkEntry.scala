@@ -52,7 +52,7 @@ object SparkEntry {
       SubstrDedup.oracles ++ LangModel.oracles ++ Splits.oracles ++
       Ranking.oracles ++
       Curation.oracles ++
-      Mixing.oracles ++ Similarity.oracles ++
+      Mixing.oracles ++ Similarity.oracles ++ Quantize.oracles ++
       Multimodal.oracles ++ Bucketing.oracles ++ SchemaEvolution.oracles ++
       VersionedTable.oracles ++ IncrementalView.oracles ++ TableStream.oracles ++
       GraftCatalog.oracles ++ Mview.oracles ++

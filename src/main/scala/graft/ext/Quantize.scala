@@ -58,9 +58,15 @@ object Quantize {
       col("codes").cast("array<float>").as("embedding"))
 
   /** q_quant_recall — recall@5 of int8-quantized brute-force search vs
-    * the float ground truth over the probe set (rows-only oracle: the
-    * measurement is the assertion; DuckDB has no tinyint-array pipeline
-    * to mirror). One row: pair counts + recall. */
+    * the float ground truth over the probe set. One row: pair counts +
+    * recall. Hash-matched against a DuckDB oracle that REPLAYS the
+    * quantization arithmetic (scale = max|x|/127 floored at 1e-30,
+    * q_i = round(x_i/scale)) — portable because every step is exact or
+    * deterministic: the codes are small integers (|q| ≤ 127, so a
+    * 64-dim dot ≤ 127²·64 ≈ 2²⁰ — exact in float AND double), cosine
+    * over integer-valued vectors is a ratio of exact sums, both engines
+    * round() half-away-from-zero, and the top-5 tie-break is
+    * (score DESC, vec_id) on both sides. */
   def qQuantRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val probes = Similarity.queriesSet(emb) // SAME probe set as q_sim_brute/ann
@@ -80,4 +86,37 @@ object Quantize {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quant_recall" -> (qQuantRecall _))
+
+  val oracles: Map[String, String] = Map(
+    "q_quant_recall" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))) / 127.0, 1e-30) AS s
+        |  FROM embeddings),
+        |quant AS (
+        |  SELECT vec_id, list_transform(emb, x -> round(x / s)) AS qemb
+        |  FROM base),
+        |exact AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, e.emb) DESC,
+        |        e.vec_id) AS rank
+        |  FROM base e CROSS JOIN (SELECT * FROM base WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.vec_id),
+        |approx AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.qemb, e.qemb) DESC,
+        |        e.vec_id) AS rank
+        |  FROM quant e CROSS JOIN (SELECT * FROM quant WHERE vec_id < 10) q
+        |  WHERE e.vec_id <> q.vec_id)
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 4) AS recall
+        |FROM (SELECT query_id, vec_id FROM exact WHERE rank <= 5) x
+        |LEFT JOIN (SELECT query_id, vec_id FROM approx WHERE rank <= 5) a
+        |  ON x.query_id = a.query_id AND x.vec_id = a.vec_id""".stripMargin)
 }

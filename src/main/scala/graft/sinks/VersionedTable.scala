@@ -4095,35 +4095,23 @@ class VersionedTableOps(protected val io: TableIO) {
     * path entirely skips — the absent member serves its default. */
   private def nestedDefaultChecks(dir: String,
                                   batch: DataFrame): Seq[(String, String)] = {
-    val declPhys = statsSubstitution(dir).getOrElse(return Seq.empty)
+    if (statsSubstitution(dir).isEmpty) return Seq.empty
     val logical = declaredSchema(dir).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]).get
-    def present(s: org.apache.spark.sql.types.StructType,
-                rest: Seq[String]): Boolean = rest match {
-      case Seq() => true
-      case h +: t => s.fields.find(_.name.equalsIgnoreCase(h)).exists {
-        f => t.isEmpty || (f.dataType match {
-          case st: org.apache.spark.sql.types.StructType => present(st, t)
-          case _ => false
-        })
-      }
+    // the enforcement predicate is EXACTLY the nested-NOT-NULL shape
+    // (parents — struct, array element, map value — IS NULL at any
+    // level, OR the leaf IS NOT NULL), so the two gates share one
+    // generator; presence is checked structurally so a pinned-vintage
+    // engine frame lacking the member skips (its absence serves the
+    // default at read, which is the faithful carry)
+    graft.sql.NestedDefaults.paths(logical).flatMap { case (logPath, _, _) =>
+      if (!graft.sql.NestedNotNull.presentIn(batch.schema, logical, logPath))
+        None
+      else
+        Some(s"nested DEFAULT ${logPath.mkString(".")}" ->
+          graft.sql.NestedNotNull.predicate(logical, logPath))
     }
-    graft.sql.NestedDefaults.paths(declPhys)
-      .zip(graft.sql.NestedDefaults.paths(logical)).flatMap {
-        case ((physPath, _, _), (logPath, _, _)) =>
-          if (!present(batch.schema, physPath)) None
-          else {
-            val parents = physPath.init.indices.map { i =>
-              physPath.take(i + 1).map(p => s"`$p`").mkString(".") +
-                " IS NULL"
-            }
-            val leaf = physPath.map(p => s"`$p`").mkString(".") +
-              " IS NOT NULL"
-            Some(s"nested DEFAULT ${logPath.mkString(".")}" ->
-              (parents :+ leaf).mkString(" OR "))
-          }
-      }
   }
 
   // ---- named refs: tags (immutable) and branches (forked lineages) ----

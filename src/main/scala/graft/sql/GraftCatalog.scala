@@ -755,24 +755,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               "append at the end (repositioning is not supported)")
           val dv = Option(add.defaultValue())
           val existsLit = dv.map { d =>
-            // only PLAIN struct parents: a defaulted member inside an
-            // array/map element has no batch-shaped write gate and no
-            // per-element substitution contract — refuse, like element
-            // RENAME/DROP
-            def plainParents(cur: StructType, rest: Seq[String]): Boolean =
-              rest match {
-                case Seq() => true
-                case head +: tail =>
-                  cur.fields.find(_.name.equalsIgnoreCase(head))
-                    .map(_.dataType).exists {
-                      case st: StructType => plainParents(st, tail)
-                      case _ => false
-                    }
-              }
-            require(plainParents(sc, path.init),
-              s"ADD COLUMN '$dotted' DEFAULT is unsupported inside " +
-                "array/map element structs: nested existence defaults " +
-                "cover plain struct members only")
+            // parents may be plain structs, array ELEMENT structs or map
+            // VALUE structs: the write gate is batch-shaped either way
+            // (element members enforce through a forall lambda —
+            // [[NestedNotNull.predicate]]) and the read substitution
+            // rebuilds elements through a transform lambda
+            // ([[NestedDefaults.rebuildAny]]); a NULL element is a NULL
+            // parent and stays NULL
             require(!(add.dataType().isInstanceOf[StructType] ||
                 add.dataType().isInstanceOf[ArrayType] ||
                 add.dataType().isInstanceOf[MapType]),
@@ -3314,9 +3303,11 @@ object GraftCatalog {
     * weather_etl.py:125): half the events land with a 1-element
     * `weather ARRAY<STRUCT<cond, n:INT>>`, then `ADD COLUMNS
     * (weather.element.score DOUBLE)`, `ALTER COLUMN weather.element.n
-    * TYPE BIGINT` and `RENAME COLUMN weather.element.cond TO sky`
-    * evolve the ELEMENT struct metadata-only (pinned in-query: the
-    * `#files` inventory is byte-identical across all three ALTERs) —
+    * TYPE BIGINT`, `RENAME COLUMN weather.element.cond TO sky` and
+    * `ADD COLUMNS (weather.element.q INT DEFAULT 3)` (an ELEMENT
+    * existence default, substituted per element) evolve the ELEMENT
+    * struct metadata-only (pinned in-query: the `#files` inventory is
+    * byte-identical across all four ALTERs) —
     * pre-evolution files serve typed NULLs for the new member, promote
     * the widened one per file, and serve the RENAMED member's stored
     * values under its new logical name (element physical names are
@@ -3349,16 +3340,22 @@ object GraftCatalog {
       "ALTER COLUMN weather.element.n TYPE BIGINT")
     spark.sql(s"ALTER TABLE graft.`$dir` " +
       "RENAME COLUMN weather.element.cond TO sky")
+    // an ELEMENT existence default: pre-ADD elements serve 3 (per
+    // element, through the transform-lambda substitution), post-ADD
+    // elements serve their stored values
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (weather.element.q INT DEFAULT 3)")
     val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
       .collect().map(_.getString(0)).toSet
     require(filesAfter == filesBefore,
-      "element ADD+widen+RENAME must be metadata-only (zero files " +
-        "rewritten)")
+      "element ADD+widen+RENAME+DEFAULT must be metadata-only (zero " +
+        "files rewritten)")
     ev.filter(col("event_id") % 2 === 1)
       .select(col("event_id"),
         array(struct(col("event_type").as("sky"),
           (col("event_id") % 50 + 10000000000L).as("n"),
-          col("value").as("score"))).as("weather"))
+          col("value").as("score"),
+          (col("event_id") % 5).cast("int").as("q"))).as("weather"))
       .createOrReplaceTempView("q_sql_elem_v2")
     spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_elem_v2")
     val el = element_at(col("weather"), 1)
@@ -3367,7 +3364,8 @@ object GraftCatalog {
       .agg(count(lit(1)).as("n"),
         count(el.getField("score")).as("n_scored"),
         sum(el.getField("n")).as("sum_n"),
-        round(Parity.decSum2(el.getField("score")), 2).as("sum_score"))
+        round(Parity.decSum2(el.getField("score")), 2).as("sum_score"),
+        sum(el.getField("q")).as("sum_q"))
       .orderBy(col("kind"))
   }
 
@@ -4596,16 +4594,19 @@ object GraftCatalog {
       """WITH evolved AS (
         |  SELECT event_type AS kind,
         |    CAST(event_id % 50 AS BIGINT) AS n_val,
-        |    CAST(NULL AS DOUBLE) AS score
+        |    CAST(NULL AS DOUBLE) AS score,
+        |    3 AS q
         |  FROM events WHERE event_id % 2 = 0
         |  UNION ALL
-        |  SELECT event_type, event_id % 50 + 10000000000, value
+        |  SELECT event_type, event_id % 50 + 10000000000, value,
+        |    CAST(event_id % 5 AS INT)
         |  FROM events WHERE event_id % 2 = 1
         |)
         |SELECT kind, COUNT(*) AS n, COUNT(score) AS n_scored,
         |  CAST(SUM(n_val) AS BIGINT) AS sum_n,
         |  ROUND(CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE), 2)
-        |    AS sum_score
+        |    AS sum_score,
+        |  CAST(SUM(q) AS BIGINT) AS sum_q
         |FROM evolved
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,

@@ -50,13 +50,16 @@ import org.apache.spark.sql.types._
   * construction: a pre-ADD vintage's declared schema carries no default,
   * so its scans build no rebuild — history is immutable.
   *
-  * Scope: members of PLAIN structs (any depth). Defaults inside array/map
-  * ELEMENT structs refuse at DDL time (a per-element substitution has no
-  * stored-vs-absent distinction to serve), as do struct-typed defaults.
-  * Nested NOT NULL is a sibling concern with its own commit-enforced
-  * machinery — see [[NestedNotNull]]; a member may declare both (ADD …
-  * NOT NULL DEFAULT d), where the default covers history and the
-  * NOT NULL governs new writes.
+  * Scope: atomic-typed members of structs at any depth — array ELEMENT
+  * and map VALUE structs included (the substitution rebuilds elements
+  * through a `transform`/`transform_values` lambda, [[rebuildAny]]; a
+  * NULL element is a NULL parent and stays NULL; the append-door gate
+  * enforces per element through the same forall predicates nested NOT
+  * NULL uses). Struct-typed defaults refuse; map KEY structs never
+  * declare. Nested NOT NULL is a sibling concern with its own
+  * commit-enforced machinery — see [[NestedNotNull]]; a member may
+  * declare both (ADD … NOT NULL DEFAULT d), where the default covers
+  * history and the NOT NULL governs new writes.
   *
   * Door map: the CATALOG scan substitutes (SELECT, `@v` time travel —
   * which follows the engine's top-level convention: schema and its
@@ -74,8 +77,10 @@ private[graft] object NestedDefaults {
     * "value already-landed rows serve" on top-level AND nested fields. */
   val ExistsKey = "EXISTS_DEFAULT"
 
-  /** Dotted LOGICAL paths (depth >= 2) of members carrying an existence
-    * default, with the member's declared type and the default's SQL. */
+  /** Dotted LOGICAL paths (depth >= 2, literal `element`/`value` segments
+    * for collection hops) of members carrying an existence default, with
+    * the member's declared type and the default's SQL. Map KEY structs
+    * are not walked — identity-bearing, they never declare. */
   def paths(schema: StructType): Seq[(Seq[String], DataType, String)] = {
     def walk(s: StructType, prefix: Seq[String])
         : Seq[(Seq[String], DataType, String)] =
@@ -87,6 +92,10 @@ private[graft] object NestedDefaults {
           else Seq.empty
         here ++ (f.dataType match {
           case st: StructType => walk(st, prefix :+ f.name)
+          case ArrayType(st: StructType, _) =>
+            walk(st, prefix :+ f.name :+ "element")
+          case MapType(_, st: StructType, _) =>
+            walk(st, prefix :+ f.name :+ "value")
           case _ => Seq.empty
         })
       }
@@ -102,42 +111,67 @@ private[graft] object NestedDefaults {
 
   /** The default as a folded literal of the member's CURRENT declared
     * type — parsed from the stored SQL and cast at use time, so a later
-    * type widening of the member needs no metadata rewrite. */
-  private def foldedDefault(sql: String, dt: DataType): Literal = {
-    val spark = SparkSession.active
-    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-    require(parsed.foldable,
-      s"nested DEFAULT must be a constant-foldable expression: $sql")
-    val cast = Cast(parsed, dt,
-      Some(spark.sessionState.conf.sessionLocalTimeZone))
-    Literal(cast.eval(null), dt)
+    * type widening of the member needs no metadata rewrite. Memoized per
+    * (sql, type): the parse-and-fold is constant per defaulted member but
+    * this runs inside an optimizer rule, so a cold re-parse per query was
+    * pure planning overhead. */
+  private val foldMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, DataType), Literal]()
+  private def foldedDefault(sql: String, dt: DataType): Literal =
+    foldMemo.computeIfAbsent((sql, dt), { case (s, t) =>
+      val spark = SparkSession.active
+      val parsed = spark.sessionState.sqlParser.parseExpression(s)
+      require(parsed.foldable,
+        s"nested DEFAULT must be a constant-foldable expression: $s")
+      val cast = Cast(parsed, t,
+        Some(spark.sessionState.conf.sessionLocalTimeZone))
+      Literal(cast.eval(null), t)
+    })
+
+  /** Rebuild `input` (whose type is `actual`, a by-name subset of the
+    * declared `decl` — the pruned read shape) substituting defaults into
+    * its defaulted members, parent-null-guarded at every level. Structs
+    * rebuild member-wise; an ARRAY's element structs (and a MAP's value
+    * structs) rebuild through a `transform`/`transform_values` lambda —
+    * a NULL element is a NULL parent and stays NULL, exactly like a NULL
+    * struct. None when nothing under `actual` carries a default (the
+    * rebuild would be the identity). */
+  def rebuildAny(input: Expression, decl: DataType,
+                 actual: DataType): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, LambdaFunction, NamedLambdaVariable, TransformValues}
+    (actual, decl) match {
+      case (as: StructType, ds: StructType) => rebuild(input, ds, as)
+      case (ArrayType(as: StructType, cn), ArrayType(ds: StructType, _)) =>
+        val lv = NamedLambdaVariable("el", as, cn)
+        rebuild(lv, ds, as).map(body =>
+          ArrayTransform(input, LambdaFunction(body, Seq(lv))))
+      case (MapType(kt, as: StructType, vcn),
+            MapType(_, ds: StructType, _)) =>
+        val kv = NamedLambdaVariable("k", kt, nullable = false)
+        val vv = NamedLambdaVariable("v", as, vcn)
+        rebuild(vv, ds, as).map(body =>
+          TransformValues(input, LambdaFunction(body, Seq(kv, vv))))
+      case _ => None
+    }
   }
 
-  /** Rebuild `input` (a struct-typed expression whose type is `actual`, a
-    * by-name subset of the declared struct `decl` — the pruned read shape)
-    * substituting defaults into its defaulted members, parent-null-guarded
-    * at every level. None when nothing under `actual` carries a default
-    * (the rebuild would be the identity). */
   def rebuild(input: Expression, decl: StructType,
               actual: StructType): Option[Expression] = {
     var changed = false
     val members = actual.fields.toSeq.zipWithIndex.map { case (f, i) =>
       val child = GetStructField(input, i, Some(f.name))
       val d = decl.fields.find(_.name.equalsIgnoreCase(f.name))
-      val value: Expression = (f.dataType, d.map(_.dataType)) match {
-        case (as: StructType, Some(ds: StructType)) =>
-          rebuild(child, ds, as) match {
+      val value: Expression = d match {
+        case Some(df) if df.metadata.contains(ExistsKey) =>
+          changed = true
+          Coalesce(Seq(child,
+            foldedDefault(df.metadata.getString(ExistsKey), f.dataType)))
+        case Some(df) =>
+          rebuildAny(child, df.dataType, f.dataType) match {
             case Some(r) => changed = true; r
             case None => child
           }
-        case _ =>
-          d.filter(_.metadata.contains(ExistsKey)) match {
-            case Some(df) =>
-              changed = true
-              Coalesce(Seq(child,
-                foldedDefault(df.metadata.getString(ExistsKey), f.dataType)))
-            case None => child
-          }
+        case None => child
       }
       (f.name, value)
     }
@@ -161,9 +195,7 @@ private[graft] object NestedDefaults {
     val list: Seq[NamedExpression] = output.map { a =>
       val rebuilt = for {
         d <- decl.fields.find(_.name.equalsIgnoreCase(a.name))
-        ds <- Some(d.dataType).collect { case s: StructType => s }
-        as <- Some(a.dataType).collect { case s: StructType => s }
-        r <- rebuild(a, ds, as)
+        r <- rebuildAny(a, d.dataType, a.dataType)
       } yield Alias(r, a.name)()
       rebuilt match {
         case Some(al) => changed = true; al
@@ -184,9 +216,7 @@ private[graft] object NestedDefaults {
     val exprs = df.queryExecution.analyzed.output.map { a =>
       val rebuilt = for {
         d <- declPhysical.fields.find(_.name.equalsIgnoreCase(a.name))
-        ds <- Some(d.dataType).collect { case s: StructType => s }
-        as <- Some(a.dataType).collect { case s: StructType => s }
-        r <- rebuild(a, ds, as)
+        r <- rebuildAny(a, d.dataType, a.dataType)
       } yield asCol(Alias(r, a.name)())
       rebuilt.getOrElse(asCol(a))
     }

@@ -125,8 +125,7 @@ class DefaultNotNullSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
-  test("nested DEFAULT refusals: element structs, struct-typed defaults, " +
-      "DEFAULT NULL") {
+  test("nested DEFAULT refusals: struct-typed defaults, DEFAULT NULL") {
     register()
     val dir = tmpDir("dn-nested-refuse")
     spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
@@ -141,9 +140,10 @@ class DefaultNotNullSpec extends SparkSpec {
           msgs(e).mkString(" | "))
     }
     refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
-      "(tags.element.w INT DEFAULT 1)", "element structs")
-    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
       "(main.rh BIGINT DEFAULT NULL)", "absent-default")
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(tags.element.w STRUCT<a: INT> DEFAULT named_struct('a', 1))",
+      "atomic-typed")
     // the existence half is immutable once declared
     spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
       "(main.sc INT DEFAULT 1)")
@@ -415,6 +415,67 @@ class DefaultNotNullSpec extends SparkSpec {
       "array(CAST(NULL AS STRUCT<cond: STRING, n: INT>)) AS weather"),
       dir)
     assert(spark.table(s"graft.`$dir`").count() == 6)
+  }
+
+  test("ELEMENT-struct existence defaults: history serves the default " +
+      "per element, NULL elements and NULL arrays stay NULL, the append " +
+      "gate enforces per element, map VALUE members too") {
+    register()
+    val dir = tmpDir("dn-elem-default")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "weather ARRAY<STRUCT<cond: STRING, n: INT>>, " +
+      "props MAP<STRING, STRUCT<v: INT>>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, array(named_struct('cond', 'a', 'n', 1), " +
+      "named_struct('cond', 'b', 'n', 2)), " +
+      "map('x', named_struct('v', 3))), " +
+      "(2, array(named_struct('cond', 'c', 'n', 4), " +
+      "CAST(NULL AS STRUCT<cond: STRING, n: INT>)), " +
+      "map('x', CAST(NULL AS STRUCT<v: INT>))), " +
+      "(3, NULL, NULL)")
+    val filesBefore = spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(weather.element.score DOUBLE DEFAULT 0.5, props.value.w INT " +
+      "DEFAULT 9)")
+    assert(spark.sql(s"SELECT file FROM graft.`$dir#files`")
+      .collect().map(_.getString(0)).toSet == filesBefore,
+      "element DEFAULT add must be metadata-only")
+    // history: non-null elements serve the default, NULL elements and
+    // NULL arrays/maps stay NULL (a NULL element is a NULL parent)
+    val got = spark.sql("SELECT id, weather, element_at(props, 'x').w " +
+      s"FROM graft.`$dir` ORDER BY id").collect()
+    val w1 = got(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(w1.map(_.getDouble(2)).toSeq == Seq(0.5, 0.5),
+      s"pre-ADD elements must serve the default: $w1")
+    assert(got(0).getInt(2) == 9, "map VALUE member must serve its default")
+    val w2 = got(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(w2.head.getDouble(2) == 0.5 && w2(1) == null,
+      s"a NULL element must stay NULL: $w2")
+    assert(got(1).isNullAt(2), "a NULL map value must stay NULL")
+    assert(got(2).isNullAt(1), "a NULL array must stay NULL")
+    // the append gate: storing NULL in a defaulted ELEMENT member under
+    // a non-null element refuses (indistinguishable from absent per
+    // file); NULL elements land fine
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES (4, " +
+        "array(named_struct('cond', 'd', 'n', 5, 'score', " +
+        "CAST(NULL AS DOUBLE))), map('x', named_struct('v', 1, 'w', 2)))")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("weather.element.score")),
+      msgs(e).mkString(" | "))
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (5, " +
+      "array(named_struct('cond', 'e', 'n', 6, 'score', 1.5), " +
+      "CAST(NULL AS STRUCT<cond: STRING, n: INT, score: DOUBLE>)), " +
+      "map('x', named_struct('v', 1, 'w', 2)))")
+    // stored values serve; the defaults fill only where history lacks
+    val post = spark.sql("SELECT weather[0].score, " +
+      s"element_at(props, 'x').w FROM graft.`$dir` WHERE id = 5").head()
+    assert(post.getDouble(0) == 1.5 && post.getInt(1) == 2)
+    assert(spark.table(s"graft.`$dir`").count() == 4)
   }
 
   test("a whole-chain nested NOT NULL declaration is TopN pushdown's " +
