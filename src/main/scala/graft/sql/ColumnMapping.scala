@@ -312,4 +312,31 @@ private[graft] object ColumnMapping {
     StructType(schema.fields.map(f =>
       f.copy(name = physOf(f),
         dataType = physicalType(f.dataType))))
+
+  /** `dt` with nested members RENAMED to their physical names by
+    * matching the DECLARED type's members by LOGICAL name — preserving
+    * `dt`'s OWN member order (unlike [[physicalType]], which renders
+    * the declared order). A cast to the result is a pure positional
+    * relabel over an identical layout, so values never move — the seam
+    * the SQL DML doors use to conform a LOGICAL-named source frame to
+    * the raw (physical) files the engine merges against, at every depth
+    * (array element / map value structs included). Members the
+    * declaration doesn't know keep their names: the engine's own
+    * schema checks refuse them loudly downstream. */
+  def physicalNamesFor(dt: DataType, decl: DataType): DataType =
+    (dt, decl) match {
+      case (ss: StructType, ds: StructType) =>
+        StructType(ss.fields.map { f =>
+          ds.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(d) => f.copy(name = physOf(d),
+              dataType = physicalNamesFor(f.dataType, d.dataType))
+            case None => f
+          }
+        })
+      case (sa: ArrayType, ArrayType(de, _)) =>
+        sa.copy(elementType = physicalNamesFor(sa.elementType, de))
+      case (sm: MapType, MapType(_, dv, _)) =>
+        sm.copy(valueType = physicalNamesFor(sm.valueType, dv))
+      case _ => dt
+    }
 }

@@ -218,8 +218,14 @@ object GraftDmlStrategy extends SparkStrategy {
           clean(m.mergeCondition) &&
           graftTarget(m.targetTable).isDefined && upsertKey(m).isDefined =>
       val g = graftTarget(m.targetTable).get
+      // the relabel needs the declared schema only when some depth
+      // actually renames — identity tables hand the source over as-is
+      val decl =
+        if (g.renames.isEmpty && !ColumnMapping.hasNestedRenames(g.schema))
+          None
+        else Some(g.schema)
       GraftMergeExec(g.tableDir, m.sourceTable,
-        upsertKey(m).get, g.renames) :: Nil
+        upsertKey(m).get, decl) :: Nil
 
     // full clause coverage: conditional WHEN MATCHED UPDATE/DELETE,
     // conditional NOT MATCHED INSERT, NOT MATCHED BY SOURCE — routed to
@@ -266,17 +272,38 @@ private[sql] case class GraftDeleteExec(dir: String, cond: Column)
 }
 
 private[sql] case class GraftMergeExec(dir: String, source: LogicalPlan,
-    key: String, renames: Map[String, String] = Map.empty)
+    key: String, declared: Option[org.apache.spark.sql.types.StructType] =
+      None)
     extends GraftDmlExec {
   override protected def run(spark: SparkSession): Unit = {
     // the engine merges against raw files (physical names); a renamed
-    // table's source arrives with logical names — relabel first
+    // table's source arrives with LOGICAL names — relabel at EVERY
+    // depth (array element / map value struct members included; a
+    // top-level toDF relabel once left element members logical, and the
+    // engine's by-name union against physical files failed on them).
+    // physicalNamesFor preserves the source's own member order, so the
+    // conforming cast is a pure positional rename — values never move.
     val src0 = PlanDf.ofPlan(spark, source)
-    val src = if (renames.isEmpty) src0
-      else src0.toDF(src0.columns.map(c =>
-        renames.getOrElse(c, c)).toIndexedSeq: _*)
-    VersionedTable.merge(spark, dir, src,
-      renames.getOrElse(key, key))
+    val src = declared match {
+      case None => src0
+      case Some(decl) =>
+        import org.apache.spark.sql.functions.col
+        def q(n: String) = "`" + n.replace("`", "``") + "`"
+        src0.select(src0.schema.fields.map { f =>
+          decl.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(d) =>
+              val pt = ColumnMapping.physicalNamesFor(f.dataType, d.dataType)
+              val base = col(q(f.name))
+              (if (pt == f.dataType) base else base.cast(pt))
+                .as(ColumnMapping.physOf(d))
+            case None => col(q(f.name))
+          }
+        }.toIndexedSeq: _*)
+    }
+    val keyPhys = declared
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(key)))
+      .map(ColumnMapping.physOf).getOrElse(key)
+    VersionedTable.merge(spark, dir, src, keyPhys)
     ()
   }
 }

@@ -23,10 +23,12 @@ class AnalyticsSpec extends SparkSpec {
     // rows-only by design: hash-family / LSH / recall internals that no
     // portable SQL reproduces; each has behavioral assertions in its spec.
     // (q_text_langid left this list in round 11 — the marker vote IS
-    // portable: list_intersect + a CASE-chain argmax.)
+    // portable: list_intersect + a CASE-chain argmax; q_quant_recall in
+    // round 13 — int8 symmetric quantization is exact small-integer
+    // arithmetic, replayed in DuckDB list lambdas.)
     val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_embedding", "q_sim_ann", "q_sim_ivf", "q_approx_distinct",
-      "q_quant_recall", "q_dedup_semantic", "q_dedup_incr", "q_sim_pq",
+      "q_dedup_semantic", "q_dedup_incr", "q_sim_pq",
       "q_sim_ivfpq")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"unexpected oracle coverage drift: " +
