@@ -50,7 +50,13 @@ object Bench {
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // A failed run reports -1 for the query (never a bogus fast elapsed) and
     // is excluded from the total, so breakage reads as breakage.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows to a subset for local iteration —
+    // the driver never sets it, so the per-round artifact stays complete.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter(q => only.forall(_.contains(q._1)))
+      .sortBy(_._1).map { case (name, fn) =>
       var lastShuffleMb = -1.0
       val times = (1 to benchRuns).map { _ =>
         // settle BEFORE starting the clock — the settle loop always sleeps

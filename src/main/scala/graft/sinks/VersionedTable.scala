@@ -3678,11 +3678,19 @@ class VersionedTableOps(protected val io: TableIO) {
       def keepOf(cs: Seq[MergeClause], default: Column): Column =
         chain(cs.map(c => c.condition ->
           lit(!c.action.isInstanceOf[MergeDelete.type])), default)
+      // every leaf value casts to the target column's (physical) type
+      // BEFORE entering the when-chain: the chain's branches must
+      // type-unify, and a source whose nested member names differ from
+      // the physical ones (a renamed element/struct member — positional
+      // layout identical, names forked by design) would otherwise fail
+      // analysis against the carry/null branches. The leaf cast is the
+      // same pure positional relabel the outer cast used to apply.
       def valOf(cs: Seq[MergeClause], c: String, carry: Column): Column =
         chain(cs.map(cl => cl.condition -> (cl.action match {
-          case MergeUpdate(set) => set.getOrElse(c, carry)
+          case MergeUpdate(set) =>
+            set.get(c).map(_.cast(tschema(c).dataType)).getOrElse(carry)
           case MergeDelete => carry // dropped by keep, value irrelevant
-          case MergeInsert(vals) => vals(c)
+          case MergeInsert(vals) => vals(c).cast(tschema(c).dataType)
         })), carry)
 
       val isMatched = coalesce(col("__t_present"), lit(false)) &&

@@ -166,6 +166,57 @@ class ElementEvolutionInterplaySpec extends SparkSpec {
       s"merge over renamed+defaulted elements diverged: ${got.toSeq}")
   }
 
+  test("FULL-clause MERGE (conditional WHEN MATCHED DELETE + NOT " +
+      "MATCHED INSERT) composes with element rename: clause conditions " +
+      "and insert values conform positionally to the physical shape") {
+    register()
+    val dir = tmpDir("eei-merge-full") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE, " +
+      "weather ARRAY<STRUCT<cond: STRING>>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, 1.0, array(named_struct('cond', 'a'))), " +
+      "(2, 2.0, array(named_struct('cond', 'b')))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "RENAME COLUMN weather.element.cond TO sky")
+    spark.sql("SELECT * FROM VALUES " +
+      "(1L, 9.0D, array(named_struct('sky', 'A'))), " +
+      "(3L, 3.0D, array(named_struct('sky', 'c'))) " +
+      "AS t(id, v, weather)").createOrReplaceTempView("eei_mf_src")
+    // conditional clauses force the FULL merge path (not the upsert
+    // shape): matched id=1 deletes, not-matched id=3 inserts with its
+    // element struct conforming to the physical member name
+    spark.sql(s"MERGE INTO graft.`$dir` t USING eei_mf_src s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND s.v > 5.0 THEN DELETE " +
+      "WHEN NOT MATCHED AND s.v > 0.0 THEN INSERT *")
+    val got = spark.sql("SELECT id, weather[0].sky " +
+      s"FROM graft.`$dir` ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "b"), (3L, "c")),
+      s"full merge over renamed elements diverged: ${got.toSeq}")
+  }
+
+  test("UPDATE with a condition on a RENAMED nested member resolves by " +
+      "ordinal against the physical files (the byName re-anchor keeps " +
+      "GetStructField ordinals)") {
+    register()
+    val dir = tmpDir("eei-upd-nested") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, 1.0, named_struct('temp', 5.0, 'kind', 'a')), " +
+      "(2, 2.0, named_struct('temp', 50.0, 'kind', 'b'))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "RENAME COLUMN main.temp TO temperature")
+    spark.sql(
+      s"UPDATE graft.`$dir` SET v = v + 100.0 WHERE main.temperature > 10")
+    spark.sql(s"CALL graft.compact('$dir', '${1L << 30}')").collect()
+    val got = spark.sql(s"SELECT id, v FROM graft.`$dir` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 102.0)),
+      s"renamed-nested-member UPDATE condition missed: ${got.toSeq}")
+  }
+
   test("a cdf feed over an element-evolution boundary serves both " +
       "vintages (stored values — the physical-log convention), and the " +
       "declared-table run plans with zero footer probes") {
