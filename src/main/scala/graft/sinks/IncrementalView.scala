@@ -84,14 +84,24 @@ class IncrementalViewOps(ops: VersionedTableOps) {
   /** Refresh by whole-state republish (logical overwrite commit).
     * `partials` builds mergeable per-group state from raw rows;
     * `mergeStates` folds two state frames into one (associative merge of
-    * every state column — counts add, mins min). */
+    * every state column — counts add, mins min).
+    *
+    * Source frames are SERVED-value views: nested existence defaults
+    * substitute before `partials` runs (identity for undefaulted
+    * sources — one metadata read per refresh), so a view's fold always
+    * agrees with `SELECT … GROUP BY` through the catalog door — the
+    * equivalence the transparent rewrite ([[graft.sql.Mview]]) serves.
+    * Raw change feeds keep their stored-value convention; the
+    * substitution happens HERE, at the one consumer that claims
+    * query-door semantics. */
   def refresh(spark: SparkSession, srcDir: String, viewDir: String,
               partials: DataFrame => DataFrame,
               mergeStates: (DataFrame, DataFrame) => DataFrame,
               allowRecompute: Boolean = true): ViewRefresh =
     doRefresh(spark, srcDir, viewDir, partials, allowRecompute) {
       (srcHead, base, txn) =>
-        val delta = partials(ops.readChanges(spark, srcDir, base, srcHead))
+        val delta = partials(ops.substDefaults(srcDir,
+          ops.readChanges(spark, srcDir, base, srcHead)))
         val next = mergeStates(ops.read(spark, viewDir), delta)
         ops.commit(next, viewDir, append = false, txnId = Some(txn))
     }
@@ -116,8 +126,8 @@ class IncrementalViewOps(ops: VersionedTableOps) {
                    allowRecompute: Boolean = true): ViewRefresh =
     doRefresh(spark, srcDir, viewDir, partials, allowRecompute) {
       (srcHead, base, txn) =>
-        val delta = partials(ops.readChanges(spark, srcDir, base, srcHead))
-          .persist()
+        val delta = partials(ops.substDefaults(srcDir,
+          ops.readChanges(spark, srcDir, base, srcHead))).persist()
         try {
           val affectedOld = ops.read(spark, viewDir)
             .join(delta.select(col(key)).distinct(), Seq(key), "left_semi")
@@ -189,7 +199,8 @@ class IncrementalViewOps(ops: VersionedTableOps) {
         s"view $viewDir needs a full recompute (mode=$mode: source " +
           s"history is not pure-append since the incorporated version, " +
           s"or the head pointer is foreign) and allowRecompute=false")
-      val state = partials(ops.read(spark, srcDir, Some(srcHead)))
+      val state = partials(ops.substDefaults(srcDir,
+        ops.read(spark, srcDir, Some(srcHead))))
       ViewRefresh(mode,
         ops.commit(state, viewDir, append = false, txnId = Some(txn)),
         srcHead)

@@ -1801,7 +1801,7 @@ class VersionedTableOps(protected val io: TableIO) {
     * defaults substituted when the table declares any (identity
     * otherwise) — what predicate evaluation in the DML doors uses so
     * DELETE/UPDATE WHERE agree with SELECT WHERE on the same rows. */
-  private def substDefaults(dir: String, df: DataFrame): DataFrame =
+  private[sinks] def substDefaults(dir: String, df: DataFrame): DataFrame =
     statsSubstitution(dir)
       .map(graft.sql.NestedDefaults.substitute(df, _)).getOrElse(df)
 

@@ -222,11 +222,25 @@ object Mview {
       .outputMode("append")
   }
 
-  /** Idempotently add the rewrite rule to this session's optimizer. */
+  /** Idempotently add the rewrite rule to this session's optimizer —
+    * always BEFORE [[NestedDefaultRewrite]] when both are installed: the
+    * user batch applies rules in list order each fixed-point iteration,
+    * and the mview rewrite must see the BARE `Aggregate → scan` shape on
+    * a defaulted source before the substitution Project wraps it (the
+    * view's state folds SERVED values — [[graft.sinks.IncrementalView]]
+    * substitutes on refresh — so replacing the substituted scan with the
+    * view read is value-identical). Installed after the wrap, the
+    * rewrite would silently never fire on defaulted tables: a
+    * performance cliff, not a wrong answer, but a cliff the order fully
+    * removes. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(MviewRewrite))
-      spark.experimental.extraOptimizations = cur :+ MviewRewrite
+    if (!cur.contains(MviewRewrite)) {
+      val at = cur.indexOf(NestedDefaultRewrite)
+      spark.experimental.extraOptimizations =
+        if (at < 0) cur :+ MviewRewrite
+        else (cur.take(at) :+ MviewRewrite) ++ cur.drop(at)
+    }
   }
 
   // ---- driver-gate queries -------------------------------------------

@@ -260,4 +260,48 @@ class NestedDefaultInterplaySpec extends SparkSpec {
     assert(spark.sql(s"SELECT a.inner.q FROM graft.`$dir` WHERE id = 1")
       .head().getInt(0) == 2)
   }
+
+  test("an agg view over a DEFAULTED nested member must never serve a " +
+      "stored-value fold to a catalog query that reads served values") {
+    register()
+    val tmp = tmpDir("ndi-mview")
+    val dir = s"$tmp/t"
+    val view = s"$tmp/v"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, main STRUCT<kind: STRING>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('kind', 'a')), (2, named_struct('kind', 'a')), " +
+      "(3, named_struct('kind', 'b')), (4, NULL)")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(main.score BIGINT DEFAULT 7)")
+    spark.sql(s"CALL graft.create_agg_view('$dir', '$view', " +
+      "'kind=main.kind', 's=sum(main.score);n=count(1)')").collect()
+    // the VIEW's own contents fold SERVED values (the refresh
+    // substitutes defaults before building partials) — a user reading
+    // the rollup directly must agree with GROUP BY over the source
+    val viewRows = graft.sinks.VersionedTable.read(spark, view)
+      .collect().map(r => (Option(r.getString(0)).orNull,
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sortBy(x =>
+        Option(x._1).getOrElse(""))
+    assert(viewRows.toSeq == Seq((null, -1L), ("a", 14L), ("b", 7L)),
+      s"the view must fold SERVED values: ${viewRows.toSeq}")
+    // the catalog door's truth: defaults substitute — kind 'a' sums 14,
+    // 'b' sums 7, the NULL-parent row groups under NULL kind with NULL
+    // score
+    val q = spark.sql("SELECT main.kind AS kind, SUM(main.score) AS s " +
+      s"FROM graft.`$dir` GROUP BY main.kind ORDER BY kind NULLS FIRST")
+    val got = q.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq((null, -1L), ("a", 14L), ("b", 7L)),
+      s"catalog aggregate over a defaulted member diverged (a view " +
+        s"rewrite serving STORED-value folds?): ${got.toSeq}")
+    // and the transparent rewrite FIRES on the defaulted source — the
+    // rule order guarantees the mview rule sees the bare scan before the
+    // substitution Project wraps it, and the served-value fold makes the
+    // replacement value-identical
+    assert(q.queryExecution.executedPlan.toString.contains(s"$view/data"),
+      "the mview rewrite must fire on a defaulted source:\n" +
+        q.queryExecution.executedPlan.toString.take(1200))
+  }
 }
