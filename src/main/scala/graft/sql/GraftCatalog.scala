@@ -729,6 +729,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       }
       walk(sc, parents, "")
     }
+    // Reorder `name` within its struct per FIRST/AFTER. Declared order is
+    // PRESENTATION plus the positional-INSERT target — it is metadata-only
+    // here because nothing else keys on position: files resolve columns
+    // (and nested group members) by NAME, sidecars/blooms/the retired
+    // ledger key physical names, the scan seam translates the QUERY's
+    // requested order, and every engine rewrite re-derives the current
+    // declared order per operation.
+    def reposition(st: StructType, name: String,
+                   pos: TableChange.ColumnPosition,
+                   what: String): StructType = {
+      val i = st.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(i >= 0, s"$what: no column '$name'")
+      val f = st.fields(i)
+      val rest = st.fields.patch(i, Nil, 1)
+      pos match {
+        case _: TableChange.First => StructType(f +: rest)
+        case a: TableChange.After =>
+          val j = rest.indexWhere(_.name.equalsIgnoreCase(a.column()))
+          require(j >= 0,
+            s"$what: AFTER column '${a.column()}' does not exist in the " +
+              "same struct")
+          StructType((rest.take(j + 1) :+ f) ++ rest.drop(j + 1))
+        case other => throw new UnsupportedOperationException(
+          s"$what: unsupported position $other")
+      }
+    }
     val widenings: Map[DataType, Set[DataType]] = Map(
       ByteType -> Set(ShortType, IntegerType, LongType),
       ShortType -> Set(IntegerType, LongType),
@@ -750,9 +776,6 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           // does.
           val path = add.fieldNames().toSeq
           val dotted = path.mkString(".")
-          require(add.position() == null,
-            s"ADD COLUMN '$dotted' FIRST/AFTER unsupported: columns " +
-              "append at the end (repositioning is not supported)")
           val dv = Option(add.defaultValue())
           val existsLit = dv.map { d =>
             // parents may be plain structs, array ELEMENT structs or map
@@ -800,7 +823,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           }
           val added = ColumnMapping.addField(sc, path, add.dataType(),
             ops.retiredColumns(dir))
-          existsLit match {
+          val stamped = existsLit match {
             case None => added
             case Some(lit) =>
               // stamp the EXISTS_DEFAULT (canonical literal SQL, parsed
@@ -821,13 +844,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                       .build())))
               }
           }
+          if (add.position() == null) stamped
+          else updateStructAt(stamped, path.init,
+              s"ADD COLUMN '$dotted'") { (st, _) =>
+            reposition(st, path.last, add.position(),
+              s"ADD COLUMN '$dotted'")
+          }
         case add: TableChange.AddColumn =>
           val n = one(add.fieldNames(), "ADD COLUMN")
           require(!sc.fieldNames.exists(_.equalsIgnoreCase(n)),
             s"column '$n' already exists")
-          require(add.position() == null,
-            s"ADD COLUMN '$n' FIRST/AFTER unsupported: columns append at " +
-              "the end (repositioning is not supported)")
           // DEFAULT makes the add metadata-only in BOTH directions: the
           // evaluated literal lands as EXISTS_DEFAULT (Spark's own
           // parquet readers substitute it wherever a file lacks the
@@ -851,7 +877,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               "already-landed files have no value for it")
           val added = ColumnMapping.addField(sc, n, add.dataType(),
             ops.retiredColumns(dir))
-          dv match {
+          val stamped = dv match {
             case None => added
             case Some(d) =>
               val f0 = added.fields.last
@@ -864,6 +890,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
               StructType(added.fields.dropRight(1) :+
                 f0.copy(nullable = add.isNullable, metadata = meta))
           }
+          if (add.position() == null) stamped
+          else reposition(stamped, n, add.position(), s"ADD COLUMN '$n'")
         case del: TableChange.DeleteColumn if del.fieldNames().length > 1 =>
           // nested DROP — removed from the declared struct and recorded
           // in the retired ledger under its full dotted PHYSICAL path
@@ -1105,6 +1133,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           StructType(sc.fields.map(x =>
             if (x.name.equalsIgnoreCase(n)) x.copy(nullable = un.nullable())
             else x))
+        case up: TableChange.UpdateColumnPosition =>
+          // ALTER COLUMN c FIRST / AFTER d — declared-order-only (see
+          // [[reposition]]): presentation plus the positional-INSERT
+          // target change; zero files move. Nested members (struct,
+          // array element, map value) reorder within their enclosing
+          // struct; the AFTER anchor must live in the SAME struct.
+          val path = up.fieldNames().toSeq
+          val dotted = path.mkString(".")
+          if (path.length == 1)
+            reposition(sc, path.head, up.position(),
+              s"ALTER COLUMN '$dotted'")
+          else updateStructAt(sc, path.init,
+              s"ALTER COLUMN '$dotted'") { (st, _) =>
+            reposition(st, path.last, up.position(),
+              s"ALTER COLUMN '$dotted'")
+          }
         case ud: TableChange.UpdateColumnDefaultValue =>
           // SET/DROP DEFAULT touches CURRENT_DEFAULT only (what future
           // INSERTs resolve); EXISTS_DEFAULT — what already-landed
@@ -1155,11 +1199,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             else x))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change ${other.getClass.getSimpleName}; " +
-            "supported: ADD COLUMNS (nullable; incl. struct members), " +
-            "DROP COLUMN (incl. struct members), RENAME COLUMN (incl. " +
-            "struct members), ALTER COLUMN TYPE (safe widening; incl. " +
-            "struct members), ALTER COLUMN SET/DROP NOT NULL, ALTER " +
-            "COLUMN SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK)")
+            "supported: ADD COLUMNS (incl. struct members, FIRST/AFTER, " +
+            "NOT NULL with DEFAULT), DROP COLUMN (incl. struct members), " +
+            "RENAME COLUMN (incl. struct members), ALTER COLUMN TYPE " +
+            "(safe widening; incl. struct members), ALTER COLUMN " +
+            "FIRST/AFTER, ALTER COLUMN SET/DROP NOT NULL, ALTER COLUMN " +
+            "SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK)")
       }
     }
     ops.declareSchema(dir, updated.json)

@@ -161,8 +161,10 @@ class RenameWidenSpec extends SparkSpec {
       "safe widenings")
     refuses(s"ALTER TABLE graft.`$dir` RENAME COLUMN s TO id",
       "already exists")
-    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (z INT FIRST)",
-      "FIRST/AFTER")
+    // repositioning is supported — but an AFTER anchor must exist
+    // (Spark's analyzer pre-resolves the position and refuses first)
+    refuses(s"ALTER TABLE graft.`$dir` ADD COLUMNS (z INT AFTER nope)",
+      "FIELD_NOT_FOUND")
     refuses(s"ALTER TABLE graft.`$dir` ALTER COLUMN k TYPE BIGINT",
       "bucket transform")
   }
@@ -509,6 +511,62 @@ class RenameWidenSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("cond") && !plan.contains("sky:"),
       s"element pruning must request the physical member name:\n$plan")
+  }
+
+  test("ADD COLUMN FIRST/AFTER and ALTER COLUMN FIRST/AFTER are " +
+    "metadata-only: declared order changes, files resolve by name, " +
+    "positional INSERT targets the new order — nested and element " +
+    "members reorder within their struct") {
+    register()
+    val dir = tmpDir("rw-pos") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, v DOUBLE, " +
+      "main STRUCT<a: BIGINT, b: STRING>, " +
+      "tags ARRAY<STRUCT<k: STRING, n: INT>>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 1.5, " +
+      "named_struct('a', 10L, 'b', 'x'), " +
+      "array(named_struct('k', 'p', 'n', 7)))")
+    val before = filesOf(dir)
+    // ADD ... FIRST + AFTER, top-level and nested incl. element structs
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS " +
+      "(flag INT FIRST, main.c INT AFTER a, tags.element.w INT FIRST)")
+    // ALTER ... FIRST/AFTER, top-level and nested
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN v AFTER main")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.b FIRST")
+    assert(filesOf(dir) == before, "repositioning rewrote files")
+    val sc = spark.table(s"graft.`$dir`").schema
+    assert(sc.fieldNames.toSeq == Seq("flag", "id", "main", "v", "tags"),
+      s"declared order: ${sc.fieldNames.toSeq}")
+    assert(sc("main").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("b", "a", "c"))
+    assert(sc("tags").dataType.asInstanceOf[
+        org.apache.spark.sql.types.ArrayType].elementType.asInstanceOf[
+        org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("w", "k", "n"))
+    // old files serve by NAME through the new declared order
+    val old = spark.sql("SELECT id, v, main.a, main.b, tags[0].k, " +
+      s"tags[0].n, flag, main.c, tags[0].w FROM graft.`$dir`").head()
+    assert(old.getLong(0) == 1L && old.getDouble(1) == 1.5 &&
+      old.getLong(2) == 10L && old.getString(3) == "x" &&
+      old.getString(4) == "p" && old.getInt(5) == 7)
+    assert(old.isNullAt(6) && old.isNullAt(7) && old.isNullAt(8),
+      "pre-ADD files must serve typed nulls for the new members")
+    // a positional INSERT targets the NEW declared order
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (9, 2L, " +
+      "named_struct('b', 'y', 'a', 20L, 'c', 3), 2.5, " +
+      "array(named_struct('w', 4, 'k', 'q', 'n', 8)))")
+    val got = spark.sql("SELECT id, flag, v, main.a, main.b, main.c, " +
+      s"tags[0].w FROM graft.`$dir` WHERE id = 2").head()
+    assert(got.getInt(1) == 9 && got.getDouble(2) == 2.5 &&
+      got.getLong(3) == 20L && got.getString(4) == "y" &&
+      got.getInt(5) == 3 && got.getInt(6) == 4,
+      s"post-reposition insert mislanded: $got")
+    // filters + aggregates resolve across both vintages
+    assert(spark.sql(s"SELECT SUM(main.a) FROM graft.`$dir`")
+      .head().getLong(0) == 30L)
+    assert(spark.sql(
+      s"SELECT id FROM graft.`$dir` WHERE main.b = 'y'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("manifest stats pruning follows the physical name after a rename") {
