@@ -544,8 +544,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     *    appended with a FRESH physical name that avoids every name the
     *    table ever addressed — so `DROP COLUMN c` then `ADD COLUMNS
     *    (c T)` serves nulls, never the dropped column's stale bytes.
-    *    Positioned adds (`FIRST` / `AFTER x`) refuse: repositioning is
-    *    unsupported, and silently appending would contradict the policy.
+    *    Positioned adds (`FIRST` / `AFTER x`) land at the requested
+    *    declared position — metadata-only, like `ALTER COLUMN c
+    *    FIRST/AFTER d`, because nothing keys on position (see
+    *    `reposition` below). NOT NULL adds are legal exactly when a
+    *    non-null DEFAULT covers the history.
     *  - `ALTER TABLE … DROP COLUMN c` — removed from the declared
     *    schema and recorded in the retired ledger; files keep the bytes,
     *    reads project them away. Refuses on a column anchoring declared
@@ -575,9 +578,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * literal `.element.` / `.value.` path segments); map KEY structs are
     * identity-bearing and never evolve.
     *
-    * Everything else (narrowing, string↔number re-types, repositioning,
-    * nested type changes/defaults) refuses loudly — no silent
-    * approximation. */
+    * Everything else (narrowing, string↔number re-types, map-key
+    * struct evolution) refuses loudly — no silent approximation. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (base, ref) = parseRef(dirOf(ident))
     val dir = ref match {

@@ -136,7 +136,7 @@ class RenameWidenSpec extends SparkSpec {
   }
 
   test("unsound ALTERs refuse loudly: narrowing, re-type, rename onto an " +
-    "existing name, positioned ADD, widening a bucket-anchored column") {
+    "existing name, bad AFTER anchor, widening a bucket-anchored column") {
     register()
     val dir = tmpDir("rw-refuse") + "/t"
     spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, k INT, j INT, " +
