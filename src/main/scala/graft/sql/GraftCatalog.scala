@@ -3296,14 +3296,17 @@ object GraftCatalog {
   /** q_sql_nested_evolution — NESTED struct evolution end-to-end, the
     * reference's raw-document shape (`main.temp`, weather_etl.py:124–125):
     * half the events land inside a struct column, then `ADD COLUMNS
-    * (main.score BIGINT)` and `RENAME COLUMN main.temp TO reading`
-    * evolve the STRUCT metadata-only (pinned in-query: the `#files`
-    * inventory is byte-identical across both ALTERs, and the old nested
-    * name refuses) — pre-evolution files serve typed NULLs for the new
-    * member and their values under the renamed one — then the other
-    * half lands with all three members stored. One aggregate over
-    * nested fields of both vintages hash-matches a DuckDB oracle
-    * reconstructing null-vs-stored per row. */
+    * (main.score BIGINT)`, `RENAME COLUMN main.temp TO reading`, and
+    * FIRST/AFTER repositioning at BOTH levels (`main` to the front, the
+    * added member ahead of its siblings) evolve the STRUCT
+    * metadata-only (pinned in-query: the `#files` inventory is
+    * byte-identical across all four ALTERs, and the old nested name
+    * refuses) — pre-evolution files serve typed NULLs for the new
+    * member and their values under the renamed one, resolved by NAME
+    * through the reordered declaration — then the other half lands with
+    * all three members stored, positionally targeting the NEW order.
+    * One aggregate over nested fields of both vintages hash-matches a
+    * DuckDB oracle reconstructing null-vs-stored per row. */
   def qSqlNestedEvolution(spark: SparkSession, sfDir: String): DataFrame = {
     register(spark)
     val ev = Tables.events(spark, sfDir)
@@ -3323,17 +3326,27 @@ object GraftCatalog {
       .collect().map(_.getString(0)).toSet
     spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (main.score BIGINT)")
     spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN main.temp TO reading")
+    // REPOSITION both levels (round 13): the struct column moves FIRST
+    // and the added member moves ahead of its siblings — declared-order-
+    // only edits; the hash match proves values never move with them
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN main FIRST")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.score FIRST")
     val filesAfter = spark.sql(s"SELECT file FROM graft.`$dir#files`")
       .collect().map(_.getString(0)).toSet
     require(filesAfter == filesBefore,
-      "nested ADD+RENAME must be metadata-only (zero files rewritten)")
+      "nested ADD+RENAME+REPOSITION must be metadata-only (zero files " +
+        "rewritten)")
     require(scala.util.Try(
       spark.sql(s"SELECT main.temp FROM graft.`$dir`").collect()).isFailure,
       "the old nested name must not resolve after RENAME")
+    // v2 lands in the NEW declared order (main first; score leading its
+    // struct) — positional INSERT targets the repositioned declaration
     ev.filter(col("event_id") % 2 === 1)
-      .select(col("event_id"),
-        struct(col("value").as("reading"), col("event_type").as("kind"),
-          (col("event_id") % 97).as("score")).as("main"))
+      .select(
+        struct((col("event_id") % 97).as("score"),
+          col("value").as("reading"), col("event_type").as("kind"))
+          .as("main"),
+        col("event_id"))
       .createOrReplaceTempView("q_sql_nested_v2")
     spark.sql(s"INSERT INTO graft.`$dir` SELECT * FROM q_sql_nested_v2")
     spark.sql(s"SELECT * FROM graft.`$dir`")
