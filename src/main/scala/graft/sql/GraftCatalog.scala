@@ -1135,6 +1135,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           StructType(sc.fields.map(x =>
             if (x.name.equalsIgnoreCase(n)) x.copy(nullable = un.nullable())
             else x))
+        case uc: TableChange.UpdateColumnComment =>
+          // COMMENT is pure documentation riding the declared schema —
+          // works at any depth (struct / element / value members) via
+          // the same navigation every other member edit uses
+          val path = uc.fieldNames().toSeq
+          val dotted = path.mkString(".")
+          def comment(st: StructType): StructType = {
+            val f = fieldOf(st, path.last, s"ALTER COLUMN '$dotted'")
+            StructType(st.fields.map(x =>
+              if (x.name.equalsIgnoreCase(path.last))
+                f.withComment(uc.newComment())
+              else x))
+          }
+          if (path.length == 1) comment(sc)
+          else updateStructAt(sc, path.init,
+            s"ALTER COLUMN '$dotted'") { (st, _) => comment(st) }
         case up: TableChange.UpdateColumnPosition =>
           // ALTER COLUMN c FIRST / AFTER d — declared-order-only (see
           // [[reposition]]): presentation plus the positional-INSERT
@@ -1205,8 +1221,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             "NOT NULL with DEFAULT), DROP COLUMN (incl. struct members), " +
             "RENAME COLUMN (incl. struct members), ALTER COLUMN TYPE " +
             "(safe widening; incl. struct members), ALTER COLUMN " +
-            "FIRST/AFTER, ALTER COLUMN SET/DROP NOT NULL, ALTER COLUMN " +
-            "SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK)")
+            "FIRST/AFTER, ALTER COLUMN COMMENT, ALTER COLUMN SET/DROP " +
+            "NOT NULL, ALTER COLUMN SET/DROP DEFAULT, ADD/DROP " +
+            "CONSTRAINT (CHECK)")
       }
     }
     ops.declareSchema(dir, updated.json)

@@ -569,6 +569,36 @@ class RenameWidenSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("ALTER COLUMN ... COMMENT lands on the declared schema at any " +
+    "depth, metadata-only") {
+    register()
+    val dir = tmpDir("rw-comment") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<a: BIGINT>, tags ARRAY<STRUCT<k: STRING>>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, " +
+      "named_struct('a', 1L), array(named_struct('k', 'x')))")
+    val before = filesOf(dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN id " +
+      "COMMENT 'the key'")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN main.a " +
+      "COMMENT 'a nested note'")
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN tags.element.k " +
+      "COMMENT 'an element note'")
+    assert(filesOf(dir) == before, "COMMENT rewrote files")
+    val sc = spark.table(s"graft.`$dir`").schema
+    assert(sc("id").getComment().contains("the key"))
+    assert(sc("main").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType]("a").getComment()
+      .contains("a nested note"))
+    assert(sc("tags").dataType.asInstanceOf[
+        org.apache.spark.sql.types.ArrayType].elementType.asInstanceOf[
+        org.apache.spark.sql.types.StructType]("k").getComment()
+      .contains("an element note"))
+    // values untouched
+    assert(spark.sql(s"SELECT main.a FROM graft.`$dir`")
+      .head().getLong(0) == 1L)
+  }
+
   test("manifest stats pruning follows the physical name after a rename") {
     register()
     val dir = tmpDir("rw-prune") + "/t"
