@@ -764,6 +764,7 @@ class VersionedTableOps(protected val io: TableIO) {
     val cur = tableProperties(dir) + (key -> value)
     io.writeLines(propertiesPath(dir),
       cur.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+    invalidateProperties(dir)
   }
 
   /** Remove a durable property (no-op when absent). */
@@ -772,15 +773,53 @@ class VersionedTableOps(protected val io: TableIO) {
     if (cur.isEmpty) io.delete(propertiesPath(dir))
     else io.writeLines(propertiesPath(dir),
       cur.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+    invalidateProperties(dir)
   }
+
+  /** Memo for [[tableProperties]], keyed by the properties file's
+    * (mtime, size) — the cboFold pattern (see `cboFoldCache`), and for
+    * the same reason: `tableProperties` runs at PLAN time (the mview
+    * rewrite rule consults `mview.attached` per Aggregate-over-scan per
+    * fixed-point iteration; sort-order and maintenance knobs read it
+    * too), and behind an object-store TableIO an uncached read is a GET
+    * per plan. A hit costs two stats (mtime + size) instead; in-process
+    * writers additionally invalidate eagerly (see
+    * [[setTableProperty]]/[[removeTableProperty]]), so a same-stamp
+    * rewrite inside the filesystem's mtime resolution cannot serve
+    * stale. Cross-process writers are covered by the stamp alone.
+    * LRU-capped like the fold cache; correctness never rides on a hit.
+    * `propsReads` counts actual line-reads (cache misses) — the
+    * optimizer-IO canary's probe. */
+  private val propsCache =
+    new java.util.LinkedHashMap[String, ((Long, Long), Map[String, String])](
+      64, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            ((Long, Long), Map[String, String])]): Boolean = size > 512
+    }
+  private[graft] val propsReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def invalidateProperties(dir: String): Unit =
+    propsCache.synchronized { propsCache.remove(propertiesPath(dir)) }
 
   def tableProperties(dir: String): Map[String, String] = {
     val p = propertiesPath(dir)
-    if (!io.exists(p)) Map.empty
-    else io.readLines(p).filter(_.contains('=')).map { l =>
-      val i = l.indexOf('=')
-      l.substring(0, i) -> l.substring(i + 1)
-    }.toMap
+    if (!io.exists(p)) return Map.empty
+    val stamp = (io.mtime(p), io.size(p))
+    val hit = propsCache.synchronized {
+      Option(propsCache.get(p)).filter(_._1 == stamp).map(_._2)
+    }
+    hit.getOrElse {
+      propsReads.incrementAndGet()
+      val m = io.readLines(p).filter(_.contains('=')).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+      // a concurrent rewrite between the stat and the read stores fresh
+      // content under the stale stamp; the next call's stamp mismatch
+      // self-heals with one extra read
+      propsCache.synchronized { propsCache.put(p, (stamp, m)) }
+      m
+    }
   }
 
   /** Declared table sort order (`sort.order=c1,c2`): the within-file
@@ -4061,11 +4100,16 @@ class VersionedTableOps(protected val io: TableIO) {
     * members enforce raw: a member carrying an existence default
     * legitimately stores NULL in engine rewrites (the coalesce read
     * serves the default), and user batches storing NULL there are
-    * already refused by [[nestedDefaultChecks]]. A USER batch that
-    * doesn't carry the member's path at all refuses up front — every
-    * row under a non-null parent would read NULL; engine rewrites
-    * always carry the declared physical shape (the a43738c schema pin),
-    * so an absent path there is a pinned-vintage carry, skipped. */
+    * already refused by [[nestedDefaultChecks]]. A USER batch missing
+    * only the LEAF under a fully-present parent chain refuses up
+    * front — every row whose parents are non-null would read NULL; but
+    * a batch missing an ANCESTOR (a nullable parent struct column
+    * omitted entirely, which [[notNullChecks]] permits) reads a NULL
+    * parent on every row and satisfies the member declaration
+    * vacuously — skipped, exactly as a carried NULL parent is. Engine
+    * rewrites always carry the declared physical shape (the a43738c
+    * schema pin), so any absent path there is a pinned-vintage carry,
+    * skipped. */
   private def nestedNotNullChecks(dir: String, batch: DataFrame,
                                   userBatch: Boolean)
       : Seq[(String, String)] = {
@@ -4077,15 +4121,24 @@ class VersionedTableOps(protected val io: TableIO) {
     val nn = graft.sql.NestedNotNull
     if (!nn.hasAny(logical)) return Seq.empty
     nn.paths(logical).filter(nn.undefaulted(logical, _)).flatMap { p =>
-      if (nn.presentIn(batch.schema, logical, p))
-        Some(s"nested NOT NULL ${p.mkString(".")}" ->
-          nn.predicate(logical, p))
-      else {
-        require(!userBatch,
-          s"commit to $dir rejected: batch carries no member for " +
-            s"declared nested NOT NULL '${p.mkString(".")}' — every " +
-            "row under a non-null parent would read NULL")
-        None
+      nn.firstAbsentSegment(batch.schema, logical, p) match {
+        case None =>
+          Some(s"nested NOT NULL ${p.mkString(".")}" ->
+            nn.predicate(logical, p))
+        case Some(i) if i == p.length - 1 =>
+          // leaf absent under a fully-present parent chain: every row
+          // whose parents are non-null would read NULL — refuse (user
+          // batches only; engine rewrites carry pinned vintages)
+          require(!userBatch,
+            s"commit to $dir rejected: batch carries no member for " +
+              s"declared nested NOT NULL '${p.mkString(".")}' — every " +
+              "row under a non-null parent would read NULL")
+          None
+        case Some(_) =>
+          // an ANCESTOR is absent: every row reads a NULL parent, which
+          // satisfies the member declaration vacuously (same as a
+          // carried NULL parent) — nothing to enforce
+          None
       }
     }
   }

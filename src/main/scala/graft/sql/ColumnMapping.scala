@@ -130,8 +130,11 @@ private[graft] object ColumnMapping {
   /** Add one field — top-level (`path = Seq(name)`) or inside nested
     * structs (`Seq("main", "humidity")`) — with a fresh id and a
     * collision-free physical name scoped to the enclosing struct.
-    * `retired` entries are (id, dotted physical path). Parents must be
-    * plain structs; array/map elements refuse. */
+    * `retired` entries are (id, dotted physical path). Parents may be
+    * plain structs, array ELEMENT structs (via a literal `element`
+    * segment) or map VALUE structs (via `value`) — the traversal below
+    * descends all three; map KEY structs alone refuse (keys never
+    * evolve). */
   def addField(schema: StructType, path: Seq[String], dt: DataType,
                retired: Seq[(Long, String)]): StructType = {
     require(path.nonEmpty, "empty column path")

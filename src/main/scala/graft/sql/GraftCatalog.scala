@@ -773,9 +773,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           // nested EXISTENCE default, substituted by the ENGINE's own
           // read path (Spark's mechanism is top-level-only) — see
           // [[NestedDefaults]] for the full semantics (coalesce reads,
-          // append-door NULL gate, substituted ANALYZE). NOT NULL
-          // refuses for the same reason the un-defaulted top-level add
-          // does.
+          // append-door NULL gate, substituted ANALYZE). NOT NULL is
+          // legal exactly when a non-null DEFAULT covers the history —
+          // same contract as the top-level add (and alterTable's
+          // nullability scaladoc); un-defaulted NOT NULL refuses below.
           val path = add.fieldNames().toSeq
           val dotted = path.mkString(".")
           val dv = Option(add.defaultValue())
@@ -1126,7 +1127,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                 nullable = true))))
               .parquet(ops.manifestLines(dir, ops.versions(dir).last)
                 .filter(_.nonEmpty).filterNot(_.startsWith("#")): _*)
-              .filter(col(phys).isNull).limit(1).count()
+              // backtick-quote: a literal dot in the NAME must not
+              // parse as a nested reference
+              .filter(col("`" + phys.replace("`", "``") + "`").isNull)
+              .limit(1).count()
             require(nulls == 0,
               s"ALTER COLUMN '$n' SET NOT NULL: existing row(s) are " +
                 "NULL; a declaration born broken proves nothing " +
@@ -1506,16 +1510,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           a(2).toInt); v }),
     Proc("set_not_null", Seq("dir", "column"),
       "Declare a column — or a dotted nested member, 'main.rh' / " +
-        "'tags.element.k' — NOT NULL, born-true or refused (one raw " +
+        "'tags.element.k'; backtick-quote a segment whose NAME contains " +
+        "a dot, '`obs.raw`' — NOT NULL, born-true or refused (one raw " +
         "scan over SERVED values proves zero violations) — the SQL " +
         "front door Spark's analyzer denies to ALTER COLUMN … SET NOT " +
         "NULL; enforcement is per-commit (nested: parent-null-guarded), " +
         "and TopN pushdown gets its zero-null proof (nested: when the " +
         "whole chain declares)")(
-      (_, a) => {
+      (s, a) => {
         val ident = Identifier.of(Array.empty, a(0))
+        // parseMultipartIdentifier honors backtick quoting, so a
+        // TOP-LEVEL column whose name contains a literal dot stays
+        // addressable ('`a.b`' → one segment) while plain dotted paths
+        // still split into nested segments
+        val path = s.sessionState.sqlParser
+          .parseMultipartIdentifier(a(1)).toArray
         alterTable(ident,
-          TableChange.updateColumnNullability(a(1).split("\\."), false))
+          TableChange.updateColumnNullability(path, false))
         // resolve the SAME way alterTable did (warehouse-relative names
         // map under the warehouse; absolute paths pass through) — the
         // raw argument would read a different location under a

@@ -112,21 +112,27 @@ private[graft] object NestedDefaults {
   /** The default as a folded literal of the member's CURRENT declared
     * type — parsed from the stored SQL and cast at use time, so a later
     * type widening of the member needs no metadata rewrite. Memoized per
-    * (sql, type): the parse-and-fold is constant per defaulted member but
-    * this runs inside an optimizer rule, so a cold re-parse per query was
-    * pure planning overhead. */
-  private val foldMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, DataType), Literal]()
-  private def foldedDefault(sql: String, dt: DataType): Literal =
-    foldMemo.computeIfAbsent((sql, dt), { case (s, t) =>
+    * (sql, type, SESSION TIMEZONE): the parse-and-fold is constant per
+    * defaulted member but this runs inside an optimizer rule, so a cold
+    * re-parse per query was pure planning overhead. The timezone is part
+    * of the key because the fold casts with the active session's zone —
+    * a string default cast to a TIMESTAMP member folds to a different
+    * instant under a different spark.sql.session.timeZone, and a memo
+    * keyed only on (sql, type) would serve the first session's literal
+    * to every later one. */
+  private val foldMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, DataType, String), Literal]()
+  private def foldedDefault(sql: String, dt: DataType): Literal = {
+    val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+    foldMemo.computeIfAbsent((sql, dt, tz), { case (s, t, zone) =>
       val spark = SparkSession.active
       val parsed = spark.sessionState.sqlParser.parseExpression(s)
       require(parsed.foldable,
         s"nested DEFAULT must be a constant-foldable expression: $s")
-      val cast = Cast(parsed, t,
-        Some(spark.sessionState.conf.sessionLocalTimeZone))
+      val cast = Cast(parsed, t, Some(zone))
       Literal(cast.eval(null), t)
     })
+  }
 
   /** Rebuild `input` (whose type is `actual`, a by-name subset of the
     * declared `decl` — the pruned read shape) substituting defaults into
@@ -345,25 +351,45 @@ private[graft] object NestedNotNull {
     * at declared logical `path` — resolved structurally: each declared
     * segment maps to its physical name, matched in the batch's shape at
     * the same depth. An absent member cannot be predicate-checked (the
-    * SQL would not resolve); the caller decides refuse-vs-skip. */
+    * SQL would not resolve); the caller decides refuse-vs-skip via
+    * [[firstAbsentSegment]]. */
   def presentIn(batch: StructType, decl: StructType,
-                path: Seq[String]): Boolean = {
-    def walk(b: DataType, d: DataType, ps: List[String]): Boolean =
+                path: Seq[String]): Boolean =
+    firstAbsentSegment(batch, decl, path).isEmpty
+
+  /** Where the declared `path` breaks off in `batch`: `Some(i)` is the
+    * 0-based index of the first segment the batch does not carry (or
+    * carries with a structurally incompatible type — not a struct where
+    * the declaration descends one, etc.); `None` means fully present.
+    * The distinction matters for the commit gate: a batch missing only
+    * the LEAF under a fully-present parent chain would read NULL into
+    * every row whose parents are non-null (refuse), while a batch
+    * missing an ANCESTOR reads a NULL parent on every row — which
+    * satisfies the member declaration vacuously, exactly as a carried
+    * NULL parent does (skip). */
+  def firstAbsentSegment(batch: StructType, decl: StructType,
+                         path: Seq[String]): Option[Int] = {
+    def walk(b: DataType, d: DataType, ps: List[String],
+             idx: Int): Option[Int] =
       (b, d, ps) match {
-        case (_, _, Nil) => true
+        case (_, _, Nil) => None
         case (bs: StructType, ds: StructType, h :: t) =>
-          ds.fields.find(_.name.equalsIgnoreCase(h)).exists { df =>
-            bs.fields.find(_.name.equalsIgnoreCase(
-              ColumnMapping.physOf(df))).exists(bf =>
-              walk(bf.dataType, df.dataType, t))
+          ds.fields.find(_.name.equalsIgnoreCase(h)) match {
+            case None => Some(idx)
+            case Some(df) =>
+              bs.fields.find(_.name.equalsIgnoreCase(
+                ColumnMapping.physOf(df))) match {
+                case None => Some(idx)
+                case Some(bf) => walk(bf.dataType, df.dataType, t, idx + 1)
+              }
           }
         case (ArrayType(be, _), ArrayType(de, _), "element" :: t) =>
-          walk(be, de, t)
+          walk(be, de, t, idx + 1)
         case (MapType(_, bv, _), MapType(_, dv, _), "value" :: t) =>
-          walk(bv, dv, t)
-        case _ => false
+          walk(bv, dv, t, idx + 1)
+        case _ => Some(idx)
       }
-    walk(batch, decl, path.toList)
+    walk(batch, decl, path.toList, 0)
   }
 }
 

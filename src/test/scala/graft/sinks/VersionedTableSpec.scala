@@ -32,6 +32,46 @@ abstract class VersionedTableBehavior extends SparkSpec {
   def backend: TableIO
   lazy val ops = new VersionedTableOps(backend)
 
+  test("tableProperties memoizes per (mtime, size): repeat lookups over " +
+      "an unchanged table cost ZERO line-reads, writers invalidate — the " +
+      "optimizer-side IO guarantee (mview rewrite consults properties " +
+      "per plan)") {
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val counting = new ForwardingTableIO(backend) {
+      override def readLines(path: String): Seq[String] = {
+        if (path.endsWith("/properties")) reads.incrementAndGet()
+        super.readLines(path)
+      }
+    }
+    val o = new VersionedTableOps(counting)
+    val dir = tmpDir("props-memo")
+    assert(o.tableProperties(dir).isEmpty) // absent file: no read at all
+    assert(reads.get() == 0)
+    o.setTableProperty(dir, "a", "1")
+    val r0 = reads.get()
+    assert(o.tableProperties(dir) == Map("a" -> "1"))
+    val afterMiss = reads.get()
+    assert(afterMiss == r0 + 1, "first lookup is the one allowed read")
+    (1 to 5).foreach(_ => assert(o.tableProperties(dir) == Map("a" -> "1")))
+    assert(reads.get() == afterMiss,
+      "repeat lookups over an unchanged table must be read-free")
+    // a write invalidates eagerly — even inside mtime resolution the
+    // next lookup serves the NEW map (with exactly one fresh read)
+    o.setTableProperty(dir, "b", "2")
+    val r1 = reads.get()
+    assert(o.tableProperties(dir) == Map("a" -> "1", "b" -> "2"))
+    assert(reads.get() == r1 + 1)
+    assert(o.tableProperties(dir) == Map("a" -> "1", "b" -> "2"))
+    assert(reads.get() == r1 + 1)
+    o.removeTableProperty(dir, "a")
+    assert(o.tableProperties(dir) == Map("b" -> "2"))
+    // a FOREIGN writer (another ops over the same backend — a different
+    // process in production) is caught by the (mtime, size) stamp alone
+    new VersionedTableOps(counting).setTableProperty(dir, "c", "3")
+    assert(o.tableProperties(dir) == Map("b" -> "2", "c" -> "3"),
+      "stamp mismatch must refresh a foreign write")
+  }
+
   test("io contract: createExclusive is first-wins, content is complete") {
     val dir = tmpDir("io-contract")
     assert(backend.createExclusive(s"$dir/m/one", Seq("a", "b")))

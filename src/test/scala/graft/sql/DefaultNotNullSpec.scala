@@ -512,4 +512,54 @@ class DefaultNotNullSpec extends SparkSpec {
     assert(GraftCatalog.lastTopNAdmit == ((2, 1)),
       s"expected a 1-file cover: ${GraftCatalog.lastTopNAdmit}")
   }
+
+  test("nested NOT NULL commit gate: a batch omitting the nullable " +
+      "PARENT column passes vacuously (every row reads a NULL parent); " +
+      "only a missing LEAF under a present parent chain refuses") {
+    register()
+    val dir = tmpDir("dn-absent-parent")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0, 'kind', 'a'))")
+    spark.sql(s"CALL graft.set_not_null('$dir', 'main.kind')")
+    // leaf absent under a PRESENT parent: refuse — rows with non-null
+    // main would read NULL kind
+    val e = intercept[Exception] {
+      ops.commit(spark.sql(
+        "SELECT 2L AS id, named_struct('temp', 2.0) AS main"), dir)
+    }
+    assert(e.getMessage.contains("carries no member"), e.getMessage)
+    // the whole nullable parent column absent: every landed row reads a
+    // NULL main, so main.kind is vacuously satisfied — the commit lands
+    // (the same batch WITH a carried NULL main is accepted, and the two
+    // must agree)
+    ops.commit(spark.sql("SELECT 3L AS id"), dir)
+    val served = spark.sql(
+      s"SELECT id, main FROM graft.`$dir` WHERE id = 3").collect()
+    assert(served.length == 1 && served(0).isNullAt(1),
+      "the omitted parent must read back as NULL")
+    assert(spark.table(s"graft.`$dir`").count() == 2)
+  }
+
+  test("set_not_null addresses a TOP-LEVEL column whose name contains " +
+      "a literal dot via backtick quoting") {
+    register()
+    val dir = tmpDir("dn-dotted-name")
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, `obs.raw` STRING)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'x'), (2, 'y')")
+    // unquoted 'obs.raw' parses as a nested path and must refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.set_not_null('$dir', 'obs.raw')")
+    }
+    assert(e.getMessage.toLowerCase.contains("obs"), e.getMessage)
+    // backtick-quoted, the dotted NAME is one segment: declares, then
+    // enforces
+    spark.sql(s"CALL graft.set_not_null('$dir', '`obs.raw`')")
+    assert(!spark.table(s"graft.`$dir`").schema("obs.raw").nullable)
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, NULL)")
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
 }

@@ -46,6 +46,29 @@ class MviewRewriteSpec extends SparkSpec {
   private def scansBase(df: DataFrame, src: String): Boolean =
     df.queryExecution.executedPlan.toString.contains(s"$src/data")
 
+  test("optimizer-IO canary: re-planning over an unchanged table does " +
+      "ZERO property-file reads (the rewrite rule runs per Aggregate per " +
+      "fixed-point iteration — behind an object store each uncached read " +
+      "is a GET per plan)") {
+    val (src, view) = fixture("mv-canary")
+    def planOnce(): Unit = spark.sql(
+      s"""SELECT etype, count(*) AS n, sum(v) AS s
+         |FROM graft.`$src` GROUP BY 1""".stripMargin)
+      .queryExecution.executedPlan
+    planOnce() // warm: the first plan may pay the one allowed miss
+    val before = ops.propsReads.get()
+    (1 to 4).foreach(_ => planOnce())
+    val delta = ops.propsReads.get() - before
+    assert(delta == 0,
+      s"optimizer re-read table properties $delta times over an " +
+        "unchanged table; the (mtime, size) memo must absorb repeat plans")
+    // view still answers the query after the memoized plans — the memo
+    // must not have pinned a stale attachment
+    val df = spark.sql(s"SELECT etype, count(*) AS n FROM graft.`$src` " +
+      "GROUP BY 1")
+    assert(scansView(df, view, src))
+  }
+
   test("exact-group, subset-rollup and global aggregates rewrite to the view") {
     val (src, view) = fixture("mv-basic")
     val exact = spark.sql(
