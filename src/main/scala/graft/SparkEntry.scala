@@ -48,13 +48,30 @@ object SparkEntry {
       Incremental.oracles ++ Profiling.oracles ++ Cdc.oracles ++
       TableDiff.oracles ++ Funnel.oracles ++
       TextAnalysis.oracles ++ TextNormalize.oracles ++
-      DedupOps.oracles ++ DedupCluster.oracles ++ LineDedup.oracles ++
+      DedupOps.oracles ++ DedupCluster.oracles ++ DedupIndex.oracles ++
+      SemDedup.oracles ++ LineDedup.oracles ++
       SubstrDedup.oracles ++ LangModel.oracles ++ Splits.oracles ++
       Ranking.oracles ++
       Curation.oracles ++
       Mixing.oracles ++ Similarity.oracles ++ Quantize.oracles ++
+      SimilarityIvf.oracles ++ SimilarityPq.oracles ++
+      SimilarityIvfPq.oracles ++
       Multimodal.oracles ++ Bucketing.oracles ++ SchemaEvolution.oracles ++
       VersionedTable.oracles ++ IncrementalView.oracles ++ TableStream.oracles ++
       GraftCatalog.oracles ++ Mview.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
+
+  /** Parquet side-inputs for GENERATED oracles: query name → writer that
+    * lands model-state tables (MinHash signatures, SimHash values, PQ
+    * codebooks, IVF centroids + coded lists) under
+    * `<outDir>/_side/<name>/`. The matching [[oracleSql]] entry replays
+    * the serving arithmetic from them via `read_parquet`, with the
+    * `{OUT_DIR}` placeholder substituted by [[Verify]] at dump time —
+    * the pattern that converts deterministic-but-not-SQL-expressible
+    * internals (hash families, trained quantizers) from rows-only checks
+    * into full hash-matched oracles. */
+  def sideInputs: Map[String, (SparkSession, String, String) => Unit] =
+    DedupOps.sides ++ DedupIndex.sides ++ SemDedup.sides ++
+      Similarity.sides ++ SimilarityIvf.sides ++
+      SimilarityPq.sides ++ SimilarityIvfPq.sides
 }

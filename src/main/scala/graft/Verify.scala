@@ -27,6 +27,20 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Side-inputs for generated oracles: landed model-state tables the
+    // oracle SQL reads back via read_parquet('{OUT_DIR}/_side/…') — the
+    // placeholder resolves to the ABSOLUTE out dir below, so the SQL
+    // works from any working directory the driver runs DuckDB in.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    SparkEntry.sideInputs
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir, s"$outAbs/_side/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] side-input $name failed: " +
+            e.getMessage)
+        }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,7 +54,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{OUT_DIR}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

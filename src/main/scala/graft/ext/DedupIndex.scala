@@ -150,10 +150,15 @@ object DedupIndex {
 
   /** q_dedup_incr — the daily-crawl loop end to end: land an index over
     * the even-id half of `documents`, serve the odd-id half against it,
-    * report per-source survivor accounting. Rows-only oracle (the seeded
-    * xxhash64 MinHash family isn't portable SQL); the landed-vs-recompute
-    * equivalence and never-shuffle-the-landed-side plan are pinned in
-    * DedupIndexSpec. */
+    * report per-source survivor accounting. Hash-matched against a
+    * generated DuckDB oracle that reads the signature table as a parquet
+    * side-input ([[sides]] — the seeded xxhash64 MinHash family is the
+    * one part DuckDB cannot replay) and REPLAYS the halves split, banding
+    * (by slice equality — see the q_dedup_minhash superset note),
+    * candidate pairing, the signature-agreement Jaccard estimate, the
+    * ≥ 0.5 condemnation and the per-source rollup; the
+    * landed-vs-recompute equivalence and never-shuffle-the-landed-side
+    * plan stay pinned in DedupIndexSpec. */
   def qIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val landed = docs.filter(col("doc_id") % 2 === 0)
@@ -176,4 +181,44 @@ object DedupIndex {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_incr" -> (qIncremental _))
+
+  /** Oracle side-input: MinHash signatures over ALL documents (per-doc
+    * computation, so signing the whole table equals signing each half) —
+    * the oracle splits even/odd itself. */
+  val sides: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "q_dedup_incr" -> ((spark: SparkSession, sfDir: String, dir: String) =>
+      DedupOps.minhashSignatures(Tables.documents(spark, sfDir), k = 3,
+        numHashes = 64).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/sigs")))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_incr" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig
+        |  FROM read_parquet('{OUT_DIR}/_side/q_dedup_incr/sigs/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS slice
+        |  FROM sigs, (SELECT unnest(range(0, 16)) AS band) b),
+        |cands AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM (SELECT * FROM banded WHERE doc_id % 2 = 1) n
+        |  JOIN (SELECT * FROM banded WHERE doc_id % 2 = 0) o
+        |    ON o.band = n.band AND o.slice = n.slice),
+        |condemned AS (
+        |  SELECT DISTINCT c.new_id AS doc_id
+        |  FROM cands c
+        |  JOIN sigs n ON n.doc_id = c.new_id
+        |  JOIN sigs o ON o.doc_id = c.old_id
+        |  WHERE ROUND(CAST(len(list_filter(list_zip(n.sig, o.sig),
+        |      p -> p[1] = p[2])) AS DOUBLE) / 64, 6) >= 0.5),
+        |fresh AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1),
+        |kept AS (
+        |  SELECT source, COUNT(*) AS n_kept FROM fresh
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM condemned)
+        |  GROUP BY source)
+        |SELECT f.source, COUNT(*) AS n_new,
+        |  COALESCE(MAX(k.n_kept), 0) AS n_kept
+        |FROM fresh f LEFT JOIN kept k ON k.source = f.source
+        |GROUP BY f.source
+        |ORDER BY f.source""".stripMargin)
 }

@@ -218,7 +218,13 @@ object DedupOps {
   /** q_dedup_minhash — MinHash-LSH candidates verified with exact Jaccard
     * (verification touches only candidate pairs — the whole point of LSH;
     * an all-pairs verify would re-pay the O(shared-shingle pairs) join the
-    * banding just avoided). */
+    * banding just avoided). Hash-matched against a generated DuckDB
+    * oracle that reads the signature and hashed-shingle tables as parquet
+    * side-inputs ([[sides]] — the xxhash64 family itself is the one part
+    * DuckDB cannot replay) and REPLAYS banding, candidate pairing, exact
+    * Jaccard and the top-20 cut. The oracle bands by slice EQUALITY where
+    * Spark bands by murmur3(slice): hash-collision candidates are a
+    * superset with near-zero Jaccard, so the verified top-20 agrees. */
   def qMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = cachedIndex(Tables.documents(spark, sfDir), k = 3, maxDf = None)
     val cands = minhashCandidates(signaturesFromIndex(sh))
@@ -263,7 +269,13 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** q_dedup_simhash — closest pairs by SimHash hamming distance. */
+  /** q_dedup_simhash — closest pairs by SimHash hamming distance.
+    * Hash-matched against a generated DuckDB oracle that reads the
+    * per-doc simhash table as a parquet side-input ([[sides]] — the
+    * xxhash64 majority vote is the one part DuckDB cannot replay) and
+    * REPLAYS block extraction (`(h >> 16b) & 0xffff` — the mask makes
+    * arithmetic and logical shift agree), block-collision pairing,
+    * bit_count hamming and the top-20 cut. */
   def qSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(simhash(Tables.documents(spark, sfDir)), maxHamming = 16)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
@@ -273,7 +285,10 @@ object DedupOps {
 
   /** q_dedup_embedding — near-duplicate vectors by cosine ≥ threshold, via
     * random-hyperplane LSH candidates + native cosine_sim verification.
-    * See [[Similarity.hyperplaneBuckets]] for the bucketing. */
+    * See [[Similarity.hyperplaneBuckets]] for the bucketing. Hash-matched
+    * against a generated DuckDB oracle that reads the seeded 8-plane
+    * matrix as a parquet side-input ([[sides]]) and REPLAYS sign-bit
+    * bucketing, same-bucket pairing and the cosine top-20. */
   def qEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val bucketed = Similarity.hyperplaneBuckets(emb, nPlanes = 8, seed = 7L)
@@ -364,7 +379,96 @@ object DedupOps {
     "q_dedup_simhash" -> (qSimhash _),
     "q_dedup_embedding" -> (qEmbedding _))
 
+  /** Oracle side-inputs — the xxhash64-derived model tables the DuckDB
+    * replays read via `{OUT_DIR}` (resolved by Verify at dump time).
+    * Both are exact-integer aggregations, so a re-run lands the
+    * identical table the query run computed. */
+  val sides: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "q_dedup_minhash" ->
+      ((spark: SparkSession, sfDir: String, dir: String) => {
+        val sh = hashedShingleIndex(Tables.documents(spark, sfDir), k = 3)
+        sh.write.mode("overwrite").parquet(s"$dir/shingles")
+        signaturesFromIndex(sh).write.mode("overwrite")
+          .parquet(s"$dir/sigs")
+      }),
+    "q_dedup_simhash" ->
+      ((spark: SparkSession, sfDir: String, dir: String) =>
+        simhash(Tables.documents(spark, sfDir))
+          .write.mode("overwrite").parquet(s"$dir/sims")),
+    "q_dedup_embedding" ->
+      ((spark: SparkSession, sfDir: String, dir: String) =>
+        Similarity.planesTable(spark, nTables = 1, bitsPerTable = 8,
+          dim = 64, seed = 7L).coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/planes")))
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig
+        |  FROM read_parquet('{OUT_DIR}/_side/q_dedup_minhash/sigs/*.parquet')),
+        |sh AS (
+        |  SELECT doc_id, shingle
+        |  FROM read_parquet('{OUT_DIR}/_side/q_dedup_minhash/shingles/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS slice
+        |  FROM sigs, (SELECT unnest(range(0, 16)) AS band) b),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.slice = b.slice
+        |  WHERE a.doc_id < b.doc_id),
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        |  FROM cands c
+        |  JOIN sh x ON x.doc_id = c.id_a
+        |  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT c.id_a, c.id_b,
+        |  ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) /
+        |    (na.n_sh + nb.n_sh - COALESCE(cm.n_common, 0)), 6) AS jaccard
+        |FROM cands c
+        |JOIN counts na ON na.doc_id = c.id_a
+        |JOIN counts nb ON nb.doc_id = c.id_b
+        |LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+        |ORDER BY jaccard DESC, c.id_a, c.id_b LIMIT 20""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH sims AS (
+        |  SELECT doc_id, simhash
+        |  FROM read_parquet('{OUT_DIR}/_side/q_dedup_simhash/sims/*.parquet')),
+        |blocked AS (
+        |  SELECT doc_id, simhash,
+        |    b.block, (simhash >> (b.block * 16)) & 65535 AS blockval
+        |  FROM sims, (SELECT unnest(range(0, 4)) AS block) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM blocked a JOIN blocked b
+        |    ON a.block = b.block AND a.blockval = b.blockval
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16
+        |ORDER BY hamming, id_a, id_b LIMIT 20""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH planes AS (
+        |  SELECT bit, CAST(vec AS DOUBLE[]) AS pvec
+        |  FROM read_parquet('{OUT_DIR}/_side/q_dedup_embedding/planes/*.parquet')),
+        |base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |buckets AS (
+        |  SELECT b.vec_id, b.emb,
+        |    SUM(CASE WHEN list_inner_product(b.emb, p.pvec) > 0
+        |      THEN 1 << p.bit ELSE 0 END) AS bucket
+        |  FROM base b CROSS JOIN planes p
+        |  GROUP BY b.vec_id, b.emb),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ROUND(list_inner_product(a.emb, b.emb) /
+        |      sqrt(list_inner_product(a.emb, a.emb) *
+        |        list_inner_product(b.emb, b.emb)), 6) AS cosine
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t

@@ -85,13 +85,16 @@ object SemDedup {
   }
 
   /** q_dedup_semantic — per-cluster survivor accounting over the
-    * embeddings table (rows-only oracle: k-means + the native cosine
-    * kernel aren't portable SQL — the keeper invariants are pinned in
-    * SemDedupSpec, the same contract as the MinHash/SimHash/LSH rows-only
-    * family). τ = 0.3 is corpus-calibrated: the synthetic embeddings are
-    * isotropic-ish (max within-label cosine ≈ 0.5), so the real-corpus
-    * default of 0.7 would be a no-op here; 0.3 exercises the removal
-    * path at every scale factor. */
+    * embeddings table. Hash-matched against a generated DuckDB oracle
+    * that reads the trained centroids as a parquet side-input ([[sides]])
+    * and REPLAYS cluster assignment (max cosine, ties to the larger id),
+    * the within-cluster condemnation rule (∃ smaller id with cosine > τ,
+    * computed by the same dot/√(na·nb) double arithmetic as the kernel)
+    * and the per-list rollup; the keeper invariants stay pinned in
+    * SemDedupSpec. τ = 0.3 is corpus-calibrated: the synthetic embeddings
+    * are isotropic-ish (max within-label cosine ≈ 0.5), so the
+    * real-corpus default of 0.7 would be a no-op here; 0.3 exercises the
+    * removal path at every scale factor. */
   def qSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = SimilarityIvf.train(emb, nList = 8, nIters = 2)
@@ -116,4 +119,47 @@ object SemDedup {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_semantic" -> (qSemantic _))
+
+  /** Oracle side-input: the trained nList=8 centroids (same [[SimilarityIvf
+    * .train]] call as [[qSemantic]]'s; [[SimilarityPq.snap]] makes the
+    * runs identical). */
+  val sides: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "q_dedup_semantic" ->
+      ((spark: SparkSession, sfDir: String, dir: String) =>
+        SimilarityIvf.train(Tables.embeddings(spark, sfDir), nList = 8,
+          nIters = 2).coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/centroids")))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_semantic" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS cvec
+        |  FROM read_parquet('{OUT_DIR}/_side/q_dedup_semantic/centroids/*.parquet')),
+        |assigned AS (
+        |  SELECT vec_id, emb, centroid_id AS list_id FROM (
+        |    SELECT b.vec_id, b.emb, c.centroid_id, ROW_NUMBER() OVER (
+        |      PARTITION BY b.vec_id
+        |      ORDER BY list_inner_product(b.emb, c.cvec) /
+        |          sqrt(list_inner_product(b.emb, b.emb) *
+        |            list_inner_product(c.cvec, c.cvec)) DESC,
+        |        c.centroid_id DESC) AS rn
+        |    FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.emb, b.emb) /
+        |      sqrt(list_inner_product(a.emb, a.emb) *
+        |        list_inner_product(b.emb, b.emb)) > 0.3),
+        |kept AS (
+        |  SELECT list_id, COUNT(*) AS n_kept FROM assigned
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+        |  GROUP BY list_id)
+        |SELECT a.list_id, COUNT(*) AS n_vecs,
+        |  COALESCE(MAX(k.n_kept), 0) AS n_kept
+        |FROM assigned a LEFT JOIN kept k ON k.list_id = a.list_id
+        |GROUP BY a.list_id
+        |ORDER BY a.list_id""".stripMargin)
 }

@@ -45,6 +45,22 @@ object Similarity {
                         seed: Long = 7L): DataFrame =
     emb.withColumn("bucket", bucketExpr(col("embedding"), nPlanes, dim, seed))
 
+  /** The seeded plane matrix as a (tbl, bit, vec) frame — the oracle
+    * side-input that lets DuckDB replay sign-bit bucketing (the gaussian
+    * draw itself is the one part SQL cannot reproduce; the dots over the
+    * landed planes are bit-identical, float×float products being exact in
+    * double with both engines summing left-to-right). */
+  private[ext] def planesTable(spark: SparkSession, nTables: Int,
+                               bitsPerTable: Int, dim: Int,
+                               seed: Long): DataFrame = {
+    import spark.implicits._
+    val ps = flatPlanes(nTables * bitsPerTable, dim, seed)
+    (for (t <- 0 until nTables; j <- 0 until bitsPerTable) yield {
+      val base = (t * bitsPerTable + j) * dim
+      (t, j, (base until base + dim).map(ps(_)))
+    }).toDF("tbl", "bit", "vec")
+  }
+
   /** Brute-force top-k: broadcast the query set, nested-loop cosine against
     * the whole corpus, per-query window rank. Self-matches excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
@@ -117,8 +133,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** q_sim_ann — LSH-bucketed approximate top-5 (rows-only oracle; recall
-    * vs brute force is asserted in SimilaritySpec). */
+  /** q_sim_ann — LSH-bucketed approximate top-5. Hash-matched against a
+    * generated DuckDB oracle that reads the seeded plane matrix as a
+    * parquet side-input ([[sides]] — the gaussian draw is the one part
+    * SQL cannot reproduce) and REPLAYS sign-bit bucketing, per-table
+    * collision candidates and the exact cosine top-5; recall vs brute
+    * force stays asserted in SimilaritySpec. */
   def qAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     annTopK(queriesSet(emb), emb, k = 5)
@@ -144,21 +164,64 @@ object Similarity {
     "q_sim_ann" -> (qAnn _),
     "q_embed_stats" -> (qEmbedStats _))
 
+  /** Oracle side-input for q_sim_ann: the 16-table × 4-bit plane matrix
+    * (the [[annTopK]] defaults). The generated oracle replays bucketing,
+    * multi-table candidate union and the exact top-5. */
+  val sides: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "q_sim_ann" -> ((spark: SparkSession, sfDir: String, dir: String) =>
+      planesTable(spark, nTables = 16, bitsPerTable = 4, dim = 64,
+        seed = 7L).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/planes")))
+
   val oracles: Map[String, String] = Map(
+    "q_sim_ann" ->
+      """WITH planes AS (
+        |  SELECT tbl, bit, CAST(vec AS DOUBLE[]) AS pvec
+        |  FROM read_parquet('{OUT_DIR}/_side/q_sim_ann/planes/*.parquet')),
+        |base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |buckets AS (
+        |  SELECT b.vec_id, p.tbl,
+        |    SUM(CASE WHEN list_inner_product(b.emb, p.pvec) > 0
+        |      THEN 1 << p.bit ELSE 0 END) AS bucket
+        |  FROM base b CROSS JOIN planes p
+        |  GROUP BY b.vec_id, p.tbl),
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+        |  FROM (SELECT * FROM buckets WHERE vec_id < 10) q
+        |  JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+        |  WHERE c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    list_inner_product(q.emb, e.emb) /
+        |      sqrt(list_inner_product(q.emb, q.emb) *
+        |        list_inner_product(e.emb, e.emb)) AS cs
+        |  FROM cands cd
+        |  JOIN base e ON e.vec_id = cd.vec_id
+        |  JOIN base q ON q.vec_id = cd.query_id)
+        |SELECT query_id, rank, vec_id, score FROM (
+        |  SELECT query_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank,
+        |    vec_id, ROUND(cs, 6) AS score
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_sim_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.query_id, e.vec_id,
-        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
-        |                           CAST(e.embedding AS DOUBLE[])) AS score,
-        |    ROW_NUMBER() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
-        |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |    list_inner_product(q.q_emb, CAST(e.embedding AS DOUBLE[])) /
+        |      sqrt(list_inner_product(q.q_emb, q.q_emb) *
+        |        list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[]))) AS score
         |  FROM embeddings e CROSS JOIN q
         |  WHERE e.vec_id <> q.query_id)
-        |SELECT query_id, rank, vec_id, ROUND(score, 6) AS score
-        |FROM scored WHERE rank <= 5
+        |SELECT query_id, rank, vec_id, score FROM (
+        |  SELECT query_id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rank,
+        |    vec_id, ROUND(score, 6) AS score
+        |  FROM scored) WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "q_embed_stats" ->
       """SELECT label, COUNT(*) AS n_vecs,

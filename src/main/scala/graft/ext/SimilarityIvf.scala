@@ -70,8 +70,13 @@ object SimilarityIvf {
     val spark = corpus.sparkSession
     val n = corpus.count()
     val stride = math.max(1L, n / nList)
+    // orderBy before limit: when n is not an exact multiple of nList the
+    // systematic sample has nList+1 candidates, and an unordered limit
+    // would pick an arbitrary subset — training must be a pure function
+    // of the data (two runs feed the oracle side-input contract)
     var cents = collectCentroids(corpus
-      .filter(col("vec_id") % stride === 0).limit(nList)
+      .filter(col("vec_id") % stride === 0).orderBy(col("vec_id"))
+      .limit(nList)
       .select((col("vec_id") / stride).cast("int").as("centroid_id"),
         col("embedding").as("centroid")))
     (1 to nIters).foreach { _ =>
@@ -81,6 +86,10 @@ object SimilarityIvf {
         .groupBy(col("list_id"))
         .agg(vector_mean(col("embedding")).as("centroid"))
         .select(col("list_id").as("centroid_id"), col("centroid")))
+        // snap each Lloyd mean to the 2⁻¹⁰ grid — run-to-run
+        // reproducibility for the side-input oracle, see
+        // [[SimilarityPq.snap]]
+        .map { case (id, v) => id -> v.map(SimilarityPq.snap) }
     }
     centroidDf(spark, cents)
   }
@@ -183,8 +192,14 @@ object SimilarityIvf {
     scoreProbed(lists.filter(col("list_id").isin(probed: _*)), probes, k)
   }
 
-  /** q_sim_ivf — end-to-end IVF search (rows-only oracle; recall + pruning
-    * asserted in SimilarityIvfSpec). */
+  /** q_sim_ivf — end-to-end IVF search. Hash-matched against a generated
+    * DuckDB oracle that reads the trained centroids as a parquet
+    * side-input ([[sides]]) and REPLAYS list assignment (max cosine, ties
+    * to the LARGER id — the [[centroid_argmax]] rule), nProbe probe
+    * selection (ties to the smaller id — the [[centroid_topn]] rule),
+    * exact scoring of the probed lists and the top-5 cut. Training stays
+    * Spark-side, reproducible via [[SimilarityPq.snap]]; recall + pruning
+    * stay asserted in SimilarityIvfSpec. */
   def qIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = train(emb, nList = 16, nIters = 2)
@@ -197,4 +212,54 @@ object SimilarityIvf {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ivf" -> (qIvf _))
+
+  /** Oracle side-input: the trained centroids (same [[train]] call as
+    * [[qIvf]]'s; [[SimilarityPq.snap]] makes the runs identical). */
+  val sides: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "q_sim_ivf" -> ((spark: SparkSession, sfDir: String, dir: String) =>
+      train(Tables.embeddings(spark, sfDir), nList = 16, nIters = 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")))
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_ivf" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS cvec
+        |  FROM read_parquet('{OUT_DIR}/_side/q_sim_ivf/centroids/*.parquet')),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id AS list_id FROM (
+        |    SELECT b.vec_id, c.centroid_id, ROW_NUMBER() OVER (
+        |      PARTITION BY b.vec_id
+        |      ORDER BY list_inner_product(b.emb, c.cvec) /
+        |          sqrt(list_inner_product(b.emb, b.emb) *
+        |            list_inner_product(c.cvec, c.cvec)) DESC,
+        |        c.centroid_id DESC) AS rn
+        |    FROM base b CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, centroid_id AS list_id FROM (
+        |    SELECT q.vec_id AS query_id, c.centroid_id, ROW_NUMBER() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.emb, c.cvec) /
+        |          sqrt(list_inner_product(q.emb, q.emb) *
+        |            list_inner_product(c.cvec, c.cvec)) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM (SELECT * FROM base WHERE vec_id < 10) q
+        |    CROSS JOIN cents c) WHERE rn <= 6),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    list_inner_product(q.emb, e.emb) /
+        |      sqrt(list_inner_product(q.emb, q.emb) *
+        |        list_inner_product(e.emb, e.emb)) AS cs
+        |  FROM probes p
+        |  JOIN assigned a ON a.list_id = p.list_id
+        |  JOIN base e ON e.vec_id = a.vec_id
+        |  JOIN base q ON q.vec_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, rank, vec_id, score FROM (
+        |  SELECT query_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank,
+        |    vec_id, ROUND(cs, 6) AS score
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
 }

@@ -134,8 +134,16 @@ object SimilarityIvfPq {
 
   /** q_sim_ivfpq — the full landed IVF-PQ loop on the embeddings table:
     * build the artifact (coarse nList=16, residual PQ m=8 ksub=16), serve
-    * top-5 probing 6 lists with 20-candidate exact re-rank. Rows-only
-    * oracle (k-means family); recall and the artifact layout are pinned in
+    * top-5 probing 6 lists with 20-candidate exact re-rank. Hash-matched
+    * against a generated DuckDB oracle that reads the landed artifact
+    * (centroids + residual codebook + coded lists — [[sides]]) and
+    * REPLAYS the whole serve path: nProbe probe selection (cosine desc,
+    * ties to the smaller centroid id), the per-(query, list) dot(q, c)
+    * term, the per-query LUT with its double→float rounding, ADC scoring
+    * over exactly the probed lists' rows, the top-rerankK cut and the
+    * exact cosine re-rank. Training stays Spark-side, reproducible via
+    * [[SimilarityPq.snap]], so the side-input equals the query run's own
+    * in-query artifact; recall and the artifact layout stay pinned in
     * SimilarityIvfPqSpec. */
   def qIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -151,4 +159,88 @@ object SimilarityIvfPq {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ivfpq" -> (qIvfPq _))
+
+  /** Oracle side-inputs: the landed IVF-PQ artifact (centroids, residual
+    * codebook, coded lists — the lists FLAT rather than
+    * partitionBy(list_id) so one read_parquet glob reaches them). Same
+    * training calls as [[qIvfPq]]'s in-query build; [[SimilarityPq.snap]]
+    * makes the two runs produce identical artifacts. */
+  val sides: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "q_sim_ivfpq" -> ((spark: SparkSession, sfDir: String, dir: String) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      val centroids = SimilarityIvf.train(emb, nList = 16, nIters = 2)
+      val resid = withResiduals(SimilarityIvf.index(emb, centroids),
+        centroids)
+      val cb = SimilarityPq.train(resid, 8, 16, nIters = 2,
+        embCol = "resid")
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      writeCodebook(spark, cb, 8, 16, s"$dir/codebook")
+      SimilarityPq.encode(resid, cb, 8, 16, embCol = "resid")
+        .select(col("vec_id"), col("list_id"), col("codes"))
+        .write.mode("overwrite").parquet(s"$dir/lists")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_ivfpq" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (
+        |  SELECT centroid_id, CAST(centroid AS DOUBLE[]) AS cvec
+        |  FROM read_parquet('{OUT_DIR}/_side/q_sim_ivfpq/centroids/*.parquet')),
+        |cb AS (
+        |  SELECT j, code, CAST(vec AS DOUBLE[]) AS vec
+        |  FROM read_parquet('{OUT_DIR}/_side/q_sim_ivfpq/codebook/*.parquet')),
+        |lists AS (
+        |  SELECT vec_id, list_id, codes
+        |  FROM read_parquet('{OUT_DIR}/_side/q_sim_ivfpq/lists/*.parquet')),
+        |queries AS (SELECT vec_id AS query_id, emb FROM base WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, centroid_id AS list_id, emb FROM (
+        |    SELECT q.query_id, c.centroid_id, q.emb, ROW_NUMBER() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(q.emb, c.cvec) /
+        |          sqrt(list_inner_product(q.emb, q.emb) *
+        |            list_inner_product(c.cvec, c.cvec)) DESC,
+        |        c.centroid_id) AS rn
+        |    FROM queries q CROSS JOIN cents c) WHERE rn <= 6),
+        |cdot AS (
+        |  SELECT p.query_id, p.list_id,
+        |    list_inner_product(p.emb, c.cvec) AS c_dot
+        |  FROM probes p JOIN cents c ON c.centroid_id = p.list_id),
+        |lut AS (
+        |  SELECT q.query_id, cb.j, cb.code,
+        |    CAST(CAST(list_inner_product(q.emb[cb.j*8+1 : cb.j*8+8], cb.vec)
+        |      AS REAL) AS DOUBLE) AS lv
+        |  FROM queries q CROSS JOIN cb),
+        |adc AS (
+        |  SELECT p.query_id, l.list_id, l.vec_id, SUM(lu.lv) AS adc_s
+        |  FROM probes p
+        |  JOIN lists l ON l.list_id = p.list_id
+        |  JOIN (SELECT unnest(range(0, 8)) AS j) js ON true
+        |  JOIN lut lu ON lu.query_id = p.query_id AND lu.j = js.j
+        |    AND lu.code = l.codes[js.j + 1]
+        |  WHERE l.vec_id <> p.query_id
+        |  GROUP BY p.query_id, l.list_id, l.vec_id),
+        |top20 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT a.query_id, a.vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY a.query_id
+        |      ORDER BY cd.c_dot + a.adc_s DESC, a.vec_id) AS rn
+        |    FROM adc a JOIN cdot cd
+        |      ON cd.query_id = a.query_id AND cd.list_id = a.list_id)
+        |  WHERE rn <= 20),
+        |rerank AS (
+        |  SELECT t.query_id, e.vec_id,
+        |    list_inner_product(q.emb, e.emb) /
+        |      sqrt(list_inner_product(q.emb, q.emb) *
+        |        list_inner_product(e.emb, e.emb)) AS cs
+        |  FROM top20 t JOIN base e ON e.vec_id = t.vec_id
+        |  JOIN base q ON q.vec_id = t.query_id)
+        |SELECT query_id, rank, vec_id, score FROM (
+        |  SELECT query_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank,
+        |    vec_id, ROUND(cs, 6) AS score
+        |  FROM rerank) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
 }

@@ -33,6 +33,20 @@ import graft.sources.Tables
   */
 object SimilarityPq {
 
+  /** Snap a trained centroid coordinate to the 2⁻¹⁰ dyadic grid. Lloyd
+    * means are double sums whose partition order varies run to run, so
+    * two trainings of the same corpus differ in the last ulp — enough to
+    * flip an argmax assignment that sits exactly on a boundary. Snapping
+    * makes training a pure function of the data (the ~1e-14 sum noise
+    * would have to straddle a 2⁻¹⁰ cell edge to survive — odds ~1e-11),
+    * which is what lets a landed codebook serve as a DuckDB-oracle
+    * side-input for the SAME query run's retraining. The grid is far
+    * finer than Lloyd's convergence tolerance, so recall is unaffected
+    * (spec-pinned floors unchanged); grid values k/1024 are exact in
+    * float AND double, so both engines read identical coordinates. */
+  private[ext] def snap(x: Float): Float =
+    (math.rint(x.toDouble * 1024.0) / 1024.0).toFloat
+
   /** Train per-subspace codebooks; returns the flattened
     * [subspace][code][dim] matrix (m·ksub·dsub floats, driver-resident).
     * Init = subvectors of a deterministic strided sample. `embCol` names
@@ -77,7 +91,9 @@ object SimilarityPq {
         val j = r.getInt(0); val code = r.getInt(1)
         val v = r.getSeq[Float](2)
         var d = 0
-        while (d < dsub) { cb((j * ksub + code) * dsub + d) = v(d); d += 1 }
+        while (d < dsub) {
+          cb((j * ksub + code) * dsub + d) = snap(v(d)); d += 1
+        }
       }
     }
     cb
@@ -147,16 +163,24 @@ object SimilarityPq {
     * forever" artifact treatment as [[SimilarityIvf.writeIndex]]. */
   def writeIndex(coded: DataFrame, codebooks: Array[Float], m: Int,
                  ksub: Int, dir: String): Unit = {
-    val spark = coded.sparkSession
-    import spark.implicits._
-    val dsub = codebooks.length / (m * ksub)
     coded.select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+    writeCodebookTable(coded.sparkSession, codebooks, m, ksub,
+      s"$dir/codebook")
+  }
+
+  /** The codebook as one tiny (j, code, vec) parquet — the landed half of
+    * [[writeIndex]], also the oracle side-input [[sides]] lands. */
+  private[ext] def writeCodebookTable(spark: SparkSession,
+                                      codebooks: Array[Float], m: Int,
+                                      ksub: Int, path: String): Unit = {
+    import spark.implicits._
+    val dsub = codebooks.length / (m * ksub)
     (for (j <- 0 until m; c <- 0 until ksub) yield {
       val base = (j * ksub + c) * dsub
       (j, c, (base until base + dsub).map(codebooks(_)))
     }).toDF("j", "code", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** (coded table, flattened codebook, (m, ksub)) read back from
@@ -181,8 +205,18 @@ object SimilarityPq {
 
   /** q_sim_pq — end-to-end PQ search over the embeddings table: train,
     * encode, ADC top-20 over codes only, exact re-rank to top-5.
-    * Rows-only oracle (k-means family); recall, compression, and the
-    * landed-artifact round-trip are pinned in SimilarityPqSpec. */
+    * Hash-matched against a generated DuckDB oracle that reads the
+    * trained codebook as a parquet side-input ([[sides]]) and REPLAYS
+    * everything downstream of training: per-subspace encode (the same
+    * argmax(dot − ½‖c‖²) with ties to the smaller code — the dot
+    * products are bit-identical because snapped-codebook × float32
+    * products are exact in double and both engines sum left-to-right),
+    * the per-query LUT with its double→float rounding, the m-lookup ADC
+    * top-20, and the exact cosine re-rank. Training itself stays
+    * Spark-side (Lloyd's over [[graft.functions.VectorAggregates]]) —
+    * the [[snap]] grid makes it reproducible, so the side-input equals
+    * the query run's own codebook; recall, compression and the landed
+    * round-trip stay pinned in SimilarityPqSpec. */
   def qPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val (m, ksub) = (8, 16)
@@ -197,4 +231,62 @@ object SimilarityPq {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pq" -> (qPq _))
+
+  /** Oracle side-input: the trained codebook, landed for the generated
+    * DuckDB replay (the `{OUT_DIR}` placeholder in [[oracles]] resolves
+    * to the verify out dir at dump time). */
+  val sides: Map[String, (SparkSession, String, String) => Unit] = Map(
+    "q_sim_pq" -> ((spark: SparkSession, sfDir: String, dir: String) => {
+      val emb = Tables.embeddings(spark, sfDir)
+      writeCodebookTable(spark, train(emb, 8, 16, nIters = 2), 8, 16,
+        s"$dir/codebook")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_pq" ->
+      """WITH cb AS (
+        |  SELECT j, code, CAST(vec AS DOUBLE[]) AS vec,
+        |    0.5 * list_inner_product(CAST(vec AS DOUBLE[]),
+        |      CAST(vec AS DOUBLE[])) AS halfnorm
+        |  FROM read_parquet('{OUT_DIR}/_side/q_sim_pq/codebook/*.parquet')),
+        |base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT b.vec_id, cb.j, cb.code,
+        |    list_inner_product(b.emb[cb.j*8+1 : cb.j*8+8], cb.vec)
+        |      - cb.halfnorm AS s
+        |  FROM base b CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, j ORDER BY s DESC, code) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |lut AS (
+        |  SELECT b.vec_id AS query_id, cb.j, cb.code,
+        |    CAST(CAST(list_inner_product(b.emb[cb.j*8+1 : cb.j*8+8], cb.vec)
+        |      AS REAL) AS DOUBLE) AS lv
+        |  FROM base b CROSS JOIN cb WHERE b.vec_id < 10),
+        |adc AS (
+        |  SELECT l.query_id, c.vec_id, SUM(l.lv) AS score
+        |  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY l.query_id, c.vec_id),
+        |top20 AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+        |    FROM adc) WHERE rn <= 20),
+        |rerank AS (
+        |  SELECT t.query_id, e.vec_id,
+        |    list_inner_product(q.emb, e.emb) /
+        |      sqrt(list_inner_product(q.emb, q.emb) *
+        |        list_inner_product(e.emb, e.emb)) AS cs
+        |  FROM top20 t JOIN base e ON e.vec_id = t.vec_id
+        |  JOIN base q ON q.vec_id = t.query_id)
+        |SELECT query_id, rank, vec_id, score FROM (
+        |  SELECT query_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank,
+        |    vec_id, ROUND(cs, 6) AS score
+        |  FROM rerank) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin)
 }

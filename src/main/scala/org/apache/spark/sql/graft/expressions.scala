@@ -40,7 +40,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i); val y = b.getFloat(i)
+      // double locals: a float×float product would round to float before
+      // widening, losing ~1e-8 relative — enough to flip a 6-decimal
+      // rounding boundary against an oracle replaying in double
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
@@ -58,7 +61,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    float x = $a.getFloat($i); float y = $b.getFloat($i);
+         |    double x = $a.getFloat($i); double y = $b.getFloat($i);
          |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
          |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -89,7 +92,9 @@ case class DotProduct(left: Expression, right: Expression)
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += a.getFloat(i) * b.getFloat(i); i += 1 }
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i); i += 1
+    }
     dot
   }
 
@@ -104,7 +109,7 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $a.getFloat($i) * $b.getFloat($i);
+         |    $dot += ((double) $a.getFloat($i)) * $b.getFloat($i);
          |  }
          |  ${ev.value} = $dot;
          |}
@@ -253,7 +258,9 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Float],
       while (j < bitsPerTable) {
         val base = (t * bitsPerTable + j) * dim
         var dot = 0.0; var i = 0
-        while (i < dim) { dot += planes(base + i) * a.getFloat(i); i += 1 }
+        while (i < dim) {
+          dot += planes(base + i).toDouble * a.getFloat(i); i += 1
+        }
         if (dot > 0.0) bucket |= (1L << j)
         j += 1
       }
@@ -282,7 +289,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Float],
          |    int $base = ($t * $bitsPerTable + $j) * $dim;
          |    double $dot = 0.0;
          |    for (int $i = 0; $i < $dim; $i++) {
-         |      $dot += $ps[$base + $i] * $a.getFloat($i);
+         |      $dot += ((double) $ps[$base + $i]) * $a.getFloat($i);
          |    }
          |    if ($dot > 0.0) $bucket |= (1L << $j);
          |  }
@@ -333,12 +340,14 @@ case class CentroidArgmax(child: Expression, centroids: Array[Float],
     if (a.numElements() != dim) throw new IllegalArgumentException(
       s"centroid dim=$dim but embedding has length ${a.numElements()}")
     var en = 0.0; var i = 0
-    while (i < dim) { val x = a.getFloat(i); en += x * x; i += 1 }
+    while (i < dim) { val x = a.getFloat(i).toDouble; en += x * x; i += 1 }
     en = math.sqrt(en)
     var best = Double.NegativeInfinity; var bestIdx = 0; var c = 0
     while (c < nList) {
       var dot = 0.0; val base = c * dim; i = 0
-      while (i < dim) { dot += centroids(base + i) * a.getFloat(i); i += 1 }
+      while (i < dim) {
+        dot += centroids(base + i).toDouble * a.getFloat(i); i += 1
+      }
       val sim = if (cNorms(c) == 0.0 || en == 0.0) 0.0 else dot / (cNorms(c) * en)
       if (sim >= best) { best = sim; bestIdx = c }
       c += 1
@@ -362,7 +371,7 @@ case class CentroidArgmax(child: Expression, centroids: Array[Float],
          |}
          |double $en = 0.0;
          |for (int $i = 0; $i < $dim; $i++) {
-         |  float x = $a.getFloat($i); $en += x * x;
+         |  double x = $a.getFloat($i); $en += x * x;
          |}
          |$en = java.lang.Math.sqrt($en);
          |double $best = Double.NEGATIVE_INFINITY;
@@ -371,7 +380,7 @@ case class CentroidArgmax(child: Expression, centroids: Array[Float],
          |  double $dot = 0.0;
          |  int $base = $c * $dim;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    $dot += $cs[$base + $i] * $a.getFloat($i);
+         |    $dot += ((double) $cs[$base + $i]) * $a.getFloat($i);
          |  }
          |  double $sim = ($ns[$c] == 0.0 || $en == 0.0)
          |    ? 0.0 : $dot / ($ns[$c] * $en);
@@ -419,13 +428,15 @@ case class CentroidTopN(child: Expression, centroids: Array[Float],
     if (a.numElements() != dim) throw new IllegalArgumentException(
       s"centroid dim=$dim but embedding has length ${a.numElements()}")
     var en = 0.0; var i = 0
-    while (i < dim) { val x = a.getFloat(i); en += x * x; i += 1 }
+    while (i < dim) { val x = a.getFloat(i).toDouble; en += x * x; i += 1 }
     en = math.sqrt(en)
     val sims = new Array[Double](m); val idx = new Array[Int](m)
     var filled = 0; var c = 0
     while (c < nList) {
       var dot = 0.0; val base = c * dim; i = 0
-      while (i < dim) { dot += centroids(base + i) * a.getFloat(i); i += 1 }
+      while (i < dim) {
+        dot += centroids(base + i).toDouble * a.getFloat(i); i += 1
+      }
       val sim = if (cNorms(c) == 0.0 || en == 0.0) 0.0 else dot / (cNorms(c) * en)
       // Insertion keeps sims desc; strict > means equal sims keep scan
       // (= ascending id) order, i.e. ties to the smaller id.
@@ -468,7 +479,7 @@ case class CentroidTopN(child: Expression, centroids: Array[Float],
          |}
          |double $en = 0.0;
          |for (int $i = 0; $i < $dim; $i++) {
-         |  float x = $a.getFloat($i); $en += x * x;
+         |  double x = $a.getFloat($i); $en += x * x;
          |}
          |$en = java.lang.Math.sqrt($en);
          |double[] $sims = new double[$m];
@@ -478,7 +489,7 @@ case class CentroidTopN(child: Expression, centroids: Array[Float],
          |  double $dot = 0.0;
          |  int $base = $c * $dim;
          |  for (int $i = 0; $i < $dim; $i++) {
-         |    $dot += $cs[$base + $i] * $a.getFloat($i);
+         |    $dot += ((double) $cs[$base + $i]) * $a.getFloat($i);
          |  }
          |  double $sim = ($ns[$c] == 0.0 || $en == 0.0)
          |    ? 0.0 : $dot / ($ns[$c] * $en);
@@ -686,7 +697,7 @@ object GraftExpressions {
     var c = 0
     while (c < nList) {
       var s = 0.0; var i = 0; val base = c * dim
-      while (i < dim) { val x = cents(base + i); s += x * x; i += 1 }
+      while (i < dim) { val x = cents(base + i).toDouble; s += x * x; i += 1 }
       out(c) = math.sqrt(s); c += 1
     }
     out

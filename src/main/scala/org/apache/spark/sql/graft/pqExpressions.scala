@@ -38,7 +38,9 @@ case class PqEncode(child: Expression, codebooks: Array[Float],
     var jc = 0
     while (jc < m * ksub) {
       var s = 0.0; var d = 0; val base = jc * dsub
-      while (d < dsub) { val x = codebooks(base + d); s += x * x; d += 1 }
+      while (d < dsub) {
+        val x = codebooks(base + d).toDouble; s += x * x; d += 1
+      }
       out(jc) = 0.5 * s; jc += 1
     }
     out
@@ -59,7 +61,8 @@ case class PqEncode(child: Expression, codebooks: Array[Float],
       while (c < ksub) {
         var dot = 0.0; val base = (j * ksub + c) * dsub; var d = 0
         while (d < dsub) {
-          dot += codebooks(base + d) * a.getFloat(j * dsub + d); d += 1
+          dot += codebooks(base + d).toDouble * a.getFloat(j * dsub + d)
+          d += 1
         }
         val score = dot - halfNorms(j * ksub + c)
         if (score > best) { best = score; bestC = c }
@@ -92,7 +95,7 @@ case class PqEncode(child: Expression, codebooks: Array[Float],
          |    double $dot = 0.0;
          |    int $base = ($j * $ksub + $c) * $dsub;
          |    for (int $d = 0; $d < $dsub; $d++) {
-         |      $dot += $cb[$base + $d] * $a.getFloat($j * $dsub + $d);
+         |      $dot += ((double) $cb[$base + $d]) * $a.getFloat($j * $dsub + $d);
          |    }
          |    double $score = $dot - $hn[$j * $ksub + $c];
          |    if ($score > $best) { $best = $score; $bestC = $c; }
@@ -134,7 +137,8 @@ case class PqLut(child: Expression, codebooks: Array[Float],
       val j = jc / ksub
       var dot = 0.0; val base = jc * dsub; var d = 0
       while (d < dsub) {
-        dot += codebooks(base + d) * a.getFloat(j * dsub + d); d += 1
+        dot += codebooks(base + d).toDouble * a.getFloat(j * dsub + d)
+        d += 1
       }
       lut(jc) = dot.toFloat; jc += 1
     }
@@ -158,7 +162,7 @@ case class PqLut(child: Expression, codebooks: Array[Float],
          |  double $dot = 0.0;
          |  int $base = $jc * $dsub;
          |  for (int $d = 0; $d < $dsub; $d++) {
-         |    $dot += $cb[$base + $d] * $a.getFloat($j * $dsub + $d);
+         |    $dot += ((double) $cb[$base + $d]) * $a.getFloat($j * $dsub + $d);
          |  }
          |  $lut[$jc] = (float) $dot;
          |}

@@ -28,7 +28,7 @@ class ReadmeCountsSpec extends AnyFunSuite {
   }
 
   test("README rows-only count equals the queries-minus-oracles gap") {
-    assert(pinned("""the (\d+) omissions""") ==
+    assert(pinned("""the (\d+) omissions?""") ==
       SparkEntry.queries.size - SparkEntry.oracleSql.size)
   }
 }

@@ -20,19 +20,30 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    // rows-only by design: hash-family / LSH / recall internals that no
-    // portable SQL reproduces; each has behavioral assertions in its spec.
-    // (q_text_langid left this list in round 11 — the marker vote IS
-    // portable: list_intersect + a CASE-chain argmax; q_quant_recall in
-    // round 13 — int8 symmetric quantization is exact small-integer
-    // arithmetic, replayed in DuckDB list lambdas.)
-    val rowsOnly = Set("q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_embedding", "q_sim_ann", "q_sim_ivf", "q_approx_distinct",
-      "q_dedup_semantic", "q_dedup_incr", "q_sim_pq",
-      "q_sim_ivfpq")
+    // rows-only by design — ONE survivor: a DataSketches HLL estimate has
+    // no SQL replay, and landing the estimate as its own "oracle" would
+    // verify nothing; its merge/rollup invariants are spec-pinned.
+    // (The whole hash-family/LSH/k-means tail left this list in round
+    // 14: Verify lands each query's model state — signatures, planes,
+    // centroids, codebooks, coded lists — as parquet side-inputs under
+    // outDir/_side/, and generated DuckDB oracles replay the serving
+    // arithmetic from them; see SparkEntry.sideInputs. q_text_langid
+    // left in round 11, q_quant_recall in round 13.)
+    val rowsOnly = Set("q_approx_distinct")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly, s"unexpected oracle coverage drift: " +
       s"missing=${noOracle -- rowsOnly} newly-covered=${rowsOnly -- noOracle}")
+  }
+
+  test("every side-input writer backs a registered generated oracle") {
+    SparkEntry.sideInputs.keySet.foreach { name =>
+      assert(SparkEntry.queries.contains(name),
+        s"side-input '$name' has no matching query")
+      val sql = SparkEntry.oracleSql.getOrElse(name,
+        fail(s"side-input '$name' has no matching oracle"))
+      assert(sql.contains(s"{OUT_DIR}/_side/$name/"),
+        s"oracle for '$name' does not read its own side-input")
+    }
   }
 
   test("q6_filter pushes its predicates into the parquet scan") {

@@ -31,9 +31,12 @@ class CentroidKernelSpec extends SparkSpec {
   private val matrix: Array[Float] = centVecs.flatten.toArray
 
   private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    // double products, matching the kernels (a float×float product would
+    // round to float first and sit ~2e-9 off the kernel's value)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     a.indices.foreach { i =>
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
