@@ -119,6 +119,11 @@ object Bench {
         times = times :+ timeOnce()
         extra += 1
       }
+      // per-run record to stderr: the JSON carries min/median/spread, but
+      // diagnosing WHICH run was slow (cold JIT vs mid-capture GC vs a
+      // stolen slot) needs the raw sequence
+      System.err.println(s"[bench] $name runs: " +
+        times.map(t => f"$t%.2f").mkString(", "))
       val ok = times.filter(_ >= 0)
       // median alongside the min (round-11 directive): min-of-N is the
       // steady-state number, but one quiet run among N loaded ones can
@@ -126,8 +131,14 @@ object Bench {
       // MAJORITY of runs move, so min vs median disagreement flags a
       // capture the judge should discount.
       val med = medianOf(ok)
+      // spread over WARM runs (first timed execution dropped when ≥3):
+      // the first run pays JIT + codegen (q_pagerank: ~18s cold vs
+      // 7-8.5s warm, measured), a known constant cost min-of-N already
+      // discounts — folding it into the spread would make every heavy
+      // query read as contended when the machine was quiet
+      val warm = if (ok.size >= 3) ok.tail else ok
       (name, if (ok.nonEmpty) ok.min else -1.0, lastShuffleMb,
-        if (ok.size >= 2) ok.max - ok.min else -1.0, med,
+        if (warm.size >= 2) warm.max - warm.min else -1.0, med,
         contendedRuns(times), maxLoad)
     }
     // Artifact queries (landed index / bucketed layout) are measured a

@@ -16,6 +16,30 @@ class SimilarityPqSpec extends SparkSpec {
       .sorted(java.util.Comparator.reverseOrder())
       .forEach(p => p.toFile.delete())
 
+  test("training is a pure function of the data — partition order does " +
+      "not leak (the property the side-input oracle replay stands on)") {
+    // Lloyd means are double sums; without the 2^-10 snap, a different
+    // partitioning reorders the accumulation and the codebook differs in
+    // the last ulp — which the generated DuckDB oracle would read as a
+    // different model than the query run trained. Re-train under three
+    // partitionings and demand BIT-identical codebooks.
+    val a = SimilarityPq.train(emb, m, ksub, nIters = 2)
+    val b = SimilarityPq.train(emb.repartition(7), m, ksub, nIters = 2)
+    val c = SimilarityPq.train(emb.coalesce(1), m, ksub, nIters = 2)
+    assert(java.util.Arrays.equals(a, b),
+      "codebook must not depend on partition count")
+    assert(java.util.Arrays.equals(a, c),
+      "codebook must not depend on accumulation order")
+    // and the IVF trainer holds the same contract for its centroids
+    def flat(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Float])] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toSeq
+        .sortBy(_._1)
+    val ca = flat(SimilarityIvf.train(emb, nList = 8, nIters = 2))
+    val cb2 = flat(SimilarityIvf.train(emb.repartition(7), nList = 8,
+      nIters = 2))
+    assert(ca == cb2, "centroids must not depend on partition order")
+  }
+
   test("codes are within [0, ksub) and one per subspace") {
     val coded = SimilarityPq.encode(emb, cb, m, ksub)
     val bad = coded.filter(size(col("codes")) =!= m ||
