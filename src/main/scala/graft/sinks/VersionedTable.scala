@@ -747,6 +747,14 @@ class VersionedTableOps(protected val io: TableIO) {
     * default 128 MiB). */
   def setTableProperty(dir: String, key: String, value: String): Unit = {
     require(!key.contains('=') && key.nonEmpty, s"bad property key '$key'")
+    // derived presentation keys (SHOW CREATE's record of nested
+    // existence defaults — [[graft.sql.GraftCatalog]]): a post-hoc SET
+    // would fork the declared schema's source of truth, and a default
+    // declared AFTER rows landed would rewrite history's served values
+    require(!key.startsWith("graft.nested.default."),
+      s"'$key' is derived from the declared schema; declare nested " +
+        "defaults at CREATE TABLE (TBLPROPERTIES round-trip) or via " +
+        "ALTER TABLE ADD COLUMNS (... DEFAULT ...)")
     // `sort.order` is born-valid or refused (the declaration discipline):
     // a column that doesn't resolve would otherwise fail — or silently
     // skip — every future compaction pass instead of this call

@@ -529,7 +529,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (specs.nonEmpty) ops.declarePartitioning(dir, specs, numFiles)
     // every column gets its stable field id + physical name at birth —
     // the indirection RENAME/widening resolve through (ColumnMapping)
-    ops.declareSchema(dir, ColumnMapping.assign(schema, Seq.empty).json)
+    var declared = ColumnMapping.assign(schema, Seq.empty)
+    // `graft.nested.default.<path>` properties (what SHOW CREATE emits
+    // for nested existence defaults — see GraftTable.properties)
+    // reconstruct the declaration: CONSUMED here into schema metadata,
+    // never persisted (the reporting side derives them back)
+    val ndPrefix = "graft.nested.default."
+    properties.asScala.toSeq.filter(_._1.startsWith(ndPrefix))
+      .sortBy(_._1).foreach { case (k, sql) =>
+        declared = NestedDefaults.withDefault(declared,
+          k.stripPrefix(ndPrefix).split('.').toSeq, sql)
+      }
+    ops.declareSchema(dir, declared.json)
     GraftCatalog.persistUserProperties(dir, properties)
     loadTable(ident)
   }
@@ -1717,11 +1728,23 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
 
   /** Durable table properties (the maintenance knobs), so `SHOW
     * TBLPROPERTIES` serves what `ALTER TABLE … SET TBLPROPERTIES` and
-    * `CALL set_property` wrote. */
+    * `CALL set_property` wrote — plus DERIVED `graft.nested.default.*`
+    * presentation keys, one per nested existence default in the
+    * declared schema. Nested member defaults have no CREATE TABLE
+    * column syntax, so without these SHOW CREATE TABLE silently LOSES
+    * them (found by the round-14 round-trip probe); as TBLPROPERTIES
+    * they ride the emitted DDL and [[GraftCatalog.createTable]]
+    * reconstructs them. Derived, never stored: the schema metadata is
+    * the single source of truth. */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     VersionedTable.tableProperties(dir).foreach { case (k, v) =>
       m.put(k, v)
+    }
+    declared.foreach { sc =>
+      graft.sql.NestedDefaults.paths(sc).foreach { case (p, _, sql) =>
+        m.put("graft.nested.default." + p.mkString("."), sql)
+      }
     }
     m
   }
@@ -3024,7 +3047,11 @@ object GraftCatalog {
       "external", "files", "is_managed_location")
     properties.asScala.filterNot { case (k, _) =>
       reserved(k.toLowerCase(java.util.Locale.ROOT)) ||
-        k.startsWith("option.")
+        k.startsWith("option.") ||
+        // derived presentation keys, consumed by createTable into the
+        // declared schema — persisting them would fork the source of
+        // truth (see GraftTable.properties)
+        k.startsWith("graft.nested.default.")
     }.toSeq.sortBy(_._1).foreach { case (k, v) =>
       VersionedTable.setTableProperty(dir, k, v)
     }

@@ -134,6 +134,57 @@ private[graft] object NestedDefaults {
     })
   }
 
+  /** Rebuild `schema` with an existence default declared on the member
+    * at dotted logical `path` — the CREATE-TABLE half of the SHOW CREATE
+    * round-trip: nested member defaults are not expressible in CREATE's
+    * STRUCT<> syntax, so [[graft.sql.GraftCatalog]] reports each as a
+    * `graft.nested.default.<path>` TBLPROPERTY (derived from this
+    * metadata, never stored) and reconstructs it here when a CREATE
+    * carries the property. Same storage discipline as ALTER ADD COLUMNS
+    * … DEFAULT: the SQL folds once against the member's declared type
+    * and the FOLDED literal's SQL is what the metadata carries. */
+  def withDefault(schema: StructType, path: Seq[String],
+                  sql: String): StructType = {
+    val dotted = path.mkString(".")
+    require(path.length >= 2,
+      s"graft.nested.default.$dotted: top-level defaults belong in the " +
+        "column definition (c T DEFAULT d), not a property")
+    def set(dt: DataType, ps: List[String]): DataType = (dt, ps) match {
+      case (s: StructType, h :: t) =>
+        val i = s.fields.indexWhere(_.name.equalsIgnoreCase(h))
+        require(i >= 0, s"graft.nested.default.$dotted: no member '$h'")
+        val f = s.fields(i)
+        val updated = t match {
+          case Nil =>
+            require(!(f.dataType.isInstanceOf[StructType] ||
+                f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType]),
+              s"graft.nested.default.$dotted needs an atomic-typed " +
+                s"member, got ${f.dataType.simpleString}")
+            val lit = foldedDefault(sql, f.dataType)
+            require(lit.value != null,
+              s"graft.nested.default.$dotted must fold to a non-null " +
+                "constant (it is the value already-landed rows serve)")
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putString(ExistsKey, lit.sql)
+              .build())
+          case "element" :: rest if f.dataType.isInstanceOf[ArrayType] =>
+            val a = f.dataType.asInstanceOf[ArrayType]
+            f.copy(dataType = a.copy(elementType = set(a.elementType, rest)))
+          case "value" :: rest if f.dataType.isInstanceOf[MapType] =>
+            val m = f.dataType.asInstanceOf[MapType]
+            f.copy(dataType = m.copy(valueType = set(m.valueType, rest)))
+          case rest => f.copy(dataType = set(f.dataType, rest))
+        }
+        StructType(s.fields.updated(i, updated))
+      case (other, ps2) => throw new IllegalArgumentException(
+        s"graft.nested.default.$dotted: '${ps2.headOption.getOrElse("")}'" +
+          s" does not resolve inside ${other.simpleString} (arrays via " +
+          "`.element.`, map values via `.value.`)")
+    }
+    set(schema, path.toList).asInstanceOf[StructType]
+  }
+
   /** Rebuild `input` (whose type is `actual`, a by-name subset of the
     * declared `decl` — the pruned read shape) substituting defaults into
     * its defaulted members, parent-null-guarded at every level. Structs

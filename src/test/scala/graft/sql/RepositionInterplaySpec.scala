@@ -102,6 +102,68 @@ class RepositionInterplaySpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
+  test("SHOW CREATE TABLE round-trips the NESTED surface: element " +
+      "renames, nested NOT NULL, nested COMMENT — and nested existence " +
+      "defaults survive via the derived graft.nested.default.* " +
+      "TBLPROPERTIES (found lost by this probe; CREATE reconstructs " +
+      "them)") {
+    register()
+    val dir = tmpDir("rip-sct-nested") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>, " +
+      "weather ARRAY<STRUCT<cond: STRING>>)")
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT 1L, " +
+      "named_struct('temp', 1.0, 'kind', 'a'), " +
+      "array(named_struct('cond', 'x'))")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (main.rh INT DEFAULT 55)")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ADD COLUMNS (weather.element.q INT DEFAULT 7)")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "RENAME COLUMN weather.element.cond TO sky")
+    spark.sql(s"CALL graft.set_not_null('$dir', 'main.temp')")
+    spark.sql(s"ALTER TABLE graft.`$dir` " +
+      "ALTER COLUMN main.kind COMMENT 'obs kind'")
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$dir`")
+      .collect().head.getString(0)
+    assert(ddl.contains("graft.nested.default.main.rh") &&
+      ddl.contains("graft.nested.default.weather.element.q"),
+      s"emitted DDL must carry the nested defaults: $ddl")
+    val dir2 = tmpDir("rip-sct-nested2") + "/t"
+    spark.sql(ddl.replace(dir, dir2))
+    // structural round-trip: same members, nullability, comments, and
+    // the SAME existence defaults in metadata
+    def nd(d: String) = NestedDefaults.paths(
+      spark.table(s"graft.`$d`").schema)
+      .map { case (p, _, sql) => p.mkString(".") -> sql }.toMap
+    assert(nd(dir2) == nd(dir), s"${nd(dir2)} vs ${nd(dir)}")
+    val s2 = spark.table(s"graft.`$dir2`").schema
+    val main2 = s2("main").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(!main2("temp").nullable, "nested NOT NULL must round-trip")
+    assert(main2("kind").getComment().contains("obs kind"),
+      "nested COMMENT must round-trip")
+    // behavior: a whole-struct INSERT omitting nothing still works, and
+    // the defaulted members enforce their append gate on the NEW table
+    spark.sql(s"INSERT INTO graft.`$dir2` SELECT 2L, " +
+      "named_struct('temp', 2.0, 'kind', 'b', 'rh', 60), " +
+      "array(named_struct('sky', 'y', 'q', 9))")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir2` SELECT 3L, " +
+        "named_struct('temp', 3.0, 'kind', 'c', " +
+        "'rh', CAST(NULL AS INT)), " +
+        "CAST(NULL AS ARRAY<STRUCT<sky: STRING, q: INT>>)")
+    }
+    assert(e.getMessage.contains("rh"), e.getMessage)
+    // and the declaration is schema-derived, not a stored property: a
+    // post-hoc SET refuses loudly
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir2` SET TBLPROPERTIES " +
+        "('graft.nested.default.main.kind' = \"'z'\")")
+    }
+    assert(e2.getMessage.contains("derived"), e2.getMessage)
+  }
+
   test("RENAME of a grouped-on source column vs an attached mview: the " +
       "rewrite must never serve wrong answers under the new name — " +
       "either it still fires correctly or it falls back to the base scan") {
