@@ -544,6 +544,35 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     GraftCatalog.persistUserProperties(dir, properties)
     loadTable(ident)
   }
+
+  /** CREATE TABLE with INLINE constraints (`CONSTRAINT c CHECK (…)` in
+    * the column list): Spark 4 routes these through the TableInfo
+    * overload, whose DEFAULT implementation delegates to the legacy
+    * signature and silently DROPS the constraints — a re-created table
+    * from SHOW CREATE output (which emits them) would lose enforcement.
+    * Delegate for schema/partitions/properties, then register each
+    * constraint through the same commit-enforced machinery ALTER ADD
+    * CONSTRAINT uses (born-empty: the born-valid scan over zero rows is
+    * vacuous; only CHECK ENFORCED is accepted, same refusal contract). */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val table = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    info.constraints().foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          s"CHECK constraint '${c.name()}' NOT ENFORCED is not " +
+            "supported: the engine validates every commit, so an " +
+            "unenforced declaration would be a lie")
+        ops.addConstraint(SparkSession.active, dirOf(ident), c.name(),
+          c.predicateSql(), preValidated = true) // the table is born empty
+      case other => throw new UnsupportedOperationException(
+        s"constraint '${other.name()}' (${other.getClass.getSimpleName})" +
+          " is not supported: only CHECK constraints are engine-" +
+          "enforced; PK/unique/FK would be declared but never checked")
+    }
+    if (info.constraints().nonEmpty) loadTable(ident) else table
+  }
   /** Metadata-only schema evolution — the declared schema IS the table
     * schema at read time (already-landed files never rewrite), resolved
     * through the [[ColumnMapping column-id indirection]] every declared
@@ -1746,6 +1775,13 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
         m.put("graft.nested.default." + p.mkString("."), sql)
       }
     }
+    // the declared per-landing file cap rides the partitioning
+    // declaration, not the property store — report it so SHOW CREATE's
+    // TBLPROPERTIES ('files' = 'N') round-trips the layout intent
+    // (createTable consumes the key for declarePartitioning; a
+    // re-created table would otherwise silently revert to the default)
+    if (VersionedTable.partitioningOf(dir).nonEmpty)
+      m.put("files", VersionedTable.partitioningNumFiles(dir).toString)
     m
   }
 

@@ -164,6 +164,43 @@ class RepositionInterplaySpec extends SparkSpec {
     assert(e2.getMessage.contains("derived"), e2.getMessage)
   }
 
+  test("SHOW CREATE TABLE round-trips declared partitioning, the " +
+      "per-landing file cap and CHECK constraints — the layout and " +
+      "governance half of the DDL contract") {
+    register()
+    val dir = tmpDir("rip-sct-part") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` " +
+      "(id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts), bucket(4, id)) " +
+      "TBLPROPERTIES ('files' = '3')")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT pos CHECK (v >= 0)")
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$dir`")
+      .collect().head.getString(0)
+    assert(ddl.contains("PARTITIONED BY") && ddl.contains("days(ts)") &&
+      ddl.contains("bucket(4, id)"), ddl)
+    assert(ddl.contains("CONSTRAINT pos CHECK"), ddl)
+    assert(ddl.contains("'files'") || ddl.contains("files"),
+      s"the per-landing file cap must ride the emitted DDL: $ddl")
+    val dir2 = tmpDir("rip-sct-part2") + "/t"
+    spark.sql(ddl.replace(dir, dir2))
+    val ops2 = graft.sinks.VersionedTable
+    assert(ops2.partitioningOf(dir2).map(_.spec) ==
+      ops2.partitioningOf(dir).map(_.spec),
+      "partitioning must round-trip")
+    assert(ops2.partitioningNumFiles(dir2) == 3,
+      s"the file cap must round-trip: got " +
+        s"${ops2.partitioningNumFiles(dir2)}")
+    assert(ops2.constraints(dir2) == Map("pos" -> "v >= 0"),
+      s"constraints must round-trip: ${ops2.constraints(dir2)}")
+    // the round-tripped constraint ENFORCES on the new table
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir2` VALUES " +
+        "(1, TIMESTAMP '2024-01-01 00:00:00', -5.0)")
+    }
+    assert(e.getMessage.contains("pos") || e.getMessage.contains("CHECK"),
+      e.getMessage)
+  }
+
   test("RENAME of a grouped-on source column vs an attached mview: the " +
       "rewrite must never serve wrong answers under the new name — " +
       "either it still fires correctly or it falls back to the base scan") {
