@@ -2022,22 +2022,45 @@ private[sql] class StagedGraftTable(tblName: String, dir: String,
   @volatile private var committed = false
   @volatile private var declaredOnDisk = false
 
-  /** The declaration this stage will publish (ids + physical names). */
-  private val declared: StructType =
-    if (!replacing) ColumnMapping.assign(info.schema(), Seq.empty)
-    else {
-      val cur = priorDeclared
-        .map(DataType.fromJson(_).asInstanceOf[StructType])
-        .getOrElse {
-          val spark = SparkSession.active
-          ops.read(spark, dir).schema
-        }
-      val (d, retiredNow) =
-        ColumnMapping.replaceAssign(cur, ops.retiredColumns(dir),
-          info.schema())
-      stagedRetire = retiredNow
-      d
-    }
+  // a staged (CTAS/RTAS) landing has no post-commit registration hook
+  // that could fail-and-abort cleanly, and Spark's CTAS syntax carries
+  // no column list anyway — refuse LOUDLY rather than inherit the
+  // TableInfo default's silent drop (the createTable twin registers
+  // inline constraints; here the route is ALTER ADD CONSTRAINT after
+  // the landing, which born-valid-scans the landed rows)
+  require(info.constraints().isEmpty,
+    "inline constraints are not supported on CTAS/RTAS: land the data, " +
+      "then ALTER TABLE ... ADD CONSTRAINT (validated against the " +
+      "landed rows)")
+
+  /** The declaration this stage will publish (ids + physical names),
+    * with any `graft.nested.default.<path>` properties consumed into
+    * member metadata — the same reconstruction [[GraftCatalog
+    * .createTable]] performs, so the SHOW CREATE round-trip holds for
+    * RTAS-shaped re-creations too. */
+  private val declared: StructType = {
+    val base =
+      if (!replacing) ColumnMapping.assign(info.schema(), Seq.empty)
+      else {
+        val cur = priorDeclared
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse {
+            val spark = SparkSession.active
+            ops.read(spark, dir).schema
+          }
+        val (d, retiredNow) =
+          ColumnMapping.replaceAssign(cur, ops.retiredColumns(dir),
+            info.schema())
+        stagedRetire = retiredNow
+        d
+      }
+    val ndPrefix = "graft.nested.default."
+    info.properties().asScala.toSeq.filter(_._1.startsWith(ndPrefix))
+      .sortBy(_._1).foldLeft(base) { case (sc, (k, sql)) =>
+        NestedDefaults.withDefault(sc,
+          k.stripPrefix(ndPrefix).split('.').toSeq, sql)
+      }
+  }
 
   override def name(): String = tblName
   override def schema(): StructType = info.schema()

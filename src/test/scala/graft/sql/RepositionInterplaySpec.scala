@@ -162,6 +162,16 @@ class RepositionInterplaySpec extends SparkSpec {
         "('graft.nested.default.main.kind' = \"'z'\")")
     }
     assert(e2.getMessage.contains("derived"), e2.getMessage)
+    // the STAGED door (CTAS) consumes the property the same way — an
+    // RTAS-shaped re-creation keeps the declared default
+    val dir3 = tmpDir("rip-sct-nested3") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir3` " +
+      "TBLPROPERTIES ('graft.nested.default.main.rh' = '55') " +
+      s"AS SELECT id, main FROM graft.`$dir2`")
+    val nd3 = NestedDefaults.paths(spark.table(s"graft.`$dir3`").schema)
+      .map { case (p, _, sql) => p.mkString(".") -> sql }.toMap
+    assert(nd3 == Map("main.rh" -> "55"), s"CTAS must consume the " +
+      s"nested-default property into the declaration: $nd3")
   }
 
   test("SHOW CREATE TABLE round-trips declared partitioning, the " +
