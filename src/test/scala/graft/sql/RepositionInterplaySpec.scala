@@ -174,6 +174,41 @@ class RepositionInterplaySpec extends SparkSpec {
       s"nested-default property into the declaration: $nd3")
   }
 
+  test("a checkpointed table stream restarted ACROSS a reposition " +
+      "serves the delta under the new declared order with values bound " +
+      "by NAME — no positional shear between runs") {
+    register()
+    val tmp = tmpDir("rip-stream")
+    val dir = s"$tmp/t"; val ck = s"$tmp/ck"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, a STRING, b DOUBLE)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'x', 1.5)")
+    def drain(): Seq[(Long, String, Double)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, String, Double)]()
+      val q = spark.readStream.format("graft-table").load(dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id", "a", "b").collect().foreach(r =>
+            got.add((r.getLong(0), r.getString(1), r.getDouble(2))))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.iterator().asScala.toSeq.sortBy(_._1)
+    }
+    assert(drain() == Seq((1L, "x", 1.5)))
+    // reposition mid-stream-life, then land a post-reposition row in the
+    // NEW positional order
+    spark.sql(s"ALTER TABLE graft.`$dir` ALTER COLUMN b FIRST")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (2.5, 2, 'y')")
+    assert(drain() == Seq((2L, "y", 2.5)),
+      "the restarted run must bind values by NAME under the new order")
+    assert(drain().isEmpty)
+  }
+
   test("SHOW CREATE TABLE round-trips declared partitioning, the " +
       "per-landing file cap and CHECK constraints — the layout and " +
       "governance half of the DDL contract") {
