@@ -29,13 +29,17 @@ object Verify {
     }
     // Side-inputs for generated oracles: landed model-state tables the
     // oracle SQL reads back via read_parquet('{OUT_DIR}/_side/…') — the
-    // placeholder resolves to the ABSOLUTE out dir below, so the SQL
-    // works from any working directory the driver runs DuckDB in.
+    // placeholder resolves to an ABSOLUTE path below, so the SQL works
+    // from any working directory the driver runs DuckDB in. They land
+    // in a SIBLING of outDir (not inside it): the driver enumerates
+    // outDir subdirectories as query outputs, and an in-outDir landing
+    // produced a phantom `_side` error row in CORRECTNESS_r14.
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    val sideAbs = outAbs + "_side"
     SparkEntry.sideInputs
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir, s"$outAbs/_side/$name")
+        try fn(spark, sfDir, s"$sideAbs/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] side-input $name failed: " +
             e.getMessage)
@@ -55,7 +59,8 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace("{OUT_DIR}", outAbs))}" }
+        s"${q(k)}: ${q(v.replace("{OUT_DIR}/_side", sideAbs)
+          .replace("{OUT_DIR}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

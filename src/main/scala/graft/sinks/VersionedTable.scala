@@ -769,18 +769,37 @@ class VersionedTableOps(protected val io: TableIO) {
       }
     }
     io.mkdirs(manifestDir(dir))
-    val cur = tableProperties(dir) + (key -> value)
-    io.writeLines(propertiesPath(dir),
-      cur.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
-    invalidateProperties(dir)
+    writePropertiesFile(dir, tableProperties(dir) + (key -> value))
   }
 
   /** Remove a durable property (no-op when absent). */
   def removeTableProperty(dir: String, key: String): Unit = {
     val cur = tableProperties(dir) - key
-    if (cur.isEmpty) io.delete(propertiesPath(dir))
-    else io.writeLines(propertiesPath(dir),
-      cur.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+    if (cur.isEmpty) { io.delete(propertiesPath(dir))
+      invalidateProperties(dir) }
+    else writePropertiesFile(dir, cur)
+  }
+
+  /** Rewrite the properties file guaranteeing the memo stamp CHANGES:
+    * the stamp is (mtime, size), and a rewrite landing the same byte
+    * count within the filesystem's mtime resolution would serve a stale
+    * memo FOREVER to any reader outside this instance's eager
+    * invalidation (a second in-process ops over the same backend,
+    * another process entirely). When the rewritten file measures the
+    * same size as before, pad with a `#`-comment header until it
+    * differs — properties writes are rare DDL-time events, so the loop
+    * is ≤2 extra stats in practice and the read path stays stat-only. */
+  private def writePropertiesFile(dir: String,
+                                  props: Map[String, String]): Unit = {
+    val p = propertiesPath(dir)
+    val before = if (io.exists(p)) Some(io.size(p)) else None
+    val body = props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+    io.writeLines(p, body)
+    var pad = "#pad"
+    while (before.contains(io.size(p))) {
+      io.writeLines(p, pad +: body)
+      pad += "."
+    }
     invalidateProperties(dir)
   }
 
@@ -818,10 +837,13 @@ class VersionedTableOps(protected val io: TableIO) {
     }
     hit.getOrElse {
       propsReads.incrementAndGet()
-      val m = io.readLines(p).filter(_.contains('=')).map { l =>
-        val i = l.indexOf('=')
-        l.substring(0, i) -> l.substring(i + 1)
-      }.toMap
+      // `#`-prefixed lines are headers (the stamp-changing pad), not
+      // properties — same convention as manifest metadata lines
+      val m = io.readLines(p).filterNot(_.startsWith("#"))
+        .filter(_.contains('=')).map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
       // a concurrent rewrite between the stat and the read stores fresh
       // content under the stale stamp; the next call's stamp mismatch
       // self-heals with one extra read
@@ -4129,11 +4151,23 @@ class VersionedTableOps(protected val io: TableIO) {
     val nn = graft.sql.NestedNotNull
     if (!nn.hasAny(logical)) return Seq.empty
     nn.paths(logical).filter(nn.undefaulted(logical, _)).flatMap { p =>
-      nn.firstAbsentSegment(batch.schema, logical, p) match {
+      nn.firstBreak(batch.schema, logical, p) match {
         case None =>
           Some(s"nested NOT NULL ${p.mkString(".")}" ->
             nn.predicate(logical, p))
-        case Some(i) if i == p.length - 1 =>
+        case Some((i, true)) =>
+          // the batch CARRIES a value at segment i of a structurally
+          // incompatible kind — NOT a vacuous NULL parent; a user batch
+          // the table can't serve must refuse here, not silently skip
+          // the gate (engine rewrites carry the pinned declared shape,
+          // so a mismatch there is a vintage carry, never user data)
+          require(!userBatch,
+            s"commit to $dir rejected: batch carries a type-" +
+              s"incompatible value at segment ${i + 1} of declared " +
+              s"nested NOT NULL path '${p.mkString(".")}' — not a " +
+              "vacuous NULL parent; fix the batch schema")
+          None
+        case Some((i, _)) if i == p.length - 1 =>
           // leaf absent under a fully-present parent chain: every row
           // whose parents are non-null would read NULL — refuse (user
           // batches only; engine rewrites carry pinned vintages)

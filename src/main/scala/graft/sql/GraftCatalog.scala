@@ -538,7 +538,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     properties.asScala.toSeq.filter(_._1.startsWith(ndPrefix))
       .sortBy(_._1).foreach { case (k, sql) =>
         declared = NestedDefaults.withDefault(declared,
-          k.stripPrefix(ndPrefix).split('.').toSeq, sql)
+          NestedDefaults.parsePropertyPath(k.stripPrefix(ndPrefix)), sql)
       }
     ops.declareSchema(dir, declared.json)
     GraftCatalog.persistUserProperties(dir, properties)
@@ -556,22 +556,45 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * vacuous; only CHECK ENFORCED is accepted, same refusal contract). */
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val table = createTable(ident, info.schema(), info.partitions(),
-      info.properties())
-    info.constraints().foreach {
+    // Validate the WHOLE constraint list BEFORE creating anything:
+    // every statement-level refusal — non-CHECK kind, NOT ENFORCED,
+    // duplicate name — is decidable from the declaration alone, and a
+    // refusal thrown after the legacy createTable would leave a
+    // half-created table (schema landed, constraint never enforced)
+    // whose retried CREATE hits TableAlreadyExistsException.
+    val checks = info.constraints().toSeq.map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         require(c.enforced(),
           s"CHECK constraint '${c.name()}' NOT ENFORCED is not " +
             "supported: the engine validates every commit, so an " +
             "unenforced declaration would be a lie")
-        ops.addConstraint(SparkSession.active, dirOf(ident), c.name(),
-          c.predicateSql(), preValidated = true) // the table is born empty
+        c
       case other => throw new UnsupportedOperationException(
         s"constraint '${other.name()}' (${other.getClass.getSimpleName})" +
           " is not supported: only CHECK constraints are engine-" +
           "enforced; PK/unique/FK would be declared but never checked")
     }
-    if (info.constraints().nonEmpty) loadTable(ident) else table
+    val dups = checks.groupBy(_.name()).collect {
+      case (n, cs) if cs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate CHECK constraint name(s) " +
+      s"${dups.mkString(", ")} in CREATE TABLE")
+    val dir = dirOf(ident)
+    val existedBefore = ops.isDirectory(dir)
+    val table = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    // After pre-validation only backend IO can fail here; don't leave
+    // the half-created table behind — mirror the staged-CREATE abort
+    // (engine artifacts only; the dir itself only if this CREATE made it)
+    try checks.foreach { c =>
+      ops.addConstraint(SparkSession.active, dir, c.name(),
+        c.predicateSql(), preValidated = true) // the table is born empty
+    } catch { case e: Throwable =>
+      ops.purgeDir(s"$dir/constraints")
+      ops.purgeTableArtifacts(dir)
+      if (!existedBefore) ops.purgeDir(dir)
+      throw e
+    }
+    if (checks.nonEmpty) loadTable(ident) else table
   }
   /** Metadata-only schema evolution — the declared schema IS the table
     * schema at read time (already-landed files never rewrite), resolved
@@ -1772,7 +1795,8 @@ private[sql] class GraftTable(tblName: String, spark: SparkSession,
     }
     declared.foreach { sc =>
       graft.sql.NestedDefaults.paths(sc).foreach { case (p, _, sql) =>
-        m.put("graft.nested.default." + p.mkString("."), sql)
+        m.put("graft.nested.default." +
+          graft.sql.NestedDefaults.renderPropertyPath(p), sql)
       }
     }
     // the declared per-landing file cap rides the partitioning
@@ -2058,7 +2082,7 @@ private[sql] class StagedGraftTable(tblName: String, dir: String,
     info.properties().asScala.toSeq.filter(_._1.startsWith(ndPrefix))
       .sortBy(_._1).foldLeft(base) { case (sc, (k, sql)) =>
         NestedDefaults.withDefault(sc,
-          k.stripPrefix(ndPrefix).split('.').toSeq, sql)
+          NestedDefaults.parsePropertyPath(k.stripPrefix(ndPrefix)), sql)
       }
   }
 

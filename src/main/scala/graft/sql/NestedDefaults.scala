@@ -104,6 +104,47 @@ private[graft] object NestedDefaults {
 
   def hasAny(schema: StructType): Boolean = paths(schema).nonEmpty
 
+  /** Render a member path as the `graft.nested.default.<path>` property
+    * suffix: a segment whose NAME contains a literal dot (or backtick)
+    * is backtick-quoted with `` ` `` doubled inside — the same
+    * multipart-identifier convention set_not_null parses — so a dotted
+    * member name round-trips through SHOW CREATE instead of mis-splitting
+    * on reconstruction. [[parsePropertyPath]] is the exact inverse. */
+  def renderPropertyPath(path: Seq[String]): String = path.map { s =>
+    if (s.contains('.') || s.contains('`'))
+      "`" + s.replace("`", "``") + "`"
+    else s
+  }.mkString(".")
+
+  /** Split a `graft.nested.default.<path>` suffix into segments: dots
+    * split OUTSIDE backtick quotes; inside them `` `` `` unescapes to a
+    * literal backtick. Inverse of [[renderPropertyPath]]. */
+  def parsePropertyPath(dotted: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quoted = false
+    var i = 0
+    while (i < dotted.length) {
+      val c = dotted.charAt(i)
+      if (quoted) {
+        if (c == '`') {
+          if (i + 1 < dotted.length && dotted.charAt(i + 1) == '`') {
+            cur += '`'; i += 1
+          } else quoted = false
+        } else cur += c
+      } else c match {
+        case '`' => quoted = true
+        case '.' => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    require(!quoted,
+      s"graft.nested.default.$dotted: unbalanced backtick quote")
+    out += cur.result()
+    out.toSeq
+  }
+
   /** Top-level column names (lowercase) owning at least one defaulted
     * member — the conservative unit for filter-pushdown withholding. */
   def defaultedRoots(schema: StructType): Set[String] =
@@ -409,28 +450,39 @@ private[graft] object NestedNotNull {
     firstAbsentSegment(batch, decl, path).isEmpty
 
   /** Where the declared `path` breaks off in `batch`: `Some(i)` is the
-    * 0-based index of the first segment the batch does not carry (or
-    * carries with a structurally incompatible type — not a struct where
-    * the declaration descends one, etc.); `None` means fully present.
-    * The distinction matters for the commit gate: a batch missing only
-    * the LEAF under a fully-present parent chain would read NULL into
-    * every row whose parents are non-null (refuse), while a batch
-    * missing an ANCESTOR reads a NULL parent on every row — which
-    * satisfies the member declaration vacuously, exactly as a carried
-    * NULL parent does (skip). */
+    * 0-based index of the first segment that breaks; `None` means fully
+    * present. The absent-vs-leaf distinction matters for the commit
+    * gate: a batch missing only the LEAF under a fully-present parent
+    * chain would read NULL into every row whose parents are non-null
+    * (refuse), while a batch missing an ANCESTOR reads a NULL parent on
+    * every row — which satisfies the member declaration vacuously,
+    * exactly as a carried NULL parent does (skip). Callers that must
+    * also tell ABSENT apart from TYPE-INCOMPATIBLE use [[firstBreak]]. */
   def firstAbsentSegment(batch: StructType, decl: StructType,
-                         path: Seq[String]): Option[Int] = {
+                         path: Seq[String]): Option[Int] =
+    firstBreak(batch, decl, path).map(_._1)
+
+  /** [[firstAbsentSegment]] with the WHY: `Some((i, false))` — segment i
+    * is ABSENT from the batch (the vacuous-NULL-parent reading is
+    * sound); `Some((i, true))` — the batch CARRIES a value at segment i
+    * of a structurally INCOMPATIBLE kind (not a struct where the
+    * declaration descends one, array vs map, …). A mismatch is NOT a
+    * vacuous parent: treating it as one would silently skip the commit
+    * gate on a batch the table can't serve — the caller refuses user
+    * batches on it instead. */
+  def firstBreak(batch: StructType, decl: StructType,
+                 path: Seq[String]): Option[(Int, Boolean)] = {
     def walk(b: DataType, d: DataType, ps: List[String],
-             idx: Int): Option[Int] =
+             idx: Int): Option[(Int, Boolean)] =
       (b, d, ps) match {
         case (_, _, Nil) => None
         case (bs: StructType, ds: StructType, h :: t) =>
           ds.fields.find(_.name.equalsIgnoreCase(h)) match {
-            case None => Some(idx)
+            case None => Some((idx, false))
             case Some(df) =>
               bs.fields.find(_.name.equalsIgnoreCase(
                 ColumnMapping.physOf(df))) match {
-                case None => Some(idx)
+                case None => Some((idx, false))
                 case Some(bf) => walk(bf.dataType, df.dataType, t, idx + 1)
               }
           }
@@ -438,7 +490,10 @@ private[graft] object NestedNotNull {
           walk(be, de, t, idx + 1)
         case (MapType(_, bv, _), MapType(_, dv, _), "value" :: t) =>
           walk(bv, dv, t, idx + 1)
-        case _ => Some(idx)
+        // the batch carries SOMETHING at this segment, of the wrong
+        // structural kind for the declaration to descend — a mismatch,
+        // not an absence
+        case _ => Some((idx, true))
       }
     walk(batch, decl, path.toList, 0)
   }

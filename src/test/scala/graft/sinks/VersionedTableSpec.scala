@@ -72,6 +72,26 @@ abstract class VersionedTableBehavior extends SparkSpec {
       "stamp mismatch must refresh a foreign write")
   }
 
+  test("a foreign SAME-SIZE rewrite inside the mtime resolution cannot " +
+      "serve a stale memo: every properties write measurably changes " +
+      "the file size (the #pad header), so the stamp always moves") {
+    val o = new VersionedTableOps(backend)
+    val dir = tmpDir("props-samesize")
+    o.setTableProperty(dir, "a", "1")
+    assert(o.tableProperties(dir) == Map("a" -> "1")) // memoize the stamp
+    val sizeBefore = backend.size(s"$dir/manifests/properties")
+    // a FOREIGN instance rewrites a=1 → a=2: identical byte count,
+    // and fast enough to land within any mtime tick — the exact window
+    // where a bare (mtime, size) stamp would serve the stale map forever
+    new VersionedTableOps(backend).setTableProperty(dir, "a", "2")
+    assert(backend.size(s"$dir/manifests/properties") != sizeBefore,
+      "an equal-content-length rewrite must still change the file size")
+    assert(o.tableProperties(dir) == Map("a" -> "2"),
+      "a same-size foreign rewrite must not serve the stale memo")
+    // and the pad header never leaks into the parsed map
+    assert(!o.tableProperties(dir).keySet.exists(_.startsWith("#")))
+  }
+
   test("io contract: createExclusive is first-wins, content is complete") {
     val dir = tmpDir("io-contract")
     assert(backend.createExclusive(s"$dir/m/one", Seq("a", "b")))
