@@ -4046,6 +4046,19 @@ class VersionedTableOps(protected val io: TableIO) {
     * table), all constraints folded into a single aggregate. Violations
     * throw with per-constraint counts; the unpublished files are left
     * for the orphan sweep, exactly like any crashed commit. */
+  /** Does `dir` declare ANY commit gate a lineage-crossing landing
+    * (promote, fast-forward) must validate — explicit CHECK
+    * constraints, top-level NOT NULL, or nested NOT NULL? The guard
+    * that keeps gate-free transfers metadata-only: building the live
+    * view to validate costs a scan, so it is only built when a
+    * declaration demands one. */
+  private def hasDeclaredGates(dir: String): Boolean =
+    constraints(dir).nonEmpty || declaredSchema(dir).exists { j =>
+      val sc = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      sc.fields.exists(!_.nullable) || graft.sql.NestedNotNull.hasAny(sc)
+    }
+
   private def validateConstraints(spark: SparkSession, dir: String,
                                   newFiles: Seq[String],
                                   userBatch: Boolean = false): Unit =
@@ -4298,6 +4311,25 @@ class VersionedTableOps(protected val io: TableIO) {
       delLinesOf(dir, Some(v)) ++ carryManifest(dir, Some(v)))
     val sp = statsPath(dir, v)
     if (io.exists(sp)) io.writeLines(statsPath(bd, 1), io.readLines(sp))
+    // the fork carries the parent's DECLARATION, not just file
+    // pointers: without it a branch read serves PHYSICAL names and
+    // stored values (dropping renames, declared order and nested
+    // existence defaults — all user-visible), and a branch write cannot
+    // address post-evolution members at all (the write schema would
+    // come from file footers). Current declaration, per the engine's
+    // time-travel convention (schema travels with the head, data with
+    // the version). The retired ledger rides along so a branch-side ADD
+    // after a parent-side DROP never re-addresses dropped bytes. From
+    // here the lineages evolve independently — a post-fork parent ALTER
+    // stays parent-local, a branch ALTER stays branch-local.
+    declaredSchema(dir).foreach(declareSchema(bd, _))
+    retiredColumns(dir).foreach { case (id, p) => retireColumn(bd, id, p) }
+    // the partitioning declaration rides too: branch landings on a
+    // partitioned parent cluster by the same transforms (and record the
+    // same covering stats), so a fast-forwarded slice prunes exactly
+    // like a head landing would
+    val pts = partitioningOf(dir)
+    if (pts.nonEmpty) declarePartitioning(bd, pts.map(_.spec), ptNumFiles(dir))
     bd
   }
 
@@ -4349,6 +4381,15 @@ class VersionedTableOps(protected val io: TableIO) {
     require(versions(dir).last == fork,
       s"$dir advanced past the fork point v$fork; not a fast-forward — " +
         s"re-fork from the new head and replay the branch work")
+    // the ownership crossing validates like promote: the branch lineage
+    // enforced its own FORK-TIME gates, so a row can be in contract
+    // there and out of contract HERE (constraints or NOT NULLs the
+    // parent declared after the fork, or that never copied) — the
+    // parent's gates judge the branch head's LIVE view (audit deletes
+    // applied) before anything publishes. Gate-free parents stay
+    // metadata-only (no scan is built).
+    if (hasDeclaredGates(dir))
+      validateConstraintsDf(dir, read(spark, bd, Some(bh)))
     io.mkdirs(manifestDir(dir))
     // ownership boundary: the branch's metadata may reference BRANCH-local
     // segments, which retireBranch will delete — expand and re-segment
@@ -4442,11 +4483,13 @@ class VersionedTableOps(protected val io: TableIO) {
     // EXPANDED copy, not pointer carry: retire() deletes the staging
     // table's segment files, so the promoted-to sidecar must own its lines
     val fromStats = sidecarLines(fromDir, fv)
-    // a promotion lands rows the destination never validated: its CHECK
-    // constraints apply to the staged LIVE view (audit deletes applied)
-    // like any other commit — one scan, the price of constraints the
-    // staging table didn't declare
-    if (constraints(toDir).nonEmpty)
+    // a promotion lands rows the destination never validated: ALL its
+    // declared gates — CHECK constraints AND (top-level + nested) NOT
+    // NULL — apply to the staged LIVE view (audit deletes applied) like
+    // any other commit. One scan, the price of declarations the staging
+    // table didn't carry; gating on explicit constraints alone would
+    // let a staging NULL land under a destination NOT NULL unseen.
+    if (hasDeclaredGates(toDir))
       validateConstraintsDf(toDir, read(spark, fromDir, Some(fv)))
     val toExists = versions(toDir).nonEmpty
     if (toExists && append) {
