@@ -36,10 +36,15 @@ object Scaling {
     buildBlowup(spark, base, scaled, factor)
     spark.read.parquet(s"$base/region.parquet").count() // session warm-up
 
-    val probes = Seq("q_pagerank", "q_change_feed", "q_substr_dedup",
+    val all = Seq("q_pagerank", "q_change_feed", "q_substr_dedup",
       "q_triangles", "q_curation_funnel", "q_dedup_cluster",
-      "q_ngram_perplexity", "q_sim_ivfpq_build", "q_dedup_minhash",
+      "q_ngram_perplexity", "q_sim_ivfpq", "q_dedup_minhash",
       "q_sim_ivf")
+    // SPARK_GRAFT_SCALE_ONLY=q_a,q_b narrows to a subset (re-probing
+    // after a fix without paying the full sweep)
+    val probes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(all)
     def timeQuery(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -50,8 +55,19 @@ object Scaling {
       math.min(once(), once()) // min-of-2: drop the JIT-cold run
     }
     val rows = probes.map { q =>
+      System.err.println(s"[scaling] $q at x1…")
       val t1 = timeQuery(q, base)
-      val tN = timeQuery(q, scaled)
+      System.err.println(f"[scaling] $q x1=$t1%.2fs; at x$factor…")
+      val tN =
+        try timeQuery(q, scaled)
+        catch { case e: Throwable =>
+          // a query that BREAKS at 10x is the probe's most important
+          // possible output — record it, keep sweeping
+          System.err.println(s"[scaling] $q FAILED at x$factor: " +
+            e.getMessage)
+          -1.0
+        }
+      System.err.println(f"[scaling] $q x$factor=$tN%.2fs")
       (q, t1, tN)
     }
 

@@ -155,11 +155,18 @@ object GraphOps {
       .filter(col("a") =!= col("b")).distinct()
     val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // merge hints throughout: every side here is data-dependent and
+    // unbounded (deg and the edge list are O(nodes)/O(edges)), and the
+    // edge side's size-only estimate is catastrophically LOW when edges
+    // derive from an explode-heavy pipeline (explode is invisible to
+    // size-only stats — measured: the static planner broadcast a 10 GiB
+    // pair graph at a 10× corpus and the job died). Sort-merge finishes
+    // at every scale; AQE still localizes the small-sf shuffles.
     val withOrds = canon
       .join(deg.select(col("node").as("a"),
-        struct(col("deg"), col("node")).as("ord_a")), "a")
+        struct(col("deg"), col("node")).as("ord_a")).hint("merge"), "a")
       .join(deg.select(col("node").as("b"),
-        struct(col("deg"), col("node")).as("ord_b")), "b")
+        struct(col("deg"), col("node")).as("ord_b")).hint("merge"), "b")
     val ori = cp.checkpoint(withOrds.select(
       when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b"))
         .as("src"),
@@ -171,10 +178,12 @@ object GraphOps {
       col("dst_ord").as("ord1"))
     val e2 = ori.select(col("src").as("n0"), col("dst").as("n2"),
       col("dst_ord").as("ord2"))
-    val wedges = e1.join(e2, Seq("n0")).filter(col("ord1") < col("ord2"))
+    val wedges = e1.join(e2.hint("merge"), Seq("n0"))
+      .filter(col("ord1") < col("ord2"))
     // the closing edge is oriented n1 → n2 because ord(n1) < ord(n2)
     val closed = wedges.join(
-      ori.select(col("src").as("n1"), col("dst").as("n2")), Seq("n1", "n2"))
+      ori.select(col("src").as("n1"), col("dst").as("n2")).hint("merge"),
+      Seq("n1", "n2"))
     closed
       .select(explode(array(col("n0"), col("n1"), col("n2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))

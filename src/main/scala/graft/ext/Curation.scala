@@ -43,9 +43,15 @@ object Curation {
     val contIds = DedupOps.contaminationHits(docs, evalDocs)
       .select(col("doc_id"))
       .withColumn("is_cont", lit(true))
+    // merge hints: dupIds/contIds are O(docs) distinct-id sets riding
+    // explode-heavy lineages whose size-only estimates are far below
+    // reality (explode is invisible to size-only stats — the static
+    // planner broadcast a 10 GiB side at a 10× corpus and died); the
+    // genuinely-tiny broadcast here is the EVAL set inside
+    // contaminationHits, which keeps its broadcast join.
     quality
-      .join(dupIds, Seq("doc_id"), "left")
-      .join(contIds, Seq("doc_id"), "left")
+      .join(dupIds.hint("merge"), Seq("doc_id"), "left")
+      .join(contIds.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("q_ok"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"),
         coalesce(col("is_cont"), lit(false)).as("is_cont"))

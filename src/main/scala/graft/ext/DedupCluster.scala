@@ -72,13 +72,17 @@ object DedupCluster {
         // a diameter-d graph changes labels in rounds 1..d and confirms the
         // fixpoint in round d+1, hence the +1 on the cap
         while (!converged && round < maxIter + 1) {
+          // merge hints: labels is O(nodes) — unbroadcastable at corpus
+          // scale — and checkpointed-plan size estimates undershoot
+          // (explode-heavy lineage; see GraphOps.triangleCounts)
           val neighborMin = sym
-            .join(labels.select(col("id").as("src"), col("label")), "src")
+            .join(labels.select(col("id").as("src"), col("label"))
+              .hint("merge"), "src")
             .groupBy(col("dst"))
             .agg(min(col("label")).as("nmin"))
             .select(col("dst").as("id"), col("nmin"))
           val stepped = labels
-            .join(neighborMin, Seq("id"), "left")
+            .join(neighborMin.hint("merge"), Seq("id"), "left")
             .select(col("id"),
               least(col("label"), coalesce(col("nmin"), col("label")))
                 .as("label"),

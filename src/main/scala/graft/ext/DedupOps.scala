@@ -131,9 +131,19 @@ object DedupOps {
                    maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     val sh = cachedIndex(docs, k, maxDf)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // merge hint, not broadcast: NEITHER side is statically safe to
+    // broadcast — sizes is O(docs) (unbroadcastable at corpus scale),
+    // and the pairs side's size-only estimate is catastrophically LOW
+    // because explode is invisible to size-only stats (a pair table
+    // exploded from megabytes of parquet still "estimates" at those
+    // megabytes; measured 10 GiB actual at a 10× corpus — the static
+    // planner broadcast it and the job died). Sort-merge is the plan
+    // that finishes at every scale; the shuffles are trivial at small sf.
     cooccurrencePairs(sh)
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+        .hint("merge"), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+        .hint("merge"), "id_b")
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")), 6))
   }

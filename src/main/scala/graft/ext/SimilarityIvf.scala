@@ -74,10 +74,18 @@ object SimilarityIvf {
     // systematic sample has nList+1 candidates, and an unordered limit
     // would pick an arbitrary subset — training must be a pure function
     // of the data (two runs feed the oracle side-input contract)
+    // seed ids are the sample's DENSE RANK, not vec_id/stride: ids are
+    // arbitrary 64-bit values in a real corpus (snowflake-style, or a
+    // partition-shifted blowup), and the division overflowed the INT id
+    // at vec_id ≈ 2.4e9 (measured at a 10× corpus). For dense 0..n ids
+    // the rank equals the old quotient, so trained artifacts (and the
+    // side-input oracle) are unchanged. The rank window runs over the
+    // ≤ nList+1-row sample, never the corpus.
+    val seedW = Window.orderBy(col("vec_id"))
     var cents = collectCentroids(corpus
       .filter(col("vec_id") % stride === 0).orderBy(col("vec_id"))
       .limit(nList)
-      .select((col("vec_id") / stride).cast("int").as("centroid_id"),
+      .select((row_number().over(seedW) - 1).as("centroid_id"),
         col("embedding").as("centroid")))
     (1 to nIters).foreach { _ =>
       cents = collectCentroids(corpus

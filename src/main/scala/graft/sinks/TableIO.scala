@@ -58,6 +58,33 @@ object TableIO {
   val local: TableIO = new LocalTableIO
 }
 
+/** Forwarding [[TableIO]] with a swappable delegate — the seam that
+  * lets the process-wide [[VersionedTable]] singleton (and with it the
+  * SQL catalog, which binds the singleton throughout) run over a
+  * non-local backend: a real landing configures
+  * `spark.sql.catalog.graft.io=hadoop` once and every manifest
+  * operation the SQL front door performs rides the Hadoop
+  * `FileSystem`. One metadata backend per driver process — the switch
+  * happens at catalog initialize, before any table IO. */
+class SwitchableTableIO(@volatile private var delegate: TableIO)
+    extends TableIO {
+  def current: TableIO = delegate
+  private[sinks] def set(b: TableIO): Unit = { delegate = b }
+  override def mkdirs(dir: String): Unit = delegate.mkdirs(dir)
+  override def exists(path: String): Boolean = delegate.exists(path)
+  override def list(dir: String): Seq[String] = delegate.list(dir)
+  override def readLines(path: String): Seq[String] =
+    delegate.readLines(path)
+  override def writeLines(path: String, lines: Seq[String]): Unit =
+    delegate.writeLines(path, lines)
+  override def createExclusive(path: String, lines: Seq[String]): Boolean =
+    delegate.createExclusive(path, lines)
+  override def delete(path: String): Unit = delegate.delete(path)
+  override def size(path: String): Long = delegate.size(path)
+  override def isDir(path: String): Boolean = delegate.isDir(path)
+  override def mtime(path: String): Long = delegate.mtime(path)
+}
+
 /** `java.nio` backend. Atomic create-if-absent is a HARD LINK to a staged
   * temp file: link(2) fails with EEXIST on collision, and the bytes were
   * durable in the staging file before the link existed, so a reader can

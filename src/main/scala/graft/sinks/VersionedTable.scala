@@ -828,6 +828,17 @@ class VersionedTableOps(protected val io: TableIO) {
   private[graft] def invalidateProperties(dir: String): Unit =
     propsCache.synchronized { propsCache.remove(propertiesPath(dir)) }
 
+  /** Flush every path-keyed memo — required when the BACKEND behind
+    * `io` changes ([[VersionedTable.setBackend]]): a path string means
+    * a different store afterwards, so a stale hit would serve the old
+    * backend's bytes. Correctness never rides on a hit; the caches
+    * refill from the new backend. */
+  protected def clearPathMemos(): Unit = {
+    propsCache.synchronized(propsCache.clear())
+    segCache.clear()
+    cboFoldCache.synchronized(cboFoldCache.clear())
+  }
+
   def tableProperties(dir: String): Map[String, String] = {
     val p = propertiesPath(dir)
     if (!io.exists(p)) return Map.empty
@@ -4992,7 +5003,22 @@ private[graft] object StatValue {
 }
 
 /** The default (local-filesystem) binding, plus the oracle-checked query. */
-object VersionedTable extends VersionedTableOps(TableIO.local) {
+object VersionedTable
+    extends VersionedTableOps(new SwitchableTableIO(TableIO.local)) {
+
+  /** Bind the process-wide metadata backend — what lets the SQL
+    * catalog (which references this singleton throughout) run over
+    * HDFS/ABFS: `spark.sql.catalog.graft.io=hadoop` calls this at
+    * catalog initialize. ONE backend per driver process: the engine's
+    * path-keyed memos (segments, properties, CBO folds) are flushed on
+    * switch, so configure the backend once, before table IO — not as a
+    * per-query toggle. */
+  def setBackend(b: TableIO): Unit = {
+    io.asInstanceOf[SwitchableTableIO].set(b)
+    clearPathMemos()
+  }
+
+  def backend: TableIO = io.asInstanceOf[SwitchableTableIO].current
 
   /** q_time_travel — the protocol end to end: v1 lands the even half of
     * events, v2 appends the odd half, and the query reads BOTH versions

@@ -101,6 +101,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     catName = name
     warehouse = Option(options.get("warehouse"))
       .map(_.stripSuffix("/")).filter(_.nonEmpty)
+    // `io=hadoop` binds the engine's metadata backend to the Hadoop
+    // FileSystem (HDFS/ABFS/anything the classpath provides) — what a
+    // real landing runs; the manifest protocol is backend-invariant
+    // (HadoopVersionedTableSpec proves it on the same spec suite as
+    // java.nio). PROCESS-WIDE by design: the catalog surface references
+    // the VersionedTable singleton throughout, and a real driver runs
+    // exactly one metadata store — configure it once, not per catalog.
+    Option(options.get("io")).foreach {
+      case "local" => graft.sinks.VersionedTable
+        .setBackend(graft.sinks.TableIO.local)
+      case "hadoop" =>
+        val conf = SparkSession.getActiveSession
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        graft.sinks.VersionedTable
+          .setBackend(new graft.sinks.HadoopTableIO(conf))
+      case other => throw new IllegalArgumentException(
+        s"unknown catalog io backend '$other' — use 'local' or 'hadoop'")
+    }
     // configuring the catalog is the opt-in for the whole SQL front
     // door: the DML strategy (UPDATE / MERGE INTO / expression DELETE)
     // rides along so the statements work without a separate install call

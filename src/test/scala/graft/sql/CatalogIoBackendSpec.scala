@@ -1,0 +1,63 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.sinks.{HadoopTableIO, TableIO, VersionedTable}
+
+/** The SQL front door over the HADOOP FileSystem backend — the shape a
+  * real 100 TB landing runs (`spark.sql.catalog.graft.io=hadoop`). The
+  * manifest protocol itself is proven backend-invariant by
+  * HadoopVersionedTableSpec; this spec pins that the CATALOG layer
+  * (DDL, constraint-gated INSERT, evolution, SHOW CREATE, reads) rides
+  * the switched backend end to end. The backend is process-wide — the
+  * spec restores the local default in a finally, so the rest of the
+  * suite is untouched. */
+class CatalogIoBackendSpec extends SparkSpec {
+
+  test("CREATE / constraint-gated INSERT / RENAME / SELECT / SHOW " +
+      "CREATE all run over the hadoop io backend") {
+    val prev = VersionedTable.backend
+    try {
+      spark.conf.set("spark.sql.catalog.grafthio",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.grafthio.io", "hadoop")
+      val dir = tmpDir("cio") + "/t"
+      spark.sql(s"CREATE TABLE grafthio.`$dir` (id BIGINT, v DOUBLE, " +
+        "CONSTRAINT pos CHECK (v >= 0))")
+      assert(VersionedTable.backend.isInstanceOf[HadoopTableIO],
+        "initializing the catalog must have switched the backend")
+      spark.sql(s"INSERT INTO grafthio.`$dir` VALUES (1, 1.5), (2, 2.5)")
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO grafthio.`$dir` VALUES (3, -1.0)")
+      }
+      assert(e.getMessage.contains("pos") || e.getMessage.contains("CHECK"),
+        e.getMessage)
+      spark.sql(s"ALTER TABLE grafthio.`$dir` RENAME COLUMN v TO val")
+      val got = spark.table(s"grafthio.`$dir`").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((1L, 1.5), (2L, 2.5)))
+      assert(spark.table(s"grafthio.`$dir`").columns.toSeq
+        == Seq("id", "val"))
+      val ddl = spark.sql(s"SHOW CREATE TABLE grafthio.`$dir`")
+        .collect().head.getString(0)
+      assert(ddl.contains("CONSTRAINT pos CHECK"), ddl)
+    } finally VersionedTable.setBackend(prev)
+    assert(VersionedTable.backend eq prev,
+      "the suite must leave the local backend restored")
+  }
+
+  test("an unknown io backend refuses loudly at initialize") {
+    val prev = VersionedTable.backend
+    try {
+      spark.conf.set("spark.sql.catalog.graftbadio",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftbadio.io", "s3-magic")
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graftbadio.`${tmpDir("cio-bad")}/t` " +
+          "(id BIGINT)")
+      }
+      assert(e.getMessage.contains("s3-magic") ||
+        Option(e.getCause).exists(_.getMessage.contains("s3-magic")),
+        e.getMessage)
+    } finally VersionedTable.setBackend(prev)
+  }
+}
