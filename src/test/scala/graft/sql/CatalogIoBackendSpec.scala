@@ -22,21 +22,24 @@ class CatalogIoBackendSpec extends SparkSpec {
       spark.conf.set("spark.sql.catalog.grafthio.io", "hadoop")
       val dir = tmpDir("cio") + "/t"
       spark.sql(s"CREATE TABLE grafthio.`$dir` (id BIGINT, v DOUBLE, " +
-        "CONSTRAINT pos CHECK (v >= 0))")
+        "k STRING, CONSTRAINT pos CHECK (v >= 0))")
       assert(VersionedTable.backend.isInstanceOf[HadoopTableIO],
         "initializing the catalog must have switched the backend")
-      spark.sql(s"INSERT INTO grafthio.`$dir` VALUES (1, 1.5), (2, 2.5)")
+      spark.sql(s"INSERT INTO grafthio.`$dir` VALUES (1, 1.5, 'a'), " +
+        "(2, 2.5, 'b')")
       val e = intercept[Exception] {
-        spark.sql(s"INSERT INTO grafthio.`$dir` VALUES (3, -1.0)")
+        spark.sql(s"INSERT INTO grafthio.`$dir` VALUES (3, -1.0, 'c')")
       }
       assert(e.getMessage.contains("pos") || e.getMessage.contains("CHECK"),
         e.getMessage)
-      spark.sql(s"ALTER TABLE grafthio.`$dir` RENAME COLUMN v TO val")
+      // rename the UNconstrained column (renaming a constraint-referenced
+      // one refuses by design — a separate pinned contract)
+      spark.sql(s"ALTER TABLE grafthio.`$dir` RENAME COLUMN k TO tag")
       val got = spark.table(s"grafthio.`$dir`").orderBy("id").collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      assert(got == Seq((1L, 1.5), (2L, 2.5)))
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 1.5, "a"), (2L, 2.5, "b")))
       assert(spark.table(s"grafthio.`$dir`").columns.toSeq
-        == Seq("id", "val"))
+        == Seq("id", "v", "tag"))
       val ddl = spark.sql(s"SHOW CREATE TABLE grafthio.`$dir`")
         .collect().head.getString(0)
       assert(ddl.contains("CONSTRAINT pos CHECK"), ddl)
