@@ -197,7 +197,10 @@ object DedupOps {
           lit(rowsPerBand))))).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    // merge: both sides are the banding explode of the whole signature
+    // table — unbounded and estimate-blind (see the jaccardPairs note)
+    a.join(b.hint("merge"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
@@ -213,11 +216,13 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("sh_set"),
         count(lit(1)).as("n_sh"))
+    // merge: sets is O(docs) and carries each doc's FULL shingle set —
+    // the worst possible broadcast payload (see the jaccardPairs note)
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("sh_set").as("set_a"),
-        col("n_sh").as("n_a")), "id_a")
+        col("n_sh").as("n_a")).hint("merge"), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh_set").as("set_b"),
-        col("n_sh").as("n_b")), "id_b")
+        col("n_sh").as("n_b")).hint("merge"), "id_b")
       .withColumn("common", size(array_intersect(col("set_a"), col("set_b")))
         .cast("long"))
       .withColumn("jaccard", round(col("common").cast("double") /
@@ -272,7 +277,10 @@ object DedupOps {
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = blocked.select(col("block"), col("blockval"),
       col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("block", "blockval")).filter(col("id_a") < col("id_b"))
+    // merge: block-collision self-join of the whole corpus (see the
+    // jaccardPairs note)
+    a.join(b.hint("merge"), Seq("block", "blockval"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
@@ -306,7 +314,9 @@ object DedupOps {
       col("embedding").as("e_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("e_b"))
-    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+    // merge: bucket-collision self-join carrying full embeddings (see
+    // the jaccardPairs note)
+    a.join(b.hint("merge"), "bucket").filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine_sim(col("e_a"), col("e_b")), 6).as("cosine"))
       .distinct()
@@ -348,7 +358,8 @@ object DedupOps {
                             k: Int = 3): DataFrame = {
     val hits = contaminationHits(docs, benchDocs, k)
     docs.select(col("doc_id"), col("source"))
-      .join(hits, Seq("doc_id"), "left")
+      // merge: hits is O(contaminated docs) — unbounded (see jaccardPairs)
+      .join(hits.hint("merge"), Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -70,7 +70,9 @@ object LineDedup {
       .groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("line_id"))).as("first_site"))
     occ
-      .join(firstSite, Seq("line"))
+      // merge: firstSite is O(distinct lines) — unbounded, and its
+      // explode-derived estimate undershoots (see jaccardPairs)
+      .join(firstSite.hint("merge"), Seq("line"))
       .withColumn("keep",
         struct(col("doc_id"), col("line_id")) === col("first_site"))
       .select(col("doc_id"), col("line_id"), col("line"), col("keep"))

@@ -44,7 +44,9 @@ object SemDedup {
       col("embedding").as("emb_a"))
     val b = indexed.select(col("list_id"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
-    a.join(b, Seq("list_id"))
+    // merge: per-cluster self-join of the whole corpus carrying full
+    // embeddings — unbounded and estimate-blind (see jaccardPairs)
+    a.join(b.hint("merge"), Seq("list_id"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine_sim(col("emb_a"), col("emb_b")) > threshold)
       .select(col("id_b").as("vec_id"))
@@ -56,7 +58,9 @@ object SemDedup {
     * ([[SimilarityIvf.loadIndex]]): dedup serves from the landed parquet
     * without retraining or reassigning. */
   def semDedupIndexed(indexed: DataFrame, threshold: Double = 0.7): DataFrame =
-    indexed.join(duplicateIds(indexed, threshold), Seq("vec_id"), "left_anti")
+    // merge: the condemned-id set is O(corpus) — unbroadcastable
+    indexed.join(duplicateIds(indexed, threshold).hint("merge"),
+      Seq("vec_id"), "left_anti")
 
   /** The surviving corpus: cluster with k-means (nList, nIters), then
     * drop every within-cluster duplicate. Returns the input rows plus
@@ -81,7 +85,7 @@ object SemDedup {
     dups.count() // materialize the pair stage through the cached index
     indexed.unpersist(blocking = false)
     SimilarityIvf.index(corpus, centroids)
-      .join(dups, Seq("vec_id"), "left_anti")
+      .join(dups.hint("merge"), Seq("vec_id"), "left_anti")
   }
 
   /** q_dedup_semantic — per-cluster survivor accounting over the
@@ -101,7 +105,8 @@ object SemDedup {
     val indexed = SimilarityIvf.index(emb, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = indexed
-      .join(duplicateIds(indexed, threshold = 0.3), Seq("vec_id"), "left_anti")
+      .join(duplicateIds(indexed, threshold = 0.3).hint("merge"),
+        Seq("vec_id"), "left_anti")
     val out = indexed.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
       .join(kept.groupBy(col("list_id")).agg(count(lit(1)).as("n_kept")),
         Seq("list_id"), "left")

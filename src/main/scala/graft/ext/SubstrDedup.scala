@@ -52,7 +52,9 @@ object SubstrDedup {
       .groupBy(col("wh"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first_site"))
     occ
-      .join(firstSite, Seq("wh"))
+      // merge: firstSite is O(distinct windows) — unbounded, and its
+      // explode-derived estimate undershoots (see jaccardPairs)
+      .join(firstSite.hint("merge"), Seq("wh"))
       .withColumn("keep",
         struct(col("doc_id"), col("pos")) === col("first_site"))
       .select(col("doc_id"), col("pos"), col("wh"), col("keep"))
@@ -66,7 +68,7 @@ object SubstrDedup {
       .agg(count(lit(1)).as("n_windows"),
         count(when(!col("keep"), lit(1))).as("n_dup"))
     docs.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+      .join(agg.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
