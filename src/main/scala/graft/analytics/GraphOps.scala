@@ -56,13 +56,16 @@ object GraphOps {
     val cp = Checkpointer(checkpointDir)
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // merge hints on every pagerank join: all sides are O(nodes)/O(edges)
-    // and ride estimate-blind lineages (checkpoint/explode — see the
-    // jaccardPairs rationale); a mis-estimated broadcast of a rank or
-    // degree table is a job-killer at graph scale
+    // NO merge hints here, deliberately (the dedup/triangle operators
+    // carry them): pagerank's join inputs are persisted AND materialized
+    // before any per-round plan is built (`nodes.count()` below), so the
+    // InMemoryRelation serves ACCURATE sizes and Catalyst's
+    // broadcast-vs-SMJ choice is trustworthy at every scale — unlike the
+    // explode-blind estimates that mis-broadcast a 10 GiB pair table.
+    // Verified flat at the 10× blowup pre-hint; hinting cost 2 extra
+    // shuffles per iteration for nothing.
     val withDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .hint("merge"), "src")
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val nodes = cp.checkpoint(e.select(col("src").as("node"))
@@ -79,15 +82,14 @@ object GraphOps {
         failing {
           for (i <- 1 to iters) {
             val contribs = withDeg
-              .join(ranks.select(col("node").as("src"), col("rank"))
-                .hint("merge"), "src")
+              .join(ranks.select(col("node").as("src"), col("rank")), "src")
               .groupBy(col("dst"))
               .agg(sum(col("rank") / col("outdeg")).as("contrib"))
               .select(col("dst").as("node"), col("contrib"))
             // left join from the stable node list: a node with no in-edges
             // keeps the bare teleport share instead of dropping out
             val stepped = nodes
-              .join(contribs.hint("merge"), Seq("node"), "left")
+              .join(contribs, Seq("node"), "left")
               .select(col("node"),
                 (lit((1 - damping) / n) +
                   lit(damping) * coalesce(col("contrib"), lit(0.0)))
