@@ -108,7 +108,7 @@ object Scaling {
     spark.stop()
   }
 
-  private def buildBlowup(spark: SparkSession, base: String,
+  private[graft] def buildBlowup(spark: SparkSession, base: String,
                           out: String, factor: Int): Unit = {
     val done = java.nio.file.Paths.get(s"$out/_BUILT")
     if (java.nio.file.Files.exists(done)) return

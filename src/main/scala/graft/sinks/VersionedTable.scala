@@ -679,16 +679,61 @@ class VersionedTableOps(protected val io: TableIO) {
     * files, so expanding every segment per attempt would quietly turn an
     * O(batch) commit back into an O(table-files) one. */
   private def publishOnHeadRaw(dir: String)(
-      build: Option[Int] => Seq[String]): Int = {
+      build: Option[Int] => Seq[String]): Int =
+    publishOnHeadTxn(dir, None)(build).merge
+
+  /** [[publishOnHeadRaw]] plus the exactly-once arbiter for txn-carrying
+    * commits: each attempt re-checks the lineage for `txnId` against the
+    * FRESHLY-resolved head before publishing, so two LIVE writers
+    * carrying the same id cannot both land. The entry-time ledger check
+    * in [[commitOnce]] is only the replay fast path — it is
+    * check-then-act, and two concurrent carriers both pass it (exactly
+    * the reference's non-atomic duplicate check, weather_etl.py:158–184,
+    * recreated one level down; found by the writer-schedule fuzzer).
+    * The race is decided HERE: the loser of the createExclusive race
+    * re-resolves the head, and the winner's `#txn=` line is then in the
+    * lineage it re-scans (only versions not yet scanned re-read, so the
+    * check stays O(history) per COMMIT, not per attempt). A writer that
+    * never loses the createExclusive cannot have raced anyone on this
+    * lineage — publishing v(head+1) is itself the proof its scan of
+    * v1..head was complete. Returns Left(existing version) when the txn
+    * already landed, Right(published version) otherwise. */
+  private def publishOnHeadTxn(dir: String, txnId: Option[String])(
+      build: Option[Int] => Seq[String]): Either[Int, Int] = {
     io.mkdirs(manifestDir(dir))
-    var committed = -1
-    while (committed < 0) {
-      val head = versions(dir).lastOption
-      val v = head.getOrElse(0) + 1
-      if (io.createExclusive(manifestPath(dir, v), build(head)))
-        committed = v
+    var scanned = Set.empty[Int]
+    var out: Option[Either[Int, Int]] = None
+    while (out.isEmpty) {
+      val vs = versions(dir)
+      val dup = txnId.flatMap { t =>
+        val fresh = vs.filterNot(scanned.contains)
+        val hit = fresh.sorted.reverse.find(v =>
+          io.readLines(manifestPath(dir, v)).contains(s"#txn=$t"))
+        scanned ++= fresh
+        hit
+      }
+      dup match {
+        case Some(existing) => out = Some(Left(existing))
+        case None =>
+          val head = vs.lastOption
+          val v = head.getOrElse(0) + 1
+          if (io.createExclusive(manifestPath(dir, v), build(head)))
+            out = Some(Right(v))
+      }
     }
-    committed
+    out.get
+  }
+
+  /** Reclaim a batch that lost an exactly-once race before publishing:
+    * the files were written by THIS process and are referenced by no
+    * manifest, so eager deletion is safe (and spares the orphan sweep). */
+  private def discardUnpublishedBatch(newFiles: Seq[String]): Unit = {
+    newFiles.foreach(io.delete)
+    newFiles.headOption.foreach { f =>
+      val bdir = f.substring(0, f.lastIndexOf('/'))
+      io.list(bdir).foreach(n => io.delete(s"$bdir/$n"))
+      io.delete(bdir)
+    }
   }
 
   /** Write `df` as one immutable batch under `data/`; returns file paths. */
@@ -772,33 +817,47 @@ class VersionedTableOps(protected val io: TableIO) {
     writePropertiesFile(dir, tableProperties(dir) + (key -> value))
   }
 
-  /** Remove a durable property (no-op when absent). */
+  /** Remove a durable property (no-op when absent). Emptying the map
+    * does NOT delete the file: it rewrites a header-only file through
+    * [[writePropertiesFile]], preserving the size-monotone stamp
+    * invariant — a delete-then-recreate could land a byte count the
+    * file has had before within one mtime granule, and a foreign
+    * instance's (mtime, size) memo would then serve the OLD map
+    * forever. */
   def removeTableProperty(dir: String, key: String): Unit = {
-    val cur = tableProperties(dir) - key
-    if (cur.isEmpty) { io.delete(propertiesPath(dir))
-      invalidateProperties(dir) }
-    else writePropertiesFile(dir, cur)
+    val cur = tableProperties(dir)
+    if (!cur.contains(key)) return
+    writePropertiesFile(dir, cur - key)
   }
 
-  /** Rewrite the properties file guaranteeing the memo stamp CHANGES:
-    * the stamp is (mtime, size), and a rewrite landing the same byte
-    * count within the filesystem's mtime resolution would serve a stale
-    * memo FOREVER to any reader outside this instance's eager
-    * invalidation (a second in-process ops over the same backend,
-    * another process entirely). When the rewritten file measures the
-    * same size as before, pad with a `#`-comment header until it
-    * differs — properties writes are rare DDL-time events, so the loop
-    * is ≤2 extra stats in practice and the read path stays stat-only. */
+  /** Rewrite the properties file guaranteeing the memo stamp CHANGES
+    * against EVERY size in the file's history, not just the immediately
+    * preceding one: the stamp is (mtime, size), so any size the file
+    * has EVER had could still be memoized under a same-granule mtime by
+    * a foreign instance (a second in-process ops over the same backend,
+    * another process entirely), and a size-revisiting write sequence
+    * (A at size S, B, C back to S) would serve that reader the A-era
+    * map forever. The invariant that closes all histories: the size
+    * STRICTLY GROWS on every rewrite — pad with a `#`-comment header
+    * until the new file measures larger than the old one. Properties
+    * writes are rare DDL-time events, so the extra bytes are noise and
+    * the read path stays stat-only. */
   private def writePropertiesFile(dir: String,
                                   props: Map[String, String]): Unit = {
     val p = propertiesPath(dir)
-    val before = if (io.exists(p)) Some(io.size(p)) else None
+    val before = if (io.exists(p)) io.size(p) else -1L
     val body = props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
     io.writeLines(p, body)
-    var pad = "#pad"
-    while (before.contains(io.size(p))) {
+    if (io.size(p) <= before) {
+      // one shot: a header line adds its own length + the joining
+      // newline, so pad to exactly (before + 1) bytes; the loop below
+      // is a backstop for backends whose byte accounting differs
+      var pad = "#" + "." * math.max(0, (before - io.size(p)).toInt)
       io.writeLines(p, pad +: body)
-      pad += "."
+      while (io.size(p) <= before) {
+        pad += "."
+        io.writeLines(p, pad +: body)
+      }
     }
     invalidateProperties(dir)
   }
@@ -1204,37 +1263,52 @@ class VersionedTableOps(protected val io: TableIO) {
       val newSeg = segLine(dir, newFiles, cov)
       val newStatsSeg = segLine(dir, rowsNew, cov)
       var headAt: Option[Int] = None
-      val v = publishOnHeadRaw(dir) { h =>
+      publishOnHeadTxn(dir, txnId) { h =>
         headAt = h
         meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
           carryManifest(dir, h) ++ newSeg
+      } match {
+        case Left(existing) =>
+          // a LIVE same-txn writer won the race: this batch never
+          // published and must not land its stats or trigger maintenance
+          discardUnpublishedBatch(newFiles)
+          existing
+        case Right(v) =>
+          val hdr = (headAt match {
+            case None => Some((0L, 0L)) // first commit: totals start at 0
+            case some => headerOrUpgrade(dir, some)
+          }).map { case (d, del) =>
+            rowsHeaderLine(d + sumRows(rowsNew), del)
+          }.toSeq
+          io.writeLines(statsPath(dir, v),
+            hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
+          val out =
+            maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
+          maybeAutoExpire(dir)
+          maybeAutoAnalyze(df.sparkSession, dir, sumRows(rowsNew))
+          maybeAutoRefresh(df.sparkSession, dir)
+          out
       }
-      val hdr = (headAt match {
-        case None => Some((0L, 0L)) // first commit: totals start at zero
-        case some => headerOrUpgrade(dir, some)
-      }).map { case (d, del) =>
-        rowsHeaderLine(d + sumRows(rowsNew), del)
-      }.toSeq
-      io.writeLines(statsPath(dir, v),
-        hdr ++ carrySidecar(dir, headAt) ++ newStatsSeg)
-      val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
-      maybeAutoExpire(dir)
-      maybeAutoAnalyze(df.sparkSession, dir, sumRows(rowsNew))
-      maybeAutoRefresh(df.sparkSession, dir)
-      out
     } else {
-      val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
-        meta ++ newFiles)
-      io.writeLines(statsPath(dir, v),
-        rowsHeaderLine(sumRows(rowsNew), 0L) +: rowsNew)
-      // an overwrite discarded every previously-counted small file
-      if (io.exists(smallCountPath(dir)))
-        io.writeLines(smallCountPath(dir), Seq("0"))
-      val out = maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
-      maybeAutoExpire(dir)
-      maybeAutoAnalyze(df.sparkSession, dir, sumRows(rowsNew))
-      maybeAutoRefresh(df.sparkSession, dir)
-      out
+      // a logical overwrite's lines don't derive from the head, but a
+      // txn-carrying one still rides the same exactly-once arbiter
+      publishOnHeadTxn(dir, txnId)(_ => meta ++ newFiles) match {
+        case Left(existing) =>
+          discardUnpublishedBatch(newFiles)
+          existing
+        case Right(v) =>
+          io.writeLines(statsPath(dir, v),
+            rowsHeaderLine(sumRows(rowsNew), 0L) +: rowsNew)
+          // an overwrite discarded every previously-counted small file
+          if (io.exists(smallCountPath(dir)))
+            io.writeLines(smallCountPath(dir), Seq("0"))
+          val out =
+            maybeAutoCompact(df.sparkSession, dir, newFiles).getOrElse(v)
+          maybeAutoExpire(dir)
+          maybeAutoAnalyze(df.sparkSession, dir, sumRows(rowsNew))
+          maybeAutoRefresh(df.sparkSession, dir)
+          out
+      }
     }
   }
 
@@ -3578,7 +3652,7 @@ class VersionedTableOps(protected val io: TableIO) {
       var carried: Seq[String] = Seq.empty
       var dropped: Map[String, Long] = Map.empty
       var headAt: Option[Int] = None
-      val v = publishOnHeadRaw(dir) { h =>
+      publishOnHeadTxn(dir, txnId) { h =>
         if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
           throw new SnapshotShapeConflict(
             "delete vectors changed during merge; re-run against the " +
@@ -3606,12 +3680,19 @@ class VersionedTableOps(protected val io: TableIO) {
           Seq(s"#ts=${now()}") ++
           survivorDel.map(f => s"#del=$f") ++
           carryManifestExcept(dir, h, removed, touchedSet) ++ newSeg
+      } match {
+        case Left(existing) =>
+          // a LIVE writer carrying the same txn won the race (the entry
+          // ledger check is only the replay fast path): nothing of ours
+          // published — the rewritten files are orphan-sweep debris
+          existing
+        case Right(v) =>
+          io.writeLines(statsPath(dir, v),
+            rewriteHeader(dir, headAt, touchedSet, delsAtStart.toSet,
+              dropped, sumRows(newStats), sumRows(delRows)) ++
+              carried ++ newStatsSeg)
+          v
       }
-      io.writeLines(statsPath(dir, v),
-        rewriteHeader(dir, headAt, touchedSet, delsAtStart.toSet, dropped,
-          sumRows(newStats), sumRows(delRows)) ++
-          carried ++ newStatsSeg)
-      v
     } finally { src.unpersist(); delK.unpersist() }
   }
 
@@ -4077,10 +4158,24 @@ class VersionedTableOps(protected val io: TableIO) {
       validateConstraintsDf(dir, spark.read.parquet(newFiles: _*),
         userBatch)
 
+  /** `userBatch` = an append-door landing (full gates, including the
+    * nested-default stored-NULL refusal). `foreignBatch` = a
+    * lineage-CROSSING landing (promote, fast-forward): the batch is
+    * another lineage's read, so the engine-rewrite exemption ("rewrites
+    * carry the pinned declared shape") does NOT apply — an absent or
+    * type-incompatible nested NOT NULL path must refuse exactly like a
+    * user batch, or a staging lineage that simply omits a
+    * destination-declared member would promote unseen and every
+    * promoted row would read NULL at the declared path. Nested-default
+    * checks stay off for foreign batches: a staged lineage's stored
+    * NULL under a defaulted member can be a faithful pre-evolution
+    * carry of ITS OWN history, which the coalesce read serves
+    * correctly. */
   private def validateConstraintsDf(dir: String, batch: DataFrame,
-                                    userBatch: Boolean = false): Unit = {
+                                    userBatch: Boolean = false,
+                                    foreignBatch: Boolean = false): Unit = {
     val cs = (constraints(dir).toSeq ++ notNullChecks(dir, batch) ++
-        nestedNotNullChecks(dir, batch, userBatch) ++
+        nestedNotNullChecks(dir, batch, userBatch || foreignBatch) ++
         (if (userBatch) nestedDefaultChecks(dir, batch) else Seq.empty))
       .sortBy(_._1)
     if (cs.isEmpty) return
@@ -4399,8 +4494,16 @@ class VersionedTableOps(protected val io: TableIO) {
     // parent's gates judge the branch head's LIVE view (audit deletes
     // applied) before anything publishes. Gate-free parents stay
     // metadata-only (no scan is built).
+    // the branch is a FOREIGN lineage here (it may have evolved since
+    // the fork): structural pin compatibility first, then the parent's
+    // gates in foreign-batch mode (absent/incompatible nested NOT NULL
+    // paths refuse instead of silently skipping)
+    validatePinCompat(spark, s"fast-forward of '$name' into $dir",
+      fromDecl = declaredSchema(bd), fromFiles = filesOf(bd, bh),
+      toDir = dir)
     if (hasDeclaredGates(dir))
-      validateConstraintsDf(dir, read(spark, bd, Some(bh)))
+      validateConstraintsDf(dir, read(spark, bd, Some(bh)),
+        foreignBatch = true)
     io.mkdirs(manifestDir(dir))
     // ownership boundary: the branch's metadata may reference BRANCH-local
     // segments, which retireBranch will delete — expand and re-segment
@@ -4478,6 +4581,89 @@ class VersionedTableOps(protected val io: TableIO) {
     * reads); the staging side is ended with [[retire]], which drops its
     * manifests without touching data. Schema equality is validated when
     * appending (a promotion is not a schema migration). */
+  /** The PHYSICAL shape a declared schema pins on its files: physical
+    * names at every depth (struct members, array elements, map values),
+    * declared types. What the destination's scan will actually address
+    * in a promoted file. */
+  private def physicalShape(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f => StructField(
+        graft.sql.ColumnMapping.physOf(f), walk(f.dataType), f.nullable)))
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType => m.copy(valueType = walk(m.valueType))
+      case other => other
+    }
+    walk(schema).asInstanceOf[StructType]
+  }
+
+  /** Structural-compatibility gate for the lineage crossings (promote,
+    * fast-forward): every path BOTH sides address must agree in kind
+    * (struct / array / map / atomic) and in type — equal, or the staged
+    * type safely WIDENABLE to the destination's declared one (the same
+    * set ALTER COLUMN TYPE accepts: byte→short/int/long, short→int/long,
+    * int→long, float→double). Paths only one side carries are fine:
+    * destination-only columns serve defaults / typed nulls per the
+    * evolution contract (NOT NULL is the commit gates' concern), and
+    * staged-only columns are invisible to the destination's pinned
+    * scan. The staged side is judged by its own DECLARED physical shape
+    * when it has one (the lineage's own invariants cover every landed
+    * file, zero footer reads); an undeclared staging table falls back
+    * to its head file's parquet footer. Same rule for the destination
+    * pin. A names-only or append-only check here is not enough: a
+    * replace promote swaps the file set but never the destination's
+    * declaration, so a type-incompatible file set would publish and
+    * every subsequent read would fail or serve typed nulls. */
+  private def validatePinCompat(spark: SparkSession, what: String,
+                                fromDecl: Option[String],
+                                fromFiles: Seq[String],
+                                toDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val pin: Option[StructType] = declaredSchema(toDir)
+      .map(j => physicalShape(
+        DataType.fromJson(j).asInstanceOf[StructType]))
+      .orElse {
+        val vs = versions(toDir)
+        if (vs.isEmpty) None
+        else filesOf(toDir, vs.last).headOption
+          .map(f => spark.read.parquet(f).schema)
+      }
+    if (pin.isEmpty) return
+    val staged: Option[StructType] = fromDecl
+      .map(j => physicalShape(
+        DataType.fromJson(j).asInstanceOf[StructType]))
+      .orElse(fromFiles.headOption.map(f => spark.read.parquet(f).schema))
+    if (staged.isEmpty) return
+    val widen: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set(ShortType, IntegerType, LongType),
+      ShortType -> Set(IntegerType, LongType),
+      IntegerType -> Set(LongType),
+      FloatType -> Set(DoubleType))
+    def ok(path: String, s: DataType, d: DataType): Unit = (s, d) match {
+      case (ss: StructType, dd: StructType) =>
+        ss.fields.foreach { sf =>
+          dd.fields.find(_.name.equalsIgnoreCase(sf.name)).foreach { df =>
+            ok(if (path.isEmpty) sf.name else s"$path.${sf.name}",
+              sf.dataType, df.dataType)
+          }
+        }
+      case (sa: ArrayType, da: ArrayType) =>
+        ok(s"$path.element", sa.elementType, da.elementType)
+      case (sm: MapType, dm: MapType) =>
+        ok(s"$path.key", sm.keyType, dm.keyType)
+        ok(s"$path.value", sm.valueType, dm.valueType)
+      case (sv, dv) if sv == dv => ()
+      case (sv, dv) if widen.get(sv).exists(_.contains(dv)) => ()
+      case (sv, dv) => throw new IllegalArgumentException(
+        s"$what refused: the staged lineage carries '$path' as " +
+          s"${sv.simpleString} but the destination's physical pin " +
+          s"reads it as ${dv.simpleString} — structurally incompatible" +
+          "; evolve the destination (or restage under its shape) first")
+    }
+    ok("", staged.get, pin.get)
+  }
+
   def promote(spark: SparkSession, fromDir: String, toDir: String,
               append: Boolean = true, version: Option[Int] = None): Int = {
     val fromVs = versions(fromDir)
@@ -4501,9 +4687,23 @@ class VersionedTableOps(protected val io: TableIO) {
     // table didn't carry; gating on explicit constraints alone would
     // let a staging NULL land under a destination NOT NULL unseen.
     if (hasDeclaredGates(toDir))
-      validateConstraintsDf(toDir, read(spark, fromDir, Some(fv)))
+      validateConstraintsDf(toDir, read(spark, fromDir, Some(fv)),
+        foreignBatch = true)
+    // promote is a POINTER CARRY: the destination will read these very
+    // files under its own physical pin, so structural compatibility
+    // (names AND types, nested) is validated on EVERY promote — append
+    // and replace alike (a replace swaps the file set, never the
+    // destination's declaration)
+    validatePinCompat(spark, s"promote into $toDir",
+      fromDecl = declaredSchema(fromDir), fromFiles = fromFiles,
+      toDir = toDir)
     val toExists = versions(toDir).nonEmpty
-    if (toExists && append) {
+    // an UNDECLARED destination has no evolution story (no defaults, no
+    // retired-column ledger), so a column-set divergence on an append
+    // promote is almost certainly a mistake — keep the strict name-set
+    // equality there; declared destinations are governed by the pin +
+    // gate validation above, which permits legitimate evolution drift
+    if (toExists && append && declaredSchema(toDir).isEmpty) {
       val a = spark.read.parquet(filesOf(toDir, versions(toDir).last).head)
         .columns.toSet
       val b = spark.read.parquet(fromFiles.head).columns.toSet
@@ -5016,6 +5216,11 @@ object VersionedTable
   def setBackend(b: TableIO): Unit = {
     io.asInstanceOf[SwitchableTableIO].set(b)
     clearPathMemos()
+    // an explicit programmatic switch releases the catalog-config latch:
+    // the caller changed the store deliberately (specs interpose and
+    // restore backends this way), so a later catalog initialize may
+    // re-declare the binding rather than refuse against a stale kind
+    graft.sql.GraftCatalog.resetIoLatch()
   }
 
   def backend: TableIO = io.asInstanceOf[SwitchableTableIO].current

@@ -108,17 +108,39 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // java.nio). PROCESS-WIDE by design: the catalog surface references
     // the VersionedTable singleton throughout, and a real driver runs
     // exactly one metadata store — configure it once, not per catalog.
-    Option(options.get("io")).foreach {
-      case "local" => graft.sinks.VersionedTable
-        .setBackend(graft.sinks.TableIO.local)
-      case "hadoop" =>
-        val conf = SparkSession.getActiveSession
-          .map(_.sessionState.newHadoopConf())
-          .getOrElse(new org.apache.hadoop.conf.Configuration())
-        graft.sinks.VersionedTable
-          .setBackend(new graft.sinks.HadoopTableIO(conf))
-      case other => throw new IllegalArgumentException(
-        s"unknown catalog io backend '$other' — use 'local' or 'hadoop'")
+    // LATCHED: the first catalog that names a backend wins the process,
+    // a later catalog naming the SAME kind is an idempotent re-bind,
+    // and a later catalog naming a DIFFERENT kind refuses loudly — two
+    // catalogs configured with conflicting io values must not silently
+    // last-writer-win in lazy initialization order, stranding
+    // already-resolved paths on a different store mid-session.
+    Option(options.get("io")).foreach { kind =>
+      val prev = GraftCatalog.ioKindLatch.get()
+      if (prev != null && prev != kind)
+        throw new IllegalStateException(
+          s"catalog '$name' configured io='$kind' but this process " +
+            s"already bound its metadata backend to io='$prev' — the " +
+            "backend is process-wide (one metadata store per driver); " +
+            "configure every graft catalog with the same io value")
+      if (prev == null) {
+        kind match {
+          case "local" => graft.sinks.VersionedTable
+            .setBackend(graft.sinks.TableIO.local)
+          case "hadoop" =>
+            val conf = SparkSession.getActiveSession
+              .map(_.sessionState.newHadoopConf())
+              .getOrElse(new org.apache.hadoop.conf.Configuration())
+            graft.sinks.VersionedTable
+              .setBackend(new graft.sinks.HadoopTableIO(conf))
+          case other => throw new IllegalArgumentException(
+            s"unknown catalog io backend '$other' — use 'local' or " +
+              "'hadoop'")
+        }
+        // AFTER the bind: setBackend releases the latch (it is the
+        // explicit programmatic door), so the config-door latch lands
+        // once the switch it guards has actually happened
+        GraftCatalog.ioKindLatch.set(kind)
+      }
     }
     // configuring the catalog is the opt-in for the whole SQL front
     // door: the DML strategy (UPDATE / MERGE INTO / expression DELETE)
@@ -2979,6 +3001,16 @@ private[sql] object PruningScanBuilder {
 object GraftCatalog {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
+
+  /** The io backend kind the process latched at first explicit catalog
+    * configuration (null until one names a backend). A direct
+    * [[graft.sinks.VersionedTable.setBackend]] call — the deliberate
+    * programmatic door specs use to interpose and restore backends —
+    * clears it via [[resetIoLatch]]: the latch guards the CONFIG door's
+    * silent last-writer-wins, not the explicit API. */
+  private[sql] val ioKindLatch =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private[graft] def resetIoLatch(): Unit = ioKindLatch.set(null)
 
   import graft.analytics.Parity
   import graft.sources.Tables

@@ -196,4 +196,91 @@ class BranchGateInterplaySpec extends SparkSpec {
       s"the branch commit must refuse the default-gate violation: " +
         s"${e.getMessage}")
   }
+
+  // ---- round 5: foreign-batch nested gates + the structural pin ----
+
+  test("WAP promote refuses a staged lineage that OMITS a destination-" +
+      "declared nested NOT NULL member — the absent leaf must not " +
+      "promote unseen") {
+    register()
+    val to = tmpDir("bg-p-nnn") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$to` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.sql(s"INSERT INTO graft.`$to` VALUES " +
+      "(1, named_struct('temp', 1.0, 'kind', 'a'))")
+    spark.sql(s"CALL graft.set_not_null('$to', 'main.temp')")
+    // the staging lineage simply never declared temp: its main struct
+    // carries only kind, under fully-present parents — every promoted
+    // row would read NULL at the destination's declared NOT NULL path
+    val from = tmpDir("bg-p-nnn-stage") + "/s"
+    ops.commit(spark.sql("SELECT 2L AS id, " +
+      "named_struct('kind', 'b') AS main"), from)
+    val e = intercept[Exception] { ops.promote(spark, from, to) }
+    assert(e.getMessage.contains("nested NOT NULL"),
+      s"promote must refuse the absent nested NOT NULL leaf: " +
+        s"${e.getMessage}")
+    assert(spark.table(s"graft.`$to`").count() == 1,
+      "a refused promote must not publish")
+    // cure: a staging lineage carrying the member promotes
+    val from2 = tmpDir("bg-p-nnn-stage2") + "/s"
+    ops.commit(spark.sql("SELECT 3L AS id, " +
+      "named_struct('temp', CAST(3.0 AS DOUBLE), 'kind', 'c') AS main"), from2)
+    ops.promote(spark, from2, to)
+    assert(spark.table(s"graft.`$to`").count() == 2)
+  }
+
+  test("fast-forward refuses a branch that DROPPED a parent-declared " +
+      "nested NOT NULL member after the fork") {
+    register()
+    val dir = tmpDir("bg-ff-nnn") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, " +
+      "main STRUCT<temp: DOUBLE, kind: STRING>)")
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES " +
+      "(1, named_struct('temp', 1.0, 'kind', 'a'))")
+    spark.sql(s"CALL graft.set_not_null('$dir', 'main.temp')")
+    spark.sql(s"CALL graft.create_branch('$dir', 'exp', 'head')")
+    // the branch evolves independently: drop the member the parent
+    // declares NOT NULL, then land a row without it
+    spark.sql(s"ALTER TABLE graft.`$dir#branch=exp` " +
+      "ALTER COLUMN main.temp DROP NOT NULL")
+    spark.sql(s"ALTER TABLE graft.`$dir#branch=exp` DROP COLUMN main.temp")
+    spark.sql(s"INSERT INTO graft.`$dir#branch=exp` VALUES " +
+      "(2, named_struct('kind', 'b'))")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.fast_forward('$dir', 'exp')")
+    }
+    assert(e.getMessage.contains("nested NOT NULL") ||
+      Option(e.getCause).exists(_.getMessage.contains("nested NOT NULL")),
+      s"fast-forward must refuse the dropped nested NOT NULL member: " +
+        s"${e.getMessage}")
+    assert(spark.table(s"graft.`$dir`").count() == 1)
+  }
+
+  test("promote validates the structural pin on EVERY mode: a type-" +
+      "incompatible staged column refuses in append AND replace — " +
+      "names alone are not compatibility") {
+    register()
+    val to = tmpDir("bg-p-pin") + "/t"
+    spark.sql(s"CREATE TABLE graft.`$to` (id BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO graft.`$to` VALUES (1, 1.5)")
+    // same NAMES, incompatible type: v is a STRING in the staged files
+    val from = tmpDir("bg-p-pin-stage") + "/s"
+    ops.commit(spark.sql("SELECT 2L AS id, 'oops' AS v"), from)
+    val eA = intercept[Exception] { ops.promote(spark, from, to) }
+    assert(eA.getMessage.contains("structurally incompatible"),
+      s"append promote must refuse the type conflict: ${eA.getMessage}")
+    val eR = intercept[Exception] {
+      ops.promote(spark, from, to, append = false)
+    }
+    assert(eR.getMessage.contains("structurally incompatible"),
+      s"replace promote must refuse the type conflict: ${eR.getMessage}")
+    assert(spark.table(s"graft.`$to`").count() == 1,
+      "refused promotes must not publish")
+    // a WIDENABLE staged type (int under a declared long id) promotes:
+    // the pin accepts the same set ALTER COLUMN TYPE does
+    val from2 = tmpDir("bg-p-pin-stage2") + "/s"
+    ops.commit(spark.sql("SELECT CAST(7 AS INT) AS id, CAST(2.5 AS DOUBLE) AS v"), from2)
+    ops.promote(spark, from2, to)
+    assert(spark.table(s"graft.`$to`").count() == 2)
+  }
 }

@@ -48,6 +48,43 @@ class CatalogIoBackendSpec extends SparkSpec {
       "the suite must leave the local backend restored")
   }
 
+  test("the io binding is LATCHED per process: a second catalog naming " +
+      "a DIFFERENT backend refuses instead of silently re-pointing " +
+      "every table's metadata mid-session") {
+    val prev = VersionedTable.backend
+    try {
+      spark.conf.set("spark.sql.catalog.graftioa",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftioa.io", "hadoop")
+      val dir = tmpDir("cio-latch") + "/t"
+      spark.sql(s"CREATE TABLE graftioa.`$dir` (id BIGINT)")
+      assert(VersionedTable.backend.isInstanceOf[HadoopTableIO])
+      // same kind: idempotent re-bind, no refusal
+      spark.conf.set("spark.sql.catalog.graftiob",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftiob.io", "hadoop")
+      spark.sql(s"CREATE TABLE graftiob.`${tmpDir("cio-latch-b")}/t` " +
+        "(id BIGINT)")
+      // conflicting kind: loud refusal, not last-writer-wins
+      spark.conf.set("spark.sql.catalog.graftioc",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftioc.io", "local")
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graftioc.`${tmpDir("cio-latch-c")}/t` " +
+          "(id BIGINT)")
+      }
+      def msg(t: Throwable): String =
+        t.getMessage + Option(t.getCause).map(msg).getOrElse("")
+      assert(msg(e).contains("already bound its metadata backend"),
+        msg(e))
+      assert(VersionedTable.backend.isInstanceOf[HadoopTableIO],
+        "the refused initialize must not have switched the backend")
+    } finally VersionedTable.setBackend(prev)
+    // the explicit programmatic restore releases the latch: a later
+    // catalog initialize may re-declare the binding
+    assert(VersionedTable.backend eq prev)
+  }
+
   test("an unknown io backend refuses loudly at initialize") {
     val prev = VersionedTable.backend
     try {

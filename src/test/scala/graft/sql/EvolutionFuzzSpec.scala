@@ -207,6 +207,39 @@ class EvolutionFuzzSpec extends SparkSpec {
     val ledger = scala.collection.mutable.ArrayBuffer.empty[String]
     val dir: String = tmpDir(s"fuzz") + "/t"
 
+    // ---- lineage state (round-16: branch / tag / time travel /
+    //      rollback / promote enter the fuzz alphabet) ----
+    /** A live branch: fork-time declaration (the branch keeps it no
+      * matter what the parent ALTERs), the parent ids it forked over,
+      * and the rows landed on the branch since. */
+    case class BranchSt(name: String, forkModel: Vector[MField],
+                        forkFp: String, forkVersion: Int,
+                        forkIds: Vector[Long],
+                        added: Vector[Map[String, Any]])
+    /** A pinned snapshot for time-travel / tag / rollback checks. Ids
+      * verify across ANY later evolution (id never renames or drops);
+      * full rows verify only fingerprint-equal rollbacks. */
+    case class Snap(version: Int, ids: Vector[Long],
+                    snapRows: Vector[Map[String, Any]], fp: String)
+    var branch: Option[BranchSt] = None
+    var parentAdvancedSinceFork = false
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Snap]
+    val taggedSnaps = scala.collection.mutable.Map.empty[String, Snap]
+    var tagCounter = 0
+    var branchCounter = 0
+    var renamedEver = false
+
+    private def ops = graft.sinks.VersionedTable
+    /** Declared-surface fingerprint (names + order + types at every
+      * depth): the guard that keeps full-row snapshot checks inside the
+      * model's depth (fresh generated names are unique, so an equal
+      * fingerprint means the row-shaping declaration is unchanged). */
+    def fingerprint: String =
+      model.map(f => s"${f.name}:${sqlType(f.t)}:${f.default}")
+        .mkString("|")
+    private def idsOf(rs: Vector[Map[String, Any]]): Vector[Long] =
+      rs.map(_("id").asInstanceOf[Long]).sorted
+
     def fresh(prefix: String): String = { nameCounter += 1
       s"$prefix$nameCounter" }
 
@@ -227,9 +260,9 @@ class EvolutionFuzzSpec extends SparkSpec {
         m.name -> v
       }.toMap
 
-    def genRow(): Map[String, Any] = {
+    def genRow(m: Vector[MField] = model): Map[String, Any] = {
       nextId += 1
-      model.map { f =>
+      m.map { f =>
         val v = f.name match {
           case "id" => nextId
           case _ => f.t match {
@@ -265,6 +298,7 @@ class EvolutionFuzzSpec extends SparkSpec {
         java.util.Arrays.asList(newRows.map(toRow(_, model)): _*),
         sparkSchema(model))
       df.writeTo(s"graft.`$dir`").append()
+      parentAdvancedSinceFork = true
       rows ++= newRows
       ledger += s"INSERT $n rows (ids ${newRows.map(_("id")).mkString(",")})"
     }
@@ -315,6 +349,7 @@ class EvolutionFuzzSpec extends SparkSpec {
       val nn = fresh("r")
       spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN " +
         s"${dotted(path, f.name)} TO $nn")
+      renamedEver = true
       model = updateAt(model, path,
         _.map(x => if (x.name == f.name) x.copy(name = nn) else x))
       rows =
@@ -399,6 +434,7 @@ class EvolutionFuzzSpec extends SparkSpec {
       // HERE folds a pinned-schema rewrite of pre-evolution rows into
       // the fuzz mix, exactly the interplay this spec exists to reach
       spark.sql(s"CALL graft.compact('$dir', ${128L * 1024 * 1024})")
+      parentAdvancedSinceFork = true
       rows = rows.filterNot(row =>
         row("id").asInstanceOf[Long] % m == r)
       ledger += s"DELETE WHERE id % $m = $r; compact"
@@ -419,6 +455,7 @@ class EvolutionFuzzSpec extends SparkSpec {
       // UPDATE is merge-on-read too (delete vector + updated copies) —
       // same contract as DELETE: compact materializes before reads
       spark.sql(s"CALL graft.compact('$dir', ${128L * 1024 * 1024})")
+      parentAdvancedSinceFork = true
       rows = rows.map { row =>
         if (row("id").asInstanceOf[Long] % m == r) row + (f.name -> v)
         else row
@@ -426,9 +463,159 @@ class EvolutionFuzzSpec extends SparkSpec {
       ledger += s"UPDATE SET ${f.name} = $v WHERE id % $m = $r; compact"
     }
 
+    // -- lineage actions (round 16) --
+
+    def snapshot(): Unit = {
+      ops.versions(dir).lastOption.foreach { v =>
+        snaps += Snap(v, idsOf(rows), rows, fingerprint)
+        ledger += s"SNAPSHOT v$v (${rows.size} rows)"
+      }
+    }
+
+    /** A pinned read (VERSION AS OF through the catalog door) serves
+      * the pinned file set under the CURRENT declaration — ids verify
+      * across any later evolution. */
+    def timeTravelRead(): Unit = {
+      if (snaps.isEmpty) return
+      val s = snaps(rnd.nextInt(snaps.size))
+      val got = spark.sql(
+        s"SELECT id FROM graft.`$dir` VERSION AS OF ${s.version}")
+        .collect().map(_.getLong(0)).toVector.sorted
+      assert(got == s.ids,
+        ctx(s"time travel v${s.version} id set diverged: " +
+          s"engine=${got.take(20)} model=${s.ids.take(20)}"))
+      ledger += s"TIME TRAVEL v${s.version} ok"
+    }
+
+    def tagStep(): Unit = {
+      ops.versions(dir).lastOption.foreach { v =>
+        tagCounter += 1
+        val name = s"fz$tagCounter"
+        ops.tag(dir, name, v)
+        taggedSnaps(name) = Snap(v, idsOf(rows), rows, fingerprint)
+        ledger += s"TAG $name = v$v"
+      }
+    }
+
+    def tagRead(): Unit = {
+      if (taggedSnaps.isEmpty) return
+      val (name, s) = taggedSnaps.toSeq(rnd.nextInt(taggedSnaps.size))
+      val got = spark.sql(s"SELECT id FROM graft.`$dir#tag=$name`")
+        .collect().map(_.getLong(0)).toVector.sorted
+      assert(got == s.ids,
+        ctx(s"tag read '$name' (v${s.version}) id set diverged: " +
+          s"engine=${got.take(20)} model=${s.ids.take(20)}"))
+      ledger += s"TAG READ $name ok"
+    }
+
+    /** Roll back to a FINGERPRINT-EQUAL snapshot (same declared
+      * row-shaping surface), which lets the model assert FULL rows —
+      * the realistic shape anyway: "a bad batch landed, restore". DML
+      * and inserts between snapshot and rollback are exactly what the
+      * restore must undo. */
+    def rollbackStep(): Unit = {
+      val fp = fingerprint
+      val cands = snaps.filter(_.fp == fp)
+      if (cands.isEmpty) return
+      val s = cands(rnd.nextInt(cands.size))
+      ops.rollback(dir, s.version)
+      rows = s.snapRows
+      parentAdvancedSinceFork = true
+      ledger += s"ROLLBACK to v${s.version}"
+    }
+
+    def branchStep(): Unit = branch match {
+      case None =>
+        if (ops.versions(dir).isEmpty) return
+        branchCounter += 1
+        val name = s"exp$branchCounter"
+        val forkV = ops.versions(dir).last
+        spark.sql(s"CALL graft.create_branch('$dir', '$name', 'head')")
+        branch = Some(BranchSt(name, model, fingerprint, forkV,
+          idsOf(rows), Vector.empty))
+        parentAdvancedSinceFork = false
+        ledger += s"CREATE BRANCH $name"
+      case Some(b) =>
+        // branch landings bind to the FORK-TIME declaration no matter
+        // what the parent ALTERed since
+        val newRows = Vector.fill(1 + rnd.nextInt(2))(genRow(b.forkModel))
+        val df = spark.createDataFrame(
+          java.util.Arrays.asList(newRows.map(toRow(_, b.forkModel)): _*),
+          sparkSchema(b.forkModel))
+        df.writeTo(s"graft.`$dir#branch=${b.name}`").append()
+        val nb = b.copy(added = b.added ++ newRows)
+        branch = Some(nb)
+        val got = spark.sql(s"SELECT id FROM graft.`$dir#branch=${b.name}`")
+          .collect().map(_.getLong(0)).toVector.sorted
+        val expect = (nb.forkIds ++ idsOf(nb.added)).sorted
+        assert(got == expect,
+          ctx(s"branch '${b.name}' id set diverged: engine=${got.take(20)}" +
+            s" model=${expect.take(20)}"))
+        ledger += s"BRANCH INSERT ${newRows.size}"
+    }
+
+    /** Fast-forward: succeeds only when the parent head still sits at
+      * the fork — a parent that advanced must REFUSE (the documented
+      * re-fork contract), and the refusal must leave both lineages
+      * intact. Declaration drift since the fork is skipped (the
+      * interplay specs pin those crossings; the model tracks rows by
+      * current names only). */
+    def fastForwardStep(): Boolean = branch match {
+      case None => false
+      case Some(b) =>
+        // a zero-match DELETE publishes nothing, so the coarse flag can
+        // overstate advancement — the fork check is the actual head
+        if (ops.versions(dir).last != b.forkVersion) {
+          val preIds = idsOf(rows)
+          val e = intercept[Exception] {
+            spark.sql(s"CALL graft.fast_forward('$dir', '${b.name}')")
+          }
+          assert(e.getMessage.contains("advanced past the fork") ||
+            Option(e.getCause).exists(
+              _.getMessage.contains("advanced past the fork")),
+            ctx(s"ff after parent advance must refuse with the re-fork " +
+              s"message, got: ${e.getMessage}"))
+          val nowIds = spark.sql(s"SELECT id FROM graft.`$dir`")
+            .collect().map(_.getLong(0)).toVector.sorted
+          assert(nowIds == preIds,
+            ctx("a refused fast-forward changed the parent's rows"))
+          ledger += s"FF ${b.name} refused (parent advanced) ok"
+          false
+        } else if (fingerprint != b.forkFp) {
+          ledger += s"FF ${b.name} skipped (declaration drifted)"
+          false
+        } else {
+          spark.sql(s"CALL graft.fast_forward('$dir', '${b.name}')")
+          rows ++= b.added
+          branch = None
+          parentAdvancedSinceFork = true
+          ledger += s"FAST FORWARD ${b.name} (+${b.added.size} rows)"
+          true
+        }
+    }
+
+    /** WAP promote from a fresh staging lineage shaped by the CURRENT
+      * declaration. Skipped once any rename happened: promote is a
+      * pointer carry, so staged files must carry the parent's PHYSICAL
+      * names — the documented physical-names protocol door. */
+    def promoteStep(): Boolean = {
+      if (renamedEver) return false
+      val newRows = Vector.fill(1 + rnd.nextInt(2))(genRow())
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(newRows.map(toRow(_, model)): _*),
+        sparkSchema(model))
+      val staging = tmpDir("fz-stage") + "/s"
+      ops.commit(df, staging)
+      ops.promote(spark, staging, dir)
+      rows ++= newRows
+      parentAdvancedSinceFork = true
+      ledger += s"PROMOTE ${newRows.size} rows"
+      true
+    }
+
     /** One random step; returns true when it changed DATA (not just
       * metadata), i.e. a row re-verify is warranted. */
-    def step(): Boolean = rnd.nextInt(12) match {
+    def step(): Boolean = rnd.nextInt(18) match {
       case 0 | 1 | 2 => insert(1 + rnd.nextInt(2)); true
       case 3 => addTop(); true // historical rows serve the default
       case 4 => addNested(); true
@@ -439,6 +626,13 @@ class EvolutionFuzzSpec extends SparkSpec {
       case 9 => comment(); false
       case 10 => sqlDelete(); true
       case 11 => sqlUpdate(); true
+      case 12 => snapshot(); false
+      case 13 => if (rnd.nextBoolean()) timeTravelRead() else tagRead()
+        false
+      case 14 => tagStep(); false
+      case 15 => rollbackStep(); true
+      case 16 => branchStep(); false
+      case 17 => if (rnd.nextBoolean()) fastForwardStep() else promoteStep()
     }
 
     // -- verification --
