@@ -7,7 +7,7 @@ import graft.operators.AsOf
 import graft.sources.TableStream
 import graft.pipeline.WeatherQueries
 import graft.sinks.{Bucketing, IncrementalView, SchemaEvolution, VersionedTable}
-import graft.sql.{GraftCatalog, Mview}
+import graft.sql.{Mview, SqlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries and oracles are assembled from the per-module maps; each module
@@ -35,7 +35,7 @@ object SparkEntry {
       SemDedup.defs ++ Quantize.defs ++
       Multimodal.defs ++ Bucketing.defs ++ SchemaEvolution.defs ++
       VersionedTable.defs ++ IncrementalView.defs ++ TableStream.defs ++
-      GraftCatalog.defs ++ Mview.defs ++
+      SqlQueries.defs ++ Mview.defs ++
       AsOf.defs ++ Map(
       "q_weather_transform" -> (WeatherQueries.qTransform _),
       "q_weather_idempotent" -> (WeatherQueries.qIdempotent _))
@@ -58,7 +58,7 @@ object SparkEntry {
       SimilarityIvfPq.oracles ++
       Multimodal.oracles ++ Bucketing.oracles ++ SchemaEvolution.oracles ++
       VersionedTable.oracles ++ IncrementalView.oracles ++ TableStream.oracles ++
-      GraftCatalog.oracles ++ Mview.oracles ++
+      SqlQueries.oracles ++ Mview.oracles ++
       AsOf.oracles ++ WeatherQueries.oracles
 
   /** Parquet side-inputs for GENERATED oracles: query name → writer that

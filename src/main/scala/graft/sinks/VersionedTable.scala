@@ -669,18 +669,18 @@ class VersionedTableOps(protected val io: TableIO) {
     * via `build(headVersion, headFiles)`, so a losing concurrent writer
     * merges the winner's file list instead of republishing a stale one.
     * Returns the committed version. */
-  private def publishOnHead(dir: String)(
+  private def publishOnHead(dir: String, guardFiles: Seq[String] = Nil)(
       build: (Option[Int], Seq[String]) => Seq[String]): Int =
-    publishOnHeadRaw(dir)((h: Option[Int]) =>
+    publishOnHeadRaw(dir, guardFiles)((h: Option[Int]) =>
       build(h, h.map(filesOf(dir, _)).getOrElse(Seq.empty)))
 
   /** [[publishOnHead]] WITHOUT the expanded file list: the pure-append
     * shapes carry the head as raw pointers and never look at individual
     * files, so expanding every segment per attempt would quietly turn an
     * O(batch) commit back into an O(table-files) one. */
-  private def publishOnHeadRaw(dir: String)(
+  private def publishOnHeadRaw(dir: String, guardFiles: Seq[String] = Nil)(
       build: Option[Int] => Seq[String]): Int =
-    publishOnHeadTxn(dir, None)(build).merge
+    publishOnHeadTxn(dir, None, guardFiles)(build).merge
 
   /** [[publishOnHeadRaw]] plus the exactly-once arbiter for txn-carrying
     * commits: each attempt re-checks the lineage for `txnId` against the
@@ -697,10 +697,27 @@ class VersionedTableOps(protected val io: TableIO) {
     * never loses the createExclusive cannot have raced anyone on this
     * lineage — publishing v(head+1) is itself the proof its scan of
     * v1..head was complete. Returns Left(existing version) when the txn
-    * already landed, Right(published version) otherwise. */
-  private def publishOnHeadTxn(dir: String, txnId: Option[String])(
+    * already landed, Right(published version) otherwise.
+    *
+    * `guardFiles`: freshly-written, not-yet-referenced files this publish
+    * is about to make live. A writer stalled past the [[vacuumOrphans]]
+    * grace window can have its unpublished batch swept as debris; without
+    * a check, its publish would land a manifest referencing DELETED files
+    * — silent data loss the next read discovers. The guard re-verifies
+    * each batch directory right after winning the createExclusive race
+    * and UN-publishes (deletes its own manifest — no sidecar exists yet,
+    * no later version can have built on it before the check) + throws if
+    * any vanished, converting the stall into a loud retryable failure.
+    * One `exists` per batch dir per commit; the residual
+    * publish-vs-delete window (both inside the same few microseconds) is
+    * covered from the vacuum side by its pre-delete re-scan — the
+    * documented contract stays "grace must exceed the longest write
+    * stall", same as every object-store table format. */
+  private def publishOnHeadTxn(dir: String, txnId: Option[String],
+                               guardFiles: Seq[String] = Nil)(
       build: Option[Int] => Seq[String]): Either[Int, Int] = {
     io.mkdirs(manifestDir(dir))
+    val guardDirs = guardFiles.map(f => f.take(f.lastIndexOf('/'))).distinct
     var scanned = Set.empty[Int]
     var out: Option[Either[Int, Int]] = None
     while (out.isEmpty) {
@@ -717,8 +734,19 @@ class VersionedTableOps(protected val io: TableIO) {
         case None =>
           val head = vs.lastOption
           val v = head.getOrElse(0) + 1
-          if (io.createExclusive(manifestPath(dir, v), build(head)))
+          if (io.createExclusive(manifestPath(dir, v), build(head))) {
+            val gone = guardDirs.filterNot(io.exists)
+            if (gone.nonEmpty) {
+              io.delete(manifestPath(dir, v))
+              throw new IllegalStateException(
+                s"commit to $dir aborted: batch director${
+                  if (gone.size == 1) "y" else "ies"} ${gone.mkString(", ")} " +
+                  "vanished before publish — this writer stalled past the " +
+                  "vacuum grace window and its unpublished batch was swept " +
+                  "as debris; nothing published, retry the operation")
+            }
             out = Some(Right(v))
+          }
       }
     }
     out.get
@@ -780,9 +808,58 @@ class VersionedTableOps(protected val io: TableIO) {
     Seq(manifestDir(dir), s"$dir/data", s"$dir/deletes")
       .foreach(purgeDir)
 
-  // ---- table properties (k=v lines next to the manifests) ----
+  // ---- table properties (an OCC chain next to the manifests) ----
 
+  /** Legacy single-file store — read-through fallback only; every write
+    * goes to the chain, which shadows this file forever after. */
   private def propertiesPath(dir: String) = s"${manifestDir(dir)}/properties"
+  private def propsChainDir(dir: String) = s"${manifestDir(dir)}/props"
+
+  private def parseProps(lines: Seq[String]): Map[String, String] =
+    // `#`-prefixed lines are headers (the legacy store's stamp pad),
+    // not properties — same convention as manifest metadata lines
+    lines.filterNot(_.startsWith("#")).filter(_.contains('=')).map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+
+  /** (chain head index, current map); head 0 = no chain yet, the map is
+    * the legacy file's (or empty). */
+  private def propsState(dir: String): (Int, Map[String, String]) =
+    chainHead(propsChainDir(dir), "p") match {
+      case (n, Some(lines)) => (n, parseProps(lines))
+      case (_, None) =>
+        val p = propertiesPath(dir)
+        (0, if (!io.exists(p)) Map.empty else parseProps(io.readLines(p)))
+    }
+
+  /** OCC read-modify-write over the chain: claim index head+1 with
+    * createExclusive; the LOSER re-reads and re-applies — a single-key
+    * update commutes with any concurrent one, so auto-retry is the
+    * right policy (unlike the schema CAS, where a lost ALTER must
+    * refuse: its change set was computed against a schema that no
+    * longer exists). The legacy store's plain rewrite was the same
+    * lost-update hole as everywhere else: two concurrent SET
+    * TBLPROPERTIES and the loser's key silently vanished. `f` returning
+    * None means no-op (no chain entry lands at all). */
+  private def propsOcc(dir: String)(
+      f: Map[String, String] => Option[Map[String, String]]): Unit = {
+    var done = false
+    while (!done) {
+      val (n, cur) = propsState(dir)
+      f(cur) match {
+        case None => done = true
+        case Some(next) =>
+          val body = next.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          io.mkdirs(propsChainDir(dir))
+          if (io.createExclusive(s"${propsChainDir(dir)}/p${n + 1}", body)) {
+            chainPrune(propsChainDir(dir), "p", n + 1)
+            invalidateProperties(dir)
+            done = true
+          }
+      }
+    }
+  }
 
   /** Durable per-table key=value properties — maintenance knobs the
     * table carries instead of every caller re-passing them. Known keys:
@@ -813,54 +890,13 @@ class VersionedTableOps(protected val io: TableIO) {
             s"(have: ${sc.fieldNames.mkString(", ")})"))
       }
     }
-    io.mkdirs(manifestDir(dir))
-    writePropertiesFile(dir, tableProperties(dir) + (key -> value))
+    propsOcc(dir)(m => Some(m + (key -> value)))
   }
 
-  /** Remove a durable property (no-op when absent). Emptying the map
-    * does NOT delete the file: it rewrites a header-only file through
-    * [[writePropertiesFile]], preserving the size-monotone stamp
-    * invariant — a delete-then-recreate could land a byte count the
-    * file has had before within one mtime granule, and a foreign
-    * instance's (mtime, size) memo would then serve the OLD map
-    * forever. */
-  def removeTableProperty(dir: String, key: String): Unit = {
-    val cur = tableProperties(dir)
-    if (!cur.contains(key)) return
-    writePropertiesFile(dir, cur - key)
-  }
-
-  /** Rewrite the properties file guaranteeing the memo stamp CHANGES
-    * against EVERY size in the file's history, not just the immediately
-    * preceding one: the stamp is (mtime, size), so any size the file
-    * has EVER had could still be memoized under a same-granule mtime by
-    * a foreign instance (a second in-process ops over the same backend,
-    * another process entirely), and a size-revisiting write sequence
-    * (A at size S, B, C back to S) would serve that reader the A-era
-    * map forever. The invariant that closes all histories: the size
-    * STRICTLY GROWS on every rewrite — pad with a `#`-comment header
-    * until the new file measures larger than the old one. Properties
-    * writes are rare DDL-time events, so the extra bytes are noise and
-    * the read path stays stat-only. */
-  private def writePropertiesFile(dir: String,
-                                  props: Map[String, String]): Unit = {
-    val p = propertiesPath(dir)
-    val before = if (io.exists(p)) io.size(p) else -1L
-    val body = props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-    io.writeLines(p, body)
-    if (io.size(p) <= before) {
-      // one shot: a header line adds its own length + the joining
-      // newline, so pad to exactly (before + 1) bytes; the loop below
-      // is a backstop for backends whose byte accounting differs
-      var pad = "#" + "." * math.max(0, (before - io.size(p)).toInt)
-      io.writeLines(p, pad +: body)
-      while (io.size(p) <= before) {
-        pad += "."
-        io.writeLines(p, pad +: body)
-      }
-    }
-    invalidateProperties(dir)
-  }
+  /** Remove a durable property (no-op when absent — no chain entry
+    * lands, so no stamp moves). */
+  def removeTableProperty(dir: String, key: String): Unit =
+    propsOcc(dir)(m => if (!m.contains(key)) None else Some(m - key))
 
   /** Memo for [[tableProperties]], keyed by the properties file's
     * (mtime, size) — the cboFold pattern (see `cboFoldCache`), and for
@@ -885,7 +921,10 @@ class VersionedTableOps(protected val io: TableIO) {
     }
   private[graft] val propsReads = new java.util.concurrent.atomic.AtomicLong
   private[graft] def invalidateProperties(dir: String): Unit =
-    propsCache.synchronized { propsCache.remove(propertiesPath(dir)) }
+    propsCache.synchronized {
+      propsCache.remove(propertiesPath(dir))
+      propsCache.remove(propsChainDir(dir))
+    }
 
   /** Flush every path-keyed memo — required when the BACKEND behind
     * `io` changes ([[VersionedTable.setBackend]]): a path string means
@@ -899,25 +938,44 @@ class VersionedTableOps(protected val io: TableIO) {
   }
 
   def tableProperties(dir: String): Map[String, String] = {
-    val p = propertiesPath(dir)
-    if (!io.exists(p)) return Map.empty
-    val stamp = (io.mtime(p), io.size(p))
+    // chain store: the memo stamps on the HEAD INDEX, monotone by
+    // construction — a foreign writer can never revisit a stamp, which
+    // is the structural guarantee the legacy single-file store needed
+    // the strictly-growing size pad for. A hit costs one `list`; a miss
+    // adds one `readLines` of the head entry (retry via chainHead when
+    // a prune wins the race for a just-listed head).
+    val cd = propsChainDir(dir)
+    val ns = io.list(cd).filter(_.startsWith("p"))
+      .flatMap(n => scala.util.Try(n.drop(1).toInt).toOption)
+    if (ns.isEmpty) {
+      // legacy single-file fallback: (mtime, size) stamp, pad-protected
+      val p = propertiesPath(dir)
+      if (!io.exists(p)) return Map.empty
+      val stamp = (io.mtime(p), io.size(p))
+      val hit = propsCache.synchronized {
+        Option(propsCache.get(p)).filter(_._1 == stamp).map(_._2)
+      }
+      return hit.getOrElse {
+        propsReads.incrementAndGet()
+        val m = parseProps(io.readLines(p))
+        // a concurrent rewrite between the stat and the read stores
+        // fresh content under the stale stamp; the next call's stamp
+        // mismatch self-heals with one extra read
+        propsCache.synchronized { propsCache.put(p, (stamp, m)) }
+        m
+      }
+    }
+    val stamp = (ns.max.toLong, -1L)
     val hit = propsCache.synchronized {
-      Option(propsCache.get(p)).filter(_._1 == stamp).map(_._2)
+      Option(propsCache.get(cd)).filter(_._1 == stamp).map(_._2)
     }
     hit.getOrElse {
       propsReads.incrementAndGet()
-      // `#`-prefixed lines are headers (the stamp-changing pad), not
-      // properties — same convention as manifest metadata lines
-      val m = io.readLines(p).filterNot(_.startsWith("#"))
-        .filter(_.contains('=')).map { l =>
-          val i = l.indexOf('=')
-          l.substring(0, i) -> l.substring(i + 1)
-        }.toMap
-      // a concurrent rewrite between the stat and the read stores fresh
-      // content under the stale stamp; the next call's stamp mismatch
-      // self-heals with one extra read
-      propsCache.synchronized { propsCache.put(p, (stamp, m)) }
+      val m = chainHead(cd, "p") match {
+        case (_, Some(lines)) => parseProps(lines)
+        case _ => Map.empty[String, String]
+      }
+      propsCache.synchronized { propsCache.put(cd, (stamp, m)) }
       m
     }
   }
@@ -1263,7 +1321,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newSeg = segLine(dir, newFiles, cov)
       val newStatsSeg = segLine(dir, rowsNew, cov)
       var headAt: Option[Int] = None
-      publishOnHeadTxn(dir, txnId) { h =>
+      publishOnHeadTxn(dir, txnId, guardFiles = newFiles) { h =>
         headAt = h
         meta ++ delLinesOf(dir, h) ++ eqDelLinesOf(dir, h) ++
           carryManifest(dir, h) ++ newSeg
@@ -1292,7 +1350,8 @@ class VersionedTableOps(protected val io: TableIO) {
     } else {
       // a logical overwrite's lines don't derive from the head, but a
       // txn-carrying one still rides the same exactly-once arbiter
-      publishOnHeadTxn(dir, txnId)(_ => meta ++ newFiles) match {
+      publishOnHeadTxn(dir, txnId,
+        guardFiles = newFiles)(_ => meta ++ newFiles) match {
         case Left(existing) =>
           discardUnpublishedBatch(newFiles)
           existing
@@ -1516,7 +1575,7 @@ class VersionedTableOps(protected val io: TableIO) {
       .collect().map(_.getString(0)).toSet
     // merge-on-read: every head data file stays — pointer carry is sound
     var headAt: Option[Int] = None
-    val v = publishOnHead(dir) { (h, base) =>
+    val v = publishOnHead(dir, guardFiles = newDel) { (h, base) =>
       val missing = referenced -- base.toSet
       if (missing.nonEmpty)
         throw new SnapshotShapeConflict(
@@ -1625,7 +1684,8 @@ class VersionedTableOps(protected val io: TableIO) {
       val delRowLines = rowsLines(spark, newDel)
       val newStatsSeg = segLine(dir, delRowLines ++ rowsNew)
       var headAt: Option[Int] = None
-      val v = publishOnHead(dir) { (h, base) =>
+      val v = publishOnHead(dir,
+          guardFiles = newDel ++ newFiles) { (h, base) =>
         val missing = referenced -- base.toSet
         if (missing.nonEmpty)
           throw new SnapshotShapeConflict(
@@ -1693,7 +1753,7 @@ class VersionedTableOps(protected val io: TableIO) {
     }
     // merge-on-read: all head files carry — pointer carry, like deleteWhere
     var headAt: Option[Int] = None
-    val v = publishOnHeadRaw(dir) { h =>
+    val v = publishOnHeadRaw(dir, guardFiles = out) { h =>
       headAt = h
       // seq = the version being published: the delete applies to exactly
       // the head's files (all added at ≤ head < seq), never to later
@@ -2213,6 +2273,12 @@ class VersionedTableOps(protected val io: TableIO) {
     if (!append) {
       val v = publish(dir, versions(dir).lastOption.getOrElse(0) + 1,
         s"#ts=${now()}" +: newFiles)
+      if (!io.exists(batchDir)) { // the same stalled-past-grace guard
+        io.delete(manifestPath(dir, v)) // as [[publishOnHeadTxn]]'s
+        throw new IllegalStateException(
+          s"commit to $dir aborted: batch directory $batchDir vanished " +
+            "before publish — writer stalled past the vacuum grace window")
+      }
       io.writeLines(statsPath(dir, v),
         rowsHeaderLine(sumRows(newStats), 0L) +: newStats)
       v
@@ -2223,7 +2289,7 @@ class VersionedTableOps(protected val io: TableIO) {
       val newSeg = segLine(dir, newFiles, cov)
       val newStatsSeg = segLine(dir, newStats, cov)
       var headAt: Option[Int] = None
-      val v = publishOnHeadRaw(dir) { head =>
+      val v = publishOnHeadRaw(dir, guardFiles = newFiles) { head =>
         headAt = head
         s"#ts=${now()}" +: (delLinesOf(dir, head) ++
           eqDelLinesOf(dir, head) ++ carryManifest(dir, head) ++ newSeg)
@@ -2349,39 +2415,133 @@ class VersionedTableOps(protected val io: TableIO) {
 
   /** Declared table schema (SQL `CREATE TABLE` writes it; a table that
     * exists only as a declaration — no commits yet — still resolves in
-    * the catalog with this schema). Stored as one JSON line next to the
-    * manifests, behind the same [[TableIO]] seam as everything else. */
+    * the catalog with this schema). Stored as a MONOTONE CHAIN of
+    * exclusively-created one-line JSON files (`schema/d1, d2, …`; the
+    * highest index is current) so a concurrent redeclaration is a
+    * first-wins RACE, not a silent overwrite: ALTER rides
+    * [[casDeclareSchema]], which refuses when it lost — a plain
+    * `writeLines` here was the catalog's last check-then-act door (two
+    * concurrent ALTERs: the loser's change silently vanished). Legacy
+    * single-file `schema.json` tables read through the fallback; their
+    * first chain write shadows the old file. Superseded chain entries
+    * are best-effort pruned behind a tail deep enough that no
+    * concurrent reader's just-listed head can vanish before its read. */
+  private def schemaChainDir(dir: String) = s"${manifestDir(dir)}/schema"
+
+  /** Head of a monotone exclusive-create chain: (max index, its lines),
+    * or (0, None) when the chain is empty. Retries the list+read when a
+    * concurrent prune wins the race for a just-listed head (needs 8+
+    * writes inside the window — the retry is a formality). The chain is
+    * the engine's lost-update-proof primitive for SINGLETON metadata
+    * (declaration, properties): every write claims the next index with
+    * createExclusive, so concurrent writers get a decidable race
+    * instead of a silent overwrite. */
+  private def chainHead(chainDir: String,
+                        pfx: String): (Int, Option[Seq[String]]) = {
+    var attempt = 0
+    while (true) {
+      val ns = io.list(chainDir).filter(_.startsWith(pfx))
+        .flatMap(n => scala.util.Try(n.drop(pfx.length).toInt).toOption)
+      if (ns.isEmpty) return (0, None)
+      val n = ns.max
+      scala.util.Try(io.readLines(s"$chainDir/$pfx$n")).toOption match {
+        case Some(lines) => return (n, Some(lines))
+        case None => // head pruned between list and read: re-list
+          attempt += 1
+          require(attempt < 5,
+            s"chain at $chainDir unreadable after $attempt attempts")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Best-effort tail prune, 8 entries deep — far past any concurrent
+    * reader's just-listed head. */
+  private def chainPrune(chainDir: String, pfx: String, upto: Int): Unit =
+    io.list(chainDir).filter(_.startsWith(pfx))
+      .flatMap(n => scala.util.Try(n.drop(pfx.length).toInt).toOption)
+      .filter(_ <= upto - 8)
+      .foreach(k => scala.util.Try(io.delete(s"$chainDir/$pfx$k")))
+
+  private def chainState(dir: String): (Int, Option[String]) =
+    chainHead(schemaChainDir(dir), "d") match {
+      case (n, Some(lines)) => (n, lines.headOption)
+      case (_, None) =>
+        val legacy = s"${manifestDir(dir)}/schema.json"
+        (0,
+          if (!io.exists(legacy)) None else io.readLines(legacy).headOption)
+    }
+
+  /** Unconditional (re)declaration — CREATE/REPLACE, branch fork copy,
+    * promote pinning, abort-restore: callers whose intent is "this IS
+    * the schema now" regardless of what raced in between. */
   def declareSchema(dir: String, schemaJson: String): Unit = {
-    io.mkdirs(manifestDir(dir))
-    io.writeLines(s"${manifestDir(dir)}/schema.json", Seq(schemaJson))
+    io.mkdirs(schemaChainDir(dir))
+    var n = chainState(dir)._1 + 1
+    while (!io.createExclusive(s"${schemaChainDir(dir)}/d$n",
+      Seq(schemaJson))) n += 1
+    chainPrune(schemaChainDir(dir), "d", n)
   }
 
-  def declaredSchema(dir: String): Option[String] = {
-    val p = s"${manifestDir(dir)}/schema.json"
-    if (!io.exists(p)) None else io.readLines(p).headOption
+  /** Compare-and-swap declaration — the ALTER door: `expect` is the
+    * declaration the change set was computed FROM (None = the table had
+    * no declaration). Refuses loudly when the current declaration moved
+    * or when a concurrent writer wins the chain slot, so no ALTER is
+    * ever silently dropped; the caller re-reads and re-applies. */
+  def casDeclareSchema(dir: String, expect: Option[String],
+                       next: String): Unit = {
+    val (n, cur) = chainState(dir)
+    if (cur != expect)
+      throw new java.util.ConcurrentModificationException(
+        s"declaration at $dir changed while the ALTER was being " +
+          "computed; re-run against the current schema")
+    io.mkdirs(schemaChainDir(dir))
+    if (!io.createExclusive(s"${schemaChainDir(dir)}/d${n + 1}", Seq(next)))
+      throw new java.util.ConcurrentModificationException(
+        s"a concurrent declaration landed at $dir during the ALTER; " +
+          "re-run against the current schema")
+    chainPrune(schemaChainDir(dir), "d", n + 1)
   }
 
-  /** Retired-column ledger — one `<id>\t<physical>` line per column ever
-    * DROPped from the declared schema. ADD COLUMNS consults it so a new
-    * column never re-addresses a physical name whose bytes still sit in
-    * landed files (drop-then-re-add must serve typed nulls, not the
-    * dropped column's stale values), and ids are never recycled. */
+  def declaredSchema(dir: String): Option[String] = chainState(dir)._2
+
+  /** Retired-column ledger — one `<id>\t<physical>` entry per column
+    * ever DROPped from the declared schema. ADD COLUMNS consults it so a
+    * new column never re-addresses a physical name whose bytes still sit
+    * in landed files (drop-then-re-add must serve typed nulls, not the
+    * dropped column's stale values), and ids are never recycled.
+    * Storage is APPEND-ONLY (one exclusively-created file per entry
+    * under `retired.d/`) because the ledger's semantics are a SET UNION:
+    * the old single-file read-modify-write silently dropped an entry
+    * when two DROPs raced — and a lost retirement is the dangerous
+    * direction (a later ADD could reuse the physical name and serve the
+    * dropped column's stale bytes). Legacy single-file ledgers read
+    * through the fallback union. */
   private def retiredPath(dir: String) = s"${manifestDir(dir)}/retired"
+  private def retiredDir(dir: String) = s"${manifestDir(dir)}/retired.d"
 
   def retiredColumns(dir: String): Seq[(Long, String)] = {
     val p = retiredPath(dir)
-    if (!io.exists(p)) Seq.empty
-    else io.readLines(p).filter(_.nonEmpty).map { l =>
-      val Array(id, phys) = l.split('\t')
-      (id.toLong, phys)
+    val legacy =
+      if (!io.exists(p)) Seq.empty
+      else io.readLines(p).filter(_.nonEmpty).map { l =>
+        val Array(id, phys) = l.split('\t')
+        (id.toLong, phys)
+      }
+    val entries = io.list(retiredDir(dir)).flatMap { n =>
+      io.readLines(s"${retiredDir(dir)}/$n").filter(_.nonEmpty).map { l =>
+        val Array(id, phys) = l.split('\t')
+        (id.toLong, phys)
+      }
     }
+    (legacy ++ entries).distinct.sortBy(_._1)
   }
 
   def retireColumn(dir: String, id: Long, physical: String): Unit = {
-    io.mkdirs(manifestDir(dir))
-    io.writeLines(retiredPath(dir),
-      retiredColumns(dir).map { case (i, p) => s"$i\t$p" } :+
-        s"$id\t$physical")
+    io.mkdirs(retiredDir(dir))
+    var k = 0
+    while (!io.createExclusive(s"${retiredDir(dir)}/r$id-$k",
+      Seq(s"$id\t$physical"))) k += 1
   }
 
   /** Whether any head-version file carries a bloom sidecar line for
@@ -2952,7 +3112,8 @@ class VersionedTableOps(protected val io: TableIO) {
     var carried: Seq[String] = Seq.empty
     var dropped: Map[String, Long] = Map.empty
     var headAt: Option[Int] = None
-    val v = publishOnHeadRaw(dir) { h =>
+    val v = publishOnHeadRaw(dir,
+        guardFiles = newFiles ++ survivorDel) { h =>
       // a delete that lands mid-compact references files this rewrite has
       // already copied WITHOUT it — carrying the new vector would half-apply
       // it, dropping it would resurrect rows; fail loudly, caller retries
@@ -3438,7 +3599,7 @@ class VersionedTableOps(protected val io: TableIO) {
     var carried: Seq[String] = Seq.empty
     var dropped: Map[String, Long] = Map.empty
     var headAt: Option[Int] = None
-    val v = publishOnHeadRaw(dir) { h =>
+    val v = publishOnHeadRaw(dir, guardFiles = newFiles) { h =>
       if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
         throw new SnapshotShapeConflict(
           "delete vectors changed during optimizeZorder; re-run against " +
@@ -3652,7 +3813,8 @@ class VersionedTableOps(protected val io: TableIO) {
       var carried: Seq[String] = Seq.empty
       var dropped: Map[String, Long] = Map.empty
       var headAt: Option[Int] = None
-      publishOnHeadTxn(dir, txnId) { h =>
+      publishOnHeadTxn(dir, txnId,
+          guardFiles = newFiles ++ survivorDel) { h =>
         if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
           throw new SnapshotShapeConflict(
             "delete vectors changed during merge; re-run against the " +
@@ -3917,7 +4079,8 @@ class VersionedTableOps(protected val io: TableIO) {
       var carried: Seq[String] = Seq.empty
       var dropped: Map[String, Long] = Map.empty
       var headAt: Option[Int] = None
-      val v = publishOnHeadRaw(dir) { h =>
+      val v = publishOnHeadRaw(dir,
+          guardFiles = newFiles ++ survivorDel) { h =>
         if (h.toSeq.flatMap(delFilesOf(dir, _)).toSet != delsAtStart.toSet)
           throw new SnapshotShapeConflict(
             "delete vectors changed during merge; re-run against the " +
@@ -4786,35 +4949,62 @@ class VersionedTableOps(protected val io: TableIO) {
     require(!io.exists(s"$dir/RETIRED"),
       s"$dir is retired: its files belong to the table it was promoted " +
         s"into; vacuuming here would delete production data")
-    // branch manifests count as references: a fork pins parent batch dirs
-    val refs = versions(dir).flatMap { v =>
-      filesOf(dir, v) ++ delFilesOf(dir, v) ++ eqDelsOf(dir, v).map(_._3)
-    } ++ branches(dir).flatMap { b =>
-      val bd = branchDir(dir, b)
-      versions(bd).flatMap(v =>
-        filesOf(bd, v) ++ delFilesOf(bd, v) ++ eqDelsOf(bd, v).map(_._3))
+    // one reference snapshot: (version lineages scanned, batch dirs
+    // referenced, segment paths referenced). Branch manifests count as
+    // references — a fork pins parent batch dirs AND parent segments.
+    def refSnapshot(): (Set[(String, Int)], Set[String], Set[String]) = {
+      val lineages = (dir, versions(dir)) +: branches(dir).map { b =>
+        val bd = branchDir(dir, b); (bd, versions(bd))
+      }
+      val files = lineages.flatMap { case (d, vs) => vs.flatMap(v =>
+        filesOf(d, v) ++ delFilesOf(d, v) ++ eqDelsOf(d, v).map(_._3)) }
+      val segs = lineages.flatMap { case (d, vs) =>
+        vs.flatMap(v => segRefsOf(d, v)) }
+      (lineages.flatMap { case (d, vs) => vs.map(d -> _) }.toSet,
+        files.map(f => f.take(f.lastIndexOf('/'))).toSet, segs.toSet)
     }
-    val referencedDirs = refs.map(f => f.take(f.lastIndexOf('/'))).toSet
+    var (seen, referencedDirs, segRefs) = refSnapshot()
     val cutoff = now() - graceMs
+    // Re-scan FRESH versions (published since the snapshot — only their
+    // manifests are read, O(new commits)) right before each delete: a
+    // writer whose batch aged past the grace window but whose publish
+    // landed mid-sweep would otherwise lose its just-referenced files.
+    // Together with the publisher-side guard in publishOnHeadTxn this
+    // pins the protocol's contract: a publish that completes before the
+    // delete is never torn; one that races into the same microseconds is
+    // excluded by a grace window longer than the longest write stall.
+    def stillOrphan(path: String): Boolean = {
+      val lineages = (dir, versions(dir)) +: branches(dir).map { b =>
+        val bd = branchDir(dir, b); (bd, versions(bd))
+      }
+      val fresh = lineages.flatMap { case (d, vs) =>
+        vs.filterNot(v => seen((d, v))).map(d -> _) }
+      if (fresh.nonEmpty) {
+        referencedDirs ++= fresh.flatMap { case (d, v) =>
+          (filesOf(d, v) ++ delFilesOf(d, v) ++ eqDelsOf(d, v).map(_._3))
+            .map(f => f.take(f.lastIndexOf('/'))) }
+        segRefs ++= fresh.flatMap { case (d, v) => segRefsOf(d, v) }
+        seen ++= fresh
+      }
+      !referencedDirs.contains(path) && !segRefs.contains(path)
+    }
     var removed = 0
     Seq(s"$dir/data", s"$dir/deletes").foreach { area =>
       io.list(area).map(n => s"$area/$n")
         .filter(d => io.isDir(d) && !referencedDirs.contains(d))
         .filter(d => newestMtime(d) < cutoff)
-        .foreach { d => deleteTree(d); removed += 1 }
+        .foreach { d =>
+          if (stillOrphan(d)) { deleteTree(d); removed += 1 }
+        }
     }
     // metadata-segment debris: a segment written for a publish that never
     // happened (crashed commit, OCC-retry fold) is referenced by no
     // manifest/sidecar of this table or its branches — sweep like data.
-    // Branch refs matter here too: a fork points at parent-dir segments.
-    val segRefs = (versions(dir).flatMap(v => segRefsOf(dir, v)) ++
-      branches(dir).flatMap { b =>
-        val bd = branchDir(dir, b)
-        versions(bd).flatMap(v => segRefsOf(bd, v))
-      }).toSet
     io.list(segsDir(dir)).map(n => s"${segsDir(dir)}/$n")
       .filter(p => !segRefs.contains(p) && io.mtime(p) < cutoff)
-      .foreach { p => segCache.remove(p); io.delete(p); removed += 1 }
+      .foreach { p =>
+        if (stillOrphan(p)) { segCache.remove(p); io.delete(p); removed += 1 }
+      }
     removed
   }
 

@@ -32,20 +32,24 @@ abstract class VersionedTableBehavior extends SparkSpec {
   def backend: TableIO
   lazy val ops = new VersionedTableOps(backend)
 
-  test("tableProperties memoizes per (mtime, size): repeat lookups over " +
+  test("tableProperties memoizes per chain head: repeat lookups over " +
       "an unchanged table cost ZERO line-reads, writers invalidate — the " +
       "optimizer-side IO guarantee (mview rewrite consults properties " +
       "per plan)") {
     val reads = new java.util.concurrent.atomic.AtomicLong
     val counting = new ForwardingTableIO(backend) {
       override def readLines(path: String): Seq[String] = {
-        if (path.endsWith("/properties")) reads.incrementAndGet()
+        // chain entries and the legacy file both count: the guarantee
+        // is "no per-plan GET", whatever the store's layout
+        if (path.endsWith("/properties") ||
+            path.matches(".*/manifests/props/p\\d+"))
+          reads.incrementAndGet()
         super.readLines(path)
       }
     }
     val o = new VersionedTableOps(counting)
     val dir = tmpDir("props-memo")
-    assert(o.tableProperties(dir).isEmpty) // absent file: no read at all
+    assert(o.tableProperties(dir).isEmpty) // absent store: no read at all
     assert(reads.get() == 0)
     o.setTableProperty(dir, "a", "1")
     val r0 = reads.get()
@@ -73,22 +77,24 @@ abstract class VersionedTableBehavior extends SparkSpec {
   }
 
   test("a foreign SAME-SIZE rewrite inside the mtime resolution cannot " +
-      "serve a stale memo: every properties write measurably changes " +
-      "the file size (the #pad header), so the stamp always moves") {
+      "serve a stale memo: the chain head index advances on every " +
+      "write, so the stamp always moves") {
     val o = new VersionedTableOps(backend)
     val dir = tmpDir("props-samesize")
     o.setTableProperty(dir, "a", "1")
     assert(o.tableProperties(dir) == Map("a" -> "1")) // memoize the stamp
-    val sizeBefore = backend.size(s"$dir/manifests/properties")
+    def head: Seq[String] =
+      backend.list(s"$dir/manifests/props").sorted
+    val before = head
     // a FOREIGN instance rewrites a=1 → a=2: identical byte count,
     // and fast enough to land within any mtime tick — the exact window
     // where a bare (mtime, size) stamp would serve the stale map forever
     new VersionedTableOps(backend).setTableProperty(dir, "a", "2")
-    assert(backend.size(s"$dir/manifests/properties") != sizeBefore,
-      "an equal-content-length rewrite must still change the file size")
+    assert(head != before,
+      "an equal-content-length rewrite must still advance the chain")
     assert(o.tableProperties(dir) == Map("a" -> "2"),
       "a same-size foreign rewrite must not serve the stale memo")
-    // and the pad header never leaks into the parsed map
+    // legacy pad headers never leak into the parsed map
     assert(!o.tableProperties(dir).keySet.exists(_.startsWith("#")))
   }
 

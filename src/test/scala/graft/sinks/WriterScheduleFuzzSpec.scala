@@ -35,6 +35,15 @@ import graft.SparkSpec
   * The hand-picked interleavings that found the two-rewrites race (r12)
   * and the OCC stale-base republish (r7) are all instances of schedules
   * this fuzzer draws; seeds are deterministic and printed for replay.
+  *
+  * Two more axes ride the same harness: a LIVE VACUUM op (its reference
+  * scan schedule-controlled too — must reclaim nothing and never throw
+  * while writers race under the default grace window; the stalled-past-
+  * grace direction is pinned deterministically in
+  * [[VacuumInterplaySpec]]), and a mid-schedule READER asserting
+  * snapshot isolation: every state sampled while writers race must be
+  * producible by SOME serial order of SOME subset of the ops — a torn
+  * head mid-race is as disqualifying as one at the end.
   */
 class WriterScheduleFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -129,15 +138,51 @@ class WriterScheduleFuzzSpec extends SparkSpec {
     override def mtime(path: String): Long = inner.mtime(path)
   }
 
+  /** [[PausingTableIO]] that ALSO parks at reads — used for the live
+    * vacuum op, whose adversarial surface is its reference SCAN
+    * interleaving with writer mutations (a sweep sees half a commit's
+    * metadata); parking only its deletes would fast-forward the scan
+    * past every interesting ordering. */
+  private final class PausingAllIO(inner: TableIO, ctl: ScheduleController,
+                                   id: Int) extends TableIO {
+    override def mkdirs(dir: String): Unit = { ctl.turn(id); inner.mkdirs(dir) }
+    override def exists(path: String): Boolean = {
+      ctl.turn(id); inner.exists(path)
+    }
+    override def list(dir: String): Seq[String] = {
+      ctl.turn(id); inner.list(dir)
+    }
+    override def readLines(path: String): Seq[String] = {
+      ctl.turn(id); inner.readLines(path)
+    }
+    override def writeLines(path: String, lines: Seq[String]): Unit = {
+      ctl.turn(id); inner.writeLines(path, lines)
+    }
+    override def createExclusive(path: String,
+                                 lines: Seq[String]): Boolean = {
+      ctl.turn(id); inner.createExclusive(path, lines)
+    }
+    override def delete(path: String): Unit = {
+      ctl.turn(id); inner.delete(path)
+    }
+    override def size(path: String): Long = { ctl.turn(id); inner.size(path) }
+    override def isDir(path: String): Boolean = {
+      ctl.turn(id); inner.isDir(path)
+    }
+    override def mtime(path: String): Long = { ctl.turn(id); inner.mtime(path) }
+  }
+
   // ---- the op alphabet + its sequential model ----------------------
 
   private type St = Vector[(Long, Double)]
 
   /** One writer's op: the real run and its effect on the sequential
-    * model (applied in candidate serial orders). */
+    * model (applied in candidate serial orders). `pauseReads` parks the
+    * op's READS too (vacuum: the scan is the racing surface). */
   private case class WOp(name: String,
                          run: (VersionedTableOps, String) => Unit,
-                         model: St => St)
+                         model: St => St,
+                         pauseReads: Boolean = false)
 
   private def rows2(rs: (Long, Double)*): DataFrame = rs.toSeq.toDF("id", "v")
 
@@ -213,6 +258,19 @@ class WriterScheduleFuzzSpec extends SparkSpec {
   private val ffOp = WOp("branch-ff",
     (o, w) => { o.fastForward(spark, s"$w/t", "exp"); () },
     s => s :+ branchRow)
+  /** A maintenance sweep running WHILE writers are live, default grace:
+    * every mid-flight batch is younger than the window, so the sweep
+    * must reclaim NOTHING and perturb nothing — its scan interleaving
+    * with half-landed commit metadata is the surface under test. A
+    * nonzero reclaim (or any throw) is a real protocol break, asserted
+    * separately in [[runSchedule]] because the serial-order check would
+    * tolerate a thrown may-op. */
+  private val vacuumLive = WOp("vacuum-live",
+    (o, w) => {
+      val n = o.vacuumOrphans(s"$w/t")
+      require(n == 0, s"VACUUM-REMOVED $n live batch dir(s)")
+    },
+    identity, pauseReads = true)
 
   /** Pairs/triples drawn from the directive's pool. `needsStage` /
     * `needsBranch` extend the fixture. */
@@ -234,7 +292,10 @@ class WriterScheduleFuzzSpec extends SparkSpec {
     Scenario(Seq(delKeys, merge)),
     Scenario(Seq(compactLow, updHigh)),
     Scenario(Seq(mergeOnce("A"), mergeOnce("B"))),
-    Scenario(Seq(appendA, delLow, compactOp)))
+    Scenario(Seq(appendA, delLow, compactOp)),
+    Scenario(Seq(appendA, vacuumLive)),
+    Scenario(Seq(compactOp, vacuumLive)),
+    Scenario(Seq(appendA, delLow, vacuumLive)))
 
   // ---- fixture management (FaultInjectionSpec's copy/restore) ------
 
@@ -291,19 +352,37 @@ class WriterScheduleFuzzSpec extends SparkSpec {
     }.toSet
   }
 
-  private def runSchedule(sc: Scenario, seed: Long): Unit = {
+  private def runSchedule(sc: Scenario, seed: Long,
+                          withReader: Boolean = false): Unit = {
     val work = tmpDir(s"wsf-${seed}")
     buildFixture(work, sc)
     val dir = s"$work/t"
     val ctl = new ScheduleController(seed)
     val outcomes =
       new java.util.concurrent.ConcurrentHashMap[String, Option[Throwable]]()
+    @volatile var writersLive = true
+    // mid-schedule snapshot-isolation probe: a clean reader sampling
+    // WHILE the writers race must only ever see a state SOME serial
+    // order of SOME subset of the ops produces — never a torn head.
+    // (Reads are not schedule-controlled: they interleave at native
+    // speed, which is exactly how production readers arrive.)
+    val observedStates =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Double)]]()
+    val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader: Option[Thread] = if (!withReader) None else Some(
+      new Thread(() => {
+        try {
+          while (writersLive && observedStates.size < 4)
+            observedStates.add(canon(served(dir)))
+        } catch { case t: Throwable => readerErr.set(t) }
+      }, s"wsf-$seed-reader"))
     val writers = sc.ops.zipWithIndex.map { case (op, id) =>
       ctl.register(id)
       new Thread(() => {
         try {
           op.run(new VersionedTableOps(
-            new PausingTableIO(TableIO.local, ctl, id)), work)
+            if (op.pauseReads) new PausingAllIO(TableIO.local, ctl, id)
+            else new PausingTableIO(TableIO.local, ctl, id)), work)
           outcomes.put(op.name, None)
         } catch {
           case t: Throwable => outcomes.put(op.name, Some(t))
@@ -311,13 +390,35 @@ class WriterScheduleFuzzSpec extends SparkSpec {
       }, s"wsf-$seed-${op.name}")
     }
     writers.foreach(_.start())
+    reader.foreach(_.start())
     try ctl.drive(timeoutMs = 120000)
-    finally writers.foreach(_.join(10000))
+    finally {
+      writers.foreach(_.join(10000))
+      writersLive = false
+      reader.foreach(_.join(30000))
+    }
 
     val at = s"[seed=$seed ${sc.name}]"
+    assert(readerErr.get == null,
+      s"$at: a concurrent read failed mid-schedule: ${readerErr.get}")
+    if (withReader) {
+      val midLegal = serialOutcomes(fixtureRows, Seq.empty, sc.ops)
+      observedStates.forEach { st =>
+        assert(midLegal.contains(st),
+          s"$at: a concurrent reader observed a TORN state: $st\n" +
+            s"  legal=${midLegal.mkString("\n    ")}")
+      }
+    }
     val committed = sc.ops.filter(op => outcomes.get(op.name).isEmpty)
     val threw = sc.ops.filter(op =>
       Option(outcomes.get(op.name)).exists(_.isDefined))
+    // the serial-order check tolerates thrown may-ops, so the live
+    // sweep's invariant (reclaims nothing, never throws) is its own gate
+    val vacFail = threw.filter(_.name == "vacuum-live")
+    assert(vacFail.isEmpty,
+      s"$at: the live sweep must neither throw nor reclaim: " +
+        vacFail.map(op => Option(outcomes.get(op.name)).flatten
+          .map(_.toString).getOrElse("?")).mkString(", "))
     val now = canon(served(dir))
     val legal = serialOutcomes(fixtureRows, committed, threw)
     assert(legal.contains(now),
@@ -348,7 +449,10 @@ class WriterScheduleFuzzSpec extends SparkSpec {
       for (i <- 0 until SeedsPerScenario) {
         val seed = 1009L * (scenarios.indexOf(sc) + 1) + 37L * i + 11L
         info(s"schedule seed=$seed")
-        runSchedule(sc, seed)
+        // the mid-schedule reader costs a few Spark jobs per schedule:
+        // it rides the first seed of each scenario in CI (every seed
+        // still runs the full serializability + vacuum checks)
+        runSchedule(sc, seed, withReader = i == 0)
       }
     }
 

@@ -78,13 +78,22 @@ class SqlDifferentialFuzzSpec extends SparkSpec {
   private val evt = Tbl("evt", Seq(
     Col("id", "long"), Col("val2", "double"), Col("k", "string"),
     Col("rh", "int")), Seq("id"))
+  /** Hidden-partitioned copy of lineitem (days(l_shipdate)): every
+    * fuzz query over it rides the manifest partition-pruning path, so
+    * a pruning bug that DROPS a file (the superset guarantee broken)
+    * diffs against DuckDB's full scan. Never co-appears with lineitem
+    * in one query (same column names would be ambiguous), so it gets
+    * its own join pair instead of riding lineitem's. */
+  private val lineitemP = lineitem.copy(name = "lineitem_p")
 
-  private val tables = Seq(lineitem, orders, customer, nation, region, evt)
+  private val tables =
+    Seq(lineitem, orders, customer, nation, region, evt, lineitemP)
 
   /** (left, right, on-condition); columns are globally unique so the
     * same unqualified SQL resolves on both engines. */
   private val joins = Seq(
     (lineitem, orders, "l_orderkey = o_orderkey"),
+    (lineitemP, orders, "l_orderkey = o_orderkey"),
     (orders, customer, "o_custkey = c_custkey"),
     (customer, nation, "c_nationkey = n_nationkey"),
     (nation, region, "n_regionkey = r_regionkey"))
@@ -132,6 +141,18 @@ class SqlDifferentialFuzzSpec extends SparkSpec {
     // compaction materializes the vectors before the fuzz queries run
     spark.sql(s"CALL graft.compact('$eDir', ${128L * 1024 * 1024})")
     spark.table(s"graft.`$eDir`").createOrReplaceTempView("evt")
+    // the hidden-partitioned copy: same rows, pruning-active scan path
+    val pDir = s"$root/lineitem_p"
+    spark.sql(s"CREATE TABLE graft.`$pDir` (l_orderkey BIGINT, " +
+      "l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, " +
+      "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, " +
+      "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, " +
+      "l_shipdate TIMESTAMP) PARTITIONED BY (days(l_shipdate)) " +
+      "TBLPROPERTIES ('files' = '4')")
+    spark.sql(s"INSERT INTO graft.`$pDir` " +
+      s"SELECT * FROM parquet.`$sf/lineitem.parquet`")
+    spark.table(s"graft.`$pDir`").createOrReplaceTempView("lineitem_p")
+    duckViews("lineitem_p") = s"$sf/lineitem.parquet"
     // independent model of the served rows
     val twin = ((1 to 40).map(i => (i.toLong, i * 1.5, s"k${i % 5}", 55)) ++
         (41 to 60).map(i => (i.toLong, i * 1.5, s"k${i % 5}", i % 7)))
@@ -251,11 +272,13 @@ class SqlDifferentialFuzzSpec extends SparkSpec {
 
     private def measure(ts: Seq[Tbl], i: Int): String = {
       val t = pick(ts)
-      rng.nextInt(5) match {
+      rng.nextInt(7) match {
         case 0 => s"COUNT(*) AS a$i"
         case 1 => s"COUNT(${pick(t.cols).name}) AS a$i"
         case 2 => s"MIN(${pick(t.cols).name}) AS a$i"
         case 3 => s"MAX(${pick(t.cols).name}) AS a$i"
+        case 4 => s"COUNT(DISTINCT ${pick(t.cols).name}) AS a$i"
+        case 5 => s"SUM(CASE WHEN ${predicate(t)} THEN 1 ELSE 0 END) AS a$i"
         case _ =>
           val nc = pick(t.numeric)
           if (nc.kind == "double") s"ROUND(SUM(${nc.name}), 3) AS a$i"
@@ -264,14 +287,22 @@ class SqlDifferentialFuzzSpec extends SparkSpec {
     }
 
     def next(): String = rng.nextInt(8) match {
-      case 0 => // projection, optionally top-N under a total order
+      case 0 => // projection, optionally top-N. The synthetic data's
+        // "unique" columns are NOT true keys (sf0.001 lineitem: 6000
+        // rows, 4599 distinct (l_orderkey, l_linenumber) pairs), so a
+        // LIMIT cut is only engine-independent under an order over
+        // EVERY projected column: boundary ties are then fully
+        // identical output rows and either engine's pick yields the
+        // same multiset.
         val t = pick(tables)
         val extra = pick(t.cols)
-        val sel = (t.unique :+ extra.name).distinct.zipWithIndex
+        val cols = (t.unique :+ extra.name).distinct
+        val sel = cols.zipWithIndex
           .map { case (c, i) => s"$c AS a$i" }.mkString(", ")
         val base = s"SELECT $sel FROM ${t.name} WHERE ${where(Seq(t))}"
         if (rng.nextBoolean())
-          s"$base ORDER BY ${t.unique.mkString(", ")} LIMIT 200"
+          s"$base ORDER BY ${cols.indices.map(i => s"a$i").mkString(", ")} " +
+            "LIMIT 200"
         else base
       case 1 => // single-table aggregate
         val t = pick(tables)
@@ -284,13 +315,18 @@ class SqlDifferentialFuzzSpec extends SparkSpec {
         val having = if (rng.nextBoolean()) " HAVING COUNT(*) >= 2" else ""
         s"SELECT $keySel, $ms FROM ${t.name} WHERE ${where(Seq(t))} " +
           s"GROUP BY ${keys.mkString(", ")}$having"
-      case 2 => // two-table join + aggregate
+      case 2 => // two-table join + aggregate (inner or left outer)
         val (a, b, on) = pick(joins)
+        val jt = pick(Seq("JOIN", "JOIN", "LEFT JOIN"))
         val key = pick(a.groupable ++ b.groupable).name
         val ms = (0 until 1 + rng.nextInt(2)).map(i => measure(Seq(a, b), i))
           .mkString(", ")
-        s"SELECT $key AS k0, $ms FROM ${a.name} JOIN ${b.name} ON $on " +
-          s"WHERE ${where(Seq(a, b))} GROUP BY $key"
+        // a LEFT JOIN's predicate stays on the LEFT side: a right-side
+        // filter would be a well-defined query too, but the common
+        // intent (and the pushdown-interesting shape) is preserved rows
+        val w = if (jt == "LEFT JOIN") where(Seq(a)) else where(Seq(a, b))
+        s"SELECT $key AS k0, $ms FROM ${a.name} $jt ${b.name} ON $on " +
+          s"WHERE $w GROUP BY $key"
       case 3 => // three-table join + aggregate
         val (a, b, c, on1, on2) = pick(threeWay)
         val key = pick(c.groupable ++ b.groupable).name
