@@ -3,7 +3,7 @@ package graft.sql
 import java.util.concurrent.Semaphore
 
 import graft.SparkSpec
-import graft.sinks.{TableIO, VersionedTable, VersionedTableOps}
+import graft.sinks.{CrashingTableIO, MutationCountingIO, TableIO, VersionedTable, VersionedTableOps}
 
 /** Concurrent-DDL races — the metadata sibling of the writer-schedule
   * fuzzer's DATA races. The declaration used to be a plain rewrite
@@ -128,6 +128,108 @@ class DdlRaceSpec extends SparkSpec {
     assert(ops.declaredSchema(dir).contains("{\"v\":30}"))
     val chain = TableIO.local.list(s"$dir/manifests/schema")
     assert(chain.size <= 10, s"chain must stay bounded, got ${chain.size}")
+  }
+
+  // ---- crash sweeps over the chain stores (FaultInjectionSpec's
+  // kill-point discipline, applied to the DDL protocol: rows don't
+  // change under ALTER, the DECLARATION does, so the torn-state
+  // invariant is declaration = pre XOR post — never a half state) ----
+
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+    val it = java.nio.file.Files.walk(s)
+    try it.forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally it.close()
+  }
+
+  private def deleteTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p)
+      try it.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally it.close()
+    }
+  }
+
+  test("crash sweep: a killed ALTER (DROP COLUMN — retire ledger + CAS " +
+      "chain) leaves the declaration pre or post, never torn; " +
+      "retry-iff-pre converges") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    val work = tmpDir("ddlcrash")
+    val dir = s"$work/t"
+    val prev = VersionedTable.backend
+    try {
+      spark.sql(s"CREATE TABLE graft.`$dir` (id BIGINT, a STRING, b STRING)")
+      spark.sql(s"INSERT INTO graft.`$dir` VALUES (1, 'x', 'y')")
+      val preDecl = VersionedTable.declaredSchema(dir).get
+      val backup = tmpDir("ddlcrash-bk")
+      copyTree(work, backup)
+      // clean run captures the post declaration and the kill domain
+      val counter = new MutationCountingIO(TableIO.local)
+      VersionedTable.setBackend(counter)
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN b")
+      VersionedTable.setBackend(TableIO.local)
+      val postDecl = VersionedTable.declaredSchema(dir).get
+      val total = counter.count
+      assert(total > 0, "ALTER performed no metadata mutations")
+      info(s"sweeping $total ALTER kill points")
+      for (n <- 0 until total) {
+        val at = s"[ALTER killed before mutation $n/$total]"
+        deleteTree(work); copyTree(backup, work)
+        VersionedTable.setBackend(new CrashingTableIO(TableIO.local, n))
+        try spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN b")
+        catch { case _: Throwable => () }
+        VersionedTable.setBackend(TableIO.local)
+        val now = VersionedTable.declaredSchema(dir).get
+        assert(now == preDecl || now == postDecl,
+          s"$at: declaration is neither pre nor post:\n  $now")
+        // a crashed DROP may leave a retirement for a column that never
+        // dropped — conservative by design (ids/physicals are never
+        // recycled anyway); what must NOT happen is a torn declaration
+        if (now == preDecl)
+          spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN b")
+        assert(VersionedTable.declaredSchema(dir).get == postDecl,
+          s"$at: retry did not land the post declaration")
+        assert(spark.table(s"graft.`$dir`").columns.toSeq == Seq("id", "a"),
+          s"$at: the recovered table does not serve the post schema")
+      }
+    } finally VersionedTable.setBackend(prev)
+  }
+
+  test("crash sweep: a killed property write leaves the map pre or " +
+      "post; retry converges") {
+    val work = tmpDir("propcrash")
+    val dir = s"$work/t"
+    val fixture = new VersionedTableOps(TableIO.local)
+    fixture.setTableProperty(dir, "k1", "v1")
+    val backup = tmpDir("propcrash-bk")
+    copyTree(work, backup)
+    val counter = new MutationCountingIO(TableIO.local)
+    new VersionedTableOps(counter).setTableProperty(dir, "k2", "v2")
+    val post = fixture.tableProperties(dir)
+    assert(post == Map("k1" -> "v1", "k2" -> "v2"))
+    val total = counter.count
+    assert(total > 0)
+    info(s"sweeping $total property-write kill points")
+    for (n <- 0 until total) {
+      val at = s"[SET killed before mutation $n/$total]"
+      deleteTree(work); copyTree(backup, work)
+      val o = new VersionedTableOps(new CrashingTableIO(TableIO.local, n))
+      try o.setTableProperty(dir, "k2", "v2")
+      catch { case _: Throwable => () }
+      val now = fixture.tableProperties(dir)
+      assert(now == Map("k1" -> "v1") || now == post,
+        s"$at: properties are neither pre nor post: $now")
+      fixture.setTableProperty(dir, "k2", "v2")
+      assert(fixture.tableProperties(dir) == post,
+        s"$at: retry did not converge")
+    }
   }
 
   test("racing retirements union instead of last-writer-wins") {
