@@ -456,6 +456,31 @@ class WriterScheduleFuzzSpec extends SparkSpec {
       }
     }
 
+  // ---- random scenario composition: beyond the curated pairs, draw
+  // 2–3 ops uniformly from the whole alphabet per seed — the
+  // combinatorial space (55 pairs + 165 triples over this pool) that
+  // the fixed list samples only a corner of. Same-txn pairs stay
+  // curated (they need their partner); everything else composes, and
+  // the serial-order model is compositional by construction.
+  private val drawPool = Seq(appendA, appendB, delLow, updHigh, merge,
+    delKeys, compactOp, compactLow, promoteOp, ffOp, vacuumLive)
+
+  private val RandomDraws = SeedsPerScenario * 3
+
+  test(s"schedule fuzz: random scenario draws ($RandomDraws seeds)") {
+    for (i <- 0 until RandomDraws) {
+      val seed = 7331L * i + 13L
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(2)
+      val ops = rnd.shuffle(drawPool).take(k)
+      val sc = Scenario(ops,
+        needsStage = ops.exists(_.name == "promote"),
+        needsBranch = ops.exists(_.name == "branch-ff"))
+      info(s"random scenario seed=$seed ops=${sc.name}")
+      runSchedule(sc, seed, withReader = i % 4 == 0)
+    }
+  }
+
   test("the controller preempts at every mutation: a two-append race " +
       "takes more than one grant per writer") {
     // sanity probe that the seam engages (a schedule with zero parks
