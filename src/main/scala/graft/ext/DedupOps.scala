@@ -82,17 +82,28 @@ object DedupOps {
     * of the index (by shingle) — a self-join would shuffle it twice and scan
     * the index lineage twice. Posting lists are bounded by the maxDf cutoff
     * (or the corpus's natural shingle df), so the per-row pair explosion is
-    * bounded too. */
+    * bounded too.
+    *
+    * The index rows carry each doc's shingle-set size (`n_sh`), so the
+    * posting lists emit pairs WITH both sizes attached and the aggregated
+    * pair table — the largest intermediate of the whole dedup family —
+    * needs no join at all afterwards (r16: this replaced two sort-merge
+    * joins of the pair table against a per-doc sizes aggregate; the sizes
+    * are functionally determined by the ids, so grouping on them changes
+    * nothing). */
   private def cooccurrencePairs(sh: DataFrame): DataFrame = {
     def pairCombos(sorted: Column): Column =
       flatten(transform(sorted, (x, i) =>
         transform(slice(sorted, i + lit(2), size(sorted)),
-          y => struct(x.as("id_a"), y.as("id_b")))))
-    sh.groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+          y => struct(x.as("a"), y.as("b")))))
+    sh.groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(pairCombos(array_sort(col("ids")))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        col("p.a.n_sh").as("n_a"), col("p.b.n_sh").as("n_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
   }
 
   /** Inverted index for [[jaccardPairs]]/[[qMinhash]]: hashed shingles, the
@@ -117,6 +128,37 @@ object DedupOps {
     sh.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** [[cachedIndex]] twin carrying each doc's shingle-set size on every
+    * index row — (doc_id, n_sh, shingle). With maxDf unset the size is
+    * computed MAP-SIDE from the distinct-shingle array before the explode
+    * (zero extra shuffle); with a cutoff the surviving rows are re-counted
+    * with a per-doc window (partitions bounded by a single document's
+    * shingle count, so no skew). Feeding [[jaccardPairs]], this is what
+    * lets the pair table skip its former sizes joins entirely. */
+  private def cachedSizedIndex(docs: DataFrame, k: Int,
+                               maxDf: Option[Int]): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), array_distinct(shingles(col("t"), k)).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n_sh"),
+        explode(col("arr")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("shingle"))
+    val sized = maxDf match {
+      case Some(m) =>
+        val hot = base.groupBy("shingle").count().filter(col("count") > m)
+          .select("shingle")
+        // post-cutoff sizes: the Jaccard denominator counts only the
+        // shingles that survived the stop-shingle drop (same contract as
+        // the former sizes aggregate over the filtered index)
+        base.join(hot, Seq("shingle"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      case None => base
+    }
+    sized.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Exact Jaccard over distinct k-shingle sets for all pairs sharing ≥1
     * shingle (inverted-index pair generation — pairs that share nothing are
     * never materialized). `maxDf` drops shingles present in more than that
@@ -128,25 +170,18 @@ object DedupOps {
     * (§[[hashedShingleIndex]]) are ~1e-8 over a million distinct shingles —
     * the DuckDB oracle on exact strings still hash-matches. */
   def jaccardPairs(docs: DataFrame, k: Int = 3,
-                   maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    val sh = cachedIndex(docs, k, maxDf)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // merge hint, not broadcast: NEITHER side is statically safe to
-    // broadcast — sizes is O(docs) (unbroadcastable at corpus scale),
-    // and the pairs side's size-only estimate is catastrophically LOW
-    // because explode is invisible to size-only stats (a pair table
-    // exploded from megabytes of parquet still "estimates" at those
-    // megabytes; measured 10 GiB actual at a 10× corpus — the static
-    // planner broadcast it and the job died). Sort-merge is the plan
-    // that finishes at every scale; the shuffles are trivial at small sf.
-    cooccurrencePairs(sh)
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-        .hint("merge"), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-        .hint("merge"), "id_b")
+                   maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame =
+    // the per-doc sizes ride the index rows into the posting lists
+    // ([[cooccurrencePairs]]), so the aggregated pair table is never
+    // shuffled again: its former two sort-merge sizes joins (hinted merge
+    // because neither side was statically safe to broadcast — sizes is
+    // O(docs), and the pair side's explode-blind size estimate once got a
+    // 10 GiB table broadcast and killed the job) are gone outright, which
+    // is strictly better at every scale — the pair table is the largest
+    // intermediate of the family and now crosses the network exactly once.
+    cooccurrencePairs(cachedSizedIndex(docs, k, maxDf))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")), 6))
-  }
 
   /** q_dedup_ngram — top-20 most-similar pairs by 3-gram Jaccard
     * (deterministic: rounded score desc, then ids).
