@@ -33,10 +33,13 @@ object TimeQuery {
     val stageTasks = new TrieMap[Int, (Int, Long)] // stage -> (tasks, ms sum)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
-        starts.put(e.jobId, (System.nanoTime(),
-          Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
-            .getOrElse("?")))
+        starts.put(e.jobId, (System.nanoTime(), {
+          val p = Option(e.properties)
+          p.flatMap(x => Option(x.getProperty("spark.job.description")))
+            .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
+            .getOrElse(e.stageInfos.lastOption.map(_.name).getOrElse("?"))
+            .take(110)
+        }))
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         starts.remove(e.jobId).foreach { case (t0, site) =>
           jobs.add((e.jobId, (System.nanoTime() - t0) / 1e9, site))

@@ -41,6 +41,15 @@ object LangModel {
   def docTrigramCounts(docs: DataFrame): DataFrame =
     docs.filter(char_length(col("text")) >= 3)
       .select(col("doc_id"), explode(charTrigrams("text")).as("tri"))
+      // semantically a no-op (a substring of non-null text is never
+      // null), but load-bearing for plan reuse: the scoring join infers
+      // `isnotnull(tri)` on ITS copy of this subtree, and without the
+      // same filter on the train/total copies their exchanges
+      // canonicalize differently — AQE stage reuse then re-ran the full
+      // tokenize→explode→aggregate corpus pass once PER CONSUMER
+      // (measured: q_ngram_perplexity paid it twice more at sf0.1).
+      // With the filter aligned, all three consumers read ONE shuffle.
+      .filter(col("tri").isNotNull)
       .groupBy(col("doc_id"), col("tri"))
       .agg(count(lit(1)).as("c"))
 
