@@ -43,8 +43,14 @@ object DedupIndex {
         b => hash(slice(col("sig"), b * m.rowsPerBand + lit(1),
           lit(m.rowsPerBand))))).as(Seq("band", "bucket")))
 
-  /** Land the index: band postings (partitioned by band) + signatures +
-    * one-row meta. */
+  /** Land the index: band postings + signatures + one-row meta. The
+    * postings land as PLAIN parquet with `band` as an ordinary column
+    * (r16): the serve path joins every band against the broadcast new
+    * batch — no consumer filters by band, so a `partitionBy("band")`
+    * layout bought zero pruning while multiplying the files of every
+    * landing ×16 (each writer task opens one file per band it holds) —
+    * the small-files failure mode of guide §6, compounding per daily
+    * append at 100 TB. */
   def writeIndex(docs: DataFrame, dir: String, k: Int = 3,
                  numHashes: Int = 64, bands: Int = 16,
                  rowsPerBand: Int = 4): Unit = {
@@ -54,8 +60,7 @@ object DedupIndex {
     val sigs = signatures(docs, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.write.mode(SaveMode.Overwrite).parquet(s"$dir/sigs")
-    banded(sigs, m).write.mode(SaveMode.Overwrite)
-      .partitionBy("band").parquet(s"$dir/postings")
+    banded(sigs, m).write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
     sigs.unpersist(blocking = false)
     Seq(m).toDS().write.mode(SaveMode.Overwrite).json(s"$dir/meta")
   }
@@ -134,15 +139,14 @@ object DedupIndex {
       "left_anti")
 
   /** Land a (deduped) batch's postings + signatures — keeps the index
-    * current without touching existing files (parquet append into the
-    * same band partitions). */
+    * current without touching existing files (plain parquet append; see
+    * [[writeIndex]] for why the postings are not band-partitioned). */
   def appendToIndex(docs: DataFrame, dir: String): Unit = {
     val m = readMeta(docs.sparkSession, dir)
     val sigs = signatures(docs, m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.write.mode(SaveMode.Append).parquet(s"$dir/sigs")
-    banded(sigs, m).write.mode(SaveMode.Append)
-      .partitionBy("band").parquet(s"$dir/postings")
+    banded(sigs, m).write.mode(SaveMode.Append).parquet(s"$dir/postings")
     sigs.unpersist(blocking = false)
   }
 

@@ -19,7 +19,7 @@ class DedupIndexSpec extends SparkSpec {
     dir
   }
 
-  test("index artifact lands meta + sigs + band-partitioned postings") {
+  test("index artifact lands meta + sigs + all-band postings") {
     val meta = DedupIndex.readMeta(spark, indexDir)
     assert(meta == DedupIndex.Meta(3, 64, 16, 4))
     val sigs = spark.read.parquet(s"$indexDir/sigs")
