@@ -5758,9 +5758,20 @@ object VersionedTable
           when(col("op") === "i", "u").otherwise(col("op"))),
         "o_orderkey")
       val live = read(spark, replica)
-      // equal cardinality + one-sided multiset inclusion ⟹ equality
-      // (half the comparison cost of a two-sided exceptAll)
-      require(live.count() == v2.count() && live.exceptAll(v2).isEmpty,
+      // order-insensitive multiset fingerprint (count + wrap-safe sum of
+      // row hashes), ONE aggregate pass per side — the qSqlDedup proof
+      // pattern. The former count+exceptAll form executed each side
+      // TWICE (once for its count, once inside the exceptAll join) and
+      // hash-partitioned both full snapshots; same multiset-equality
+      // guarantee, ~half the passes and zero join shuffle.
+      def snapSig(df: org.apache.spark.sql.DataFrame): (Long, Any) = {
+        val h = xxhash64(df.columns.sorted.map(c => col(c).cast("string"))
+          .toIndexedSeq: _*)
+        val r = df.agg(count(lit(1)).as("n"),
+          sum(h.cast("decimal(38,0)")).as("s")).head()
+        (r.getLong(0), r.get(1))
+      }
+      require(snapSig(live) == snapSig(v2),
         "replica after feed apply diverged from the target snapshot")
     } finally feed.unpersist()
     java.nio.file.Files.walk(tmp).forEach(p => p.toFile.deleteOnExit())
