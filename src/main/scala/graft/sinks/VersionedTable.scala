@@ -4317,7 +4317,15 @@ class VersionedTableOps(protected val io: TableIO) {
   private def validateConstraints(spark: SparkSession, dir: String,
                                   newFiles: Seq[String],
                                   userBatch: Boolean = false): Unit =
-    if (newFiles.nonEmpty)
+    // gate-free tables skip the batch DataFrame outright: EVERY check
+    // family (user CHECKs, NOT NULL, nested NOT NULL, nested defaults)
+    // needs a declared schema or a declared constraint, and
+    // spark.read.parquet() alone costs a driver-side file index + footer
+    // schema read per commit — pure overhead on the common undeclared
+    // table (r16; the wider guard than hasDeclaredGates because
+    // nestedDefaultChecks also fires on defaulted-members-only schemas)
+    if (newFiles.nonEmpty &&
+        (constraints(dir).nonEmpty || declaredSchema(dir).isDefined))
       validateConstraintsDf(dir, spark.read.parquet(newFiles: _*),
         userBatch)
 
