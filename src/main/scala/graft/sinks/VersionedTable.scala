@@ -3665,19 +3665,55 @@ class VersionedTableOps(protected val io: TableIO) {
   def mergeChanges(spark: SparkSession, dir: String, changes: DataFrame,
                    key: String, opCol: String = "op",
                    txnId: Option[String] = None): Int = {
+    // ONE aggregate pass validates the whole batch — the former shape ran
+    // THREE full passes before any merge work (bad-op scan, duplicate-key
+    // groupBy, upsert∩delete semi-join), each with its own shuffle. A
+    // per-key rollup computes all three verdicts, plus the key span and
+    // upsert count [[applyChanges]] would otherwise re-derive with two
+    // more jobs. The batch is persisted so validation, the u/d splits and
+    // the merge's membership scan share one materialization.
     // A NULL op makes `!isin("u","d")` evaluate to NULL (filtered out),
     // which would let the row pass validation and then silently match
     // neither the upsert nor the delete branch — count "not a definite
     // match" instead so malformed rows fail loudly rather than vanish.
-    val bad = changes
-      .filter(!coalesce(col(opCol).isin("u", "d"), lit(false)))
-      .limit(1).count()
-    require(bad == 0, s"op column '$opCol' must be 'u' or 'd' (non-null)")
-    applyChanges(spark, dir,
-      changes.filter(col(opCol) === "u").drop(opCol),
-      changes.filter(col(opCol) === "d").select(col(key)),
-      key, txnId)
+    val ch = changes.persist()
+    try {
+      val r = ch.groupBy(col(key)).agg(
+          count(when(col(opCol) === "u", lit(1))).as("nu"),
+          count(when(col(opCol) === "d", lit(1))).as("nd"),
+          count(when(!coalesce(col(opCol).isin("u", "d"), lit(false)),
+            lit(1))).as("nbad"))
+        .agg(sum(col("nbad")).as("bad"),
+          max(col("nu")).as("maxu"),
+          count(when(col("nu") > 0 && col("nd") > 0, lit(1))).as("both"),
+          sum(col("nu")).as("urows"),
+          min(col(key)).as("kmin"), max(col(key)).as("kmax"))
+        .head()
+      val empty = r.isNullAt(0)
+      require(empty || r.getLong(0) == 0,
+        s"op column '$opCol' must be 'u' or 'd' (non-null)")
+      require(empty || r.getLong(1) <= 1,
+        s"source has duplicate '$key' values — a MERGE with a " +
+          s"many-to-one match is ambiguous; dedupe the source first")
+      require(empty || r.getLong(2) == 0,
+        s"a '$key' value is both upserted and deleted in one batch — " +
+          s"fold the changelog to last-change-per-key first")
+      val pre = ChangePrecheck(
+        hasUpserts = !empty && r.getLong(3) > 0,
+        span = if (empty) None else Some((r.get(4), r.get(5))))
+      applyChangesPre(spark, dir,
+        ch.filter(col(opCol) === "u").drop(opCol),
+        ch.filter(col(opCol) === "d").select(col(key)),
+        key, txnId, Some(pre))
+    } finally ch.unpersist()
   }
+
+  /** Batch facts [[mergeChanges]] already proved/derived in its one-pass
+    * validation, so [[applyChangesAttempt]] skips re-deriving them:
+    * uniqueness/disjointness hold, `span` is the affected-key [min,max]
+    * (None = empty batch), `hasUpserts` replaces an `isEmpty` probe. */
+  private case class ChangePrecheck(hasUpserts: Boolean,
+                                    span: Option[(Any, Any)])
 
   /** Core of [[merge]]/[[mergeChanges]]: upsert `upserts` and delete
     * `deleteKeys` by `key`, rewriting ONLY the files that contain an
@@ -3687,18 +3723,25 @@ class VersionedTableOps(protected val io: TableIO) {
   def applyChanges(spark: SparkSession, dir: String, upserts: DataFrame,
                    deleteKeys: DataFrame, key: String,
                    txnId: Option[String] = None): Int =
+    applyChangesPre(spark, dir, upserts, deleteKeys, key, txnId, None)
+
+  private def applyChangesPre(spark: SparkSession, dir: String,
+                   upserts: DataFrame, deleteKeys: DataFrame, key: String,
+                   txnId: Option[String],
+                   pre: Option[ChangePrecheck]): Int =
     if (txnId.exists(committedTxns(dir).contains))
       versionOfTxn(dir, txnId.get)
     else {
       val v = retryingShape(3) { applyChangesAttempt(spark, dir, upserts,
-        deleteKeys, key, txnId) }
+        deleteKeys, key, txnId, pre) }
       maybeAutoRefresh(spark, dir)
       v
     }
 
   private def applyChangesAttempt(spark: SparkSession, dir: String,
                    upserts: DataFrame, deleteKeys: DataFrame, key: String,
-                   txnId: Option[String]): Int = {
+                   txnId: Option[String],
+                   pre: Option[ChangePrecheck] = None): Int = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no committed version at $dir")
     val head = vs.last
@@ -3714,29 +3757,38 @@ class VersionedTableOps(protected val io: TableIO) {
     val src = upserts.persist()
     val delK = deleteKeys.select(col(key)).persist()
     try {
-      val dupes = src.groupBy(col(key)).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dupes == 0,
-        s"source has duplicate '$key' values — a MERGE with a " +
-          s"many-to-one match is ambiguous; dedupe the source first")
-      require(src.select(col(key)).join(delK, Seq(key), "left_semi")
-        .limit(1).count() == 0,
-        s"a '$key' value is both upserted and deleted in one batch — " +
-          s"fold the changelog to last-change-per-key first")
+      // a [[ChangePrecheck]] means [[mergeChanges]] already proved
+      // uniqueness/disjointness and derived the key span in its ONE
+      // validation pass — re-running the groupBy + semi-join + min/max
+      // here would be three redundant jobs per merge
+      if (pre.isEmpty) {
+        val dupes = src.groupBy(col(key)).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dupes == 0,
+          s"source has duplicate '$key' values — a MERGE with a " +
+            s"many-to-one match is ambiguous; dedupe the source first")
+        require(src.select(col(key)).join(delK, Seq(key), "left_semi")
+          .limit(1).count() == 0,
+          s"a '$key' value is both upserted and deleted in one batch — " +
+            s"fold the changelog to last-change-per-key first")
+      }
       // every key the batch affects, for file-touching and row removal
       val affectedKeys = src.select(col(key)).unionByName(delK)
 
       // phase 1 (free): manifest stats — files whose key range can't
       // intersect the batch's key range are out before any data is read
-      val r = affectedKeys.agg(min(col(key)), max(col(key))).head()
-      val candidates =
-        if (r.isNullAt(0)) Seq.empty[String]
-        else {
+      val span = pre.map(_.span).getOrElse {
+        val r = affectedKeys.agg(min(col(key)), max(col(key))).head()
+        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+      }
+      val candidates = span match {
+        case None => Seq.empty[String]
+        case Some((lo, hi)) =>
           val stats = statsOf(dir, head, key)
           filesAtStart.filter { f =>
-            stats.get(f).forall(mayIntersect(_, r.get(0), r.get(1)))
+            stats.get(f).forall(mayIntersect(_, lo, hi))
           }
-        }
+      }
       // phase 2 (one scan of the candidates): actual membership — the
       // distinct files a semi-join against the affected keys names;
       // bounded collect (≤ file count)
@@ -3766,7 +3818,8 @@ class VersionedTableOps(protected val io: TableIO) {
       // keep the table's file granularity: the rewrite replaces N files
       // with ~N (shuffle-free merge of read partitions), and a pure-insert
       // merge lands ONE file, not one per source partition
-      val hasRows = touched.nonEmpty || !src.isEmpty
+      val hasRows = touched.nonEmpty ||
+        pre.map(_.hasUpserts).getOrElse(!src.isEmpty)
       val newFiles =
         if (!hasRows) Seq.empty[String]
         else {
@@ -5744,7 +5797,6 @@ object VersionedTable
           .filter(col("o_orderkey") % 11 === 0))
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdf_")
     val dir = s"$tmp/t"
-    val replica = s"$tmp/replica"
     commit(o, dir)
     commit(v2, dir, append = false) // logical overwrite: non-append lineage
     val refused =
@@ -5759,8 +5811,13 @@ object VersionedTable
     // this query from the plan-invariant gate
     feed.persist()
     try {
-      // replication: applying the feed to a replica of v1 reproduces v2
-      commit(o, replica)
+      // replication: applying the feed to a replica of v1 reproduces v2.
+      // The replica is a zero-copy branch pinned at v1 — O(pointers), no
+      // second landing of the full snapshot (the former `commit(o,
+      // replica)` wrote every orders row AGAIN purely to seed the
+      // replica; a fork at v1 is the same starting state by
+      // construction, and the feed apply still rewrites real files)
+      val replica = createBranch(dir, "replica", version = Some(1))
       mergeChanges(spark, replica,
         feed.withColumn("op",
           when(col("op") === "i", "u").otherwise(col("op"))),
