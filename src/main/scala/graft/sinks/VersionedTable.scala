@@ -1560,19 +1560,26 @@ class VersionedTableOps(protected val io: TableIO) {
     val delDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
     // one vector file per delete commit: positions are two longs a row —
     // tiny next to the data they erase — and one file keeps the manifest
-    // line count O(deletes), not O(deletes x scan partitions)
-    matched.coalesce(1).write.parquet(delDir)
+    // line count O(deletes), not O(deletes x scan partitions).
+    // The row count and the distinct touched files ride the WRITE job as
+    // observed metrics — the former shape re-read the just-written vector
+    // twice (an isEmpty probe, then a distinct().collect()), two extra
+    // Spark jobs per delete. collect_set stays bounded: ≤ head file count.
+    val obs = org.apache.spark.sql.Observation(
+      s"deleteWhere-${java.util.UUID.randomUUID}")
+    matched.observe(obs, count(lit(1)).as("n"),
+        collect_set(col("file_path")).as("files"))
+      .coalesce(1).write.parquet(delDir)
     val newDel = io.list(delDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$delDir/$n")
-    if (newDel.isEmpty || spark.read.parquet(newDel: _*).isEmpty) {
+    val obsRow = if (newDel.isEmpty) Map.empty[String, Any] else obs.get
+    if (newDel.isEmpty || obsRow("n").asInstanceOf[Long] == 0L) {
       io.list(delDir).foreach(n => io.delete(s"$delDir/$n"))
       io.delete(delDir)
       return head
     }
-    // bounded collect: distinct FILES the vector touches (≤ head file count)
-    val referenced = spark.read.parquet(newDel: _*)
-      .select("file_path").distinct()
-      .collect().map(_.getString(0)).toSet
+    val referenced =
+      obsRow("files").asInstanceOf[scala.collection.Seq[String]].toSet
     // merge-on-read: every head data file stays — pointer carry is sound
     var headAt: Option[Int] = None
     val v = publishOnHead(dir, guardFiles = newDel) { (h, base) =>
@@ -1659,8 +1666,15 @@ class VersionedTableOps(protected val io: TableIO) {
         s"updateWhere assigns unknown column(s): ${bad.mkString(", ")}")
       if (matched.isEmpty) return head
       val delDir = s"$dir/deletes/${java.util.UUID.randomUUID}"
+      // the touched-file set rides the vector WRITE as an observed metric
+      // (bounded: ≤ head file count) — the former shape re-read the
+      // just-written vector with a distinct().collect(), one extra job
+      val obs = org.apache.spark.sql.Observation(
+        s"updateWhere-${java.util.UUID.randomUUID}")
       matched.select(col("__graft_file").as("file_path"),
-        col("__graft_pos").as("pos")).coalesce(1).write.parquet(delDir)
+          col("__graft_pos").as("pos"))
+        .observe(obs, collect_set(col("file_path")).as("files"))
+        .coalesce(1).write.parquet(delDir)
       val newDel = io.list(delDir).filter(_.endsWith(".parquet")).sorted
         .map(n => s"$delDir/$n")
       val updated = matched.select(dataCols.map(c =>
@@ -1675,9 +1689,8 @@ class VersionedTableOps(protected val io: TableIO) {
         if (pt.isEmpty) rowsLines(spark, newFiles)
         else statsLines(spark, dir, newFiles,
           pt.flatMap(_.statNames).distinct, cbo = cboOnCommit(dir))
-      val referenced = spark.read.parquet(newDel: _*)
-        .select("file_path").distinct()
-        .collect().map(_.getString(0)).toSet
+      val referenced =
+        obs.get("files").asInstanceOf[scala.collection.Seq[String]].toSet
       // merge-on-read update: all head files carry, plus the updated
       // copies — pointer carry + one new segment, like an append
       val newSeg = segLine(dir, newFiles, coversOf(rowsNew))
@@ -1746,7 +1759,9 @@ class VersionedTableOps(protected val io: TableIO) {
     keys.select(col(keyCol)).distinct().coalesce(1).write.parquet(delDir)
     val out = io.list(delDir).filter(_.endsWith(".parquet")).sorted
       .map(n => s"$delDir/$n")
-    if (out.isEmpty || spark.read.parquet(out: _*).isEmpty) {
+    // footers already carry the row count — emptiness is a driver-local
+    // read, not another Spark job over the just-written file
+    if (out.isEmpty || footerRowCounts(spark, out).values.sum == 0L) {
       io.list(delDir).foreach(n => io.delete(s"$delDir/$n"))
       io.delete(delDir)
       return vs.last
@@ -3085,7 +3100,9 @@ class VersionedTableOps(protected val io: TableIO) {
         survivors.coalesce(1).write.parquet(sDir)
         val out = io.list(sDir).filter(_.endsWith(".parquet")).sorted
           .map(n => s"$sDir/$n")
-        if (spark.read.parquet(out: _*).isEmpty) {
+        // emptiness from the footers (driver-local) — re-reading the
+        // just-written vector was one extra Spark job per rewrite
+        if (footerRowCounts(spark, out).values.sum == 0L) {
           io.list(sDir).foreach(n => io.delete(s"$sDir/$n"))
           io.delete(sDir)
           Seq.empty
@@ -3844,7 +3861,9 @@ class VersionedTableOps(protected val io: TableIO) {
           survivors.coalesce(1).write.parquet(sDir)
           val out = io.list(sDir).filter(_.endsWith(".parquet")).sorted
             .map(n => s"$sDir/$n")
-          if (spark.read.parquet(out: _*).isEmpty) {
+          // emptiness from the footers (driver-local) — re-reading the
+          // just-written vector was one extra Spark job per rewrite
+          if (footerRowCounts(spark, out).values.sum == 0L) {
             io.list(sDir).foreach(n => io.delete(s"$sDir/$n"))
             io.delete(sDir)
             Seq.empty
@@ -4113,7 +4132,9 @@ class VersionedTableOps(protected val io: TableIO) {
           survivors.coalesce(1).write.parquet(sDir)
           val out = io.list(sDir).filter(_.endsWith(".parquet")).sorted
             .map(n => s"$sDir/$n")
-          if (spark.read.parquet(out: _*).isEmpty) {
+          // emptiness from the footers (driver-local) — re-reading the
+          // just-written vector was one extra Spark job per rewrite
+          if (footerRowCounts(spark, out).values.sum == 0L) {
             io.list(sDir).foreach(n => io.delete(s"$sDir/$n"))
             io.delete(sDir)
             Seq.empty
